@@ -1,13 +1,136 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{QastQueries, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator claimed in SURVEY.md §2 appears here as a named query
+  * plus (where ANSI-SQL-expressible) a DuckDB oracle over the same
+  * parquet tables. Column names and rounding are aligned between the
+  * Spark plan and the oracle so the driver's sorted-hash compare is
+  * byte-stable.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational pack (SURVEY.md §2.3 capabilities) ---
+    "q1_agg" -> (Relational.q1Agg _),
+    "q3_topk" -> (Relational.q3TopK _),
+    "q5_regional" -> (Relational.q5Regional _),
+    "window_running" -> (Relational.windowRunning _),
+    "anti_join" -> (Relational.antiJoinCustomers _),
+    "distinct_segments" -> (Relational.distinctSegments _),
+    "rollup_orders" -> (Relational.rollupOrders _),
+    "except_priorities" -> (Relational.exceptPriorities _),
+    // --- QAST query language (SURVEY.md §2.1) ---
+    "qast_regex" -> (QastQueries.regexFilter _),
+    "qast_arith" -> (QastQueries.arithFilter _),
+    "qast_overlap" -> (QastQueries.overlapFilter _),
+    "qast_props" -> (QastQueries.jsonPropsFilter _),
+    "qast_logic" -> (QastQueries.logicFilter _),
+    "meta_search" -> (QastQueries.metaSearch _))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+         round(avg(l_quantity),4) AS avg_qty, round(avg(l_discount),4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY 1,2 ORDER BY 1,2""",
+    "q3_topk" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM customer JOIN orders ON o_custkey=c_custkey
+         JOIN lineitem ON l_orderkey=o_orderkey
+         WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01'
+           AND l_shipdate > TIMESTAMP '1997-01-01'
+         GROUP BY 1,2,3 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_regional" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey=o_custkey AND l_orderkey=o_orderkey
+           AND l_suppkey=s_suppkey AND c_nationkey=s_nationkey
+           AND s_nationkey=n_nationkey AND n_regionkey=r_regionkey
+           AND r_name='ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1 ORDER BY revenue DESC, n_name""",
+    "window_running" ->
+      """SELECT * FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+             row_number() OVER (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn,
+             round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING),2) AS running_qty
+           FROM lineitem) t WHERE rn <= 100""",
+    "anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           AND o_orderdate < TIMESTAMP '1995-07-01')
+         ORDER BY c_custkey""",
+    "distinct_segments" ->
+      """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer ORDER BY 1, 2""",
+    "rollup_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         round(sum(o_totalprice),2) AS total_price
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "except_priorities" ->
+      """SELECT o_orderpriority, o_orderstatus FROM orders
+         WHERE year(o_orderdate)=1996
+         EXCEPT
+         SELECT o_orderpriority, o_orderstatus FROM orders
+         WHERE year(o_orderdate)=1995
+         ORDER BY 1, 2""",
+    "qast_regex" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE regexp_full_match(text, '.*(merge|stream) sort.*')
+         ORDER BY doc_id""",
+    "qast_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice*(1+l_tax)/2 AS half_charge
+         FROM lineitem
+         WHERE 3 < l_quantity AND l_quantity < 11 AND (l_linenumber % 2) = 1
+           AND l_extendedprice*(1-l_discount) >= 1000
+         ORDER BY l_orderkey, l_linenumber""",
+    "qast_overlap" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE list_has_any(string_split(text,' '), ['vector','sketch'])
+           AND regexp_full_match(lang, 'e[ns]')
+         ORDER BY doc_id""",
+    "qast_props" ->
+      """SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+         FROM events
+         WHERE CAST(json_extract_string(props,'$.k') AS BIGINT) > 90
+            OR CAST(json_extract_string(props,'$.k') AS BIGINT) < 3
+         ORDER BY event_id""",
+    "qast_logic" ->
+      """SELECT n_nationkey, n_name, r_name
+         FROM nation JOIN region ON n_regionkey=r_regionkey
+         WHERE NOT (r_name='ASIA' OR r_name='EUROPE') AND n_nationkey != 0
+         ORDER BY n_nationkey""",
+    "meta_search" ->
+      """WITH f AS (
+           SELECT doc_id id, 'cid-'||doc_id file, source, lang, n_chars
+           FROM documents
+           WHERE list_has_any(string_split(text,' ')[1:3], ['merge','stream']))
+         SELECT id, file, source, 'text/plain' AS type,
+                k AS meta_key, v AS meta_value
+         FROM (
+           SELECT id, file, source, 'lang' AS k, lang AS v FROM f
+           UNION ALL SELECT id, file, source, 'origin', 'content' FROM f
+           UNION ALL SELECT id, file, source, 'n_chars', CAST(n_chars AS VARCHAR) FROM f
+         ) ORDER BY id, meta_key""")
 }

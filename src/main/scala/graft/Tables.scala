@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+/** Loaders for the driver-generated TPC-H-ish parquet testdata
+  * (see TESTDATA.md). All queries take the scale-factor directory as a
+  * runtime argument so the same plan runs at any scale.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
+    * rejects outright. Sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see Verify/Bench), so
+    * the column arrives as nanos-since-epoch longs; this loader restores
+    * a microsecond timestamp with exact integer division — the same
+    * ns→µs truncation DuckDB applies when it reads the file.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Session options every graft session needs (nanos handling). */
+  val sessionConfs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** Dimension tables small enough to broadcast at any realistic scale
+    * (region/nation are fixed-size; supplier/part/customer grow slowly
+    * relative to the fact tables).
+    */
+  val broadcastable: Set[String] = Set("region", "nation")
+}

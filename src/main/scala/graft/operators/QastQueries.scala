@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, MapType, StringType}
+
+import graft.Tables.load
+import graft.qast.Compiler
+
+/** QAST-driven queries — the reference's single query language compiled
+  * to Catalyst `Column`s and run against real tables. These exercise
+  * every operator family of SURVEY.md §2.1: `$`/`.` field access, `~`
+  * regex, arithmetic folds, chained comparisons, `&&` array overlap and
+  * the boolean connectives. Because a compiled QAST is an ordinary
+  * Catalyst predicate, Spark pushes it into the parquet scan exactly as
+  * the reference pushes its SQL backend into PostgreSQL
+  * (SURVEY.md §4 "predicate pushdown by construction").
+  */
+object QastQueries {
+
+  /** Unwrap a compiled QAST or fail loudly (tests/driver surface it). */
+  def qast(json: String): Column =
+    Compiler.fromJson(json).fold(e => throw e, identity)
+
+  /** `~` whole-string regex + `.` field access on documents
+    * (the thesis demo query shape, `eval.tex:31-41`).
+    */
+  def regexFilter(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .filter(qast("""["~", [".", ["$"], "text"], ".*(merge|stream) sort.*"]"""))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Arithmetic + chained comparison + `%` + `&` on lineitem; also
+    * returns a QAST-computed value column.
+    */
+  def arithFilter(s: SparkSession, dir: String): DataFrame = {
+    val pred = qast(
+      """["&",
+           ["<", 3, [".", ["$"], "l_quantity"], 11],
+           ["==", ["%", [".", ["$"], "l_linenumber"], 2], 1],
+           [">=", ["*", [".", ["$"], "l_extendedprice"],
+                        ["-", 1, [".", ["$"], "l_discount"]]], 1000]]""")
+    val charge = qast(
+      """["/", ["*", [".", ["$"], "l_extendedprice"],
+                     ["+", 1, [".", ["$"], "l_tax"]]], 2]""")
+    load(s, dir, "lineitem")
+      .filter(pred)
+      // no rounding: per-row IEEE arithmetic is bit-identical across
+      // engines, while round()'s half-up boundary is not.
+      .select(col("l_orderkey"), col("l_linenumber"),
+        charge.as("half_charge"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** `&&` array-overlap on a token array (the reference's
+    * `["&&", topics, ["copypasta"]]` pattern, `qast_test.clj:35-37`).
+    */
+  def overlapFilter(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(qast(
+        """["&", ["&&", [".", ["$"], "tokens"], ["vector", "sketch"]],
+                 ["~", [".", ["$"], "lang"], "e[ns]"]]"""))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Nested `.` path into a dynamic JSON document (the reference's
+    * open-map `extra` semantics): events.props is a JSON string; we
+    * parse it to a map and let QAST address `props.k`.
+    */
+  def jsonPropsFilter(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(s, dir)
+      .withColumn("props", from_json(col("props"), MapType(StringType, LongType)))
+      .filter(qast(
+        """["|", [">", [".", ["$"], "props", "k"], 90],
+                 ["<", [".", ["$"], "props", "k"], 3]]"""))
+      .select(col("event_id"), col("props")("k").as("k"))
+      .orderBy(col("event_id"))
+
+  /** Disjunction + negation + `!=` over joins of dims: nations outside
+    * two regions whose name doesn't match a pattern.
+    */
+  def logicFilter(s: SparkSession, dir: String): DataFrame = {
+    val n = load(s, dir, "nation")
+    val r = load(s, dir, "region")
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .filter(qast(
+        """["&", ["!", ["|", ["==", [".", ["$"], "r_name"], "ASIA"],
+                             ["==", [".", ["$"], "r_name"], "EUROPE"]]],
+                 ["!=", [".", ["$"], "n_nationkey"], 0]]"""))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** The reference's metadata search (S5/S6): `dataset ⋈ content ON
+    * file = cid`, QAST predicate, fixed projection + right-biased merge
+    * of the two open `extra` maps (PostgreSQL `dataset.extra ||
+    * content.extra`, `db/PostgreSQL.java:51-54`). Tables are derived
+    * deterministically from `documents` so the result is oracle-checkable;
+    * the merged map is exploded to (key, value) rows for a stable,
+    * engine-neutral output shape.
+    */
+  def metaSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val dataset = docs.select(
+      col("doc_id").as("id"),
+      concat(lit("cid-"), col("doc_id")).as("file"),
+      col("source"),
+      slice(split(col("text"), " "), 1, 3).as("topics"),
+      map(lit("lang"), col("lang"), lit("origin"), lit("dataset")).as("dextra"))
+    val content = docs.select(
+      concat(lit("cid-"), col("doc_id")).as("cid"),
+      lit("text/plain").as("type"),
+      map(lit("n_chars"), col("n_chars").cast("string"),
+        lit("origin"), lit("content")).as("cextra"))
+    // right-biased merge without relying on session dedup policy:
+    // keep dataset keys not shadowed by content, then add content's.
+    val merged = map_concat(
+      map_filter(col("dextra"), (k, _) => !map_contains_key(col("cextra"), k)),
+      col("cextra"))
+    dataset.join(content, col("file") === col("cid"))
+      .filter(qast("""["&&", [".", ["$"], "topics"], ["merge", "stream"]]"""))
+      .select(col("id"), col("file"), col("source"), col("type"),
+        explode(merged).as(Seq("meta_key", "meta_value")))
+      .orderBy(col("id"), col("meta_key"))
+  }
+}

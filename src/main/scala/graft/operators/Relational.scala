@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator pack: aggregation, multi-way joins, top-k,
+  * window functions, set ops, distinct, rollup.
+  *
+  * The reference's query surface is predicate-only (SURVEY.md §2.3) —
+  * these are the "free" Spark capabilities a lake engine needs beyond
+  * that, written scale-first:
+  *   - filters appear before joins/aggs so Catalyst pushes them into
+  *     the parquet scans (PushedFilters);
+  *   - fixed-size dims (region, nation) are `broadcast()` so the big
+  *     fact-table join never shuffles the small side;
+  *   - aggregations are partial (map-side combine) by construction via
+  *     `groupBy.agg`.
+  */
+object Relational {
+  import Tables.load
+
+  /** TPC-H Q1-style pricing summary: full scan + 2-key groupBy.
+    * At 100 TB this is the canonical map-side-combine aggregation:
+    * ~6 groups mean partial aggregation collapses each partition to a
+    * handful of rows before the shuffle.
+    */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-style: selective dim filter -> 3-way join -> agg -> top-k.
+    * Customer filter runs before the join (pushdown); order-by+limit is
+    * a TakeOrderedAndProject, not a global sort.
+    */
+  def q3TopK(s: SparkSession, dir: String): DataFrame = {
+    val c = load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = load(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = load(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: 6-way join with two broadcast dims + agg.
+    * region/nation are fixed-size -> broadcast; supplier/customer are
+    * small relative to fact tables -> broadcast at these SFs (AQE would
+    * pick the same at runtime given size stats).
+    */
+  def q5Regional(s: SparkSession, dir: String): DataFrame = {
+    val r = load(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = load(s, dir, "nation")
+    val c = load(s, dir, "customer")
+    val sup = load(s, dir, "supplier")
+    val o = load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = load(s, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Window functions: per-supplier row numbering + running quantity.
+    * Partition key = l_suppkey (bounded cardinality, even sizes); the
+    * sort inside each partition is local after one hash shuffle.
+    */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    load(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_qty",
+        round(sum(col("l_quantity"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .filter(col("rn") <= 100)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("rn"), col("running_qty"))
+  }
+
+  /** Anti join: customers with no order in 1995H1 (left_anti — Spark's
+    * NOT EXISTS; stays a broadcast/hash join, never a cartesian).
+    */
+  def antiJoinCustomers(s: SparkSession, dir: String): DataFrame = {
+    val o = load(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+    load(s, dir, "customer")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Distinct (dropDuplicates = partial-agg dedup, shuffles only the
+    * distinct key space).
+    */
+  def distinctSegments(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"))
+      .dropDuplicates()
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  /** Rollup (grouping-sets family): subtotals + grand total in one
+    * pass — Spark expands grouping sets before the shuffle, so it is
+    * still a single-shuffle aggregation.
+    */
+  def rollupOrders(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Set operation: order-priority universe present in 1996 but absent
+    * in 1995 (EXCEPT = distinct + hash anti join).
+    */
+  def exceptPriorities(s: SparkSession, dir: String): DataFrame = {
+    val o = load(s, dir, "orders")
+    def prios(yr: Int) = o
+      .filter(year(col("o_orderdate")) === yr)
+      .select(col("o_orderpriority"), col("o_orderstatus"))
+    prios(1996).except(prios(1995))
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+  }
+}

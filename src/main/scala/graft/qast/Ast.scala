@@ -1,0 +1,93 @@
+package graft.qast
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+/** QAST — the reference's JSON-array s-expression predicate language.
+  *
+  * Shape (reference `doc/qast.md:3-8`): a JSON array in prefix notation
+  * `[op, operand...]`; any non-array JSON value is a literal; a JSON
+  * array whose head is not a known operator is an array literal.
+  *
+  * We parse into a small ADT and validate arity at parse time, mirroring
+  * the reference compilers returning nil on malformed input
+  * (`src/comlake/core/qast.clj:56-60,67-73`) which the HTTP layer turns
+  * into 400 "malformed query".
+  */
+sealed trait Ast
+object Ast {
+  case class QNum(value: Double, integral: Boolean) extends Ast
+  case class QStr(value: String) extends Ast
+  case class QBool(value: Boolean) extends Ast
+  case object QNull extends Ast
+  /** Array literal (a JSON array not led by a known operator). */
+  case class QArr(items: List[Ast]) extends Ast
+  /** Object literal (string-keyed). */
+  case class QObj(fields: List[(String, Ast)]) extends Ast
+  /** Operator application `[op, args...]`. */
+  case class QOp(op: String, args: List[Ast]) extends Ast
+
+  final case class QastError(message: String)
+      extends RuntimeException(message)
+  def malformed: QastError = QastError("malformed query")
+
+  /** Operator table: name -> arity check. Mirrors `qast.clj:31-50`. */
+  val arities: Map[String, Int => Boolean] = Map(
+    "$" -> (_ == 0),
+    "." -> (_ >= 2),
+    "~" -> (_ == 2),
+    "+" -> (_ >= 1),
+    "-" -> (_ >= 1),
+    "*" -> (_ >= 1),
+    "/" -> (_ >= 1),
+    "%" -> (_ == 2),
+    "==" -> (_ >= 2),
+    "!=" -> (_ >= 2),
+    ">" -> (_ >= 2),
+    ">=" -> (_ >= 2),
+    "<" -> (_ >= 2),
+    "<=" -> (_ >= 2),
+    "&&" -> (_ == 2),
+    "&" -> (_ >= 0),
+    "|" -> (_ >= 0),
+    "!" -> (_ == 1))
+
+  private val mapper = new ObjectMapper()
+
+  /** Parse a QAST from its JSON text. Left("malformed query") on
+    * unparseable JSON or bad operator arity, like the reference.
+    */
+  def parse(json: String): Either[QastError, Ast] =
+    Try(mapper.readTree(json)).toEither.left
+      .map(_ => malformed)
+      .flatMap(n => if (n == null) Left(malformed) else fromJson(n))
+
+  def fromJson(node: JsonNode): Either[QastError, Ast] = node match {
+    case n if n.isNull => Right(QNull)
+    case n if n.isBoolean => Right(QBool(n.asBoolean))
+    case n if n.isNumber =>
+      Right(QNum(n.asDouble, n.isIntegralNumber))
+    case n if n.isTextual => Right(QStr(n.asText))
+    case n if n.isObject =>
+      sequence(n.properties.asScala.toList.map(e =>
+        fromJson(e.getValue).map(v => e.getKey -> v))).map(QObj(_))
+    case n if n.isArray =>
+      val items = n.elements.asScala.toList
+      items match {
+        case head :: rest if head.isTextual && arities.contains(head.asText) =>
+          val op = head.asText
+          if (!arities(op)(rest.length)) Left(malformed)
+          else sequence(rest.map(fromJson)).map(QOp(op, _))
+        case _ => sequence(items.map(fromJson)).map(QArr(_))
+      }
+    case _ => Left(malformed)
+  }
+
+  private def sequence[A](xs: List[Either[QastError, A]])
+      : Either[QastError, List[A]] =
+    xs.foldRight(Right(Nil): Either[QastError, List[A]]) { (e, acc) =>
+      for { h <- e; t <- acc } yield h :: t
+    }
+}

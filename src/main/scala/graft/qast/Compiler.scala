@@ -1,0 +1,148 @@
+package graft.qast
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import Ast._
+
+/** QAST → Catalyst `Column` compiler.
+  *
+  * The reference compiles the same AST twice — to a PostgreSQL WHERE
+  * fragment (`qast.clj:52-65`) and to a row-predicate closure
+  * (`qast.clj:120-129`). On Spark one compiler serves both callers
+  * (metadata search and content extraction): a `Column` *is* a Catalyst
+  * expression tree, so predicate pushdown, codegen and three-valued null
+  * logic come for free. Null propagation of the closure backend
+  * (`qast.clj:75-80`: any nil operand -> nil result -> row rejected) is
+  * exactly Spark's SQL null semantics under `filter`.
+  *
+  * Where the reference's two backends disagree (SURVEY.md §2.1.1) we fix
+  * one semantics:
+  *   - `~`  : WHOLE-string regex match (closure `re-matches`), i.e.
+  *            `regexp_like(s, "^(?:" + p + ")$")`.
+  *   - `<`-family: true chained comparison, pairwise AND-folded
+  *            (closure backend; the SQL emit is not even valid for >2).
+  *   - `/`  : double division (Clojure exact ratios are not
+  *            representable; SQL integer truncation loses data).
+  *   - `!=` : NOT(all-equal), matching Clojure `not=`.
+  *   - `&&` : array overlap for both paths (`arrays_overlap`), fixing
+  *            the closure backend's TODO (`qast.clj:113`).
+  */
+object Compiler {
+
+  /** Compile a parsed AST to a Column. */
+  def compile(ast: Ast): Either[QastError, Column] = ast match {
+    case QNum(v, integral) => Right(if (integral) lit(v.toLong) else lit(v))
+    case QStr(s) => Right(lit(s))
+    case QBool(b) => Right(lit(b))
+    case QNull => Right(lit(null))
+    case QArr(items) => mapEither(items)(compile).map(cs => array(cs: _*))
+    case QObj(fields) =>
+      mapEither(fields) { case (k, v) => compile(v).map(c => (lit(k), c)) }
+        .map(kvs => map(kvs.flatMap(kv => Seq(kv._1, kv._2)): _*))
+    case QOp(op, args) => compileOp(op, args)
+  }
+
+  /** Parse JSON text and compile in one step (the `/find` + `/extract`
+    * entry point).
+    */
+  def fromJson(json: String): Either[QastError, Column] =
+    Ast.parse(json).flatMap(compile)
+
+  private def compileOp(op: String, args: List[Ast])
+      : Either[QastError, Column] = op match {
+    case "$" =>
+      // The row itself is only addressable through `.`; a bare `($)` in
+      // value position has no meaning on a columnar engine.
+      Left(QastError("malformed query"))
+
+    case "." => compilePath(args)
+
+    case "~" =>
+      for { s <- compile(args.head); p <- anchored(args(1)) }
+        yield regexp_like(s, p)
+
+    case "+" => foldArith(args, _ + _, identity)
+    case "-" => foldArith(args, _ - _, c => -c)
+    case "*" => foldArith(args, _ * _, identity)
+    case "/" =>
+      mapEither(args)(a => compile(a).map(_.cast("double"))).map {
+        case single :: Nil => lit(1.0) / single // Clojure (/ x) = 1/x
+        case cs => cs.reduceLeft(_ / _)
+      }
+    case "%" =>
+      for { a <- compile(args.head); b <- compile(args(1)) } yield a % b
+
+    case "==" => mapEither(args)(compile).map(cs => allAdjacent(cs, _ === _))
+    case "!=" => mapEither(args)(compile).map(cs => !allAdjacent(cs, _ === _))
+    case ">" => mapEither(args)(compile).map(cs => allAdjacent(cs, _ > _))
+    case ">=" => mapEither(args)(compile).map(cs => allAdjacent(cs, _ >= _))
+    case "<" => mapEither(args)(compile).map(cs => allAdjacent(cs, _ < _))
+    case "<=" => mapEither(args)(compile).map(cs => allAdjacent(cs, _ <= _))
+
+    case "&&" =>
+      for { a <- compile(args.head); b <- compile(args(1)) }
+        yield arrays_overlap(a, b)
+
+    case "&" =>
+      mapEither(args)(compile).map {
+        case Nil => lit(true)
+        case cs => cs.reduceLeft(_ && _)
+      }
+    case "|" =>
+      mapEither(args)(compile).map {
+        case Nil => lit(false)
+        case cs => cs.reduceLeft(_ || _)
+      }
+    case "!" => compile(args.head).map(c => !c)
+
+    case _ => Left(QastError("malformed query"))
+  }
+
+  /** `[".", ["$"], "a", "b", ...]` — nested field access rooted at the
+    * row (reference `getter-psql`, `qast.clj:23-29`; closure
+    * `reduce get`, `:93-96`). `col(a)(b)(c)` resolves struct fields,
+    * map keys and array indices alike.
+    */
+  private def compilePath(args: List[Ast]): Either[QastError, Column] = {
+    def steps(rest: List[Ast], base: Column): Either[QastError, Column] =
+      rest.foldLeft(Right(base): Either[QastError, Column]) {
+        case (acc, QStr(name)) => acc.map(_.apply(name))
+        case (acc, QNum(v, true)) => acc.map(_.apply(v.toInt))
+        case (_, _) => Left(QastError("malformed query"))
+      }
+    args match {
+      case QOp("$", Nil) :: QStr(first) :: rest => steps(rest, col(first))
+      case head :: rest => compile(head).flatMap(steps(rest, _))
+      case Nil => Left(QastError("malformed query"))
+    }
+  }
+
+  /** Whole-string anchoring of the regex pattern. */
+  private def anchored(pattern: Ast): Either[QastError, Column] =
+    pattern match {
+      case QStr(p) => Right(lit("^(?:" + p + ")$"))
+      case other =>
+        compile(other).map(c => concat(lit("^(?:"), c, lit(")$")))
+    }
+
+  private def foldArith(args: List[Ast], two: (Column, Column) => Column,
+      one: Column => Column): Either[QastError, Column] =
+    mapEither(args)(compile).map {
+      case single :: Nil => one(single)
+      case cs => cs.reduceLeft(two)
+    }
+
+  /** Chained adjacent-pairs comparison AND-folded:
+    * `[<, a, b, c]` => `a < b AND b < c`.
+    */
+  private def allAdjacent(cs: List[Column],
+      cmp: (Column, Column) => Column): Column =
+    cs.zip(cs.tail).map { case (a, b) => cmp(a, b) }.reduceLeft(_ && _)
+
+  private def mapEither[A, B](xs: List[A])(f: A => Either[QastError, B])
+      : Either[QastError, List[B]] =
+    xs.foldRight(Right(Nil): Either[QastError, List[B]]) { (x, acc) =>
+      for { h <- f(x); t <- acc } yield h :: t
+    }
+}
