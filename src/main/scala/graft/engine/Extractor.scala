@@ -1,0 +1,115 @@
+package graft.engine
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.qast.{Ast, Compiler}
+import graft.schema.JsonSchema
+import graft.store.{Catalog, ContentStore}
+
+/** Content extraction + schema inference — the reference's
+  * `POST /extract/{cid}` and `GET /schema/{cid}` paths
+  * (`/root/reference/src/comlake/core/extract/data.clj`,
+  * `extract/metadata.clj`, `HttpHandler.java:199-229`).
+  *
+  * MIME dispatch is the reference's: `text/csv` and `application/json`
+  * are row collections, anything else is "unsupported data type"
+  * (`extract/data.clj:29-37`). Where the reference lazily streams one
+  * row at a time through a closure predicate, we hand Spark the file and
+  * the compiled QAST `Column`: the scan is partition-parallel and the
+  * predicate reaches the reader (pushdown), which is the whole point of
+  * going Spark-native — same semantics, cluster-scale execution.
+  *
+  * CSV extraction keeps every value a string (reference `csv->json`
+  * zipmaps raw strings, `extract/data.clj:23-27`; its api test matches
+  * `"VNM"` as a string) — so extraction reads with `inferSchema=false`.
+  * Schema *inference* is the separate A1/A2 path below, with the
+  * number/string lattice applied on top of Spark's inference.
+  */
+final class Extractor(spark: SparkSession, store: ContentStore,
+    catalog: Catalog) {
+
+  /** Load a cid's rows as a DataFrame, per its registered MIME type. */
+  def rows(cid: String): Either[ExtractError, DataFrame] =
+    catalog.getType(cid) match {
+      case None => Left(ExtractError.UnknownCid(cid))
+      case Some(mime) => reader(mime, store.pathOf(cid))
+    }
+
+  private def reader(mime: String, path: Path)
+      : Either[ExtractError, DataFrame] = baseMime(mime) match {
+    case "text/csv" =>
+      // stringly rows, first record = header (extract/data.clj:23-27)
+      Right(spark.read.option("header", true).csv(path.toString))
+    case "application/json" =>
+      // reference parses ONE top-level JSON array (extract/data.clj:33);
+      // Spark's default is JSON-lines => multiLine for the array form.
+      Right(spark.read.option("multiLine", true).json(path.toString))
+    case _ => Left(ExtractError.UnsupportedType(mime))
+  }
+
+  private def baseMime(mime: String): String =
+    mime.split(';').head.trim.toLowerCase
+
+  /** `POST /extract/{cid}`: rows matching a QAST predicate. */
+  def extract(cid: String, qastJson: String)
+      : Either[ExtractError, DataFrame] =
+    for {
+      df <- rows(cid)
+      pred <- Compiler.fromJson(qastJson).left
+        .map(e => ExtractError.Malformed(e))
+    } yield df.filter(pred)
+
+  def extractWith(cid: String, pred: Column): Either[ExtractError, DataFrame] =
+    rows(cid).map(_.filter(pred))
+
+  /** Infer a cid's row schema, persist it in the catalog, return the
+    * draft-07 JSON Schema document (reference `GET /schema/{cid}`;
+    * memoized there via a Clojure future, `extract/metadata.clj:55-76` —
+    * here the catalog itself is the cache).
+    */
+  def inferSchema(cid: String): Either[ExtractError, String] =
+    catalog.getSchema(cid) match {
+      case Some(json) => Right(json)
+      case None =>
+        catalog.getType(cid) match {
+          case None => Left(ExtractError.UnknownCid(cid))
+          case Some(mime) => infer(mime, store.pathOf(cid)).map { st =>
+            val json = JsonSchema.forRows(cid, st)
+            catalog.setSchema(cid, json)
+            json
+          }
+        }
+    }
+
+  private def infer(mime: String, path: Path)
+      : Either[ExtractError, StructType] = baseMime(mime) match {
+    case "text/csv" =>
+      // Spark's CSV inference samples types; the reference folds its
+      // two-element lattice over ALL rows (metadata.clj:36-53). The
+      // JsonSchema serializer collapses both to number|string.
+      Right(spark.read.option("header", true).option("inferSchema", true)
+        .csv(path.toString).schema)
+    case "application/json" =>
+      Right(spark.read.option("multiLine", true).json(path.toString).schema)
+    case _ => Left(ExtractError.UnsupportedType(mime))
+  }
+}
+
+/** Error contract mirroring the reference's HTTP error strings
+  * (`HttpHandler.java:219-229`, `api_test.clj:191-218`).
+  */
+sealed trait ExtractError { def message: String }
+object ExtractError {
+  case class UnknownCid(cid: String) extends ExtractError {
+    def message = "unknown cid"
+  }
+  case class UnsupportedType(mime: String) extends ExtractError {
+    def message = "unsupported data type"
+  }
+  case class Malformed(cause: Ast.QastError) extends ExtractError {
+    def message = "malformed query"
+  }
+}

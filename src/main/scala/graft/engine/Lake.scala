@@ -1,0 +1,66 @@
+package graft.engine
+
+import java.io.InputStream
+import java.nio.file.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.store.{Catalog, ContentStore, DatasetMeta}
+
+/** The assembled lake core: content store + metadata catalog + extractor,
+  * i.e. the reference's full service surface minus HTTP
+  * (`/root/reference/src/comlake/core/HttpHandler.java` endpoint per
+  * endpoint). Library users call these; an HTTP layer would be a thin
+  * adapter with the reference's status/error contract.
+  */
+final class Lake(val spark: SparkSession, root: Path) {
+  val store = new ContentStore(root.resolve("cas"))
+  val catalog = new Catalog(spark, root.resolve("catalog"))
+  val extractor = new Extractor(spark, store, catalog)
+
+  /** `POST /file`: ingest bytes, register type, return CID. Schema
+    * inference runs lazily on first `/schema` ask (the catalog is the
+    * memo), rather than the reference's async future + memoize
+    * (`extract/metadata.clj:67-76`) — same observable behavior without
+    * the race its thesis admits (`eval.tex:192-197`).
+    */
+  def addFile(in: InputStream, mime: String): String = {
+    val cid = store.add(in)
+    catalog.insertFile(cid, mime)
+    cid
+  }
+
+  def addFile(bytes: Array[Byte], mime: String): String =
+    addFile(new java.io.ByteArrayInputStream(bytes), mime)
+
+  /** `GET /file/{cid}` */
+  def fetch(cid: String): InputStream = store.fetch(cid)
+
+  /** `POST /dataset` (add-dataset) */
+  def addDataset(meta: DatasetMeta): Long = {
+    require(store.exists(meta.file), s"missing content: ${meta.file}")
+    catalog.insertDataset(meta)
+  }
+
+  /** `POST /update` — new immutable version pointing at its parent. */
+  def updateDataset(id: Long, overrides: DatasetMeta.Partial): Option[Long] =
+    catalog.updateDataset(id, overrides)
+
+  /** `POST /find` — QAST metadata search. */
+  def find(qastJson: String): Either[graft.qast.Ast.QastError, DataFrame] =
+    catalog.search(qastJson)
+
+  /** `POST /extract/{cid}` — QAST row extraction from content. */
+  def extract(cid: String, qastJson: String): Either[ExtractError, DataFrame] =
+    extractor.extract(cid, qastJson)
+
+  /** `GET /schema/{cid}` — inferred draft-07 JSON Schema (cached). */
+  def schema(cid: String): Either[ExtractError, String] =
+    extractor.inferSchema(cid)
+
+  /** `GET /dir/{cid}` + `POST /dir` + `POST /cp` */
+  def ls(cid: String): Map[String, String] = store.ls(cid)
+  def mkdir(): String = store.mkdir()
+  def cp(src: String, dir: String, name: String): String =
+    store.cp(src, dir, name)
+}

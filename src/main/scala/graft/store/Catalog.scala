@@ -1,0 +1,195 @@
+package graft.store
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.qast.Compiler
+
+/** Metadata catalog — the engine's analog of the reference's PostgreSQL
+  * metadata store (`/root/reference/src/comlake/core/db/PostgreSQL.java`),
+  * holding the two relations of `resources/psql/table.sql`:
+  *
+  *   content (cid, type, extra)            — one row per stored blob
+  *   dataset (id, file, description, source, topics, extra, parent)
+  *
+  * Storage is **append-only parquet** with last-writer-wins resolution at
+  * read time — the lakehouse-native replacement for the reference's
+  * `INSERT ... ON CONFLICT DO UPDATE` (`PostgreSQL.java:41-44`): every
+  * mutation appends a full row stamped with a monotonic `seq`, and the
+  * read view keeps `max_by(row, seq)` per key. That keeps writes
+  * coordination-free (any number of concurrent ingests just append
+  * files) and makes the mutable-metadata-on-immutable-storage problem
+  * disappear; at warehouse scale the same layout swaps to Delta/Iceberg
+  * MERGE without touching callers. Dataset rows are immutable *versions*
+  * (`POST /update` inserts a child row pointing at its parent,
+  * `PostgreSQL.java:128-154`), so they are append-only by nature already.
+  *
+  * Point lookups (`getType`, version parents) read the resolved view;
+  * the view is tiny relative to content (metadata : data ratio), so
+  * these are driver-cheap, and `search` stays a fully distributed
+  * join+filter.
+  */
+final class Catalog(spark: SparkSession, root: Path) {
+  import spark.implicits._
+
+  private val contentDir = root.resolve("content")
+  private val datasetDir = root.resolve("dataset")
+  Files.createDirectories(contentDir)
+  Files.createDirectories(datasetDir)
+
+  /** Monotonic sequence for ids and last-writer-wins ordering. Driver-side
+    * like the reference's bigserial; persisted so restarts keep going up.
+    */
+  private val counterFile = root.resolve("seq")
+  private def nextSeq(): Long = counterFile.synchronized {
+    val cur =
+      if (Files.exists(counterFile))
+        new String(Files.readAllBytes(counterFile), "UTF-8").trim.toLong
+      else 0L
+    Files.write(counterFile, (cur + 1).toString.getBytes("UTF-8"))
+    cur + 1
+  }
+
+  import Catalog.{ContentRow, DatasetRow}
+
+  private def hasData(dir: Path): Boolean =
+    Files.exists(dir.resolve("_SUCCESS")) || {
+      val s = Files.list(dir)
+      try s.anyMatch(p => p.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+
+  /** Resolved `content` relation: latest full row per cid. */
+  def content: DataFrame =
+    if (!hasData(contentDir)) spark.emptyDataset[ContentRow].toDF()
+    else spark.read.parquet(contentDir.toString)
+      .groupBy("cid")
+      .agg(max_by(struct(col("type"), col("extra"), col("seq")), col("seq"))
+        .as("r"))
+      .select(col("cid"), col("r.type").as("type"), col("r.extra").as("extra"),
+        col("r.seq").as("seq"))
+
+  /** Resolved `dataset` relation (rows are immutable versions already). */
+  def dataset: DataFrame =
+    if (!hasData(datasetDir)) spark.emptyDataset[DatasetRow].toDF()
+    else spark.read.parquet(datasetDir.toString)
+
+  private def appendContent(row: ContentRow): Unit =
+    Seq(row).toDS().write.mode("append").parquet(contentDir.toString)
+
+  /** Upsert-by-cid (reference I3, `PostgreSQL.java:84-94`): sets `type`,
+    * preserves any existing extra (e.g. an inferred schema).
+    */
+  def insertFile(cid: String, mime: String): Unit = {
+    val existing = lookupContent(cid)
+    appendContent(ContentRow(cid, mime,
+      existing.map(_.extra).getOrElse(Map.empty), nextSeq()))
+  }
+
+  /** Persist an inferred schema under `extra.schema` (reference A3,
+    * `PostgreSQL.java:205-212`).
+    */
+  def setSchema(cid: String, schemaJson: String): Unit = lookupContent(cid) match {
+    case Some(row) =>
+      appendContent(row.copy(extra = row.extra + ("schema" -> schemaJson),
+        seq = nextSeq()))
+    case None =>
+      appendContent(ContentRow(cid, null, Map("schema" -> schemaJson),
+        nextSeq()))
+  }
+
+  /** `SELECT type FROM content WHERE cid=?` (reference L1). */
+  def getType(cid: String): Option[String] =
+    lookupContent(cid).flatMap(r => Option(r.`type`))
+
+  def getSchema(cid: String): Option[String] =
+    lookupContent(cid).flatMap(_.extra.get("schema"))
+
+  private def lookupContent(cid: String): Option[ContentRow] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[ContentRow]
+    content.filter(col("cid") === cid).as[ContentRow]
+      .collect().headOption
+  }
+
+  /** Required dataset fields (`HttpHandler.java:138-142`); anything else
+    * in `meta` is open-map `extra`.
+    */
+  def insertDataset(meta: DatasetMeta): Long = {
+    val id = nextSeq()
+    Seq(DatasetRow(id, meta.file, meta.description, meta.source, meta.topics,
+      meta.extra, meta.parent, id))
+      .toDS().write.mode("append").parquet(datasetDir.toString)
+    id
+  }
+
+  /** Update-as-insert versioning (reference I2, `PostgreSQL.java:128-154`):
+    * a new row inherits every field the override map omits and points back
+    * at its parent, forming the version tree. Returns None if the parent
+    * doesn't exist (reference: 400 "failed query").
+    */
+  def updateDataset(parentId: Long, overrides: DatasetMeta.Partial): Option[Long] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[DatasetRow]
+    dataset.filter(col("id") === parentId).as[DatasetRow]
+      .collect().headOption.map { p =>
+        insertDataset(DatasetMeta(
+          file = overrides.file.getOrElse(p.file),
+          description = overrides.description.getOrElse(p.description),
+          source = overrides.source.getOrElse(p.source),
+          topics = overrides.topics.getOrElse(p.topics),
+          extra = p.extra ++ overrides.extra,
+          parent = Some(parentId)))
+      }
+  }
+
+  /** Metadata search (reference S5/S6, `PostgreSQL.java:51-54`):
+    * `dataset ⋈ content ON file = cid`, QAST predicate over the joined
+    * open row, fixed projection plus right-biased merge
+    * `dataset.extra || content.extra` (jsonb `||` semantics). The
+    * metadata side is broadcast — at any scale the content relation
+    * dwarfs it per-key, and the predicate lands in both scans.
+    */
+  def search(qastJson: String): Either[graft.qast.Ast.QastError, DataFrame] =
+    Compiler.fromJson(qastJson).map(searchWith)
+
+  def searchWith(pred: Column): DataFrame = {
+    val d = dataset
+    val c = content.select(col("cid"), col("type"),
+      col("extra").as("content_extra"))
+    val mergedExtra = map_concat(
+      map_filter(coalesce(col("extra"), map()),
+        (k, _) => !map_contains_key(coalesce(col("content_extra"), map()), k)),
+      coalesce(col("content_extra"), map()))
+    d.join(broadcast(c), col("file") === col("cid"))
+      .withColumn("merged_extra", mergedExtra)
+      .filter(pred)
+      .select(col("id"), col("file"), col("description"), col("source"),
+        col("topics"), col("type"), col("parent"),
+        col("merged_extra").as("extra"))
+  }
+}
+
+object Catalog {
+  /** Append-log row shapes (top-level so Spark can derive encoders). */
+  case class ContentRow(cid: String, `type`: String,
+      extra: Map[String, String], seq: Long)
+  case class DatasetRow(id: Long, file: String, description: String,
+      source: String, topics: Seq[String], extra: Map[String, String],
+      parent: Option[Long], seq: Long)
+}
+
+/** The reference's required dataset fields + open extras
+  * (`HttpHandler.java:138-144`).
+  */
+case class DatasetMeta(file: String, description: String, source: String,
+    topics: Seq[String], extra: Map[String, String] = Map.empty,
+    parent: Option[Long] = None)
+
+object DatasetMeta {
+  /** Field overrides for update-as-version; None = inherit from parent. */
+  case class Partial(file: Option[String] = None,
+      description: Option[String] = None, source: Option[String] = None,
+      topics: Option[Seq[String]] = None,
+      extra: Map[String, String] = Map.empty)
+}

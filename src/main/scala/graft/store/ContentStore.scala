@@ -1,0 +1,113 @@
+package graft.store
+
+import java.io.{InputStream, FileNotFoundException}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.security.{DigestInputStream, MessageDigest}
+
+import scala.jdk.CollectionConverters._
+
+/** Content-addressed store (CAS) — the engine's analog of the reference's
+  * `FileSystem` interface over IPFS
+  * (`/root/reference/src/comlake/core/fs/FileSystem.java:25-46`,
+  * `fs/InterPlanetaryFileSystem.java:47-121`).
+  *
+  * Content is immutable bytes addressed by CID. Here the CID is
+  * `sha256-<hex>` of the bytes (deterministic like an IPFS multihash, so
+  * re-adding identical bytes dedups to the same address — the passive
+  * dedup the reference gets from IPFS). Directories are content too: a
+  * directory CID addresses a manifest mapping name → child CID, mirroring
+  * IPFS `inode/directory` semantics (`db/PostgreSQL.java:97-99`).
+  *
+  * Layout under `root`:
+  *   blobs/<cid>           — raw bytes (write-once)
+  *   dirs/<cid>            — directory manifest, one "name\tcid" per line
+  *
+  * All operations are idempotent writes or pure reads, so many Spark
+  * executors can ingest into the same store concurrently without
+  * coordination: the temp-file + atomic-move protocol makes duplicate
+  * adds race-free (last mover wins with identical bytes). At 100 TB the
+  * `root` would be an object-store prefix; Spark only ever sees paths
+  * returned by `pathOf`, so scans stay ordinary distributed file reads.
+  */
+final class ContentStore(val root: Path) {
+  private val blobs = root.resolve("blobs")
+  private val dirs = root.resolve("dirs")
+  Files.createDirectories(blobs)
+  Files.createDirectories(dirs)
+
+  /** Ingest a byte stream, return its CID (reference `FileSystem.add`). */
+  def add(in: InputStream): String = {
+    val tmp = Files.createTempFile(root, "ingest", ".tmp")
+    try {
+      val md = MessageDigest.getInstance("SHA-256")
+      val din = new DigestInputStream(in, md)
+      Files.copy(din, tmp, StandardCopyOption.REPLACE_EXISTING)
+      val cid = "sha256-" + md.digest().map("%02x".format(_)).mkString
+      val dest = blobs.resolve(cid)
+      if (!Files.exists(dest)) // content-addressed => same bytes, any writer
+        Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      cid
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  def add(bytes: Array[Byte]): String =
+    add(new java.io.ByteArrayInputStream(bytes))
+
+  /** Stream content by CID (reference `FileSystem.fetch`). */
+  def fetch(cid: String): InputStream = {
+    val p = pathOf(cid)
+    if (!Files.exists(p)) throw new FileNotFoundException(cid)
+    Files.newInputStream(p)
+  }
+
+  /** Filesystem path of a blob — what `spark.read` is pointed at. */
+  def pathOf(cid: String): Path = blobs.resolve(cid)
+
+  def exists(cid: String): Boolean =
+    Files.exists(blobs.resolve(cid)) || Files.exists(dirs.resolve(cid))
+
+  // --- directory ops (reference `mkdir`/`cp`/`ls`,
+  //     fs/InterPlanetaryFileSystem.java:42-44,81-110) -----------------
+
+  /** Create an empty directory, return its CID. */
+  def mkdir(): String = writeManifest(Map.empty)
+
+  /** Functional copy: new directory = `dir` with `name → src` added
+    * (the reference re-pins and returns a fresh CID; ours is immutable
+    * by construction).
+    */
+  def cp(src: String, dir: String, name: String): String = {
+    require(exists(src), s"no such content: $src")
+    writeManifest(ls(dir) + (name -> src))
+  }
+
+  /** List a directory: name → cid. */
+  def ls(cid: String): Map[String, String] = {
+    val p = dirs.resolve(cid)
+    if (!Files.exists(p))
+      throw new FileNotFoundException(s"not a directory: $cid")
+    Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
+      val Array(name, child) = line.split('\t')
+      name -> child
+    }.toMap
+  }
+
+  def isDir(cid: String): Boolean = Files.exists(dirs.resolve(cid))
+
+  private def writeManifest(entries: Map[String, String]): String = {
+    val body = entries.toSeq.sorted
+      .map { case (n, c) => s"$n\t$c" }.mkString("\n")
+      .getBytes("UTF-8")
+    val md = MessageDigest.getInstance("SHA-256")
+    val cid = "sha256-" + md.digest(body).map("%02x".format(_)).mkString
+    val dest = dirs.resolve(cid)
+    if (!Files.exists(dest)) {
+      val tmp = Files.createTempFile(root, "dir", ".tmp")
+      Files.write(tmp, body)
+      Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    cid
+  }
+}

@@ -1,0 +1,130 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.store.DatasetMeta
+
+/** End-to-end lake-core behavior, exercising the reference's API surface
+  * (upload, dataset versioning, find, extract, schema, dir ops) against
+  * the same fixtures' shapes as `/root/reference/test/comlake/core/
+  * api_test.clj`.
+  */
+class LakeSpec extends SparkSpec {
+
+  private lazy val lake = new Lake(spark, Files.createTempDirectory("lake"))
+
+  private val csv =
+    """country_name,country_code,year,population
+      |Vietnam,VNM,2019,96462106
+      |Germany,DEU,2019,83092962
+      |Chad,TCD,2019,15946876
+      |""".stripMargin.getBytes("UTF-8")
+
+  private val json =
+    """[{"name": "comlake", "tags": ["lake", "core"], "stars": 7},
+       {"name": "graft", "tags": ["spark"], "stars": 9}]""".getBytes("UTF-8")
+
+  test("content add is deterministic and dedups (CAS)") {
+    val cid1 = lake.addFile(csv, "text/csv")
+    val cid2 = lake.store.add(csv)
+    assert(cid1 == cid2 && cid1.startsWith("sha256-"))
+    val read = new String(lake.fetch(cid1).readAllBytes(), "UTF-8")
+    assert(read.startsWith("country_name"))
+  }
+
+  test("dir mkdir/cp/ls like the reference fs ops") {
+    val cid = lake.addFile(csv, "text/csv")
+    val dir = lake.mkdir()
+    val dir2 = lake.cp(cid, dir, "population.csv")
+    assert(lake.ls(dir2) == Map("population.csv" -> cid))
+    assert(lake.ls(dir).isEmpty) // dirs are immutable values
+    intercept[Exception](lake.cp("sha256-nope", dir, "x"))
+  }
+
+  test("extract: CSV rows stay strings; QAST predicate filters (thesis demo)") {
+    val cid = lake.addFile(csv, "text/csv")
+    val got = lake.extract(cid,
+      """["~", [".", ["$"], "country_name"], "Vi.tnam"]""")
+    assert(got.isRight)
+    val rows = got.toOption.get.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("country_code") == "VNM") // string, not num
+  }
+
+  test("extract: JSON array content + array-overlap predicate") {
+    val cid = lake.addFile(json, "application/json")
+    val got = lake.extract(cid,
+      """["&&", [".", ["$"], "tags"], ["spark"]]""").toOption.get
+    assert(got.select("name").collect().map(_.getString(0)).toSeq ==
+      Seq("graft"))
+  }
+
+  test("extract errors: unsupported MIME and malformed query") {
+    val cid = lake.addFile("hello".getBytes, "text/plain")
+    assert(lake.extract(cid, """["&"]""") ==
+      Left(ExtractError.UnsupportedType("text/plain")))
+    val csvCid = lake.addFile(csv, "text/csv")
+    lake.extract(csvCid, """["%", 1]""") match {
+      case Left(e: ExtractError.Malformed) =>
+        assert(e.message == "malformed query")
+      case other => fail(s"expected malformed, got $other")
+    }
+  }
+
+  test("schema inference: CSV number/string lattice in draft-07 shape") {
+    val cid = lake.addFile(csv, "text/csv")
+    val schema = lake.schema(cid).toOption.get
+    assert(schema.contains("\"$schema\": \"http://json-schema.org/draft-07/schema#\""))
+    assert(schema.contains("\"title\": \"" + cid + "\""))
+    assert(schema.contains("\"type\": \"array\""))
+    // year + population inferred number; names stay string
+    assert(schema.contains("\"population\": {\"type\": \"number\"}"))
+    assert(schema.contains("\"country_code\": {\"type\": \"string\"}"))
+    // second ask hits the catalog cache (same doc back)
+    assert(lake.schema(cid).toOption.get == schema)
+  }
+
+  test("dataset insert, update-as-version, and find with QAST") {
+    val cid = lake.addFile(csv, "text/csv")
+    val id = lake.addDataset(DatasetMeta(cid, "World population", "wb",
+      Seq("population", "demography"), Map("year" -> "2019")))
+    // update inherits missing fields and links parent
+    val id2 = lake.updateDataset(id,
+      DatasetMeta.Partial(description = Some("World population v2"))).get
+    assert(lake.updateDataset(9999L, DatasetMeta.Partial()).isEmpty)
+
+    val found = lake.find(
+      """["&&", [".", ["$"], "topics"], ["population"]]""").toOption.get
+    val rows = found.orderBy("id").collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(id, id2))
+    val v2 = rows.last
+    assert(v2.getAs[String]("description") == "World population v2")
+    assert(v2.getAs[String]("source") == "wb")
+    assert(v2.getAs[Long]("parent") == id)
+    assert(v2.getAs[String]("type") == "text/csv")
+  }
+
+  test("find merges dataset.extra || content.extra right-biased") {
+    val cid = lake.addFile(json, "application/json")
+    lake.schema(cid) // populates content.extra.schema
+    val id = lake.addDataset(DatasetMeta(cid, "projects", "gh", Seq("code"),
+      Map("schema" -> "dataset-says", "origin" -> "dataset")))
+    val row = lake.find("""["==", [".", ["$"], "id"], %d]""".format(id))
+      .toOption.get.collect().head
+    val extra = row.getAs[Map[String, String]]("extra")
+    // content side wins the "schema" key (jsonb || right bias)
+    assert(extra("schema").contains("draft-07"))
+    assert(extra("origin") == "dataset")
+  }
+
+  test("content upsert preserves extra across type re-registration") {
+    val cid = lake.addFile(csv, "text/csv")
+    lake.schema(cid)
+    lake.catalog.insertFile(cid, "text/csv; charset=utf-8")
+    assert(lake.catalog.getSchema(cid).nonEmpty)
+    assert(lake.catalog.getType(cid).get.startsWith("text/csv"))
+  }
+}
