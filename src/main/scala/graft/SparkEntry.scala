@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{QastQueries, Relational}
+import graft.operators.{Dedup, QastQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,7 +35,13 @@ object SparkEntry {
     "qast_overlap" -> (QastQueries.overlapFilter _),
     "qast_props" -> (QastQueries.jsonPropsFilter _),
     "qast_logic" -> (QastQueries.logicFilter _),
-    "meta_search" -> (QastQueries.metaSearch _))
+    "meta_search" -> (QastQueries.metaSearch _),
+    // --- dedup pack (training-data pipeline ops) ---
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
+    "dedup_simhash" -> (Dedup.simhashPairs _),
+    "dedup_embedding" -> (Dedup.embeddingPairs _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -132,5 +138,44 @@ object SparkEntry {
            SELECT id, file, source, 'lang' AS k, lang AS v FROM f
            UNION ALL SELECT id, file, source, 'origin', 'content' FROM f
            UNION ALL SELECT id, file, source, 'n_chars', CAST(n_chars AS VARCHAR) FROM f
-         ) ORDER BY id, meta_key""")
+         ) ORDER BY id, meta_key""",
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_members FROM documents
+         GROUP BY list_sort(list_distinct(string_split(text,' ')))
+         ORDER BY doc_id""",
+    // dedup_ngram_jaccard and dedup_minhash_lsh share one contract:
+    // pairs with 3-shingle Jaccard >= 0.5 (the LSH path verifies its
+    // candidates exactly; at the J>=0.9 where real dups live its miss
+    // probability is ~1e-15, so both must equal this brute-force oracle).
+    "dedup_ngram_jaccard" -> dedupPairsOracle,
+    "dedup_minhash_lsh" -> dedupPairsOracle,
+    // dedup_simhash intentionally omitted: its contract depends on
+    // xxhash64 bit patterns DuckDB cannot reproduce; covered by
+    // DedupSpec instead (driver records rows-only).
+    "dedup_embedding" ->
+      """WITH n AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
+         FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_reduce(list_transform(list_zip(a.embedding,b.embedding),
+             x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p,q)->p+q)
+             /a.nrm/b.nrm, 6) AS cos
+         FROM n a, n b WHERE a.vec_id < b.vec_id
+           AND list_reduce(list_transform(list_zip(a.embedding,b.embedding),
+             x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p,q)->p+q)
+             /a.nrm/b.nrm >= 0.45
+         ORDER BY 1, 2""")
+
+  private val dedupPairsOracle =
+    """WITH sh AS (SELECT doc_id,
+         CASE WHEN len(toks)>=3 THEN list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+           for i in range(1,len(toks)-1)]) ELSE [text] END AS sh
+       FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents))
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.sh,b.sh))*1.0/len(list_distinct(a.sh||b.sh)),6) AS jaccard
+       FROM sh a, sh b
+       WHERE a.doc_id < b.doc_id
+         AND len(list_intersect(a.sh,b.sh))*1.0/len(list_distinct(a.sh||b.sh)) >= 0.5
+       ORDER BY 1, 2"""
 }

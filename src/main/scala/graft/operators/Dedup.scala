@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+
+/** Deduplication operator pack over the `documents` table — the
+  * training-data-pipeline ops the reference lacks entirely (its only
+  * dedup-like behavior is upsert-by-cid + IPFS passive storage dedup,
+  * SURVEY.md §2.3). Everything here is expressed as DataFrame plans:
+  * shuffles only on join/group keys, no driver-side loops, so each
+  * operator scales by partitioning alone.
+  *
+  * Shared text model: whitespace tokens; near-dup unit is the 3-token
+  * shingle (w-shingling); similarity is Jaccard over *distinct* shingle
+  * sets. The pack offers one semantic contract — "pairs with Jaccard ≥
+  * 0.5" — under two physical strategies with very different 100 TB
+  * behavior:
+  *
+  *   - `ngramJaccard`: exact inverted-index join (explode shingles, join
+  *     on shingle, count shared). Exact but the shingle join's fanout is
+  *     data-dependent: a shingle shared by k docs yields k² candidate
+  *     rows, so frequent-shingle skew needs stop-shingle filtering or
+  *     salting at scale.
+  *   - `minhashLsh`: 128-perm MinHash signatures, 32 bands × 4 rows,
+  *     bucket self-join, then EXACT Jaccard verification of candidates.
+  *     Work is O(docs × perms) + bucket-local joins; at J ≥ 0.9 (where
+  *     real dups live) miss probability is (1-0.9⁴)³² ≈ 1e-15, so the
+  *     verified output equals the exact contract and shares its oracle.
+  */
+object Dedup {
+
+  // --- text model ----------------------------------------------------
+
+  /** Distinct 3-token shingles of `text` (1-based positions i..i+2,
+    * matching the oracle's `toks[i]||' '||toks[i+1]||' '||toks[i+2]`
+    * over `range(1, len-1)`). Docs shorter than 3 tokens fall back to
+    * the whole text as a single shingle.
+    */
+  def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    val grams = transform(sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+    array_distinct(when(size(toks) >= lit(3), grams).otherwise(array(text)))
+  }
+
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+
+  /** Exact Jaccard between two distinct-element arrays. Integer set
+    * sizes divided in double — bit-identical across engines.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  // --- 1. exact dedup (hash-groupBy) ---------------------------------
+
+  /** Exact duplicate grouping by canonicalized content: the sorted
+    * distinct token set. One hash aggregation; map-side partial
+    * aggregation collapses each partition before the shuffle, and the
+    * group key can be hashed to a fixed-width fingerprint
+    * (`xxhash64`) at scale to avoid shuffling full token arrays.
+    */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .groupBy(array_sort(array_distinct(split(col("text"), " "))).as("key"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_members"))
+      .select(col("doc_id"), col("n_members"))
+      .orderBy(col("doc_id"))
+
+  // --- 2. exact n-gram Jaccard via inverted index --------------------
+
+  /** All pairs with shingle-Jaccard ≥ 0.5, exactly: explode shingles,
+    * self-join on the shingle (inverted index — only docs sharing a
+    * shingle ever meet), count shared shingles per pair, then
+    * |A∩B| / (|A|+|B|-|A∩B|). Shuffles on the shingle key; candidate
+    * fanout is Σ_shingle k², so at 100 TB frequent shingles get dropped
+    * (they cannot create a ≥0.5 pair on their own) or salted.
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    val inv = sh.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("shingle"))
+    val a = inv.toDF("id_a", "n_a", "shingle")
+    val b = inv.toDF("id_b", "n_b", "shingle")
+    a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // --- 3. MinHash + LSH ----------------------------------------------
+
+  val NumPerms = 128
+  val Bands = 32
+  val RowsPerBand = 4
+
+  /** 128-long MinHash signature of a distinct-shingle array. The i-th
+    * "permutation" is the seed-parameterized `xxhash64(i, shingle)` —
+    * independent well-mixed hash families with zero modular arithmetic
+    * (Spark 4's ANSI mode would reject the classic overflowing
+    * `(a*h+b) mod p`), deterministic across runs and executors.
+    */
+  def minhashSignature(sh: Column): Column =
+    transform(sequence(lit(0), lit(NumPerms - 1)), i =>
+      array_min(transform(sh, t => xxhash64(i, t))))
+
+  /** Candidate pairs via banding + exact-Jaccard verification ≥ `minJ`.
+    * The signature/banding pass is one narrow projection; candidate
+    * generation is a self-join co-partitioned on (band, bucket-hash);
+    * verification joins the (small) candidate set back to shingle sets.
+    */
+  def minhashLshPairs(s: SparkSession, dir: String, minJ: Double): DataFrame = {
+    val sh = docShingles(s, dir).cache()
+    val sigs = sh.select(col("doc_id"),
+      minhashSignature(col("sh")).as("sig"))
+    val bands = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+        b => xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
+      .toDF("doc_id", "band", "bucket")
+    val cands = bands.toDF("id_a", "band", "bucket")
+      .join(bands.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(s, dir, 0.5)
+
+  // --- 4. SimHash ----------------------------------------------------
+
+  /** 64-bit SimHash over the token multiset: each token votes ±1 on
+    * every bit of its xxhash64; the sign of each bit-sum is the
+    * fingerprint bit. One narrow projection, no shuffle.
+    */
+  def simhash(text: Column): Column = {
+    val toks = split(text, " ")
+    val votes = aggregate(toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, j) => a + when(
+            call_function("shiftright", h, j).bitwiseAND(1) === 1, 1)
+            .otherwise(-1))
+      })
+    aggregate(zip_with(votes, sequence(lit(0), lit(63)),
+      (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j))
+        .otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Near-dup pairs with Hamming distance ≤ 3 between SimHashes.
+    * Pigeonhole banding: split 64 bits into 4×16-bit bands; distance ≤ 3
+    * forces at least one identical band, so the self-join on
+    * (band, 16-bit value) finds every qualifying pair without a
+    * cartesian product.
+    */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val fps = load(s, dir, "documents")
+      .select(col("doc_id"), simhash(col("text")).as("fp"))
+    val bands = fps.select(col("doc_id"), col("fp"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        k => call_function("shiftrightunsigned", col("fp"), k * 16)
+          .bitwiseAND(0xFFFFL))))
+      .toDF("doc_id", "fp", "band", "chunk")
+    bands.toDF("id_a", "fp_a", "band", "chunk")
+      .join(bands.toDF("id_b", "fp_b", "band", "chunk"), Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // --- 5. embedding-cosine near-dup ----------------------------------
+
+  /** Cosine similarity between two float-vector columns, computed as an
+    * explicit left-to-right double fold so any engine reproducing the
+    * fold gets bit-identical results (floats widen to double exactly;
+    * IEEE + and * are deterministic given order).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ 0.45 over `embeddings`. The
+    * plan is a broadcast nested-loop self-join — correct as the exact
+    * baseline; the bucketed/LSH variant in the similarity pack is the
+    * 100 TB path (random-hyperplane buckets turn this into an equi-join
+    * like `simhashPairs`).
+    */
+  def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= 0.45)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Dedup pack semantics at sf0.001 (the sf0.01 DuckDB oracle is the
+  * stronger gate; this spec pins the cross-strategy invariants and the
+  * simhash contract that has no SQL oracle).
+  */
+class DedupSpec extends SparkSpec {
+
+  test("minhash LSH output equals exact inverted-index output") {
+    val exact = Dedup.ngramJaccard(spark, sf).collect().toSeq
+    val lsh = Dedup.minhashLsh(spark, sf).collect().toSeq
+    assert(exact.nonEmpty, "test data should contain near-dup pairs")
+    assert(lsh == exact)
+  }
+
+  test("minhash signature is deterministic and length-128") {
+    val sig = Dedup.minhashSignature(Dedup.shingles(lit("a b c d e f g")))
+    val twice = spark.range(1).select(sig.as("s1"), sig.as("s2"))
+      .selectExpr("s1 = s2 AS eq", "size(s1) AS n").head()
+    assert(twice.getBoolean(0) && twice.getInt(1) == Dedup.NumPerms)
+  }
+
+  test("simhash: identical text -> distance 0; near-dup docs detected") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = base.replace("lazy", "sleepy")
+    val far = "completely different content about spark shuffles and joins"
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far))
+      .toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) <=
+      java.lang.Long.bitCount(fp(1L) ^ fp(4L)))
+  }
+
+  test("simhash pairs on real docs: symmetric-free, hamming <= 3, finds dups") {
+    val pairs = Dedup.simhashPairs(spark, sf).collect()
+    assert(pairs.nonEmpty, "planted near-dups should collide")
+    assert(pairs.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    assert(pairs.forall(r => r.getAs[Int]("hamming") <= 3))
+  }
+
+  test("exact dedup groups by token-set; members counted") {
+    val g = Dedup.exact(spark, sf)
+    val total = g.agg(sum("n_members")).head().getLong(0)
+    assert(total == graft.Tables.load(spark, sf, "documents").count())
+  }
+
+  test("embedding near-dup pairs are ordered and thresholded") {
+    val p = Dedup.embeddingPairs(spark, sf).collect()
+    assert(p.forall(r => r.getAs[Double]("cos") >= 0.45))
+    assert(p.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+  }
+}
