@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, QastQueries, Relational}
+import graft.operators.{Dedup, QastQueries, Relational, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,7 +41,10 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhashPairs _),
-    "dedup_embedding" -> (Dedup.embeddingPairs _))
+    "dedup_embedding" -> (Dedup.embeddingPairs _),
+    // --- similarity search ---
+    "ann_brute_topk" -> (Similarity.bruteTopK _),
+    "ann_lsh_topk" -> (Similarity.lshTopK _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -165,7 +168,24 @@ object SparkEntry {
            AND list_reduce(list_transform(list_zip(a.embedding,b.embedding),
              x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p,q)->p+q)
              /a.nrm/b.nrm >= 0.45
-         ORDER BY 1, 2""")
+         ORDER BY 1, 2""",
+    // ann_lsh_topk intentionally omitted: approximate recall contract,
+    // measured against bruteTopK in SimilaritySpec (driver rows-only).
+    "ann_brute_topk" ->
+      """WITH n AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
+         FROM embeddings),
+         s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_reduce(list_transform(list_zip(q.embedding,c.embedding),
+             x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p,q2)->p+q2)
+             /q.nrm/c.nrm AS cos
+         FROM n q, n c
+         WHERE q.vec_id % 100 = 0 AND c.vec_id != q.vec_id)
+         SELECT query_id, neighbor_id, rank, round(cos,6) AS cos FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+         WHERE rank <= 5 ORDER BY query_id, rank""")
 
   private val dedupPairsOracle =
     """WITH sh AS (SELECT doc_id,

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`Array[Float]`, 64-dim) — a training-data-pipeline capability the
+  * reference has no analog for (SURVEY.md §2.3).
+  *
+  * Two physical strategies for one logical op (top-k cosine neighbors
+  * of a query set):
+  *
+  *   - `bruteTopK` — the exact baseline. Queries are a tiny broadcast
+  *     side; the corpus is scanned once. Top-k is TWO-stage: a per-
+  *     partition window keeps k rows per (query, partition), then a
+  *     global window ranks the survivors — the shuffle carries
+  *     O(queries × k × partitions) rows instead of the full corpus,
+  *     which is what survives a 1000-executor scale-up.
+  *   - `lshTopK` — the scale path: random-hyperplane LSH (sign-bit
+  *     buckets, T tables × b bits), equi-join on (table, bucket), exact
+  *     cosine + top-k over candidates only. Honest caveat, visible in
+  *     this very dataset (near-orthogonal vectors, max cos ≈ 0.5): LSH
+  *     prunes hard only when neighbors are angularly close; parameters
+  *     here (b=4, T=16) are tuned so the planted cos ≥ 0.45 structure
+  *     is recalled with p ≈ 0.96 while random pairs collide at
+  *     0.65⁴·T ≪ 1 per table pair.
+  */
+object Similarity {
+
+  val K = 5
+  /** Every 100th vector is a query — scale-proportional query set. */
+  private val queryPred: Column = col("vec_id") % 100 === 0
+
+  val Dim = 64
+  val NumTables = 16
+  val BitsPerTable = 4
+
+  /** Deterministic unit-free hyperplanes (seeded, baked as literals —
+    * identical on every executor and every run).
+    */
+  private[operators] val hyperplanes: Array[Array[Double]] = {
+    val rng = new scala.util.Random(4242)
+    Array.fill(NumTables * BitsPerTable)(Array.fill(Dim)(rng.nextGaussian()))
+  }
+
+  private def dotLit(v: Column, h: Array[Double]): Column =
+    aggregate(zip_with(v, typedLit(h), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** LSH bucket id of vector `v` for table `t`: b sign bits packed into
+    * a long. Pure projection — no shuffle, codegen-friendly arithmetic.
+    */
+  private def bucket(v: Column, t: Int): Column =
+    (0 until BitsPerTable).map { j =>
+      when(dotLit(v, hyperplanes(t * BitsPerTable + j)) >= 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "embeddings")
+
+  /** Exact top-k: broadcast the query set against the corpus, two-stage
+    * window ranking. Output: (query_id, neighbor_id, rank, cos).
+    */
+  def bruteTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+    // stage 1: local top-k inside each scan partition
+    val local = Window.partitionBy(col("query_id"), spark_partition_id())
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    // stage 2: global rank over the tiny survivor set
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("lr", row_number().over(local)).filter(col("lr") <= K)
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH-bucketed top-k: candidates = corpus vectors sharing any
+    * (table, bucket) with the query, then exact cosine + ranking over
+    * candidates only. Same output shape as `bruteTopK` (its recall is
+    * measured against it in SimilaritySpec).
+    */
+  def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    def withBuckets(df: DataFrame, idCol: String, vecCol: String) =
+      df.select(col(idCol), col(vecCol),
+        posexplode(array((0 until NumTables).map(t => bucket(col(vecCol), t)): _*)))
+        .toDF(idCol, vecCol, "table", "bucket")
+    val qb = withBuckets(
+      e.filter(queryPred).select(col("vec_id").as("query_id"),
+        col("embedding").as("qv")), "query_id", "qv")
+    val cb = withBuckets(
+      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+      "neighbor_id", "cv")
+    val cands = cb.join(broadcast(qb), Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cands.withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** ANN pack: exact baseline sanity + LSH recall measured against it
+  * (the approximate path has no SQL oracle by design).
+  */
+class SimilaritySpec extends SparkSpec {
+
+  test("brute top-k: k rows per query, ranks contiguous, cos descending") {
+    val rows = Similarity.bruteTopK(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq ==
+        (1 to Similarity.K))
+      val cs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH top-k recalls most true neighbors on planted structure") {
+    val brute = Similarity.bruteTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val lsh = Similarity.lshTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    assert(lsh.nonEmpty)
+    // every LSH result is a real (verified-cosine) pair by construction;
+    // recall floor: near-orthogonal corpus is LSH's worst case, but the
+    // multi-table union must still find a solid fraction of true top-k.
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(f"LSH recall@${Similarity.K} = $recall%.3f")
+    assert(recall >= 0.3, f"recall $recall%.3f below floor")
+  }
+}
