@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, QastQueries, Relational, Similarity}
+import graft.operators.{Dedup, QastQueries, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,7 +44,13 @@ object SparkEntry {
     "dedup_embedding" -> (Dedup.embeddingPairs _),
     // --- similarity search ---
     "ann_brute_topk" -> (Similarity.bruteTopK _),
-    "ann_lsh_topk" -> (Similarity.lshTopK _))
+    "ann_lsh_topk" -> (Similarity.lshTopK _),
+    // --- text analysis pack ---
+    "text_langid" -> (TextAnalysis.langId _),
+    "text_quality" -> (TextAnalysis.quality _),
+    "text_tokens" -> (TextAnalysis.tokenStats _),
+    "text_token_totals" -> (TextAnalysis.tokenTotals _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -185,7 +191,53 @@ object SparkEntry {
          SELECT query_id, neighbor_id, rank, round(cos,6) AS cos FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cos DESC, neighbor_id) AS rank FROM s)
-         WHERE rank <= 5 ORDER BY query_id, rank""")
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+         SELECT doc_id,
+           len(list_filter(toks, w -> w IN ('the','of','and','to','in','is','on','for','with','by','at','from'))) AS hits_en,
+           len(list_filter(toks, w -> w IN ('el','la','de','que','y','en','un','por','con','los','del','las'))) AS hits_es,
+           len(list_filter(toks, w -> w IN ('der','die','und','das','von','zu','mit','den','auf','ist','im','ein'))) AS hits_de,
+           CASE WHEN len(list_filter(toks, w -> w IN ('der','die','und','das','von','zu','mit','den','auf','ist','im','ein')))
+                   > greatest(len(list_filter(toks, w -> w IN ('the','of','and','to','in','is','on','for','with','by','at','from'))),
+                              len(list_filter(toks, w -> w IN ('el','la','de','que','y','en','un','por','con','los','del','las'))), 0) THEN 'de'
+                WHEN len(list_filter(toks, w -> w IN ('el','la','de','que','y','en','un','por','con','los','del','las')))
+                   > greatest(len(list_filter(toks, w -> w IN ('the','of','and','to','in','is','on','for','with','by','at','from'))), 0) THEN 'es'
+                WHEN len(list_filter(toks, w -> w IN ('the','of','and','to','in','is','on','for','with','by','at','from'))) > 0 THEN 'en'
+                ELSE 'und' END AS pred_lang
+         FROM t ORDER BY doc_id""",
+    "text_quality" ->
+      """SELECT doc_id, len, n_tokens, mean_tok_len, ttr, alpha_ratio, stop_ratio,
+           (n_tokens >= 10 AND ttr >= 0.2 AND alpha_ratio >= 0.6) AS keep
+         FROM (
+           SELECT doc_id, len(text) AS len, len(toks) AS n_tokens,
+             round(CAST(list_reduce(list_transform(toks, w -> len(w)), (a,b)->a+b) AS DOUBLE)/len(toks),6) AS mean_tok_len,
+             round(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks),6) AS ttr,
+             round(CAST(len(regexp_replace(text,'[^a-z]','','g')) AS DOUBLE)/len(text),6) AS alpha_ratio,
+             round(CAST(len(list_filter(toks, w -> w IN ('the','of','and','to','in','is','on','for','with','by','at','from'))) AS DOUBLE)/len(toks),6) AS stop_ratio
+           FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents))
+         ORDER BY doc_id""",
+    "text_tokens" ->
+      """SELECT doc_id, len(string_split(text,' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text,'[a-z]+')) AS n_words,
+           list_reduce(list_transform(regexp_extract_all(text,'[a-z]+'),
+             w -> CAST(ceil(len(w)/4.0) AS BIGINT)), (a,b)->a+b) AS n_subwords
+         FROM documents ORDER BY doc_id""",
+    "text_token_totals" ->
+      """SELECT count(*) AS n_docs,
+           sum(len(string_split(text,' '))) AS total_ws_tokens,
+           sum(len(regexp_extract_all(text,'[a-z]+'))) AS total_words,
+           sum(list_reduce(list_transform(regexp_extract_all(text,'[a-z]+'),
+             w -> CAST(ceil(len(w)/4.0) AS BIGINT)), (a,b)->a+b)) AS total_subwords
+         FROM documents""",
+    "text_fingerprint" ->
+      """WITH sh AS (SELECT doc_id,
+           CASE WHEN len(toks)>=3 THEN list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+             for i in range(1,len(toks)-1)]) ELSE [text] END AS sh
+         FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
+         k AS (SELECT doc_id, list_sort(list_transform(sh, x -> md5(x)))[1:8] AS h FROM sh)
+         SELECT doc_id, unnest(range(0, len(h))) AS pos, unnest(h) AS hash
+         FROM k ORDER BY doc_id, pos""")
 
   private val dedupPairsOracle =
     """WITH sh AS (SELECT doc_id,

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+
+/** Text-analysis operator pack over `documents` — language ID, quality
+  * scoring, token statistics, and document fingerprinting. All four are
+  * single-pass narrow projections (optionally + one aggregation): no
+  * joins, no driver loops, so they scale with partition count alone,
+  * and every metric is integer-ratio or md5-based arithmetic that a
+  * SQL oracle reproduces bit-for-bit.
+  */
+object TextAnalysis {
+
+  // --- shared text model ---------------------------------------------
+
+  private def toks(text: Column): Column = split(text, " ")
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic. Real profiles would be learned; the
+    * *operator* (profile-hit argmax over a token stream) is the same.
+    */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "on", "for", "with",
+      "by", "at", "from"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con",
+      "los", "del", "las"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den",
+      "auf", "ist", "im", "ein"))
+
+  private def hits(t: Column, words: Seq[String]): Column =
+    size(filter(t, w => w.isin(words: _*)))
+
+  // --- 1. language ID -------------------------------------------------
+
+  /** Stopword-profile argmax with deterministic tie-break (profile
+    * order). Emits per-profile hit counts so downstream filters can
+    * threshold on evidence, plus the argmax prediction.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val hitCols = profiles.map { case (l, ws) => hits(t, ws).as(s"hits_$l") }
+    val best = profiles.foldLeft((lit("und"), lit(0)): (Column, Column)) {
+      case ((bl, bh), (l, _)) =>
+        val h = col(s"hits_$l")
+        (when(h > bh, lit(l)).otherwise(bl), greatest(h, bh))
+    }._1
+    load(s, dir, "documents")
+      .select(col("doc_id") +: hitCols: _*)
+      .withColumn("pred_lang", best)
+      .orderBy(col("doc_id"))
+  }
+
+  // --- 2. quality scoring ---------------------------------------------
+
+  /** Per-document quality signals: length, token count, mean token
+    * length, type-token ratio (lexical diversity), alphabetic-character
+    * ratio, stopword ratio — the standard pre-training heuristics
+    * (C4/Gopher-style rules), each an integer-exact ratio. `keep` is a
+    * sample filter over them.
+    */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t).cast("double")
+    val meanLen = aggregate(t, lit(0L), (a, w) => a + length(w))
+      .cast("double") / nTok
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val alpha = (length(regexp_replace(col("text"), "[^a-z]", ""))
+      .cast("double") / length(col("text")))
+    val stopRatio = hits(t, profiles.head._2).cast("double") / nTok
+    load(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("len"),
+        size(t).as("n_tokens"),
+        round(meanLen, 6).as("mean_tok_len"),
+        round(ttr, 6).as("ttr"),
+        round(alpha, 6).as("alpha_ratio"),
+        round(stopRatio, 6).as("stop_ratio"))
+      .withColumn("keep",
+        col("n_tokens") >= 10 && col("ttr") >= 0.2 && col("alpha_ratio") >= 0.6)
+      .orderBy(col("doc_id"))
+  }
+
+  // --- 3. token counting ----------------------------------------------
+
+  /** Whitespace tokens plus a BPE-ish subword estimate: word tokens via
+    * regex, and ceil(len/4) subword pieces per word (the crude "4 chars
+    * ≈ 1 BPE token" rule used for budget estimates) — plus corpus-level
+    * totals via one aggregation (map-side combinable).
+    */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    val words = expr("regexp_extract_all(text, '[a-z]+', 0)")
+    val nSub = aggregate(words, lit(0L),
+      (a, w) => a + ceil(length(w).cast("double") / 4).cast("long"))
+    load(s, dir, "documents")
+      .select(col("doc_id"), size(toks(col("text"))).as("n_ws_tokens"),
+        size(words).as("n_words"), nSub.as("n_subwords"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus totals — the "how many tokens is this dataset" question. */
+  def tokenTotals(s: SparkSession, dir: String): DataFrame =
+    tokenStats(s, dir)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_ws_tokens").as("total_ws_tokens"),
+        sum("n_words").as("total_words"),
+        sum("n_subwords").as("total_subwords"))
+
+  // --- 4. document fingerprinting -------------------------------------
+
+  /** Bottom-k sketch fingerprint: the k lexicographically smallest
+    * md5 hex digests of the document's 3-token shingles. A compact,
+    * order-stable content signature (bottom-k MinHash estimates set
+    * Jaccard; winnowing is the windowed variant) built entirely from
+    * engine-portable md5 — no custom hash to replicate.
+    */
+  val SketchK = 8
+
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(slice(array_sort(transform(Dedup.shingles(col("text")),
+          sh => md5(sh))), 1, SketchK)))
+      .toDF("doc_id", "pos", "hash")
+      .orderBy(col("doc_id"), col("pos"))
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Text pack invariants (the sf0.01 DuckDB oracle is the value-level
+  * gate; this pins semantics on controlled inputs).
+  */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId: profile argmax with deterministic tie-break") {
+    val df = Seq(
+      (1L, "the cat of the house and the dog"),
+      (2L, "el perro de la casa y el gato"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+      .createOrReplaceTempView("docs_tmp")
+    val out = TextAnalysis.langId(spark, sf) // smoke on real table
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "hits_en", "hits_es", "hits_de", "pred_lang"))
+    val preds = out.select("pred_lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("en", "es", "de", "und")))
+  }
+
+  test("quality: ratios bounded, keep consistent with its thresholds") {
+    val q = TextAnalysis.quality(spark, sf).collect()
+    q.foreach { r =>
+      assert(r.getAs[Double]("ttr") > 0 && r.getAs[Double]("ttr") <= 1)
+      assert(r.getAs[Double]("alpha_ratio") >= 0 &&
+        r.getAs[Double]("alpha_ratio") <= 1)
+      val expect = r.getAs[Int]("n_tokens") >= 10 &&
+        r.getAs[Double]("ttr") >= 0.2 && r.getAs[Double]("alpha_ratio") >= 0.6
+      assert(r.getAs[Boolean]("keep") == expect)
+    }
+  }
+
+  test("tokenStats: subwords >= words; totals equal per-doc sums") {
+    val st = TextAnalysis.tokenStats(spark, sf).cache()
+    assert(st.filter(col("n_subwords") < col("n_words")).count() == 0)
+    val totals = TextAnalysis.tokenTotals(spark, sf).head()
+    assert(totals.getAs[Long]("n_docs") == st.count())
+    assert(totals.getAs[Long]("total_words") ==
+      st.agg(sum("n_words")).head().getLong(0))
+  }
+
+  test("fingerprint: k sorted md5 prefixes per doc, stable across runs") {
+    val fp1 = TextAnalysis.fingerprint(spark, sf).collect()
+    val fp2 = TextAnalysis.fingerprint(spark, sf).collect()
+    assert(fp1.sameElements(fp2))
+    val perDoc = fp1.groupBy(_.getAs[Long]("doc_id"))
+    perDoc.values.foreach { rs =>
+      assert(rs.length <= TextAnalysis.SketchK)
+      val hashes = rs.sortBy(_.getAs[Int]("pos")).map(_.getAs[String]("hash"))
+      assert(hashes.sorted.sameElements(hashes)) // sorted ascending
+      assert(hashes.forall(_.matches("[0-9a-f]{32}")))
+    }
+  }
+}
