@@ -56,6 +56,13 @@ object Demo {
     println("malformed query -> " +
       lake.extract(cid, """["%", 1]""").left.map(_.message))
 
+    println("multimodal: decode+resize+features over sf0.001 media")
+    val frames = graft.operators.Multimodal.decodeFrames(
+      spark, "/root/testdata/sf0.001", stride = 2)
+    graft.operators.Multimodal
+      .features(graft.operators.Multimodal.resize(frames, 4, 4))
+      .orderBy("media_id").show(5)
+
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, QastQueries, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, QastQueries, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,7 +50,9 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.quality _),
     "text_tokens" -> (TextAnalysis.tokenStats _),
     "text_token_totals" -> (TextAnalysis.tokenTotals _),
-    "text_fingerprint" -> (TextAnalysis.fingerprint _))
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    // --- multimodal plumbing (decode stubbed; see Multimodal scaladoc) ---
+    "media_stats" -> (Multimodal.mediaStats _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -237,7 +239,18 @@ object SparkEntry {
          FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
          k AS (SELECT doc_id, list_sort(list_transform(sh, x -> md5(x)))[1:8] AS h FROM sh)
          SELECT doc_id, unnest(range(0, len(h))) AS pos, unnest(h) AS hash
-         FROM k ORDER BY doc_id, pos""")
+         FROM k ORDER BY doc_id, pos""",
+    "media_stats" ->
+      """SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+           octet_length(encode(text)) AS n_bytes,
+           16 AS width,
+           least(CAST(ceil(len(text)/16.0) AS INT), 16) AS height,
+           len(text)*10 AS duration_ms,
+           CAST(ceil(octet_length(encode(text))/256.0) AS INT) AS n_frames,
+           CAST(floor((ceil(octet_length(encode(text))/256.0)+1)/2) AS INT) AS n_sampled
+         FROM documents ORDER BY media_id""")
 
   private val dedupPairsOracle =
     """WITH sh AS (SELECT doc_id,

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media are opaque `binary` columns plus a typed metadata struct —
+  * the lakehouse pattern for non-tabular content (the reference stores
+  * such bytes in IPFS untyped; SURVEY.md §1.1). Decode/feature-extract/
+  * resize/frame-sample run as partition-parallel transforms over those
+  * bytes via `mapPartitions` on a typed `Dataset` (the JVM analog of
+  * arrow-batched Python UDFs: one decoder instantiation per partition,
+  * streaming through rows, never materializing a partition in memory).
+  *
+  * ── STUB BOUNDARY ──────────────────────────────────────────────────
+  * This container has no codec libraries, so `Decoder` is pluggable and
+  * the default `FakeDecoder` derives deterministic "pixels"/"samples"
+  * from the bytes themselves (stable across runs/executors). Swapping
+  * in a real JNI/javacpp decoder changes ONLY the `Decoder` binding —
+  * schema, partitioning, batch shape and every downstream op are real
+  * and tested.
+  * ───────────────────────────────────────────────────────────────────
+  *
+  * The synthetic `media` table is derived deterministically from
+  * `documents` (text bytes as payload) so the plumbing runs against
+  * driver-provided data at any scale factor.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, kind: String, content: Array[Byte],
+      mime: String, width: Int, height: Int, duration_ms: Long)
+
+  /** Decode input shape (public: encoder codegen needs access). */
+  case class FrameIn(media_id: Long, kind: String, frame_idx: Int,
+      width: Int, height: Int, frame_bytes: Array[Byte])
+
+  case class DecodedFrame(media_id: Long, kind: String, frame_idx: Int,
+      width: Int, height: Int, pixels: Array[Float])
+
+  case class MediaFeatures(media_id: Long, kind: String, n_frames: Int,
+      mean: Float, std: Float)
+
+  /** Frame granularity for the fake video container: one "frame" per
+    * 256-byte chunk.
+    */
+  val FrameBytes = 256
+
+  /** Pluggable decode boundary. Implementations must be serializable
+    * (shipped to executors) and cheap to instantiate per partition.
+    */
+  trait Decoder extends Serializable {
+    /** bytes of one frame → row-major pixel/sample plane. */
+    def decode(bytes: Array[Byte], width: Int, height: Int): Array[Float]
+  }
+
+  /** STUB: deterministic fake — byte k of the payload becomes pixel k
+    * (normalized to [0,1), plane padded/truncated to width×height).
+    * NOT a real codec; see the stub-boundary note above.
+    */
+  object FakeDecoder extends Decoder {
+    def decode(bytes: Array[Byte], width: Int, height: Int): Array[Float] = {
+      val n = width * height
+      Array.tabulate(n)(i =>
+        if (i < bytes.length) (bytes(i) & 0xFF) / 256.0f else 0.0f)
+    }
+  }
+
+  /** The synthetic media relation: binary payload + typed metadata.
+    * kind cycles image/audio/video by id; dims derive from payload size.
+    */
+  def media(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      element_at(typedLit(Seq("image", "audio", "video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("content"),
+      element_at(typedLit(Seq("image/png", "audio/wav", "video/mp4")),
+        (col("doc_id") % 3 + 1).cast("int")).as("mime"),
+      lit(16).as("width"),
+      least(ceil(length(col("text")) / 16), lit(16)).cast("int").as("height"),
+      (length(col("text")).cast("long") * 10).as("duration_ms"))
+
+  def mediaDs(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    media(s, dir).as[MediaRow]
+  }
+
+  /** Frame sampling: split the payload into FrameBytes chunks, keep
+    * every `stride`-th. Pure column ops (no decode needed to *sample*),
+    * so Catalyst prunes and the explode is the only row expansion.
+    */
+  def sampleFrames(df: DataFrame, stride: Int): DataFrame = {
+    val nFrames = ceil(length(col("content")).cast("double") / FrameBytes)
+      .cast("int")
+    df.withColumn("frame_idx",
+      explode(filter(sequence(lit(0), nFrames - 1),
+        i => i % stride === 0)))
+      .withColumn("frame_bytes",
+        expr(s"substring(content, frame_idx * $FrameBytes + 1, $FrameBytes)"))
+  }
+
+  /** Decode every (sampled) frame via the pluggable decoder, one
+    * decoder per partition, streaming — the JVM mirror of an
+    * arrow-batched decode UDF.
+    */
+  def decodeFrames(s: SparkSession, dir: String, stride: Int = 2,
+      decoder: Decoder = FakeDecoder): Dataset[DecodedFrame] = {
+    import s.implicits._
+    val framed = sampleFrames(mediaDs(s, dir).toDF(), stride)
+      .select(col("media_id"), col("kind"), col("frame_idx"),
+        col("width"), col("height"), col("frame_bytes"))
+    framed.as[FrameIn]
+      .mapPartitions { it =>
+        val d = decoder // one instance per partition
+        it.map(f => DecodedFrame(f.media_id, f.kind, f.frame_idx,
+          f.width, f.height, d.decode(f.frame_bytes, f.width, f.height)))
+      }
+  }
+
+  /** Resize = average-pool the decoded plane to (w2,h2) — deterministic
+    * arithmetic on the fake planes, the real op shape for a real codec.
+    */
+  def resize(frames: Dataset[DecodedFrame], w2: Int, h2: Int)
+      : Dataset[DecodedFrame] = {
+    import frames.sparkSession.implicits._
+    frames.map { f =>
+      val out = Array.tabulate(w2 * h2) { i =>
+        val (x2, y2) = (i % w2, i / w2)
+        val (x0, x1) = (x2 * f.width / w2, ((x2 + 1) * f.width / w2).max(x2 * f.width / w2 + 1))
+        val (y0, y1) = (y2 * f.height / h2, ((y2 + 1) * f.height / h2).max(y2 * f.height / h2 + 1))
+        var s = 0.0f; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val idx = y * f.width + x
+            if (idx < f.pixels.length) { s += f.pixels(idx); n += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        if (n == 0) 0.0f else s / n
+      }
+      f.copy(width = w2, height = h2, pixels = out)
+    }
+  }
+
+  /** Per-media feature extraction over decoded frames: frame count and
+    * pixel mean/std — a groupBy aggregation (map-side combinable) over
+    * per-frame partial sums, never shipping pixel planes to the driver.
+    */
+  def features(frames: Dataset[DecodedFrame]): DataFrame =
+    frames.toDF()
+      .select(col("media_id"), col("kind"),
+        aggregate(col("pixels"), lit(0.0), (a, x) => a + x).as("sum"),
+        aggregate(col("pixels"), lit(0.0), (a, x) => a + x * x).as("sumsq"),
+        size(col("pixels")).as("n"))
+      .groupBy(col("media_id"), col("kind"))
+      .agg(count(lit(1)).cast("int").as("n_frames"),
+        (sum("sum") / sum("n")).as("mean"),
+        sqrt(greatest(lit(0.0), (sum("sumsq") / sum("n")) -
+          pow(sum("sum") / sum("n"), 2))).as("std"))
+
+  /** Oracle-checkable metadata/shape stats (no decode involved):
+    * payload size, frame count, sampled-frame count at stride 2.
+    */
+  def mediaStats(s: SparkSession, dir: String): DataFrame =
+    media(s, dir).select(
+      col("media_id"), col("kind"), col("mime"),
+      octet_length(col("content")).as("n_bytes"),
+      col("width"), col("height"), col("duration_ms"))
+      .withColumn("n_frames",
+        ceil(col("n_bytes").cast("double") / FrameBytes).cast("int"))
+      .withColumn("n_sampled",
+        floor((col("n_frames") + 1) / 2).cast("int"))
+      .orderBy(col("media_id"))
+}
