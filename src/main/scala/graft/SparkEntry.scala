@@ -52,7 +52,14 @@ object SparkEntry {
     "text_token_totals" -> (TextAnalysis.tokenTotals _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     // --- multimodal plumbing (decode stubbed; see Multimodal scaladoc) ---
-    "media_stats" -> (Multimodal.mediaStats _))
+    "media_stats" -> (Multimodal.mediaStats _),
+    // --- streaming logic, batch-applied (same plan both modes) ---
+    "events_window" -> ((s, dir) =>
+      graft.streaming.EventStream.windowedAgg(Tables.events(s, dir))
+        .orderBy("window_start", "event_type")),
+    "events_sessions" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionAgg(Tables.events(s, dir))
+        .orderBy("user_id", "session_start")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -250,7 +257,23 @@ object SparkEntry {
            len(text)*10 AS duration_ms,
            CAST(ceil(octet_length(encode(text))/256.0) AS INT) AS n_frames,
            CAST(floor((ceil(octet_length(encode(text))/256.0)+1)/2) AS INT) AS n_sampled
-         FROM documents ORDER BY media_id""")
+         FROM documents ORDER BY media_id""",
+    "events_window" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+           count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(12,2))) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "events_sessions" ->
+      """SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+         FROM (
+           SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id
+             ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+           FROM (
+             SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 <= INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS new_sess
+             FROM events))
+         GROUP BY user_id, sess_id ORDER BY user_id, session_start""")
 
   private val dedupPairsOracle =
     """WITH sh AS (SELECT doc_id,

