@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{MinHashSig, Shingles3, SimHash64, VecDot}
+
+/** Session extension registering graft's native expressions, so they
+  * are callable from SQL and `call_function` in any session configured
+  * with `spark.sql.extensions=graft.GraftExtensions` (all graft
+  * sessions set this via `Tables.sessionConfs`).
+  *
+  *   - `vec_dot(a, b)`        codegen dot product (see VecDot)
+  *   - `minhash_sig(sh, n)`   one-pass MinHash signature (see MinHashSig)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot(a, b) takes 2 arguments")
+        VecDot(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "minhash_sig(shingles, numPerms) takes 2 arguments")
+        val n = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"numPerms must be an integer literal, got $other")
+        }
+        MinHashSig(args.head, n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingles3"),
+      new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "shingles3(text) takes 1 argument")
+        Shingles3(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64(tokens) takes 1 argument")
+        SimHash64(args.head)
+      }))
+  }
+}

@@ -112,10 +112,10 @@ object SparkEntry {
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "except_priorities" ->
-      """SELECT o_orderpriority, o_orderstatus FROM orders
+      """SELECT o_custkey, o_orderpriority FROM orders
          WHERE year(o_orderdate)=1996
          EXCEPT
-         SELECT o_orderpriority, o_orderstatus FROM orders
+         SELECT o_custkey, o_orderpriority FROM orders
          WHERE year(o_orderdate)=1995
          ORDER BY 1, 2""",
     "qast_regex" ->

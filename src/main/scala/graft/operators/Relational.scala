@@ -138,15 +138,15 @@ object Relational {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
-  /** Set operation: order-priority universe present in 1996 but absent
-    * in 1995 (EXCEPT = distinct + hash anti join).
+  /** Set operation: (customer, priority) combinations seen in 1996 but
+    * not in 1995 (EXCEPT = distinct + hash anti join on the full row).
     */
   def exceptPriorities(s: SparkSession, dir: String): DataFrame = {
     val o = load(s, dir, "orders")
-    def prios(yr: Int) = o
+    def combos(yr: Int) = o
       .filter(year(col("o_orderdate")) === yr)
-      .select(col("o_orderpriority"), col("o_orderstatus"))
-    prios(1996).except(prios(1995))
-      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+      .select(col("o_custkey"), col("o_orderpriority"))
+    combos(1996).except(combos(1995))
+      .orderBy(col("o_custkey"), col("o_orderpriority"))
   }
 }

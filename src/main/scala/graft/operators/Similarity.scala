@@ -47,8 +47,7 @@ object Similarity {
   }
 
   private def dotLit(v: Column, h: Array[Double]): Column =
-    aggregate(zip_with(v, typedLit(h), (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("vec_dot", v, typedLit(h))
 
   /** LSH bucket id of vector `v` for table `t`: b sign bits packed into
     * a long. Pure projection — no shuffle, codegen-friendly arithmetic.
@@ -67,11 +66,15 @@ object Similarity {
     */
   def bruteTopK(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir)
+    val nrm = sqrt(call_function("vec_dot", col("embedding"), col("embedding")))
     val q = e.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        nrm.as("q_nrm"))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), nrm.as("c_nrm"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .withColumn("cos", call_function("vec_dot", col("qv"), col("cv"))
+        / col("q_nrm") / col("c_nrm"))
     // stage 1: local top-k inside each scan partition
     val local = Window.partitionBy(col("query_id"), spark_partition_id())
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -108,7 +111,7 @@ object Similarity {
       .select("query_id", "qv", "neighbor_id", "cv").distinct()
     val global = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    cands.withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+    cands.withColumn("cos", Dedup.cosine(col("qv"), col("cv"))) // cand set is small
       .withColumn("rank", row_number().over(global)).filter(col("rank") <= K)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cos"), 6).as("cos"))

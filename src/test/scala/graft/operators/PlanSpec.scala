@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Physical-plan pins: the properties that make these plans survive a
+  * 100× scale-up are asserted here, so a regression that silently
+  * un-broadcasts a dim or drops a pushed filter fails the suite, not
+  * just the benchmark.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter reaches the parquet scan (PushedFilters)") {
+    val p = physical(Relational.q1Agg(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // partial aggregation before the exchange (map-side combine)
+    assert(p.contains("HashAggregate"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
+  test("q1: scan reads only the referenced columns (pruning)") {
+    val p = physical(Relational.q1Agg(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment"))
+    assert(!readSchema.contains("l_partkey"))
+    assert(readSchema.contains("l_quantity"))
+  }
+
+  test("q3: dims broadcast; top-k is TakeOrderedAndProject, not global sort") {
+    val p = physical(Relational.q3TopK(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q5: all five dims broadcast (single shuffle-free join chain)") {
+    val p = physical(Relational.q5Regional(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4)
+    // the only exchange feeds the final aggregation/sort, not the joins
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("anti join stays a hash join (no cartesian/nested loop)") {
+    val p = physical(Relational.antiJoinCustomers(spark, sf))
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("qast filters are pushed into the scan like the reference pushes SQL") {
+    val p = physical(QastQueries.arithFilter(spark, sf))
+    // conjuncts on parquet-native columns land in PushedFilters
+    assert(p.contains("PushedFilters:") &&
+      p.contains("IsNotNull(l_quantity)"))
+  }
+
+  test("minhash LSH: bucket self-join is an equi-join on (band, bucket)") {
+    val p = physical(Dedup.minhashLsh(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("windowed event agg keeps partial aggregation (map-side combine)") {
+    val p = physical(graft.streaming.EventStream.windowedAgg(
+      graft.Tables.events(spark, sf)))
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+}
