@@ -29,6 +29,10 @@ object SparkEntry {
     "distinct_segments" -> (Relational.distinctSegments _),
     "rollup_orders" -> (Relational.rollupOrders _),
     "except_priorities" -> (Relational.exceptPriorities _),
+    "semi_join" -> (Relational.semiJoinCustomers _),
+    "intersect_customers" -> (Relational.intersectCustomers _),
+    "cube_orders" -> (Relational.cubeOrders _),
+    "outer_join_nations" -> (Relational.outerJoinNations _),
     // --- QAST query language (SURVEY.md §2.1) ---
     "qast_regex" -> (QastQueries.regexFilter _),
     "qast_arith" -> (QastQueries.arithFilter _),
@@ -118,6 +122,27 @@ object SparkEntry {
          SELECT o_custkey, o_orderpriority FROM orders
          WHERE year(o_orderdate)=1995
          ORDER BY 1, 2""",
+    "semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           AND o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1996)
+         ORDER BY c_custkey""",
+    "intersect_customers" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate)=1995
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate)=1996
+         ORDER BY 1""",
+    "cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "outer_join_nations" ->
+      """SELECT n_nationkey, n_name, coalesce(n_rich, 0) AS n_rich
+         FROM nation LEFT JOIN (
+           SELECT c_nationkey, count(*) AS n_rich FROM customer
+           WHERE c_acctbal > 9000 GROUP BY 1) c
+         ON n_nationkey = c_nationkey
+         ORDER BY n_nationkey""",
     "qast_regex" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE regexp_full_match(text, '.*(merge|stream) sort.*')

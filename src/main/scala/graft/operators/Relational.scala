@@ -138,6 +138,56 @@ object Relational {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** Semi join: customers having ≥1 urgent 1996 order (left_semi —
+    * Spark's EXISTS; probe side never duplicates, no fanout).
+    */
+  def semiJoinCustomers(s: SparkSession, dir: String): DataFrame = {
+    val o = load(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        year(col("o_orderdate")) === 1996)
+    load(s, dir, "customer")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Set ops continued: customers ordering in BOTH 1995 and 1996
+    * (INTERSECT) unioned with a disjoint marker set — exercises
+    * union/intersect distinct semantics in one plan.
+    */
+  def intersectCustomers(s: SparkSession, dir: String): DataFrame = {
+    val o = load(s, dir, "orders")
+    def keys(yr: Int) = o.filter(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey"))
+    keys(1995).intersect(keys(1996))
+      .union(keys(1997).limit(0)) // union keeps plan shape; no extra rows
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Cube: all grouping-set combinations of (status, priority) with
+    * counts — one shuffle, grouping-set expansion before the exchange.
+    */
+  def cubeOrders(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Outer join: every nation with its (possibly absent) big-balance
+    * customer count — left outer preserves dimension rows.
+    */
+  def outerJoinNations(s: SparkSession, dir: String): DataFrame = {
+    val c = load(s, dir, "customer")
+      .filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_rich"))
+    load(s, dir, "nation")
+      .join(c, col("n_nationkey") === col("c_nationkey"), "left_outer")
+      .select(col("n_nationkey"), col("n_name"),
+        coalesce(col("n_rich"), lit(0L)).as("n_rich"))
+      .orderBy(col("n_nationkey"))
+  }
+
   /** Set operation: (customer, priority) combinations seen in 1996 but
     * not in 1995 (EXCEPT = distinct + hash anti join on the full row).
     */
