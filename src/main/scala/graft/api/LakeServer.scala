@@ -1,0 +1,262 @@
+package graft.api
+
+import java.io.{InputStream, OutputStream}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import graft.engine.{ExtractError, Lake}
+import graft.store.DatasetMeta
+
+/** HTTP adapter exposing the reference's 10-endpoint API over a `Lake`
+  * (`/root/reference/doc/api.md`; handlers
+  * `src/comlake/core/HttpHandler.java`), with the same status codes and
+  * the exact error strings its test-suite asserts
+  * (`test/comlake/core/api_test.clj`):
+  *
+  *   POST /dir            → {"cid"}
+  *   POST /file           → {"cid"}            ("empty data")
+  *   POST /cp             → {"cid"}            ("dest is not a directory")
+  *   POST /dataset        → {"id"}             ({"missing-metadata":[...]})
+  *   POST /update         → {"id"}             ("missing parent")
+  *   POST /find           → [flat objects]     ("malformed query")
+  *   GET  /dir/{cid}      → {name: cid}        ("not a directory")
+  *   GET  /file/{cid}     → chunked bytes      ("content not found", 404)
+  *   GET  /schema/{cid}   → draft-07 schema    ("unsupported data type")
+  *   POST /extract/{cid}  → [row objects]      ("malformed query"/"failed query")
+  *   anything else        → 404 {"error":"unsupported"}
+  *
+  * Query results stream through `toJSON.toLocalIterator` — rows travel
+  * driver→client in chunks without materializing the result set,
+  * preserving the reference's lazy-streaming property over
+  * arbitrarily large extractions.
+  *
+  * Built on the JDK's HttpServer: no dependencies beyond Spark's
+  * jackson. The reference used Netty via Aleph; at 1000-req/s scale a
+  * production deployment would front this with any async server — the
+  * contract lives here, not in the transport.
+  */
+final class LakeServer(lake: Lake, port: Int) {
+  private val mapper = new ObjectMapper()
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+
+  def boundPort: Int = server.getAddress.getPort
+
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+
+  def start(): LakeServer = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+
+  private def handle(ex: HttpExchange): Unit =
+    try route(ex)
+    catch {
+      case t: Throwable =>
+        System.err.println(s"[lake-server] ${ex.getRequestMethod} " +
+          s"${ex.getRequestURI}: $t")
+        // best effort: if headers were already sent the body is cut
+        try sendError(ex, "internal server error", 500)
+        catch { case _: Throwable => }
+    } finally ex.close()
+
+  private def route(ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    val path = ex.getRequestURI.getPath
+    (method, path.split("/").toList.drop(1)) match {
+      case ("POST", "dir" :: Nil) => sendJson(ex, cidJson(lake.mkdir()))
+      case ("POST", "file" :: Nil) => postFile(ex)
+      case ("POST", "cp" :: Nil) => postCp(ex)
+      case ("POST", "dataset" :: Nil) => postDataset(ex)
+      case ("POST", "update" :: Nil) => postUpdate(ex)
+      case ("POST", "find" :: Nil) => postFind(ex)
+      case ("POST", "extract" :: cid :: Nil) => postExtract(ex, cid)
+      case ("GET", "dir" :: cid :: Nil) => getDir(ex, cid)
+      case ("GET", "file" :: cid :: Nil) => getFile(ex, cid)
+      case ("GET", "schema" :: cid :: Nil) => getSchema(ex, cid)
+      case _ => sendError(ex, "unsupported", 404)
+    }
+  }
+
+  // --- endpoints -----------------------------------------------------
+
+  private def postFile(ex: HttpExchange): Unit = {
+    val bytes = ex.getRequestBody.readAllBytes()
+    if (bytes.isEmpty) sendError(ex, "empty data")
+    else {
+      val mime = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+        .getOrElse("application/octet-stream")
+      sendJson(ex, cidJson(lake.addFile(bytes, mime)))
+    }
+  }
+
+  private def postCp(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(ex.getRequestBody)
+    val (src, dest, path) = (body.get("src").asText,
+      body.get("dest").asText, body.get("path").asText)
+    if (!lake.store.isDir(dest)) sendError(ex, "dest is not a directory")
+    else sendJson(ex, cidJson(lake.cp(src, dest, path)))
+  }
+
+  private val requiredMeta = Seq("file", "description", "source", "topics")
+
+  private def postDataset(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(ex.getRequestBody)
+    val missing = requiredMeta.filterNot(body.has)
+    if (missing.nonEmpty) {
+      val err = mapper.createObjectNode()
+      val obj = err.putObject("error")
+      val arr = obj.putArray("missing-metadata")
+      missing.foreach(arr.add)
+      send(ex, 400, "application/json", mapper.writeValueAsBytes(err))
+    } else {
+      val extras = body.properties.asScala
+        .filterNot(e => requiredMeta.contains(e.getKey))
+        .map(e => e.getKey -> mapper.writeValueAsString(e.getValue)).toMap
+      val id = lake.addDataset(DatasetMeta(
+        file = body.get("file").asText,
+        description = body.get("description").asText,
+        source = body.get("source").asText,
+        topics = body.get("topics").elements.asScala.map(_.asText).toSeq,
+        extra = extras))
+      sendJson(ex, s"""{"id":"$id"}""")
+    }
+  }
+
+  private def postUpdate(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(ex.getRequestBody)
+    if (!body.has("parent")) sendError(ex, "missing parent")
+    else {
+      val parent = body.get("parent").asText.toLong
+      val extras = body.properties.asScala
+        .filterNot(e => (requiredMeta :+ "parent").contains(e.getKey))
+        .map(e => e.getKey -> mapper.writeValueAsString(e.getValue)).toMap
+      val overrides = DatasetMeta.Partial(
+        file = Option(body.get("file")).map(_.asText),
+        description = Option(body.get("description")).map(_.asText),
+        source = Option(body.get("source")).map(_.asText),
+        topics = Option(body.get("topics"))
+          .map(_.elements.asScala.map(_.asText).toSeq),
+        extra = extras)
+      lake.updateDataset(parent, overrides) match {
+        case Some(id) => sendJson(ex, s"""{"id":"$id"}""")
+        case None => sendError(ex, "internal server error", 500)
+      }
+    }
+  }
+
+  private def postFind(ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    lake.find(body) match {
+      case Left(e) => sendError(ex, e.message)
+      case Right(df) =>
+        // one flat object per row: fixed columns + extras at top level
+        // (the reference merges extra into the result map,
+        // PostgreSQL.java:163-172)
+        val it = df.toJSON.toLocalIterator()
+        streamJsonArray(ex, new Iterator[String] {
+          def hasNext = it.hasNext
+          def next() = flattenFindRow(it.next())
+        })
+    }
+  }
+
+  private def flattenFindRow(rowJson: String): String = {
+    val node = mapper.readTree(rowJson).asInstanceOf[ObjectNode]
+    Option(node.remove("extra")).foreach {
+      case extra: ObjectNode =>
+        extra.properties.asScala.foreach { e =>
+          // extras were stored as JSON text; re-inflate to typed values
+          val parsed = Try(mapper.readTree(e.getValue.asText))
+            .getOrElse(e.getValue)
+          node.set[JsonNode](e.getKey, parsed)
+        }
+      case _ =>
+    }
+    mapper.writeValueAsString(node)
+  }
+
+  private def postExtract(ex: HttpExchange, cid: String): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    lake.extract(cid, body) match {
+      case Left(e: ExtractError.Malformed) => sendError(ex, e.message)
+      case Left(_) => sendError(ex, "failed query") // ref: HttpHandler:227
+      case Right(df) => streamJsonArray(ex, df.toJSON.toLocalIterator().asScala)
+    }
+  }
+
+  private def getDir(ex: HttpExchange, cid: String): Unit =
+    if (!lake.store.isDir(cid)) sendError(ex, "not a directory")
+    else {
+      val obj = mapper.createObjectNode()
+      lake.ls(cid).toSeq.sorted.foreach { case (n, c) => obj.put(n, c) }
+      send(ex, 200, "application/json", mapper.writeValueAsBytes(obj))
+    }
+
+  private def getFile(ex: HttpExchange, cid: String): Unit =
+    if (!lake.store.exists(cid) || lake.store.isDir(cid))
+      sendError(ex, "content not found", 404)
+    else {
+      ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+      ex.sendResponseHeaders(200, 0) // 0 = chunked
+      val out = ex.getResponseBody
+      val in = lake.fetch(cid)
+      try in.transferTo(out) finally { in.close(); out.close() }
+    }
+
+  private def getSchema(ex: HttpExchange, cid: String): Unit =
+    lake.schema(cid) match {
+      case Right(json) => sendJson(ex, json)
+      case Left(_: ExtractError.UnknownCid) =>
+        sendError(ex, "content not found", 404)
+      case Left(e) => sendError(ex, e.message) // "unsupported data type"
+    }
+
+  // --- plumbing ------------------------------------------------------
+
+  private def cidJson(cid: String): String = s"""{"cid":"$cid"}"""
+
+  private def sendJson(ex: HttpExchange, json: String): Unit =
+    send(ex, 200, "application/json", json.getBytes(UTF_8))
+
+  private def sendError(ex: HttpExchange, msg: String, status: Int = 400)
+      : Unit =
+    send(ex, status, "application/json",
+      s"""{"error":${mapper.writeValueAsString(msg)}}""".getBytes(UTF_8))
+
+  private def send(ex: HttpExchange, status: Int, ctype: String,
+      body: Array[Byte]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(status, body.length)
+    val out = ex.getResponseBody
+    try out.write(body) finally out.close()
+  }
+
+  /** Chunked `[obj,obj,...]` without materializing the iterator. */
+  private def streamJsonArray(ex: HttpExchange, rows: Iterator[String])
+      : Unit = {
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, 0)
+    val out = ex.getResponseBody
+    try {
+      out.write('[')
+      var first = true
+      rows.foreach { r =>
+        if (!first) out.write(',')
+        out.write(r.getBytes(UTF_8))
+        first = false
+      }
+      out.write(']')
+    } finally out.close()
+  }
+}
+
+object LakeServer {
+  def start(lake: Lake, port: Int = 0): LakeServer =
+    new LakeServer(lake, port).start()
+}

@@ -1,0 +1,172 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.http.HttpRequest.BodyPublishers
+import java.net.http.HttpResponse.BodyHandlers
+import java.nio.file.Files
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.scalatest.BeforeAndAfterAll
+
+import graft.SparkSpec
+import graft.engine.Lake
+
+/** End-to-end HTTP contract, mirroring the reference's api_test.clj
+  * assertions (status codes + exact error strings) over a live server.
+  */
+class LakeServerSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private lazy val lake = new Lake(spark, Files.createTempDirectory("srv"))
+  private lazy val server = LakeServer.start(lake)
+  private lazy val base = s"http://localhost:${server.boundPort}"
+  private val client = HttpClient.newHttpClient()
+  private val mapper = new ObjectMapper()
+
+  override def afterAll(): Unit = { server.stop(); super.afterAll() }
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path)).GET.build(),
+      BodyHandlers.ofString())
+
+  private def post(path: String, body: Array[Byte], ctype: String = "application/json")
+      : HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path))
+      .header("Content-Type", ctype)
+      .POST(BodyPublishers.ofByteArray(body)).build(),
+      BodyHandlers.ofString())
+
+  private def json(r: HttpResponse[String]) = mapper.readTree(r.body)
+
+  private val interjection = "I'd just like to interject for a moment.\n"
+  private val csv =
+    "country_name,country_code,population\nVietnam,VNM,96462106\nChad,TCD,15946876\n"
+
+  private def addFile(body: String, mime: String): String = {
+    val r = post("/file", body.getBytes("UTF-8"), mime)
+    assert(r.statusCode == 200)
+    json(r).get("cid").asText
+  }
+
+  test("unknown endpoint -> 404 unsupported (api_test not-found)") {
+    val r = get("/this/endpoint/is/unsupported")
+    assert(r.statusCode == 404 && json(r).get("error").asText == "unsupported")
+  }
+
+  test("POST /file: cid returned; empty body -> 400 empty data") {
+    val cid = addFile(interjection, "text/plain")
+    assert(cid.startsWith("sha256-"))
+    val r = post("/file", Array.emptyByteArray, "text/plain")
+    assert(r.statusCode == 400 && json(r).get("error").asText == "empty data")
+  }
+
+  test("POST /dir + /cp + GET /dir round trip; cp to non-dir rejected") {
+    val cid = addFile(interjection, "text/plain")
+    val dir = json(post("/dir", Array.emptyByteArray)).get("cid").asText
+    val r = post("/cp",
+      s"""{"src":"$cid","dest":"$dir","path":"interjection"}""".getBytes)
+    assert(r.statusCode == 200)
+    val dir2 = json(r).get("cid").asText
+    val ls = get(s"/dir/$dir2")
+    assert(ls.statusCode == 200 && json(ls).get("interjection").asText == cid)
+    val bad = post("/cp",
+      s"""{"src":"$dir","dest":"$cid","path":"x"}""".getBytes)
+    assert(bad.statusCode == 400 &&
+      json(bad).get("error").asText == "dest is not a directory")
+    val notdir = get(s"/dir/$cid")
+    assert(notdir.statusCode == 400 &&
+      json(notdir).get("error").asText == "not a directory")
+    val nocid = get("/dir/this-cid-does-not-exist")
+    assert(nocid.statusCode == 400 &&
+      json(nocid).get("error").asText == "not a directory")
+  }
+
+  test("GET /file streams bytes; unknown cid -> 404 content not found") {
+    val cid = addFile(interjection, "text/plain")
+    val r = get(s"/file/$cid")
+    assert(r.statusCode == 200 && r.body == interjection)
+    val miss = get("/file/this-cid-does-not-exist")
+    assert(miss.statusCode == 404 &&
+      json(miss).get("error").asText == "content not found")
+  }
+
+  test("POST /dataset: success + missing-metadata list (api_test post-add)") {
+    val cid = addFile(interjection, "text/plain")
+    val full =
+      s"""{"file":"$cid","description":"Interjection",
+          "source":"https://example.org","topics":["Natural language","copypasta"],
+          "language":"English"}"""
+    val ok = post("/dataset", full.getBytes)
+    assert(ok.statusCode == 200 && json(ok).has("id"))
+    val less = post("/dataset",
+      s"""{"file":"$cid","description":"x","topics":[]}""".getBytes)
+    assert(less.statusCode == 400)
+    val missing = json(less).get("error").get("missing-metadata")
+    assert(missing.size == 1 && missing.get(0).asText == "source")
+  }
+
+  test("POST /update: version chain + missing parent (api_test post-update)") {
+    val cid = addFile(interjection, "text/plain")
+    val id = json(post("/dataset",
+      s"""{"file":"$cid","description":"d","source":"s","topics":["t"]}"""
+        .getBytes)).get("id").asText
+    val up = post("/update",
+      s"""{"parent":"$id","source":"https://example.org/v2"}""".getBytes)
+    assert(up.statusCode == 200 && json(up).has("id"))
+    val orphanless = post("/update", """{"source":"x"}""".getBytes)
+    assert(orphanless.statusCode == 400 &&
+      json(orphanless).get("error").asText == "missing parent")
+  }
+
+  test("POST /find: flat merged objects; malformed query (api_test post-find)") {
+    val cid = addFile(csv, "text/csv")
+    json(post("/dataset",
+      s"""{"file":"$cid","description":"pop","source":"wb",
+          "topics":["population"],"language":"English","year":2019}"""
+        .getBytes))
+    val found = post("/find",
+      """["&&", [".", ["$"], "topics"], ["population"]]""".getBytes)
+    assert(found.statusCode == 200)
+    val arr = json(found)
+    assert(arr.isArray && arr.size >= 1)
+    val row = arr.get(0)
+    // extras flattened to top level with types restored
+    assert(row.get("language").asText == "English")
+    assert(row.get("year").asInt == 2019)
+    assert(row.get("type").asText == "text/csv")
+    val none = post("/find", """["~", [".", ["$"], "file"], "^$"]""".getBytes)
+    assert(none.statusCode == 200 && json(none).size == 0)
+    val bad = post("/find", "{".getBytes)
+    assert(bad.statusCode == 400 &&
+      json(bad).get("error").asText == "malformed query")
+  }
+
+  test("GET /schema: draft-07 on CSV; unsupported on text/plain") {
+    val cid = addFile(csv, "text/csv")
+    val r = get(s"/schema/$cid")
+    assert(r.statusCode == 200)
+    assert(json(r).get("items").get("properties")
+      .get("population").get("type").asText == "number")
+    val plain = addFile(interjection, "text/plain")
+    val bad = get(s"/schema/$plain")
+    assert(bad.statusCode == 400 &&
+      json(bad).get("error").asText == "unsupported data type")
+  }
+
+  test("POST /extract: thesis demo query over HTTP (api_test post-extract)") {
+    val cid = addFile(csv, "text/csv")
+    val r = post(s"/extract/$cid",
+      """["~", [".", ["$"], "country_name"], "Vi.tnam"]""".getBytes)
+    assert(r.statusCode == 200)
+    val arr = json(r)
+    assert(arr.size == 1 && arr.get(0).get("country_code").asText == "VNM")
+    val bad = post(s"/extract/$cid", "[".getBytes)
+    assert(bad.statusCode == 400 &&
+      json(bad).get("error").asText == "malformed query")
+    val plain = addFile(interjection, "text/plain")
+    val fail = post(s"/extract/$plain", """["&"]""".getBytes)
+    assert(fail.statusCode == 400 &&
+      json(fail).get("error").asText == "failed query")
+  }
+}
