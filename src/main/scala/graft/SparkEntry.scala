@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, QastQueries, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, QastQueries, Relational, Similarity, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,6 +34,12 @@ object SparkEntry {
     "intersect_customers" -> (Relational.intersectCustomers _),
     "cube_orders" -> (Relational.cubeOrders _),
     "outer_join_nations" -> (Relational.outerJoinNations _),
+    "distinct_count" -> ((s, dir) => Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))),
+    "skew_join_salted" -> (Skew.skewJoinSalted _),
     // --- QAST query language (SURVEY.md §2.1) ---
     "qast_regex" -> (QastQueries.regexFilter _),
     "qast_arith" -> (QastQueries.arithFilter _),
@@ -136,6 +143,15 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "distinct_count" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers,
+         count(DISTINCT l_orderkey) AS n_orders
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "skew_join_salted" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS total_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
     "outer_join_nations" ->
       """SELECT n_nationkey, n_name, coalesce(n_rich, 0) AS n_rich
          FROM nation LEFT JOIN (
