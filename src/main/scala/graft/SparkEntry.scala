@@ -40,6 +40,12 @@ object SparkEntry {
         countDistinct(col("l_orderkey")).as("n_orders"))
       .orderBy(col("l_returnflag"))),
     "skew_join_salted" -> (Skew.skewJoinSalted _),
+    // rows-only (xxhash-based sketch not reproducible in SQL; accuracy
+    // and determinism pinned by KMVDistinctSpec)
+    "approx_distinct_kmv" -> ((s, dir) => Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(graft.functions.KMVDistinct(col("l_orderkey"), 256).as("est_orders"))
+      .orderBy(col("l_returnflag"))),
     // --- QAST query language (SURVEY.md §2.1) ---
     "qast_regex" -> (QastQueries.regexFilter _),
     "qast_arith" -> (QastQueries.arithFilter _),

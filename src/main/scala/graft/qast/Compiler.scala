@@ -38,8 +38,11 @@ object Compiler {
     case QNull => Right(lit(null))
     case QArr(items) => mapEither(items)(compile).map(cs => array(cs: _*))
     case QObj(fields) =>
-      mapEither(fields) { case (k, v) => compile(v).map(c => (lit(k), c)) }
-        .map(kvs => map(kvs.flatMap(kv => Seq(kv._1, kv._2)): _*))
+      // object literal → struct: fields keep heterogeneous types (a
+      // Spark map would coerce all values to one type), and `.` access
+      // resolves struct fields exactly like JSON object gets.
+      mapEither(fields) { case (k, v) => compile(v).map(_.as(k)) }
+        .map(cs => struct(cs: _*))
     case QOp(op, args) => compileOp(op, args)
   }
 

@@ -89,6 +89,20 @@ class CompilerSpec extends SparkSpec {
     assert(eval("""["|"]""", df).count() == 0)
   }
 
+  test("object literals compile to structs with heterogeneous fields") {
+    val df = Seq(1).toDF("x")
+    val got = df.select(
+      Compiler.fromJson("""{"a": 1, "b": "two"}""").toOption.get.as("m"))
+      .selectExpr("m.a", "m.b").head()
+    assert(got.getLong(0) == 1L && got.getString(1) == "two")
+    // `.` path into an object literal works like JSON object get
+    val deep = df.filter(
+      Compiler.fromJson("""["==", [".", {"k": 7}, "k"], 7]""").toOption.get)
+    assert(deep.count() == 1)
+    // array literal containing objects parses too
+    assert(Compiler.fromJson("""[{"k": 1}, {"k": 2}]""").isRight)
+  }
+
   test("nested field access through structs and maps") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(Row("deep", 7)))),
