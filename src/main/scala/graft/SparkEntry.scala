@@ -25,6 +25,8 @@ object SparkEntry {
     "q1_agg" -> (Relational.q1Agg _),
     "q3_topk" -> (Relational.q3TopK _),
     "q5_regional" -> (Relational.q5Regional _),
+    "q6_forecast" -> (Relational.q6Forecast _),
+    "q12_priority" -> (Relational.q12ShipMode _),
     "window_running" -> (Relational.windowRunning _),
     "anti_join" -> (Relational.antiJoinCustomers _),
     "distinct_segments" -> (Relational.distinctSegments _),
@@ -107,6 +109,20 @@ object SparkEntry {
            AND r_name='ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY 1 ORDER BY revenue DESC, n_name""",
+    "q6_forecast" ->
+      """SELECT sum(CAST(l_extendedprice*l_discount AS DECIMAL(14,4))) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q12_priority" ->
+      """SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1 ORDER BY 1""",
     "window_running" ->
       """SELECT * FROM (
            SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,

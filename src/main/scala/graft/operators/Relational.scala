@@ -138,6 +138,36 @@ object Relational {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** TPC-H Q6-style: pure scan + filter + single aggregate — the
+    * pushdown showcase (all three predicates reach the parquet reader;
+    * decimal product sum is order-independent).
+    */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+        .cast("decimal(14,4)")).as("revenue"))
+
+  /** TPC-H Q12-style shape on the synthetic schema: join + conditional
+    * aggregation (sum of CASE) — service levels per return flag.
+    */
+  def q12ShipMode(s: SparkSession, dir: String): DataFrame = {
+    val l = load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val o = load(s, dir, "orders")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Semi join: customers having ≥1 urgent 1996 order (left_semi —
     * Spark's EXISTS; probe side never duplicates, no fanout).
     */

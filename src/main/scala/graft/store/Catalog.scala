@@ -61,23 +61,54 @@ final class Catalog(spark: SparkSession, root: Path) {
       finally s.close()
     }
 
+  /** Resolved views are cached in memory (metadata is small relative
+    * to content by design — the analog of the reference keeping them
+    * in pooled PostgreSQL, its single biggest measured win,
+    * `eval.tex:85-107`) and invalidated on every append, so repeated
+    * `find`/lookup calls don't re-resolve the log.
+    */
+  @volatile private var contentCache: Option[DataFrame] = None
+  @volatile private var datasetCache: Option[DataFrame] = None
+
+  private def invalidate(): Unit = synchronized {
+    contentCache.foreach(_.unpersist())
+    datasetCache.foreach(_.unpersist())
+    contentCache = None
+    datasetCache = None
+  }
+
   /** Resolved `content` relation: latest full row per cid. */
-  def content: DataFrame =
-    if (!hasData(contentDir)) spark.emptyDataset[ContentRow].toDF()
-    else spark.read.parquet(contentDir.toString)
-      .groupBy("cid")
-      .agg(max_by(struct(col("type"), col("extra"), col("seq")), col("seq"))
-        .as("r"))
-      .select(col("cid"), col("r.type").as("type"), col("r.extra").as("extra"),
-        col("r.seq").as("seq"))
+  def content: DataFrame = contentCache.getOrElse(synchronized {
+    contentCache.getOrElse {
+      val df =
+        if (!hasData(contentDir)) spark.emptyDataset[ContentRow].toDF()
+        else spark.read.parquet(contentDir.toString)
+          .groupBy("cid")
+          .agg(max_by(struct(col("type"), col("extra"), col("seq")),
+            col("seq")).as("r"))
+          .select(col("cid"), col("r.type").as("type"),
+            col("r.extra").as("extra"), col("r.seq").as("seq"))
+          .cache()
+      contentCache = Some(df)
+      df
+    }
+  })
 
   /** Resolved `dataset` relation (rows are immutable versions already). */
-  def dataset: DataFrame =
-    if (!hasData(datasetDir)) spark.emptyDataset[DatasetRow].toDF()
-    else spark.read.parquet(datasetDir.toString)
+  def dataset: DataFrame = datasetCache.getOrElse(synchronized {
+    datasetCache.getOrElse {
+      val df =
+        if (!hasData(datasetDir)) spark.emptyDataset[DatasetRow].toDF()
+        else spark.read.parquet(datasetDir.toString).cache()
+      datasetCache = Some(df)
+      df
+    }
+  })
 
-  private def appendContent(row: ContentRow): Unit =
+  private def appendContent(row: ContentRow): Unit = {
     Seq(row).toDS().write.mode("append").parquet(contentDir.toString)
+    invalidate()
+  }
 
   /** Upsert-by-cid (reference I3, `PostgreSQL.java:84-94`): sets `type`,
     * preserves any existing extra (e.g. an inferred schema).
@@ -121,6 +152,7 @@ final class Catalog(spark: SparkSession, root: Path) {
     Seq(DatasetRow(id, meta.file, meta.description, meta.source, meta.topics,
       meta.extra, meta.parent, id))
       .toDS().write.mode("append").parquet(datasetDir.toString)
+    invalidate()
     id
   }
 
