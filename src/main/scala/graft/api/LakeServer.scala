@@ -152,32 +152,44 @@ final class LakeServer(lake: Lake, port: Int) {
 
   private def postFind(ex: HttpExchange): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-    lake.find(body) match {
+    // driver-local closure backend: the metadata snapshot is cached on
+    // the driver, so /find costs microseconds per row instead of a
+    // Spark job (the distributed backend `lake.find` computes the same
+    // rows — cross-checked in QastBackendsSpec)
+    lake.findLocal(body) match {
       case Left(e) => sendError(ex, e.message)
-      case Right(df) =>
-        // one flat object per row: fixed columns + extras at top level
-        // (the reference merges extra into the result map,
-        // PostgreSQL.java:163-172)
-        val it = df.toJSON.toLocalIterator()
-        streamJsonArray(ex, new Iterator[String] {
-          def hasNext = it.hasNext
-          def next() = flattenFindRow(it.next())
-        })
+      case Right(rows) => streamJsonArray(ex, rows.iterator.map(findRowJson))
     }
   }
 
-  private def flattenFindRow(rowJson: String): String = {
-    val node = mapper.readTree(rowJson).asInstanceOf[ObjectNode]
-    Option(node.remove("extra")).foreach {
-      case extra: ObjectNode =>
-        extra.properties.asScala.foreach { e =>
-          // extras were stored as JSON text; re-inflate to typed values
-          val parsed = Try(mapper.readTree(e.getValue.asText))
-            .getOrElse(e.getValue)
-          node.set[JsonNode](e.getKey, parsed)
-        }
+  /** One flat object per row: open-map extras re-inflated to typed
+    * JSON, fixed columns injected after so they win key clashes (the
+    * reference merges extra then injects fixed fields,
+    * PostgreSQL.java:163-172).
+    */
+  private def findRowJson(row: Map[String, Any]): String = {
+    val node = mapper.createObjectNode()
+    row.get("extra").foreach {
+      case m: Map[_, _] => m.foreach { case (k, v) =>
+        val txt = String.valueOf(v)
+        val parsed = Try(mapper.readTree(txt)).toOption
+          .getOrElse(com.fasterxml.jackson.databind.node.TextNode.valueOf(txt))
+        node.set[JsonNode](String.valueOf(k), parsed)
+      }
       case _ =>
     }
+    row.foreach { case (k, v) => if (k != "extra") v match {
+      case null => node.putNull(k)
+      case s: String => node.put(k, s)
+      case l: Long => node.put(k, l)
+      case i: Int => node.put(k, i)
+      case d: Double => node.put(k, d)
+      case b: Boolean => node.put(k, b)
+      case xs: Seq[_] =>
+        val a = node.putArray(k)
+        xs.foreach(x => a.add(String.valueOf(x)))
+      case other => node.put(k, String.valueOf(other))
+    }}
     mapper.writeValueAsString(node)
   }
 

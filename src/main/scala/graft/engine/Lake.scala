@@ -46,9 +46,16 @@ final class Lake(val spark: SparkSession, root: Path) {
   def updateDataset(id: Long, overrides: DatasetMeta.Partial): Option[Long] =
     catalog.updateDataset(id, overrides)
 
-  /** `POST /find` — QAST metadata search. */
+  /** `POST /find` — QAST metadata search (distributed backend). */
   def find(qastJson: String): Either[graft.qast.Ast.QastError, DataFrame] =
     catalog.search(qastJson)
+
+  /** `POST /find`, driver-local closure backend (metadata-scale fast
+    * path; identical results — see Catalog.searchLocal).
+    */
+  def findLocal(qastJson: String)
+      : Either[graft.qast.Ast.QastError, Seq[graft.qast.Evaluator.Row]] =
+    catalog.searchLocal(qastJson)
 
   /** `POST /extract/{cid}` — QAST row extraction from content. */
   def extract(cid: String, qastJson: String): Either[ExtractError, DataFrame] =

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.qast.Compiler
+import graft.qast.{Compiler, Evaluator}
 
 /** Metadata catalog — the engine's analog of the reference's PostgreSQL
   * metadata store (`/root/reference/src/comlake/core/db/PostgreSQL.java`),
@@ -70,11 +70,14 @@ final class Catalog(spark: SparkSession, root: Path) {
   @volatile private var contentCache: Option[DataFrame] = None
   @volatile private var datasetCache: Option[DataFrame] = None
 
+  @volatile private var snapshotCache: Option[Seq[Evaluator.Row]] = None
+
   private def invalidate(): Unit = synchronized {
     contentCache.foreach(_.unpersist())
     datasetCache.foreach(_.unpersist())
     contentCache = None
     datasetCache = None
+    snapshotCache = None
   }
 
   /** Resolved `content` relation: latest full row per cid. */
@@ -184,6 +187,42 @@ final class Catalog(spark: SparkSession, root: Path) {
     */
   def search(qastJson: String): Either[graft.qast.Ast.QastError, DataFrame] =
     Compiler.fromJson(qastJson).map(searchWith)
+
+  /** Driver-local metadata search — the closure backend of the QAST
+    * "query polymorphism" (reference `qast->fn`): the joined+projected
+    * search relation is snapshotted once on the driver (metadata is
+    * small by design) and predicates evaluate as closures per row —
+    * microseconds per query instead of a Spark job. Snapshot is
+    * invalidated by every catalog write. Row shape equals `search`'s
+    * output row (id, file, description, source, topics, type, parent,
+    * extra), so both backends see the same fields; equivalence is
+    * cross-checked in QastBackendsSpec.
+    */
+  def searchLocal(qastJson: String)
+      : Either[graft.qast.Ast.QastError, Seq[Evaluator.Row]] =
+    Evaluator.fromJson(qastJson).map { pred =>
+      snapshot.filter(r => pred(r) == true)
+    }
+
+  private def snapshot: Seq[Evaluator.Row] =
+    snapshotCache.getOrElse(synchronized {
+      snapshotCache.getOrElse {
+        val rows = searchWith(lit(true)).collect().toSeq.map { r =>
+          Map[String, Any](
+            "id" -> r.getAs[Long]("id"),
+            "file" -> r.getAs[String]("file"),
+            "description" -> r.getAs[String]("description"),
+            "source" -> r.getAs[String]("source"),
+            "topics" -> r.getAs[Seq[String]]("topics").toList,
+            "type" -> r.getAs[String]("type"),
+            "parent" -> (if (r.isNullAt(r.fieldIndex("parent"))) null
+                         else r.getAs[Long]("parent")),
+            "extra" -> r.getAs[Map[String, String]]("extra"))
+        }
+        snapshotCache = Some(rows)
+        rows
+      }
+    })
 
   def searchWith(pred: Column): DataFrame = {
     val d = dataset

@@ -1,0 +1,85 @@
+package graft.qast
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.engine.Lake
+import graft.store.DatasetMeta
+
+/** Cross-backend equivalence — the reference's own dual-compiler test
+  * strategy (`eval.tex:199-205`): the same QAST run through the
+  * Catalyst `Column` backend (Compiler) and the closure backend
+  * (Evaluator) must keep the same rows.
+  */
+class QastBackendsSpec extends SparkSpec {
+
+  private lazy val lake: Lake = {
+    val l = new Lake(spark, Files.createTempDirectory("backends"))
+    val a = l.addFile("alpha".getBytes, "text/plain")
+    val b = l.addFile("beta".getBytes, "text/csv")
+    l.addDataset(DatasetMeta(a, "World population", "wb",
+      Seq("population", "demography"), Map("year" -> "2019")))
+    l.addDataset(DatasetMeta(b, "Weather hourly", "noaa",
+      Seq("weather", "climate"), Map("year" -> "2021")))
+    val id = l.addDataset(DatasetMeta(a, "Population v1", "wb",
+      Seq("population")))
+    l.updateDataset(id, DatasetMeta.Partial(description = Some("Population v2")))
+    l
+  }
+
+  private val predicates = Seq(
+    """["~", [".", ["$"], "description"], "W.*"]""",
+    """["&&", [".", ["$"], "topics"], ["population"]]""",
+    """["==", [".", ["$"], "source"], "wb"]""",
+    """["<", 0, [".", ["$"], "id"], 100]""",
+    """["&", ["~", [".", ["$"], "type"], "text/.*"],
+             ["!", ["==", [".", ["$"], "source"], "noaa"]]]""",
+    """["|", ["==", [".", ["$"], "parent"], 0], true]""",
+    """[">", [".", ["$"], "parent"], 0]""", // null parents rejected, 3VL
+    """["==", ["%", [".", ["$"], "id"], 2], 0]""",
+    """["==", [".", ["$"], "extra", "year"], "2019"]""")
+
+  test("Column backend and closure backend keep identical rows") {
+    predicates.foreach { p =>
+      val dist = lake.find(p).toOption.get
+        .collect().map(_.getAs[Long]("id")).toSet
+      val local = lake.findLocal(p).toOption.get
+        .map(_("id").asInstanceOf[Long]).toSet
+      assert(local == dist, s"backends diverge on $p: $local vs $dist")
+    }
+    // and at least some predicates are non-trivially selective
+    val sel = lake.findLocal(predicates.head).toOption.get
+    assert(sel.nonEmpty && sel.size < 4)
+  }
+
+  test("closure backend: literals, arithmetic, nulls behave like Spark") {
+    def eval(json: String, row: Evaluator.Row = Map.empty): Any =
+      Evaluator.fromJson(json).toOption.get(row)
+    assert(eval("""["<", 1, 2, 3]""") == true)
+    assert(eval("""["<", 3, ["/", 8, 2], ["%", 9, 5]]""") == false)
+    assert(eval("""["/", 4]""") == 0.25)
+    assert(eval("""["-", 7]""") == -7L)
+    assert(eval("""["+", 1, 2, 3]""") == 6L)
+    assert(eval("""["|"]""") == false)
+    assert(eval("""["&"]""") == true)
+    // 3VL: null ORed with true is true (Spark semantics, not the
+    // reference closure's nil-propagation)
+    assert(eval("""["|", [".", ["$"], "missing"], true]""") == true)
+    assert(eval("""["&", [".", ["$"], "missing"], true]""") == null)
+    assert(eval("""["~", [".", ["$"], "name"], "Vi.tnam"]""",
+      Map("name" -> "Vietnam")) == true)
+    assert(eval("""["~", [".", ["$"], "name"], "Vi.tnam"]""",
+      Map("name" -> "Vietnam 2")) == false)
+    assert(eval("""["&&", [".", ["$"], "topics"], ["copypasta"]]""",
+      Map("topics" -> List("copypasta", "x"))) == true)
+    assert(eval("""["==", [".", {"k": 7}, "k"], 7]""") == true)
+  }
+
+  test("snapshot invalidates on writes") {
+    val before = lake.findLocal("""["&"]""").toOption.get.size
+    val cid = lake.addFile("gamma".getBytes, "text/plain")
+    lake.addDataset(DatasetMeta(cid, "Gamma", "x", Seq("g")))
+    val after = lake.findLocal("""["&"]""").toOption.get.size
+    assert(after == before + 1)
+  }
+}
