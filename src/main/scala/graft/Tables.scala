@@ -36,9 +36,4 @@ object Tables {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.extensions" -> "graft.GraftExtensions")
 
-  /** Dimension tables small enough to broadcast at any realistic scale
-    * (region/nation are fixed-size; supplier/part/customer grow slowly
-    * relative to the fact tables).
-    */
-  val broadcastable: Set[String] = Set("region", "nation")
 }

@@ -23,10 +23,10 @@ import graft.Tables.load
   *     data-dependent: a shingle shared by k docs yields k² candidate
   *     rows, so frequent-shingle skew needs stop-shingle filtering or
   *     salting at scale.
-  *   - `minhashLsh`: 128-perm MinHash signatures, 32 bands × 4 rows,
+  *   - `minhashLsh`: 64-perm MinHash signatures, 16 bands × 4 rows,
   *     bucket self-join, then EXACT Jaccard verification of candidates.
   *     Work is O(docs × perms) + bucket-local joins; at J ≥ 0.9 (where
-  *     real dups live) miss probability is (1-0.9⁴)³² ≈ 1e-15, so the
+  *     real dups live) miss probability is (1-0.9⁴)¹⁶ ≈ 4e-8, so the
   *     verified output equals the exact contract and shares its oracle.
   */
 object Dedup {
@@ -41,7 +41,7 @@ object Dedup {
     * text per element (no CSE inside lambdas) and was O(tokens²).
     */
   def shingles(text: Column): Column =
-    call_function("shingles3", text)
+    graft.functions.shingles3(text)
 
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")
@@ -109,14 +109,14 @@ object Dedup {
   val Bands = 16
   val RowsPerBand = 4
 
-  /** 128-long MinHash signature of a distinct-shingle array, via the
+  /** NumPerms-long MinHash signature of a distinct-shingle array, via the
     * native one-pass `minhash_sig` expression (functions/MinHashSig
     * .scala): each shingle xxhash64'd once, permutations as splitmix64
     * remixes — deterministic across runs and executors, and ~10× the
     * speed of the interpreted nested-transform form it replaced.
     */
   def minhashSignature(sh: Column): Column =
-    call_function("minhash_sig", sh, lit(NumPerms))
+    graft.functions.minhashSig(sh, NumPerms)
 
   /** Candidate pairs via banding + exact-Jaccard verification ≥ `minJ`.
     * The signature/banding pass is one narrow projection; candidate
@@ -156,7 +156,7 @@ object Dedup {
     * interpreted HOF chain it replaced.
     */
   def simhash(text: Column): Column =
-    call_function("simhash64", split(text, " "))
+    graft.functions.simhash64(split(text, " "))
 
   /** Near-dup pairs with Hamming distance ≤ 3 between SimHashes.
     * Pigeonhole banding: split 64 bits into 4×16-bit bands; distance ≤ 3
@@ -191,7 +191,7 @@ object Dedup {
     * interpreted `aggregate(zip_with(...))` form it replaced.
     */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = call_function("vec_dot", x, y)
+    def dot(x: Column, y: Column) = graft.functions.vecDot(x, y)
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
   }
 

@@ -47,7 +47,7 @@ object Similarity {
   }
 
   private def dotLit(v: Column, h: Array[Double]): Column =
-    call_function("vec_dot", v, typedLit(h))
+    graft.functions.vecDot(v, typedLit(h))
 
   /** LSH bucket id of vector `v` for table `t`: b sign bits packed into
     * a long. Pure projection — no shuffle, codegen-friendly arithmetic.
