@@ -66,6 +66,16 @@ object EventStream {
     spark.readStream.schema(schema).parquet(dir)
   }
 
+  /** Streaming exact dedup: drop events whose `event_id` was already
+    * seen, with state bounded by the watermark
+    * (`dropDuplicatesWithinWatermark` — duplicates arriving within the
+    * watermark window are suppressed, and state for expired windows is
+    * reclaimed, so the operator runs forever on unbounded input).
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   // --- custom state: mapGroupsWithState ------------------------------
 
   case class UserActivity(user_id: Long, n_events: Long, total_value: Double,

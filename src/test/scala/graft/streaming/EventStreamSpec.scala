@@ -83,6 +83,25 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses duplicate event ids within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val q = EventStream.dedupedEvents(
+      mem.toDF().toDF("ts", "event_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts(0), 1L, "click", 1.0), (ts(1), 1L, "click", 1.0),
+        (ts(2), 2L, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData((ts(3), 2L, "view", 2.0), (ts(4), 3L, "buy", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out")
+        .select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L)) // dups dropped across batches
+    } finally q.stop()
+  }
+
   test("file-source streaming read over an events drop-directory") {
     // stream from a directory of event files (the production shape:
     // new files land, micro-batches pick them up)
