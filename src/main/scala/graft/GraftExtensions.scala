@@ -1,8 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 import graft.functions.{MinHashSig, Shingles3, SimHash64, VecDot}
@@ -14,18 +13,40 @@ import graft.functions.{MinHashSig, Shingles3, SimHash64, VecDot}
   *
   *   - `vec_dot(a, b)`        codegen dot product (see VecDot)
   *   - `minhash_sig(sh, n)`   one-pass MinHash signature (see MinHashSig)
+  *   - `shingles3(text)`      distinct 3-token shingles (see Shingles3)
+  *   - `simhash64(tokens)`    64-bit SimHash (see SimHash64)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("vec_dot"),
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.injections.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** Register the graft functions into an ALREADY-RUNNING session
+    * (idempotent). Safety net for sessions not built with
+    * `spark.sql.extensions=graft.GraftExtensions` — e.g. an external
+    * harness constructing its own SparkSession and invoking
+    * `SparkEntry.queries` directly. Called from `Tables.load`, so every
+    * query path self-installs.
+    */
+  def ensure(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    injections.foreach { case (ident, info, builder) =>
+      if (!registry.functionExists(ident))
+        registry.registerFunction(ident, info, builder)
+    }
+  }
+
+  private lazy val injections: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "vec_dot(a, b) takes 2 arguments")
         VecDot(args.head, args(1))
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("minhash_sig"),
+      }),
+    (new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => {
         require(args.length == 2,
@@ -36,20 +57,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"numPerms must be an integer literal, got $other")
         }
         MinHashSig(args.head, n)
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("shingles3"),
+      }),
+    (new FunctionIdentifier("shingles3"),
       new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
       (args: Seq[Expression]) => {
         require(args.length == 1, "shingles3(text) takes 1 argument")
         Shingles3(args.head)
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("simhash64"),
+      }),
+    (new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash64(tokens) takes 1 argument")
         SimHash64(args.head)
       }))
-  }
 }

@@ -46,6 +46,16 @@ class FunctionsSpec extends SparkSpec {
     assert(gen.contains("numElements"))
   }
 
+  test("ensure() self-installs idempotently into a session registry") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    graft.GraftExtensions.ensure(spark)
+    graft.GraftExtensions.ensure(spark) // second call must be a no-op
+    Seq("vec_dot", "minhash_sig", "shingles3", "simhash64").foreach { f =>
+      assert(spark.sessionState.functionRegistry
+        .functionExists(new FunctionIdentifier(f)), s"$f missing")
+    }
+  }
+
   test("minhash_sig: deterministic, correct length, sensitive to content") {
     val df = Seq(
       (1L, Seq("a b c", "b c d")),
