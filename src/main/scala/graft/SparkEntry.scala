@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, QastQueries, Relational, Similarity, Skew, TextAnalysis}
+import graft.operators.{Curate, Dedup, Multimodal, QastQueries, Relational, Similarity, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -58,6 +58,7 @@ object SparkEntry {
     // --- dedup pack (training-data pipeline ops) ---
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_ngram_prefix" -> (Dedup.ngramJaccardPrefix _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhashPairs _),
     "dedup_embedding" -> (Dedup.embeddingPairs _),
@@ -70,6 +71,7 @@ object SparkEntry {
     "text_tokens" -> (TextAnalysis.tokenStats _),
     "text_token_totals" -> (TextAnalysis.tokenTotals _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "curate_pipeline" -> (Curate.pipeline _),
     // --- multimodal plumbing (decode stubbed; see Multimodal scaladoc) ---
     "media_stats" -> (Multimodal.mediaStats _),
     // --- streaming logic, batch-applied (same plan both modes) ---
@@ -229,6 +231,7 @@ object SparkEntry {
     // candidates exactly; at the J>=0.9 where real dups live its miss
     // probability is ~1e-15, so both must equal this brute-force oracle).
     "dedup_ngram_jaccard" -> dedupPairsOracle,
+    "dedup_ngram_prefix" -> dedupPairsOracle,
     "dedup_minhash_lsh" -> dedupPairsOracle,
     // dedup_simhash intentionally omitted: its contract depends on
     // xxhash64 bit patterns DuckDB cannot reproduce; covered by
@@ -310,6 +313,25 @@ object SparkEntry {
          k AS (SELECT doc_id, list_sort(list_transform(sh, x -> md5(x)))[1:8] AS h FROM sh)
          SELECT doc_id, unnest(range(0, len(h))) AS pos, unnest(h) AS hash
          FROM k ORDER BY doc_id, pos""",
+    "curate_pipeline" ->
+      """WITH q AS (
+           SELECT doc_id, len(toks) AS n_tokens,
+             round(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks),6) AS ttr,
+             round(CAST(len(regexp_replace(text,'[^a-z]','','g')) AS DOUBLE)/len(text),6) AS alpha_ratio,
+             round(CAST(len(list_filter(toks, w -> w IN ('the','of','and','to','in','is','on','for','with','by','at','from'))) AS DOUBLE)/len(toks),6) AS stop_ratio
+           FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
+         sh AS (SELECT doc_id,
+           CASE WHEN len(toks)>=3 THEN list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+             for i in range(1,len(toks)-1)]) ELSE [text] END AS sh
+           FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
+         dropped AS (
+           SELECT DISTINCT b.doc_id FROM sh a, sh b
+           WHERE a.doc_id < b.doc_id
+             AND len(list_intersect(a.sh,b.sh))*1.0/len(list_distinct(a.sh||b.sh)) >= 0.5)
+         SELECT doc_id, n_tokens, ttr, stop_ratio FROM q
+         WHERE n_tokens >= 10 AND ttr >= 0.2 AND alpha_ratio >= 0.6
+           AND doc_id NOT IN (SELECT doc_id FROM dropped)
+         ORDER BY doc_id""",
     "media_stats" ->
       """SELECT doc_id AS media_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

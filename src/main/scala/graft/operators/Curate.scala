@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+
+/** The composite curation pipeline — what this engine exists for at
+  * 100 TB: one declarative plan that quality-filters, near-dedups and
+  * selects canonical documents, end to end.
+  *
+  * Stages (all reusing the pack operators, so each is independently
+  * oracle-checked elsewhere):
+  *   1. quality gate: `TextAnalysis.quality().keep`
+  *   2. near-dup clusters: `Dedup.ngramJaccard` pairs at J ≥ 0.5;
+  *      the lower doc_id of each pair is the canonical survivor, any
+  *      doc appearing as the higher side of a pair is dropped
+  *      (deterministic, order-free);
+  *   3. survivors joined back for the curated corpus with its quality
+  *      metrics.
+  *
+  * Plan shape at scale: stage 1 is a narrow projection; stage 2 is the
+  * inverted-index join (shuffles on shingle hash); stage 3 is a
+  * broadcast anti join against the (tiny) dropped-id set. Nothing
+  * touches the driver.
+  */
+object Curate {
+
+  def pipeline(s: SparkSession, dir: String): DataFrame = {
+    val quality = TextAnalysis.quality(s, dir)
+    val dropped = Dedup.ngramJaccard(s, dir)
+      .select(col("id_b").as("doc_id")).distinct()
+    quality.filter(col("keep"))
+      .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"), col("ttr"), col("stop_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-level accounting of what the pipeline kept/dropped — the
+    * numbers a pipeline operator reports after each run.
+    */
+  def stats(s: SparkSession, dir: String): DataFrame = {
+    val total = load(s, dir, "documents").count()
+    val q = TextAnalysis.quality(s, dir).filter(col("keep")).count()
+    val curated = pipeline(s, dir).count()
+    import s.implicits._
+    Seq((total, q, total - q, q - curated, curated))
+      .toDF("n_docs", "n_quality", "dropped_quality", "dropped_neardup",
+        "n_curated")
+  }
+}
