@@ -10,11 +10,25 @@ import graft.SparkSpec
   */
 class DedupSpec extends SparkSpec {
 
-  test("minhash LSH output equals exact inverted-index output") {
+  test("all three pair strategies (index, prefix, LSH) agree exactly") {
     val exact = Dedup.ngramJaccard(spark, sf).collect().toSeq
+    val prefix = Dedup.ngramJaccardPrefix(spark, sf).collect().toSeq
     val lsh = Dedup.minhashLsh(spark, sf).collect().toSeq
     assert(exact.nonEmpty, "test data should contain near-dup pairs")
     assert(lsh == exact)
+    assert(prefix == exact)
+  }
+
+  test("curation pipeline: survivors pass quality and exclude near-dup drops") {
+    val survivors = Curate.pipeline(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val droppedB = Dedup.ngramJaccard(spark, sf).collect()
+      .map(_.getAs[Long]("id_b")).toSet
+    assert(survivors.nonEmpty)
+    assert((survivors & droppedB).isEmpty)
+    val stats = Curate.stats(spark, sf).head()
+    assert(stats.getAs[Long]("n_curated") == survivors.size)
+    assert(stats.getAs[Long]("n_docs") >= stats.getAs[Long]("n_quality"))
   }
 
   test("minhash signature is deterministic and length-128") {

@@ -41,6 +41,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q6: all three predicates pushed; single partial+final agg") {
+    val p = physical(Relational.q6Forecast(spark, sf))
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(Seq("l_shipdate", "l_discount", "l_quantity")
+      .forall(pushed.contains))
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
+  test("curate: dropped-id set is broadcast into a left anti join") {
+    val p = physical(Curate.pipeline(spark, sf))
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+  }
+
   test("anti join stays a hash join (no cartesian/nested loop)") {
     val p = physical(Relational.antiJoinCustomers(spark, sf))
     assert(p.contains("LeftAnti"))
