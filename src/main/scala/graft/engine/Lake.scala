@@ -65,6 +65,9 @@ final class Lake(val spark: SparkSession, root: Path) {
   def schema(cid: String): Either[ExtractError, String] =
     extractor.inferSchema(cid)
 
+  /** Compact the content WAL into parquet (see Catalog.flush). */
+  def flush(): Unit = catalog.flush()
+
   /** `GET /dir/{cid}` + `POST /dir` + `POST /cp` */
   def ls(cid: String): Map[String, String] = store.ls(cid)
   def mkdir(): String = store.mkdir()

@@ -54,6 +54,58 @@ final class Catalog(spark: SparkSession, root: Path) {
 
   import Catalog.{ContentRow, DatasetRow}
 
+  // --- content write-ahead log ---------------------------------------
+  //
+  // Upload registration is the hot path (reference: 357 req/s of
+  // Postgres INSERTs). A one-row Spark parquet append per upload costs
+  // a full job (~70 ms) and a lookup over the re-resolved log costs
+  // another — measured 13 req/s. Instead, content mutations append one
+  // fsync'd JSON line to a WAL and update a driver-side index; the
+  // distributed `content` view unions parquet with the pending WAL
+  // rows, and `flush()` compacts the WAL into parquet with one Spark
+  // job per batch. Durability per request comes from the synced file
+  // append, exactly like the reference's per-request INSERT commit.
+
+  private val walFile = root.resolve("content.wal")
+  private val walMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  /** Latest pending (not yet compacted) row per cid, insertion-ordered. */
+  private val pending =
+    scala.collection.mutable.LinkedHashMap.empty[String, ContentRow]
+  /** Driver index of the resolved content relation (parquet ∪ WAL);
+    * None until first lookup.
+    */
+  private var contentIndex
+      : Option[scala.collection.mutable.HashMap[String, ContentRow]] = None
+
+  // recovery: reload pending rows from an existing WAL
+  if (Files.exists(walFile)) {
+    Files.readAllLines(walFile).forEach { line =>
+      if (line.nonEmpty) {
+        val r = walRowFromJson(line)
+        pending.put(r.cid, r)
+      }
+    }
+  }
+
+  private def walRowToJson(r: ContentRow): String = {
+    val node = walMapper.createObjectNode()
+    node.put("cid", r.cid)
+    if (r.`type` == null) node.putNull("type") else node.put("type", r.`type`)
+    val extra = node.putObject("extra")
+    r.extra.foreach { case (k, v) => extra.put(k, v) }
+    node.put("seq", r.seq)
+    walMapper.writeValueAsString(node)
+  }
+
+  private def walRowFromJson(line: String): ContentRow = {
+    val n = walMapper.readTree(line)
+    val extra = scala.collection.mutable.Map.empty[String, String]
+    n.get("extra").properties().forEach(e => extra.put(e.getKey, e.getValue.asText))
+    ContentRow(n.get("cid").asText,
+      if (n.get("type").isNull) null else n.get("type").asText,
+      extra.toMap, n.get("seq").asLong)
+  }
+
   private def hasData(dir: Path): Boolean =
     Files.exists(dir.resolve("_SUCCESS")) || {
       val s = Files.list(dir)
@@ -80,22 +132,40 @@ final class Catalog(spark: SparkSession, root: Path) {
     snapshotCache = None
   }
 
-  /** Resolved `content` relation: latest full row per cid. */
+  /** Resolved `content` relation: latest full row per cid, over
+    * parquet ∪ pending WAL rows.
+    */
   def content: DataFrame = contentCache.getOrElse(synchronized {
     contentCache.getOrElse {
-      val df =
+      val parquetLog =
         if (!hasData(contentDir)) spark.emptyDataset[ContentRow].toDF()
         else spark.read.parquet(contentDir.toString)
-          .groupBy("cid")
-          .agg(max_by(struct(col("type"), col("extra"), col("seq")),
-            col("seq")).as("r"))
-          .select(col("cid"), col("r.type").as("type"),
-            col("r.extra").as("extra"), col("r.seq").as("seq"))
-          .cache()
+      val walLog = pending.values.toSeq.toDS().toDF()
+      val df = parquetLog.unionByName(walLog)
+        .groupBy("cid")
+        .agg(max_by(struct(col("type"), col("extra"), col("seq")),
+          col("seq")).as("r"))
+        .select(col("cid"), col("r.type").as("type"),
+          col("r.extra").as("extra"), col("r.seq").as("seq"))
+        .cache()
       contentCache = Some(df)
       df
     }
   })
+
+  /** Compact pending WAL rows into the parquet log (one Spark job per
+    * batch instead of one per mutation). Logical content is unchanged.
+    */
+  def flush(): Unit = synchronized {
+    if (pending.nonEmpty) {
+      pending.values.toSeq.toDS().write.mode("append")
+        .parquet(contentDir.toString)
+      pending.clear()
+      Files.deleteIfExists(walFile)
+      contentCache.foreach(_.unpersist())
+      contentCache = None // rebuild from parquet on next read
+    }
+  }
 
   /** Resolved `dataset` relation (rows are immutable versions already). */
   def dataset: DataFrame = datasetCache.getOrElse(synchronized {
@@ -108,10 +178,40 @@ final class Catalog(spark: SparkSession, root: Path) {
     }
   })
 
-  private def appendContent(row: ContentRow): Unit = {
-    Seq(row).toDS().write.mode("append").parquet(contentDir.toString)
-    invalidate()
+  private def appendContent(row: ContentRow): Unit = synchronized {
+    // durable per-request: synced append of one JSON line
+    Files.writeString(walFile, walRowToJson(row) + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND,
+      java.nio.file.StandardOpenOption.SYNC)
+    pending.put(row.cid, row)
+    contentIndex.foreach(_.put(row.cid, row))
+    contentCache.foreach(_.unpersist())
+    contentCache = None
+    snapshotCache = None
+    if (pending.size >= 1024) flush()
   }
+
+  /** Resolved driver index (lazy; updated incrementally on writes). */
+  private def index: scala.collection.mutable.HashMap[String, ContentRow] =
+    contentIndex.getOrElse(synchronized {
+      contentIndex.getOrElse {
+        implicit val enc = org.apache.spark.sql.Encoders.product[ContentRow]
+        val m = scala.collection.mutable.HashMap.empty[String, ContentRow]
+        if (hasData(contentDir)) {
+          spark.read.parquet(contentDir.toString)
+            .groupBy("cid")
+            .agg(max_by(struct(col("type"), col("extra"), col("seq")),
+              col("seq")).as("r"))
+            .select(col("cid"), col("r.type").as("type"),
+              col("r.extra").as("extra"), col("r.seq").as("seq"))
+            .as[ContentRow].collect().foreach(r => m.put(r.cid, r))
+        }
+        pending.valuesIterator.foreach(r => m.put(r.cid, r))
+        contentIndex = Some(m)
+        m
+      }
+    })
 
   /** Upsert-by-cid (reference I3, `PostgreSQL.java:84-94`): sets `type`,
     * preserves any existing extra (e.g. an inferred schema).
@@ -141,11 +241,8 @@ final class Catalog(spark: SparkSession, root: Path) {
   def getSchema(cid: String): Option[String] =
     lookupContent(cid).flatMap(_.extra.get("schema"))
 
-  private def lookupContent(cid: String): Option[ContentRow] = {
-    implicit val enc = org.apache.spark.sql.Encoders.product[ContentRow]
-    content.filter(col("cid") === cid).as[ContentRow]
-      .collect().headOption
-  }
+  private def lookupContent(cid: String): Option[ContentRow] =
+    index.get(cid) // pure map access — no Spark job on the upload path
 
   /** Required dataset fields (`HttpHandler.java:138-142`); anything else
     * in `meta` is open-map `extra`.

@@ -120,6 +120,23 @@ class LakeSpec extends SparkSpec {
     assert(extra("origin") == "dataset")
   }
 
+  test("content WAL: many uploads without Spark jobs, flush compacts, recovery works") {
+    val root = Files.createTempDirectory("wal")
+    val l1 = new Lake(spark, root)
+    val cids = (1 to 30).map(i => l1.addFile(s"payload-$i".getBytes, "text/plain"))
+    assert(cids.distinct.size == 30)
+    assert(l1.catalog.getType(cids.head).contains("text/plain"))
+    // distributed view sees WAL rows before any compaction
+    assert(l1.catalog.content.count() == 30)
+    l1.flush()
+    assert(l1.catalog.content.count() == 30) // logical content unchanged
+    // write more AFTER flush, then recover with a fresh catalog instance
+    val extraCid = l1.addFile("post-flush".getBytes, "text/plain")
+    val l2 = new Lake(spark, root)
+    assert(l2.catalog.getType(extraCid).contains("text/plain"))
+    assert(l2.catalog.content.count() == 31)
+  }
+
   test("content upsert preserves extra across type re-registration") {
     val cid = lake.addFile(csv, "text/csv")
     lake.schema(cid)
