@@ -106,6 +106,85 @@ final class Catalog(spark: SparkSession, root: Path) {
       extra.toMap, n.get("seq").asLong)
   }
 
+  // dataset rows get the same WAL treatment (they are append-only —
+  // no LWW resolution needed, just union + index)
+  private val datasetWalFile = root.resolve("dataset.wal")
+  private val pendingDatasets =
+    scala.collection.mutable.LinkedHashMap.empty[Long, DatasetRow]
+  private var datasetIndex
+      : Option[scala.collection.mutable.HashMap[Long, DatasetRow]] = None
+
+  if (Files.exists(datasetWalFile)) {
+    Files.readAllLines(datasetWalFile).forEach { line =>
+      if (line.nonEmpty) {
+        val r = datasetRowFromJson(line)
+        pendingDatasets.put(r.id, r)
+      }
+    }
+  }
+
+  private def datasetRowToJson(r: DatasetRow): String = {
+    val node = walMapper.createObjectNode()
+    node.put("id", r.id)
+    node.put("file", r.file)
+    node.put("description", r.description)
+    node.put("source", r.source)
+    val t = node.putArray("topics")
+    r.topics.foreach(t.add)
+    val extra = node.putObject("extra")
+    r.extra.foreach { case (k, v) => extra.put(k, v) }
+    r.parent match {
+      case Some(p) => node.put("parent", p)
+      case None => node.putNull("parent")
+    }
+    node.put("seq", r.seq)
+    walMapper.writeValueAsString(node)
+  }
+
+  private def datasetRowFromJson(line: String): DatasetRow = {
+    val n = walMapper.readTree(line)
+    val topics = scala.collection.mutable.ArrayBuffer.empty[String]
+    n.get("topics").forEach(t => topics += t.asText)
+    val extra = scala.collection.mutable.Map.empty[String, String]
+    n.get("extra").properties().forEach(e => extra.put(e.getKey, e.getValue.asText))
+    DatasetRow(n.get("id").asLong, n.get("file").asText,
+      n.get("description").asText, n.get("source").asText, topics.toSeq,
+      extra.toMap,
+      if (n.get("parent").isNull) None else Some(n.get("parent").asLong),
+      n.get("seq").asLong)
+  }
+
+  private def appendDataset(row: DatasetRow): Unit = synchronized {
+    Files.writeString(datasetWalFile, datasetRowToJson(row) + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND,
+      java.nio.file.StandardOpenOption.SYNC)
+    pendingDatasets.put(row.id, row)
+    datasetIndex.foreach(_.put(row.id, row))
+    datasetCache.foreach(_.unpersist())
+    datasetCache = None
+    snapshotCache = None
+    if (pendingDatasets.size >= 1024) flush()
+  }
+
+  private def lookupDataset(id: Long)
+      : Option[DatasetRow] = dsIndex.get(id)
+
+  private def dsIndex: scala.collection.mutable.HashMap[Long, DatasetRow] =
+    datasetIndex.getOrElse(synchronized {
+      datasetIndex.getOrElse {
+        implicit val enc = org.apache.spark.sql.Encoders.product[DatasetRow]
+        val m = scala.collection.mutable.HashMap.empty[Long, DatasetRow]
+        if (hasData(datasetDir)) {
+          spark.read.parquet(datasetDir.toString)
+            .as[DatasetRow].collect().foreach(r => m.put(r.id, r))
+        }
+        pendingDatasets.valuesIterator.foreach(r => m.put(r.id, r))
+        datasetIndex = Some(m)
+        m
+      }
+    })
+
   private def hasData(dir: Path): Boolean =
     Files.exists(dir.resolve("_SUCCESS")) || {
       val s = Files.list(dir)
@@ -165,14 +244,27 @@ final class Catalog(spark: SparkSession, root: Path) {
       contentCache.foreach(_.unpersist())
       contentCache = None // rebuild from parquet on next read
     }
+    if (pendingDatasets.nonEmpty) {
+      pendingDatasets.values.toSeq.toDS().write.mode("append")
+        .parquet(datasetDir.toString)
+      pendingDatasets.clear()
+      Files.deleteIfExists(datasetWalFile)
+      datasetCache.foreach(_.unpersist())
+      datasetCache = None
+    }
   }
 
-  /** Resolved `dataset` relation (rows are immutable versions already). */
+  /** Resolved `dataset` relation (rows are immutable versions already):
+    * parquet ∪ pending WAL rows.
+    */
   def dataset: DataFrame = datasetCache.getOrElse(synchronized {
     datasetCache.getOrElse {
-      val df =
+      val parquetLog =
         if (!hasData(datasetDir)) spark.emptyDataset[DatasetRow].toDF()
-        else spark.read.parquet(datasetDir.toString).cache()
+        else spark.read.parquet(datasetDir.toString)
+      val df = parquetLog
+        .unionByName(pendingDatasets.values.toSeq.toDS().toDF())
+        .cache()
       datasetCache = Some(df)
       df
     }
@@ -249,10 +341,8 @@ final class Catalog(spark: SparkSession, root: Path) {
     */
   def insertDataset(meta: DatasetMeta): Long = {
     val id = nextSeq()
-    Seq(DatasetRow(id, meta.file, meta.description, meta.source, meta.topics,
-      meta.extra, meta.parent, id))
-      .toDS().write.mode("append").parquet(datasetDir.toString)
-    invalidate()
+    appendDataset(DatasetRow(id, meta.file, meta.description, meta.source,
+      meta.topics, meta.extra, meta.parent, id))
     id
   }
 
@@ -262,9 +352,7 @@ final class Catalog(spark: SparkSession, root: Path) {
     * doesn't exist (reference: 400 "failed query").
     */
   def updateDataset(parentId: Long, overrides: DatasetMeta.Partial): Option[Long] = {
-    implicit val enc = org.apache.spark.sql.Encoders.product[DatasetRow]
-    dataset.filter(col("id") === parentId).as[DatasetRow]
-      .collect().headOption.map { p =>
+    lookupDataset(parentId).map { p =>
         insertDataset(DatasetMeta(
           file = overrides.file.getOrElse(p.file),
           description = overrides.description.getOrElse(p.description),
