@@ -65,12 +65,39 @@ final class Extractor(spark: SparkSession, store: ContentStore,
   def extractWith(cid: String, pred: Column): Either[ExtractError, DataFrame] =
     rows(cid).map(_.filter(pred))
 
+  /** Memoized in-flight inferences — the reference's `memoize` of a
+    * Clojure future (`extract/metadata.clj:67-76`), done with an atomic
+    * `getOrElseUpdate` so the memoize race its thesis admits
+    * (`eval.tex:192-197`) cannot double-infer.
+    */
+  private val inferences = scala.collection.concurrent.TrieMap
+    .empty[String, scala.concurrent.Future[Either[ExtractError, String]]]
+  private implicit val ec: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.global
+
+  /** Kick off (or join) background inference for a cid — called right
+    * after upload, like the reference's async fork
+    * (`HttpHandler.java:115`).
+    */
+  def inferSchemaAsync(cid: String)
+      : scala.concurrent.Future[Either[ExtractError, String]] =
+    inferences.getOrElseUpdate(cid,
+      scala.concurrent.Future(inferNow(cid)))
+
   /** Infer a cid's row schema, persist it in the catalog, return the
-    * draft-07 JSON Schema document (reference `GET /schema/{cid}`;
-    * memoized there via a Clojure future, `extract/metadata.clj:55-76` —
-    * here the catalog itself is the cache).
+    * draft-07 JSON Schema document (reference `GET /schema/{cid}` —
+    * the synchronization point: blocks on the memoized future if
+    * inference is in flight, like its `future.get()`,
+    * `HttpHandler.java:203-216`).
     */
   def inferSchema(cid: String): Either[ExtractError, String] =
+    catalog.getSchema(cid) match {
+      case Some(json) => Right(json)
+      case None => scala.concurrent.Await.result(
+        inferSchemaAsync(cid), scala.concurrent.duration.Duration.Inf)
+    }
+
+  private def inferNow(cid: String): Either[ExtractError, String] =
     catalog.getSchema(cid) match {
       case Some(json) => Right(json)
       case None =>

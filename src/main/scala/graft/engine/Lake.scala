@@ -18,15 +18,18 @@ final class Lake(val spark: SparkSession, root: Path) {
   val catalog = new Catalog(spark, root.resolve("catalog"))
   val extractor = new Extractor(spark, store, catalog)
 
-  /** `POST /file`: ingest bytes, register type, return CID. Schema
-    * inference runs lazily on first `/schema` ask (the catalog is the
-    * memo), rather than the reference's async future + memoize
-    * (`extract/metadata.clj:67-76`) — same observable behavior without
-    * the race its thesis admits (`eval.tex:192-197`).
+  /** `POST /file`: ingest bytes, register type, return CID, then fork
+    * schema inference for row content in the background — the
+    * reference's async-after-upload behavior (`HttpHandler.java:115`),
+    * memoized race-free in the Extractor; `GET /schema` is the
+    * synchronization point.
     */
   def addFile(in: InputStream, mime: String): String = {
     val cid = store.add(in)
     catalog.insertFile(cid, mime)
+    val base = mime.split(';').head.trim.toLowerCase
+    if (base == "text/csv" || base == "application/json")
+      extractor.inferSchemaAsync(cid): Unit
     cid
   }
 
