@@ -74,7 +74,7 @@ final class Catalog(spark: SparkSession, root: Path) {
   /** Driver index of the resolved content relation (parquet ∪ WAL);
     * None until first lookup.
     */
-  private var contentIndex
+  @volatile private var contentIndex
       : Option[scala.collection.mutable.HashMap[String, ContentRow]] = None
 
   // recovery: reload pending rows from an existing WAL
@@ -111,7 +111,7 @@ final class Catalog(spark: SparkSession, root: Path) {
   private val datasetWalFile = root.resolve("dataset.wal")
   private val pendingDatasets =
     scala.collection.mutable.LinkedHashMap.empty[Long, DatasetRow]
-  private var datasetIndex
+  @volatile private var datasetIndex
       : Option[scala.collection.mutable.HashMap[Long, DatasetRow]] = None
 
   if (Files.exists(datasetWalFile)) {
