@@ -80,7 +80,13 @@ object SparkEntry {
         .orderBy("window_start", "event_type")),
     "events_sessions" -> ((s, dir) =>
       graft.streaming.EventStream.sessionAgg(Tables.events(s, dir))
-        .orderBy("user_id", "session_start")))
+        .orderBy("user_id", "session_start")),
+    "events_funnel" -> ((s, dir) =>
+      graft.streaming.EventStream.clickToBuy(Tables.events(s, dir))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_conversions"),
+          sum(col("value").cast("decimal(12,2)")).as("total_value"))
+        .orderBy(col("user_id"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -358,7 +364,17 @@ object SparkEntry {
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                  <= INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS new_sess
              FROM events))
-         GROUP BY user_id, sess_id ORDER BY user_id, session_start""")
+         GROUP BY user_id, sess_id ORDER BY user_id, session_start""",
+    "events_funnel" ->
+      """SELECT c.user_id, count(*) AS n_conversions,
+           sum(CAST(b.value AS DECIMAL(12,2))) AS total_value
+         FROM (SELECT user_id, ts AS click_ts FROM events
+               WHERE event_type = 'click') c
+         JOIN (SELECT user_id, ts AS buy_ts, value FROM events
+               WHERE event_type = 'purchase') b
+           ON c.user_id = b.user_id AND b.buy_ts >= c.click_ts
+          AND b.buy_ts <= c.click_ts + INTERVAL 30 MINUTE
+         GROUP BY 1 ORDER BY 1""")
 
   private val dedupPairsOracle =
     """WITH sh AS (SELECT doc_id,

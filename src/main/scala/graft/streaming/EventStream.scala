@@ -66,6 +66,30 @@ object EventStream {
     spark.readStream.schema(schema).parquet(dir)
   }
 
+  /** Stream-stream inner join: correlate each user's clicks with their
+    * buys within 30 minutes. Both sides are watermarked so the join
+    * state is bounded — Spark retains only rows that can still match
+    * under the time-range condition, the canonical streaming-join
+    * pattern for funnel/attribution analysis.
+    */
+  def clickToBuy(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"),
+        col("event_id").as("buy_id"), col("value"))
+      .withWatermark("buy_ts", "1 hour")
+    clicks.join(buys,
+      col("user_id") === col("buy_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("interval 30 minutes"),
+      "inner")
+      .select(col("user_id"), col("click_id"), col("buy_id"),
+        col("click_ts"), col("buy_ts"), col("value"))
+  }
+
   /** Streaming exact dedup: drop events whose `event_id` was already
     * seen, with state bounded by the watermark
     * (`dropDuplicatesWithinWatermark` — duplicates arriving within the

@@ -83,6 +83,26 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join: clicks correlate with buys within 30 minutes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Long, String, Double)]
+    val q = EventStream.clickToBuy(
+      mem.toDF().toDF("ts", "event_id", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("join_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (ts(0), 1L, 7L, "click", 0.0),
+        (ts(10), 2L, 7L, "purchase", 9.99),   // within 30m of click 1 -> joins
+        (ts(50), 3L, 7L, "purchase", 5.0),    // 50m after click 1 -> no join
+        (ts(5), 4L, 8L, "click", 0.0))   // other user, no buy
+      q.processAllAvailable()
+      val rows = spark.table("join_out").collect()
+        .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("buy_id")))
+      assert(rows.toSeq == Seq((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup suppresses duplicate event ids within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String, Double)]
