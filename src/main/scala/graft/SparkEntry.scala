@@ -85,7 +85,13 @@ object SparkEntry {
       graft.streaming.EventStream.clickToBuy(Tables.events(s, dir))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_conversions"),
-          sum(col("value").cast("decimal(12,2)")).as("total_value"))
+          // sum exactly in decimal (order-independent under partial
+          // aggregation), then emit double: the oracle hash is
+          // representation-sensitive and double/int64 are the safe
+          // output classes (DuckDB DECIMAL/HUGEINT results render
+          // differently from parquet decimals on the driver side)
+          sum(col("value").cast("decimal(12,2)")).cast("double")
+            .as("total_value"))
         .orderBy(col("user_id"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -125,8 +131,8 @@ object SparkEntry {
            AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
     "q12_priority" ->
       """SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -306,10 +312,10 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "text_token_totals" ->
       """SELECT count(*) AS n_docs,
-           sum(len(string_split(text,' '))) AS total_ws_tokens,
-           sum(len(regexp_extract_all(text,'[a-z]+'))) AS total_words,
-           sum(list_reduce(list_transform(regexp_extract_all(text,'[a-z]+'),
-             w -> CAST(ceil(len(w)/4.0) AS BIGINT)), (a,b)->a+b)) AS total_subwords
+           CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(len(regexp_extract_all(text,'[a-z]+'))) AS BIGINT) AS total_words,
+           CAST(sum(list_reduce(list_transform(regexp_extract_all(text,'[a-z]+'),
+             w -> CAST(ceil(len(w)/4.0) AS BIGINT)), (a,b)->a+b)) AS BIGINT) AS total_subwords
          FROM documents""",
     "text_fingerprint" ->
       """WITH sh AS (SELECT doc_id,
@@ -352,7 +358,7 @@ object SparkEntry {
     "events_window" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
            count(*) AS n_events,
-           sum(CAST(value AS DECIMAL(12,2))) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "events_sessions" ->
       """SELECT user_id, min(ts) AS session_start, count(*) AS n_events
@@ -367,7 +373,7 @@ object SparkEntry {
          GROUP BY user_id, sess_id ORDER BY user_id, session_start""",
     "events_funnel" ->
       """SELECT c.user_id, count(*) AS n_conversions,
-           sum(CAST(b.value AS DECIMAL(12,2))) AS total_value
+           CAST(sum(CAST(b.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
          FROM (SELECT user_id, ts AS click_ts FROM events
                WHERE event_type = 'click') c
          JOIN (SELECT user_id, ts AS buy_ts, value FROM events

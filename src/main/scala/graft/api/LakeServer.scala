@@ -165,7 +165,10 @@ final class LakeServer(lake: Lake, port: Int) {
   /** One flat object per row: open-map extras re-inflated to typed
     * JSON, fixed columns injected after so they win key clashes (the
     * reference merges extra then injects fixed fields,
-    * PostgreSQL.java:163-172).
+    * PostgreSQL.java:163-172). Reference row shape preserved exactly
+    * (PostgreSQL.java:165-171): the content key is `cid` (not `file`),
+    * and `id`/`parent` are stringified — a NULL parent is "0" because
+    * the reference goes through JDBC `getLong` + `String.valueOf`.
     */
   private def findRowJson(row: Map[String, Any]): String = {
     val node = mapper.createObjectNode()
@@ -178,17 +181,25 @@ final class LakeServer(lake: Lake, port: Int) {
       }
       case _ =>
     }
-    row.foreach { case (k, v) => if (k != "extra") v match {
-      case null => node.putNull(k)
-      case s: String => node.put(k, s)
-      case l: Long => node.put(k, l)
-      case i: Int => node.put(k, i)
-      case d: Double => node.put(k, d)
-      case b: Boolean => node.put(k, b)
-      case xs: Seq[_] =>
-        val a = node.putArray(k)
-        xs.foreach(x => a.add(String.valueOf(x)))
-      case other => node.put(k, String.valueOf(other))
+    row.foreach { case (k0, v0) => if (k0 != "extra") {
+      val k = if (k0 == "file") "cid" else k0
+      val v: Any = k0 match {
+        case "id" | "parent" =>
+          if (v0 == null) "0" else String.valueOf(v0)
+        case _ => v0
+      }
+      v match {
+        case null => node.putNull(k)
+        case s: String => node.put(k, s)
+        case l: Long => node.put(k, l)
+        case i: Int => node.put(k, i)
+        case d: Double => node.put(k, d)
+        case b: Boolean => node.put(k, b)
+        case xs: Seq[_] =>
+          val a = node.putArray(k)
+          xs.foreach(x => a.add(String.valueOf(x)))
+        case other => node.put(k, String.valueOf(other))
+      }
     }}
     mapper.writeValueAsString(node)
   }

@@ -53,13 +53,18 @@ final class Extractor(spark: SparkSession, store: ContentStore,
   private def baseMime(mime: String): String =
     mime.split(';').head.trim.toLowerCase
 
-  /** `POST /extract/{cid}`: rows matching a QAST predicate. */
+  /** `POST /extract/{cid}`: rows matching a QAST predicate. The
+    * predicate is parsed/compiled BEFORE the cid resolves, matching the
+    * reference's error precedence (`HttpHandler.java:219-229` calls
+    * `parseAstFn` first): a malformed query against an unknown or
+    * unsupported cid is "malformed query", not "failed query".
+    */
   def extract(cid: String, qastJson: String)
       : Either[ExtractError, DataFrame] =
     for {
-      df <- rows(cid)
       pred <- Compiler.fromJson(qastJson).left
         .map(e => ExtractError.Malformed(e))
+      df <- rows(cid)
     } yield df.filter(pred)
 
   def extractWith(cid: String, pred: Column): Either[ExtractError, DataFrame] =

@@ -121,12 +121,17 @@ object Compiler {
     }
   }
 
-  /** Whole-string anchoring of the regex pattern. */
+  /** Whole-string anchoring of the regex pattern. `\A(?s:p)\z` is
+    * exactly `String.matches("(?s)(?:p)")` — the Evaluator backend's
+    * semantics: absolute anchors (no `$`-before-trailing-newline
+    * quirk) and DOTALL so `.` crosses newlines. Both backends must
+    * agree on newline-bearing text (QastBackendsSpec).
+    */
   private def anchored(pattern: Ast): Either[QastError, Column] =
     pattern match {
-      case QStr(p) => Right(lit("^(?:" + p + ")$"))
+      case QStr(p) => Right(lit("\\A(?s:" + p + ")\\z"))
       case other =>
-        compile(other).map(c => concat(lit("^(?:"), c, lit(")$")))
+        compile(other).map(c => concat(lit("\\A(?s:"), c, lit(")\\z")))
     }
 
   private def foldArith(args: List[Ast], two: (Column, Column) => Column,

@@ -40,16 +40,46 @@ final class Catalog(spark: SparkSession, root: Path) {
   Files.createDirectories(datasetDir)
 
   /** Monotonic sequence for ids and last-writer-wins ordering. Driver-side
-    * like the reference's bigserial; persisted so restarts keep going up.
+    * like the reference's bigserial; survives restarts. The source of
+    * truth on recovery is max(seq) over everything durable (WAL rows are
+    * fsync'd per append; parquet is the compacted log) — the counter
+    * file is only a fast hint, so it needs no fsync of its own and an
+    * unparseable/partial file (crash mid-write) is tolerated. This
+    * guarantees restarts never reissue a seq that reached any durable
+    * row, so dataset ids stay unique and LWW `max_by(seq)` never ties.
     */
   private val counterFile = root.resolve("seq")
-  private def nextSeq(): Long = counterFile.synchronized {
-    val cur =
-      if (Files.exists(counterFile))
-        new String(Files.readAllBytes(counterFile), "UTF-8").trim.toLong
-      else 0L
-    Files.write(counterFile, (cur + 1).toString.getBytes("UTF-8"))
-    cur + 1
+  private lazy val seqCounter =
+    new java.util.concurrent.atomic.AtomicLong(recoverSeq())
+
+  private def recoverSeq(): Long = {
+    val fromFile =
+      try {
+        if (Files.exists(counterFile))
+          new String(Files.readAllBytes(counterFile), "UTF-8").trim.toLong
+        else 0L
+      } catch { case _: Exception => 0L }
+    val fromWal =
+      (pending.valuesIterator.map(_.seq) ++
+        pendingDatasets.valuesIterator.map(_.seq)).foldLeft(0L)(math.max)
+    def parquetMax(dir: Path): Long =
+      if (!hasData(dir)) 0L
+      else spark.read.parquet(dir.toString)
+        .agg(coalesce(max(col("seq")), lit(0L))).head.getLong(0)
+    math.max(math.max(fromFile, fromWal),
+      math.max(parquetMax(contentDir), parquetMax(datasetDir)))
+  }
+
+  private def nextSeq(): Long = {
+    val v = seqCounter.incrementAndGet()
+    counterFile.synchronized { // hint write: atomic rename, never partial
+      val tmp = root.resolve("seq.tmp")
+      Files.write(tmp, v.toString.getBytes("UTF-8"))
+      Files.move(tmp, counterFile,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    v
   }
 
   import Catalog.{ContentRow, DatasetRow}
@@ -72,10 +102,14 @@ final class Catalog(spark: SparkSession, root: Path) {
   private val pending =
     scala.collection.mutable.LinkedHashMap.empty[String, ContentRow]
   /** Driver index of the resolved content relation (parquet ∪ WAL);
-    * None until first lookup.
+    * None until first lookup. ConcurrentHashMap because readers
+    * (lookupContent on the request pool) race writers (appendContent
+    * under the instance lock) — a plain mutable.HashMap can corrupt
+    * during resize; the volatile only publishes the Option.
     */
   @volatile private var contentIndex
-      : Option[scala.collection.mutable.HashMap[String, ContentRow]] = None
+      : Option[java.util.concurrent.ConcurrentHashMap[String, ContentRow]] =
+    None
 
   // recovery: reload pending rows from an existing WAL
   if (Files.exists(walFile)) {
@@ -112,7 +146,8 @@ final class Catalog(spark: SparkSession, root: Path) {
   private val pendingDatasets =
     scala.collection.mutable.LinkedHashMap.empty[Long, DatasetRow]
   @volatile private var datasetIndex
-      : Option[scala.collection.mutable.HashMap[Long, DatasetRow]] = None
+      : Option[java.util.concurrent.ConcurrentHashMap[Long, DatasetRow]] =
+    None
 
   if (Files.exists(datasetWalFile)) {
     Files.readAllLines(datasetWalFile).forEach { line =>
@@ -168,13 +203,14 @@ final class Catalog(spark: SparkSession, root: Path) {
   }
 
   private def lookupDataset(id: Long)
-      : Option[DatasetRow] = dsIndex.get(id)
+      : Option[DatasetRow] = Option(dsIndex.get(id))
 
-  private def dsIndex: scala.collection.mutable.HashMap[Long, DatasetRow] =
+  private def dsIndex
+      : java.util.concurrent.ConcurrentHashMap[Long, DatasetRow] =
     datasetIndex.getOrElse(synchronized {
       datasetIndex.getOrElse {
         implicit val enc = org.apache.spark.sql.Encoders.product[DatasetRow]
-        val m = scala.collection.mutable.HashMap.empty[Long, DatasetRow]
+        val m = new java.util.concurrent.ConcurrentHashMap[Long, DatasetRow]
         if (hasData(datasetDir)) {
           spark.read.parquet(datasetDir.toString)
             .as[DatasetRow].collect().foreach(r => m.put(r.id, r))
@@ -285,11 +321,12 @@ final class Catalog(spark: SparkSession, root: Path) {
   }
 
   /** Resolved driver index (lazy; updated incrementally on writes). */
-  private def index: scala.collection.mutable.HashMap[String, ContentRow] =
+  private def index
+      : java.util.concurrent.ConcurrentHashMap[String, ContentRow] =
     contentIndex.getOrElse(synchronized {
       contentIndex.getOrElse {
         implicit val enc = org.apache.spark.sql.Encoders.product[ContentRow]
-        val m = scala.collection.mutable.HashMap.empty[String, ContentRow]
+        val m = new java.util.concurrent.ConcurrentHashMap[String, ContentRow]
         if (hasData(contentDir)) {
           spark.read.parquet(contentDir.toString)
             .groupBy("cid")
@@ -334,7 +371,7 @@ final class Catalog(spark: SparkSession, root: Path) {
     lookupContent(cid).flatMap(_.extra.get("schema"))
 
   private def lookupContent(cid: String): Option[ContentRow] =
-    index.get(cid) // pure map access — no Spark job on the upload path
+    Option(index.get(cid)) // pure map access — no Spark job on uploads
 
   /** Required dataset fields (`HttpHandler.java:138-142`); anything else
     * in `meta` is open-map `extra`.

@@ -33,7 +33,11 @@ object EventStream {
     events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(12,2)")).as("total_value"))
+        // exact decimal sum (order-independent under partial agg /
+        // streaming increments), emitted as double — the oracle-safe
+        // output representation
+        sum(col("value").cast("decimal(12,2)")).cast("double")
+          .as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 

@@ -135,6 +135,11 @@ class LakeServerSpec extends SparkSpec with BeforeAndAfterAll {
     assert(row.get("language").asText == "English")
     assert(row.get("year").asInt == 2019)
     assert(row.get("type").asText == "text/csv")
+    // reference row shape (PostgreSQL.java:165-171): content key is
+    // "cid", id/parent stringified, NULL parent -> "0" (JDBC getLong)
+    assert(row.get("cid").asText == cid && !row.has("file"))
+    assert(row.get("id").isTextual)
+    assert(row.get("parent").asText == "0")
     val none = post("/find", """["~", [".", ["$"], "file"], "^$"]""".getBytes)
     assert(none.statusCode == 200 && json(none).size == 0)
     val bad = post("/find", "{".getBytes)

@@ -72,6 +72,17 @@ class LakeSpec extends SparkSpec {
         assert(e.message == "malformed query")
       case other => fail(s"expected malformed, got $other")
     }
+    // error precedence mirrors the reference (HttpHandler.java:219-229,
+    // parse before fetch): malformed query wins over unknown AND over
+    // unsupported-type cids
+    lake.extract("no-such-cid", """["%", 1]""") match {
+      case Left(_: ExtractError.Malformed) => ()
+      case other => fail(s"expected malformed to win over unknown cid: $other")
+    }
+    lake.extract(cid, """["%", 1]""") match {
+      case Left(_: ExtractError.Malformed) => ()
+      case other => fail(s"expected malformed to win over bad MIME: $other")
+    }
   }
 
   test("schema inference: CSV number/string lattice in draft-07 shape") {

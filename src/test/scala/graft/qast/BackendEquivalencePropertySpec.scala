@@ -22,8 +22,11 @@ class BackendEquivalencePropertySpec extends SparkSpec {
   // rows: (id, a, b, c: Long, s: String, n: nullable Long)
   private val rows: Seq[(Long, Long, Long, Long, String, Option[Long])] =
     (0L until 24L).map { i =>
+      // newline-bearing values pin the `~` semantics both backends
+      // must share: DOTALL `.` and absolute \A..\z anchoring (a
+      // trailing \n must NOT satisfy a pattern without it)
       (i, i % 5 - 2, i % 7, i % 3,
-        Seq("alpha", "beta", "gamma", "x1")( (i % 4).toInt ),
+        Seq("alpha", "beta\n", "ga\nmma", "x1", "gamma", "beta")( (i % 6).toInt ),
         if (i % 4 == 0) None else Some(i % 6 - 1))
     }
 
@@ -58,7 +61,8 @@ class BackendEquivalencePropertySpec extends SparkSpec {
           .map(op => s"""["$op", $x, $y]""") },
       1 -> Gen.zip(numExpr(0), numExpr(0), numExpr(0))
         .map { case (x, y, z) => s"""["<", $x, $y, $z]""" },
-      1 -> Gen.oneOf("alpha", "beta", "ga.*", "a.+a", "x\\d")
+      1 -> Gen.oneOf("alpha", "beta", "ga.*", "a.+a", "x\\d", "ga.mma",
+          "beta.", ".*")
         .flatMap(p => strField.map(f => s"""["~", $f, "$p"]""")))
     if (depth <= 0) leaf
     else Gen.frequency(

@@ -58,6 +58,16 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
+        # DuckDB HUGEINT (sum of ints) and DECIMAL results convert to
+        # float64 on some client paths while Spark's parquet ints and
+        # decimals do not — a hash-divergence class the round-1 driver
+        # flagged on 4 queries. Keep oracle outputs BIGINT/DOUBLE/
+        # VARCHAR/TIMESTAMP/BOOLEAN.
+        risky = [(c, str(t)) for c, t in zip(w_cols, want.types)
+                 if "HUGEINT" in str(t) or "DECIMAL" in str(t)]
+        if risky:
+            print(f"WARN {name}: oracle emits risky dtypes {risky} — "
+                  "cast to BIGINT/DOUBLE in the oracle SQL")
         if sorted(g_cols) != sorted(w_cols):
             print(f"FAIL {name}: cols {sorted(g_cols)} != {sorted(w_cols)}")
             n_fail += 1
