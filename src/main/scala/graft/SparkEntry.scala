@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curate, Dedup, Multimodal, QastQueries, Relational, Similarity, Skew, TextAnalysis}
+import graft.operators.{Curate, Dedup, Multimodal, QastQueries, Relational, Sampling, Similarity, Skew, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,7 +27,18 @@ object SparkEntry {
     "q5_regional" -> (Relational.q5Regional _),
     "q6_forecast" -> (Relational.q6Forecast _),
     "q12_priority" -> (Relational.q12ShipMode _),
+    "q14_promo" -> (Relational.q14Promo _),
+    "q18_large_orders" -> (Relational.q18LargeOrders _),
     "window_running" -> (Relational.windowRunning _),
+    "topk_per_group" -> (Relational.topkPerGroup _),
+    "pivot_status" -> (Relational.pivotStatus _),
+    "unpivot_metrics" -> (Relational.unpivotMetrics _),
+    "grouping_sets" -> (Relational.groupingSetsOrders _),
+    "percentiles_qty" -> (Relational.percentilesQty _),
+    "asof_join" -> (Temporal.asOfJoin _),
+    "range_join_bands" -> (Temporal.rangeJoinBands _),
+    "sample_stratified" -> (Sampling.stratified _),
+    "dedup_clusters" -> (Dedup.clusters _),
     "anti_join" -> (Relational.antiJoinCustomers _),
     "distinct_segments" -> (Relational.distinctSegments _),
     "rollup_orders" -> (Relational.rollupOrders _),
@@ -77,6 +88,9 @@ object SparkEntry {
     // --- streaming logic, batch-applied (same plan both modes) ---
     "events_window" -> ((s, dir) =>
       graft.streaming.EventStream.windowedAgg(Tables.events(s, dir))
+        .orderBy("window_start", "event_type")),
+    "events_sliding" -> ((s, dir) =>
+      graft.streaming.EventStream.slidingAgg(Tables.events(s, dir))
         .orderBy("window_start", "event_type")),
     "events_sessions" -> ((s, dir) =>
       graft.streaming.EventStream.sessionAgg(Tables.events(s, dir))
@@ -137,6 +151,107 @@ object SparkEntry {
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1997-01-01'
          GROUP BY 1 ORDER BY 1""",
+    "q14_promo" ->
+      """SELECT round(100 * sum(CASE WHEN p_type='PROMO'
+             THEN l_extendedprice*(1-l_discount) ELSE 0 END)
+           / sum(l_extendedprice*(1-l_discount)), 6) AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+           AND l_shipdate < TIMESTAMP '1997-07-01'""",
+    "q18_large_orders" ->
+      """SELECT c_name, o_orderkey, o_orderdate,
+           round(sum(l_quantity),2) AS total_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1,2,3 HAVING round(sum(l_quantity),2) > 180
+         ORDER BY total_qty DESC, o_orderkey LIMIT 100""",
+    "topk_per_group" ->
+      """SELECT * FROM (
+           SELECT p_brand, p_partkey, revenue,
+             row_number() OVER (PARTITION BY p_brand
+               ORDER BY revenue DESC, p_partkey) AS rn
+           FROM (SELECT p_brand, p_partkey,
+                   round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+                 FROM lineitem JOIN part ON l_partkey = p_partkey
+                 GROUP BY 1,2)) t
+         WHERE rn <= 3 ORDER BY p_brand, rn""",
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus='F' THEN 1 END) AS "F",
+           count(CASE WHEN o_orderstatus='O' THEN 1 END) AS "O",
+           count(CASE WHEN o_orderstatus='P' THEN 1 END) AS "P"
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "unpivot_metrics" ->
+      """WITH perflag AS (SELECT l_returnflag,
+           round(sum(l_quantity),2) AS quantity,
+           round(sum(l_extendedprice),2) AS extendedprice,
+           round(sum(l_discount),2) AS discount,
+           round(sum(l_tax),2) AS tax FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, metric, total FROM (
+           SELECT l_returnflag, 'quantity' AS metric, quantity AS total FROM perflag
+           UNION ALL SELECT l_returnflag, 'extendedprice', extendedprice FROM perflag
+           UNION ALL SELECT l_returnflag, 'discount', discount FROM perflag
+           UNION ALL SELECT l_returnflag, 'tax', tax FROM perflag) u
+         ORDER BY 1, 2""",
+    "grouping_sets" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf,
+           coalesce(l_linestatus,'ALL') AS ls,
+           count(*) AS n_items, round(sum(l_quantity),2) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag,l_linestatus),(l_returnflag),())
+         ORDER BY 1,2""",
+    "percentiles_qty" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_quantity,0.25),6) AS p25,
+           round(quantile_cont(l_quantity,0.5),6) AS p50,
+           round(quantile_cont(l_quantity,0.9),6) AS p90,
+           round(quantile_cont(l_extendedprice,0.5),6) AS p50_price,
+           count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "asof_join" ->
+      """SELECT p.user_id, p.ts AS buy_ts, c.ts AS click_ts,
+           date_diff('second', c.ts, p.ts) AS wait_s, p.value
+         FROM (SELECT user_id, ts, value FROM events
+               WHERE event_type='purchase') p
+         ASOF JOIN (SELECT user_id, ts FROM events
+               WHERE event_type='click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY 1, 2""",
+    "range_join_bands" ->
+      """SELECT band, count(*) AS n_orders,
+           round(avg(o_totalprice),2) AS avg_price
+         FROM orders JOIN (VALUES ('budget',0,100000),('mid',100000,300000),
+           ('premium',300000,500000)) AS b(band,lo,hi)
+           ON o_totalprice >= lo AND o_totalprice < hi
+         GROUP BY 1 ORDER BY 1""",
+    "sample_stratified" ->
+      """SELECT l_returnflag, count(*) AS n_sampled,
+           round(sum(l_extendedprice),2) AS sampled_price
+         FROM lineitem
+         WHERE substr(md5(l_orderkey || '-' || l_linenumber),1,1) <
+           CASE l_returnflag WHEN 'A' THEN '4' WHEN 'N' THEN '2' ELSE '1' END
+         GROUP BY 1 ORDER BY 1""",
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id,
+           CASE WHEN len(toks)>=3 THEN list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+             for i in range(1,len(toks)-1)]) ELSE [text] END AS sh
+         FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a, sh b
+           WHERE a.doc_id < b.doc_id
+             AND len(list_intersect(a.sh,b.sh))*1.0/len(list_distinct(a.sh||b.sh)) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach AS (SELECT src AS id, src AS lbl FROM edges
+           UNION SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+         SELECT id AS doc_id, min(lbl) AS cluster FROM reach
+         GROUP BY id ORDER BY 1""",
+    "events_sliding" ->
+      """SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE * o
+             AS window_start,
+           event_type, count(*) AS n_events
+         FROM events CROSS JOIN (VALUES (0),(1)) AS t(o)
+         GROUP BY 1,2 ORDER BY 1,2""",
     "window_running" ->
       """SELECT * FROM (
            SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,

@@ -235,6 +235,52 @@ object Dedup {
     * 100 TB path (random-hyperplane buckets turn this into an equi-join
     * like `simhashPairs`).
     */
+  /** Near-duplicate CLUSTERS: connected components over the J ≥ 0.5
+    * pair graph, each doc labelled with the minimum doc_id of its
+    * component (the canonical representative). Pairs alone understate
+    * duplication — transitive chains a~b~c must collapse to one
+    * cluster to dedup correctly.
+    *
+    * Computed by distributed min-label propagation: every node starts
+    * as its own label; each round joins labels across edges and keeps
+    * the per-node minimum; converges in O(component diameter) rounds
+    * (near-dup components are shallow — dup clusters are cliques-ish,
+    * so 2-3 rounds). Each round is one equi-join + one reduce — the
+    * standard large-graph CC shape (Hash-to-Min); no driver-side graph.
+    * The driver only checks the convergence metric (sum of labels,
+    * strictly decreasing until fixpoint).
+    */
+  def clusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(s, dir).select(col("id_a"), col("id_b"))
+    // undirected edge list, both directions + self-loop keeps own label
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id"))
+      .distinct().withColumn("lbl", col("id")).cache()
+    // convergence metric (sum of labels) is carried between rounds so
+    // each round costs exactly ONE action; it is strictly decreasing
+    // until the fixpoint because labels only ever shrink to the min
+    var prevSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+    var converged = false
+    while (!converged) {
+      val next = labels
+        .join(edges, col("id") === col("src"))
+        .select(col("dst").as("id"), col("lbl"))
+        .union(labels.select(col("id"), col("lbl")))
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .cache()
+      val curSum = next.agg(sum(col("lbl"))).head.getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = curSum == prevSum
+      prevSum = curSum
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
   def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
     val e = load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),

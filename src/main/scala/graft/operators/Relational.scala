@@ -229,4 +229,123 @@ object Relational {
     combos(1996).except(combos(1995))
       .orderBy(col("o_custkey"), col("o_orderpriority"))
   }
+
+  /** Pivot: order counts as a priority × status matrix. The value list
+    * is pinned (F/O/P) so the plan is a single pass — Spark otherwise
+    * runs an extra distinct job to discover columns, a driver sync
+    * point worth avoiding at scale. Missing combinations are 0, like
+    * SQL's count over an empty CASE set.
+    */
+  def pivotStatus(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("o_orderpriority"))
+
+  /** Unpivot (melt): wide per-flag sums back to long (metric, total)
+    * rows — the inverse reshape, a generate-side expansion with no
+    * shuffle beyond the feeding aggregation.
+    */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("quantity"),
+        round(sum(col("l_extendedprice")), 2).as("extendedprice"),
+        round(sum(col("l_discount")), 2).as("discount"),
+        round(sum(col("l_tax")), 2).as("tax"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("quantity"), col("extendedprice"), col("discount"),
+          col("tax")),
+        "metric", "total")
+      .orderBy(col("l_returnflag"), col("metric"))
+
+  /** Explicit grouping sets — finer control than rollup/cube: exactly
+    * ((flag,status),(flag),()) in ONE pass (grouping-set expansion
+    * before the shuffle, not three scans). Group keys are
+    * sentinel-labelled 'ALL' on the coarser sets.
+    */
+  def groupingSetsOrders(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n_items"), col("sum_qty"))
+      .orderBy(col("rf"), col("ls"))
+
+  /** Exact interpolated percentiles (percentile_cont semantics) per
+    * group. Exact percentile sorts per group; at 100 TB the swap is
+    * approx_percentile (t-digest sketch, map-side combinable) — kept
+    * exact here because the oracle is exact and groups are few.
+    */
+  def percentilesQty(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Top-k per group: 3 highest-revenue parts per brand. Ranking runs
+    * on the ROUNDED revenue (with partkey tiebreak) so rank order is
+    * exactly reproducible — raw double sums can differ in the last ulp
+    * across engines/partition schedules and flip near-ties.
+    * Partial agg first (part × brand grain), then one window shuffle
+    * by brand: rank input is already reduced, not raw lineitems.
+    */
+  def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val p = load(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val rev = load(s, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        2).as("revenue"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+    rev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("p_brand"), col("rn"))
+  }
+
+  /** TPC-H Q14-style promo effect: percentage of revenue from PROMO
+    * parts in one month — conditional aggregation feeding a scalar
+    * ratio, one broadcast join + one reduce.
+    */
+  def q14Promo(s: SparkSession, dir: String): DataFrame = {
+    val p = load(s, dir, "part").select(col("p_partkey"), col("p_type"))
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100) * sum(when(col("p_type") === "PROMO", disc)
+        .otherwise(lit(0d))) / sum(disc), 6).as("promo_revenue"))
+  }
+
+  /** TPC-H Q18-style large-volume orders: HAVING on an aggregate, then
+    * global top-k. The HAVING filter runs on the aggregated grain
+    * (orders, not lineitems) and the top-100 is TakeOrderedAndProject —
+    * no global sort materializes.
+    */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = load(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    load(s, dir, "lineitem")
+      .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_name"), col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > 180)
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
 }

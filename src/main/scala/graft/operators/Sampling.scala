@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+
+/** Deterministic sampling pack. RNG-based `df.sample` is
+  * non-reproducible across engines, partitionings and reruns — useless
+  * for auditable pipeline cuts. Universe (hash) sampling instead keeps
+  * a row iff a stable hash of its key lands under a threshold:
+  * reproducible everywhere, consistent across tables (the same key
+  * always samples in or out — joins between sampled tables stay
+  * coherent), and embarrassingly parallel (a pushed-down filter, no
+  * shuffle, no coordination). md5 is the hash because every engine
+  * agrees on it bit-for-bit.
+  */
+object Sampling {
+
+  /** Keep rows whose md5(key) first hex digit is strictly below
+    * `hexDigits` of 16 (rate = hexDigits/16).
+    */
+  def universeFilter(key: Column, hexDigits: Int): Column =
+    substring(md5(key), 1, 1) < lit(Integer.toHexString(hexDigits))
+
+  /** Stratified universe sample of lineitem on the line's stable key
+    * with per-stratum rates (A: 4/16, N: 2/16, R: 1/16), verified by
+    * aggregating the kept rows per stratum. The rate lookup is a CASE
+    * on the stratum column — still one pushable filter, no shuffle
+    * until the audit aggregation.
+    */
+  def stratified(s: SparkSession, dir: String): DataFrame = {
+    val key = concat_ws("-", col("l_orderkey"), col("l_linenumber"))
+    val threshold = when(col("l_returnflag") === "A", lit("4"))
+      .when(col("l_returnflag") === "N", lit("2"))
+      .otherwise(lit("1"))
+    load(s, dir, "lineitem")
+      .filter(substring(md5(key), 1, 1) < threshold)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"),
+        round(sum(col("l_extendedprice")), 2).as("sampled_price"))
+      .orderBy(col("l_returnflag"))
+  }
+}

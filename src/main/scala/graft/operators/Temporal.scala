@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Temporal join pack: as-of join and range (band) join — operators
+  * Spark lacks as primitives (SURVEY.md §2.3 extension surface), each
+  * expressed as a plan whose cost model survives 100 TB.
+  */
+object Temporal {
+
+  /** As-of join: for every purchase, the latest click by the same user
+    * at or before the purchase time (DuckDB/kdb "ASOF JOIN" semantics,
+    * inner form: purchases with no prior click drop).
+    *
+    * NOT implemented as an inequality join — a theta-join on
+    * `user_id = user_id AND buy_ts >= click_ts` degenerates to a
+    * per-user cartesian (every purchase × every earlier click) that
+    * explodes on active users. Instead the classic single-shuffle
+    * formulation: union both event kinds, hash-partition by user, sort
+    * within partition by time, and carry the last-seen click forward
+    * with a running `last(_, ignoreNulls)` window. One shuffle on
+    * user_id, O(events) work, no fanout — the same plan shape at any
+    * scale. Ordering (ts, event_type) puts a click before a purchase
+    * at the same instant, matching ASOF's `>=`.
+    */
+  def asOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("click_ts",
+        last(when(col("event_type") === "click", col("ts")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("click_ts").isNotNull)
+      .select(col("user_id"), col("ts").as("buy_ts"), col("click_ts"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("click_ts")))
+          .as("wait_s"),
+        col("value"))
+  }
+
+  /** Range (band) join: classify each order into a price band defined
+    * by [lo, hi) intervals. The bands side is constant-size, so the
+    * right plan is a broadcast join — the inequality condition runs as
+    * a BroadcastNestedLoopJoin over k bands, O(n·k) with tiny k and no
+    * shuffle of the fact table. (For a LARGE ranges side the scalable
+    * form is bucketing: overlap each range with fixed-width bins and
+    * equi-join on bin — the LSH-banding trick; not needed for a
+    * dimension of bands.)
+    */
+  def rangeJoinBands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("budget", 0d, 100000d),
+      ("mid", 100000d, 300000d),
+      ("premium", 300000d, 500000d)).toDF("band", "lo", "hi")
+    Tables.load(s, dir, "orders")
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .orderBy(col("band"))
+  }
+}

@@ -41,6 +41,18 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Sliding 1-hour windows every 30 minutes per event_type: each
+    * event lands in exactly 2 overlapping windows (window/slide). Same
+    * plan batch or streaming; streaming state is bounded by the
+    * watermark exactly like the tumbling form (2× rows in flight).
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
   /** Per-user sessionization with a 10-minute gap (built-in
     * `session_window` — merged incrementally under streaming).
     */

@@ -70,4 +70,26 @@ class DedupSpec extends SparkSpec {
     assert(p.forall(r => r.getAs[Double]("cos") >= 0.45))
     assert(p.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
   }
+
+  test("clusters equal the transitive closure of the pair graph") {
+    val pairs = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    // independent driver-side union-find over the same pairs
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.map(n => n -> find(n)).toMap
+    val got = Dedup.clusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(got == expected)
+    // transitivity really exercised: labels are component minima
+    assert(got.values.toSet.subsetOf(got.keySet))
+  }
 }

@@ -79,4 +79,40 @@ class PlanSpec extends SparkSpec {
       graft.Tables.events(spark, sf)))
     assert("HashAggregate".r.findAllIn(p).length >= 2)
   }
+
+  test("as-of join is one window pass, never an inequality join") {
+    val p = physical(Temporal.asOfJoin(spark, sf))
+    // the per-user cartesian formulations show up as one of these
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("Window") || p.contains("RunningWindowFunction"))
+  }
+
+  test("range join broadcasts the constant bands side") {
+    val p = physical(Temporal.rangeJoinBands(spark, sf))
+    // inequality-only condition + tiny side => broadcast nested loop,
+    // not a shuffled cartesian
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("pivot with pinned values is a single aggregation pass (no distinct job)") {
+    val df = Relational.pivotStatus(spark, sf)
+    assert(df.columns.toSeq == Seq("o_orderpriority", "F", "O", "P"))
+    val p = physical(df)
+    assert("HashAggregate".r.findAllIn(p).length >= 2) // partial+final
+  }
+
+  test("grouping sets expand before the shuffle (one Expand, one Exchange path)") {
+    val p = physical(Relational.groupingSetsOrders(spark, sf))
+    assert(p.contains("Expand"))
+  }
+
+  test("stratified sample filter is evaluated scan-side (no shuffle before filter)") {
+    val p = physical(Sampling.stratified(spark, sf))
+    // one aggregation shuffle only; the md5 filter happens pre-agg
+    assert("Exchange".r.findAllIn(p).length <= 2)
+  }
 }
