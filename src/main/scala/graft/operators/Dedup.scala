@@ -89,7 +89,11 @@ object Dedup {
       .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("shingle"))
     val a = inv.toDF("id_a", "n_a", "shingle")
     val b = inv.toDF("id_b", "n_b", "shingle")
-    a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+    // size-ratio prune (lossless for J >= 0.5): J <= min/max, so a
+    // qualifying pair's shingle-set sizes differ by at most 2x — cut
+    // cross-size candidate rows before they reach the pair aggregation
+    a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b") &&
+        col("n_a") <= col("n_b") * 2 && col("n_b") <= col("n_a") * 2)
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard", col("shared").cast("double") /

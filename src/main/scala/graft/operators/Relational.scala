@@ -339,12 +339,21 @@ object Relational {
     */
   def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
     val c = load(s, dir, "customer").select(col("c_custkey"), col("c_name"))
-    load(s, dir, "lineitem")
-      .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_name"), col("o_orderkey"), col("o_orderdate"))
+    // aggregate BEFORE joining: the HAVING predicate only needs
+    // lineitem, so reduce 4 lineitems/order to 1 row and filter to the
+    // rare qualifying orders FIRST — the dimension joins then see a
+    // tiny broadcastable side instead of the full fact table (the
+    // aggregate-pushdown-through-join rewrite, done by hand because the
+    // grouping keys span both join sides)
+    val bigOrders = load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
       .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
       .filter(col("total_qty") > 180)
+    load(s, dir, "orders")
+      .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("total_qty"))
       .orderBy(col("total_qty").desc, col("o_orderkey"))
       .limit(100)
   }

@@ -106,13 +106,20 @@ object Similarity {
     val cb = withBuckets(
       e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
       "neighbor_id", "cv")
+    // score BEFORE deduplicating: a pair colliding in several tables
+    // recomputes a cheap dot product, but the dedup shuffle then moves
+    // only (query_id, neighbor_id, cos) triplets — never the 64-float
+    // arrays (distinct() on array columns shuffled ~70 bytes/row of
+    // vector payload per duplicate and dominated this query's time).
+    // max(cos) is exact: every duplicate row scores identically.
     val cands = cb.join(broadcast(qb), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cos")).as("cos"))
     val global = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    cands.withColumn("cos", Dedup.cosine(col("qv"), col("cv"))) // cand set is small
-      .withColumn("rank", row_number().over(global)).filter(col("rank") <= K)
+    cands.withColumn("rank", row_number().over(global)).filter(col("rank") <= K)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cos"), 6).as("cos"))
       .orderBy(col("query_id"), col("rank"))
