@@ -39,6 +39,15 @@ final class Lake(val spark: SparkSession, root: Path) {
   /** `GET /file/{cid}` */
   def fetch(cid: String): InputStream = store.fetch(cid)
 
+  /** The raw content store as a Spark table via the CID DataSource V2
+    * connector (cid, length, content) — distributed scans over blobs
+    * with column pruning (metadata-only queries read no bytes) and
+    * cid-filter partition pruning. Join it with `catalog.content` for
+    * typed views of the whole lake.
+    */
+  def contentTable: DataFrame =
+    spark.read.format("cid").option("store", store.root.toString).load()
+
   /** `POST /dataset` (add-dataset) */
   def addDataset(meta: DatasetMeta): Long = {
     require(store.exists(meta.file), s"missing content: ${meta.file}")

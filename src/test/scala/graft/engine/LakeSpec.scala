@@ -85,6 +85,18 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("contentTable: the store is queryable through the cid connector") {
+    val cid = lake.addFile("connector-visible".getBytes, "text/plain")
+    val row = lake.contentTable.filter(col("cid") === cid).collect()
+    assert(row.length == 1)
+    assert(new String(row.head.getAs[Array[Byte]]("content")) ==
+      "connector-visible")
+    // metadata join: connector rows resolve types through the catalog
+    val typed = lake.contentTable.join(lake.catalog.content, Seq("cid"))
+      .filter(col("cid") === cid).select("type").collect()
+    assert(typed.head.getString(0) == "text/plain")
+  }
+
   test("schema inference: CSV number/string lattice in draft-07 shape") {
     val cid = lake.addFile(csv, "text/csv")
     val schema = lake.schema(cid).toOption.get
