@@ -26,6 +26,7 @@ final class Lake(val spark: SparkSession, root: Path) {
     */
   def addFile(in: InputStream, mime: String): String = {
     val cid = store.add(in)
+    store.logIngest(Seq(cid)) // uploads are streamable events too
     catalog.insertFile(cid, mime)
     val base = mime.split(';').head.trim.toLowerCase
     if (base == "text/csv" || base == "application/json")

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructType}
@@ -78,7 +79,7 @@ final class CidTable(root: String, declaredSchema: StructType)
   override def schema(): StructType = declaredSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CidScanBuilder(root, options)
@@ -158,6 +159,51 @@ final class CidScan(root: String, cids: Seq[String], required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CidReaderFactory(root, required.fieldNames)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream =
+    new CidMicroBatchStream(root, required.fieldNames, maxPartitions)
+}
+
+/** Streaming side of the connector: tails the store's ingest commit
+  * log. The offset is simply "how many ingest manifests have been
+  * committed" — each micro-batch reads the cids of the newly-arrived
+  * manifests. Content ingested anywhere (HTTP upload, a distributed
+  * `df.write.format("cid")`, another job) becomes a streaming event
+  * with exactly-once semantics: manifests are immutable, appended
+  * atomically after their blobs, and consumed strictly in commit
+  * order.
+  */
+final case class CidOffset(manifests: Long) extends Offset {
+  override def json(): String = manifests.toString
+}
+
+final class CidMicroBatchStream(root: String, fields: Array[String],
+    maxPartitions: Int) extends MicroBatchStream {
+  private def store = new ContentStore(Paths.get(root))
+
+  override def initialOffset(): Offset = CidOffset(0)
+  override def latestOffset(): Offset = CidOffset(store.ingestLog.size)
+  override def deserializeOffset(json: String): Offset =
+    CidOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[CidOffset].manifests,
+      end.asInstanceOf[CidOffset].manifests)
+    val cids = store.ingestLog.slice(s.toInt, e.toInt)
+      .flatMap(p => Files.readAllLines(p).asScala.filter(_.nonEmpty))
+      .distinct
+    if (cids.isEmpty) return Array.empty
+    val nParts = math.max(1, math.min(maxPartitions, cids.length))
+    cids.grouped(math.ceil(cids.length.toDouble / nParts).toInt)
+      .map(g => CidInputPartition(g.toArray): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CidReaderFactory(root, fields)
 }
 
 final class CidReaderFactory(root: String, fields: Array[String])
@@ -213,16 +259,14 @@ final class CidBatchWrite(root: String, contentIdx: Int) extends BatchWrite {
       : DataWriterFactory = new CidWriterFactory(root, contentIdx)
 
   /** CAS writes are complete once each task lands its blobs; commit
-    * records the ingested CID set as an audit manifest (one line per
-    * cid) — metadata-only, like a lakehouse commit.
+    * appends ONE manifest to the store's ingest log — metadata-only,
+    * like a lakehouse commit, and the very record the streaming scan
+    * tails (a batch write becomes one streaming micro-batch).
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val all = messages.collect { case CidCommitMessage(cs) => cs }
       .flatten.sorted
-    val dir = Paths.get(root, "ingests")
-    Files.createDirectories(dir)
-    Files.write(dir.resolve(s"ingest-${java.util.UUID.randomUUID()}"),
-      all.mkString("\n").getBytes("UTF-8"))
+    new ContentStore(Paths.get(root)).logIngest(all)
   }
 
   /** Orphaned CAS blobs from failed tasks are harmless (idempotent,

@@ -32,8 +32,10 @@ import scala.jdk.CollectionConverters._
 final class ContentStore(val root: Path) {
   private val blobs = root.resolve("blobs")
   private val dirs = root.resolve("dirs")
+  private val ingests = root.resolve("ingests")
   Files.createDirectories(blobs)
   Files.createDirectories(dirs)
+  Files.createDirectories(ingests)
 
   /** Ingest a byte stream, return its CID (reference `FileSystem.add`). */
   def add(in: InputStream): String = {
@@ -63,6 +65,35 @@ final class ContentStore(val root: Path) {
 
   /** Filesystem path of a blob — what `spark.read` is pointed at. */
   def pathOf(cid: String): Path = blobs.resolve(cid)
+
+  // --- ingest commit log ---------------------------------------------
+
+  /** Record an ingest batch: one append-only manifest file (one cid
+    * per line) under `ingests/`, named so lexicographic order is
+    * arrival order. This is the store's commit log: the streaming side
+    * of the cid connector tails it (offset = manifest count), so every
+    * logged ingest — HTTP upload or distributed Spark write — becomes
+    * a streamable event. Blobs are always written BEFORE their
+    * manifest, so a reader at any offset only ever sees complete
+    * content. Naming assumes one writer clock (same assumption Spark's
+    * own file streaming source makes about file visibility).
+    */
+  def logIngest(cids: Seq[String]): Unit = if (cids.nonEmpty) {
+    val name = f"ingest-${System.currentTimeMillis()}%013d-" +
+      f"${ContentStore.ingestSeq.incrementAndGet()}%09d"
+    val tmp = Files.createTempFile(root, "manifest", ".tmp")
+    Files.write(tmp, cids.sorted.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, ingests.resolve(name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Ingest manifests in commit order. */
+  def ingestLog: Seq[Path] = {
+    if (!Files.isDirectory(ingests)) return Seq.empty
+    val s = Files.list(ingests)
+    try s.iterator().asScala.toVector.sortBy(_.getFileName.toString)
+    finally s.close()
+  }
 
   def exists(cid: String): Boolean =
     Files.exists(blobs.resolve(cid)) || Files.exists(dirs.resolve(cid))
@@ -110,4 +141,9 @@ final class ContentStore(val root: Path) {
     }
     cid
   }
+}
+
+object ContentStore {
+  /** JVM-wide tiebreaker so same-millisecond manifests still order. */
+  private val ingestSeq = new java.util.concurrent.atomic.AtomicLong(0)
 }

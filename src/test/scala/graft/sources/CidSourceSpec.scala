@@ -77,4 +77,30 @@ class CidSourceSpec extends SparkSpec {
       .write.format("cid").option("store", out).mode("append").save()
     assert(spark.read.format("cid").option("store", out).load().count() == 3)
   }
+
+  test("streaming: readStream tails the ingest commit log across batches") {
+    val dir = Files.createTempDirectory("cidstream")
+    val store = new ContentStore(dir)
+    val first = store.add("stream one".getBytes("UTF-8"))
+    store.logIngest(Seq(first))
+    val q = spark.readStream.format("cid").option("store", dir.toString)
+      .load().select("cid", "length")
+      .writeStream.format("memory").queryName("cid_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("cidck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val seen1 = spark.sql("SELECT cid FROM cid_stream")
+        .as[String].collect().toSet
+      assert(seen1 == Set(first))
+      // content arriving AFTER the query started becomes a new batch
+      val second = store.add("stream two".getBytes("UTF-8"))
+      store.logIngest(Seq(second))
+      q.processAllAvailable()
+      val seen2 = spark.sql("SELECT cid FROM cid_stream")
+        .as[String].collect().toSet
+      assert(seen2 == Set(first, second))
+    } finally q.stop()
+  }
 }
