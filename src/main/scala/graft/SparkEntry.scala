@@ -82,6 +82,19 @@ object SparkEntry {
     "text_tokens" -> (TextAnalysis.tokenStats _),
     "text_token_totals" -> (TextAnalysis.tokenTotals _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_tfidf" -> (TextAnalysis.tfidfTop _),
+    "text_top_bigrams" -> (TextAnalysis.topBigrams _),
+    // open-map JSON access (the reference's `extra`/props pattern,
+    // SURVEY.md §1.1): typed extraction from a JSON string column
+    "events_props_json" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"),
+          sum(col("k")).cast("long").as("k_total"),
+          round(avg(col("k")), 6).as("k_avg"))
+        .orderBy(col("event_type"))),
     "curate_pipeline" -> (Curate.pipeline _),
     // --- multimodal plumbing (decode stubbed; see Multimodal scaladoc) ---
     "media_stats" -> (Multimodal.mediaStats _),
@@ -440,6 +453,32 @@ object SparkEntry {
          k AS (SELECT doc_id, list_sort(list_transform(sh, x -> md5(x)))[1:8] AS h FROM sh)
          SELECT doc_id, unnest(range(0, len(h))) AS pos, unnest(h) AS hash
          FROM k ORDER BY doc_id, pos""",
+    "text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1,2),
+         dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM toks)
+         SELECT doc_id, term, tf, df, score FROM (
+           SELECT doc_id, term, tf, df,
+             round(tf * ln(CAST(n AS DOUBLE)/df), 6) AS score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY round(tf * ln(CAST(n AS DOUBLE)/df), 6) DESC, term) AS rn
+           FROM tf JOIN dfreq USING(term) CROSS JOIN n) t
+         WHERE rn = 1 ORDER BY doc_id""",
+    "text_top_bigrams" ->
+      """SELECT bigram, count(*) AS n FROM (
+           SELECT unnest([toks[i]||' '||toks[i+1] for i in range(1,len(toks))]) AS bigram
+           FROM (SELECT string_split(text,' ') AS toks FROM documents)
+           WHERE len(toks) >= 2) b
+         GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""",
+    "events_props_json" ->
+      """SELECT event_type, count(k) AS n,
+           CAST(sum(k) AS BIGINT) AS k_total, round(avg(k), 6) AS k_avg
+         FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events) t
+         GROUP BY 1 ORDER BY 1""",
     "curate_pipeline" ->
       """WITH q AS (
            SELECT doc_id, len(toks) AS n_tokens,

@@ -124,4 +124,48 @@ object TextAnalysis {
           sh => md5(sh))), 1, SketchK)))
       .toDF("doc_id", "pos", "hash")
       .orderBy(col("doc_id"), col("pos"))
+
+  // --- 5. term weighting ----------------------------------------------
+
+  /** TF-IDF: the highest-weighted term per document. The inverted-
+    * index shape at scale: one explode, two partial-aggregations
+    * (term frequency per doc; document frequency per term), an
+    * equi-join on term, and a per-doc top-1 window. The corpus size
+    * joins in as a 1-row broadcast, and ranking runs on the ROUNDED
+    * score (term tiebreak) so rank order is engine-reproducible.
+    */
+  def tfidfTop(s: SparkSession, dir: String): DataFrame = {
+    val terms = load(s, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = terms.distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = terms.agg(countDistinct(col("doc_id")).as("n"))
+    val score = round(col("tf") * log(col("n").cast("double") / col("df")), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score", score)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Top-50 corpus bigrams — vocabulary/n-gram statistics, one explode
+    * + one map-side-combinable count + TakeOrderedAndProject.
+    */
+  def topBigrams(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val bigrams = zip_with(slice(t, lit(1), size(t) - 1),
+      slice(t, lit(2), size(t) - 1), (a, b) => concat(a, lit(" "), b))
+    load(s, dir, "documents")
+      .filter(size(t) >= 2)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+  }
 }
