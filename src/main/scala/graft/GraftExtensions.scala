@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinHashSig, Shingles3, SimHash64, VecDot}
+import graft.functions.{LshBuckets, MinHashSig, Shingles3, SimHash64, VecDot}
 
 /** Session extension registering graft's native expressions, so they
   * are callable from SQL and `call_function` in any session configured
@@ -69,5 +69,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash64(tokens) takes 1 argument")
         SimHash64(args.head)
+      }),
+    (new FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "lsh_buckets(vec) takes 1 argument")
+        LshBuckets(args.head)
       }))
 }

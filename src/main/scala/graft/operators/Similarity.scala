@@ -34,29 +34,17 @@ object Similarity {
   /** Every 100th vector is a query — scale-proportional query set. */
   private val queryPred: Column = col("vec_id") % 100 === 0
 
-  val Dim = 64
-  val NumTables = 16
-  val BitsPerTable = 4
+  val Dim: Int = graft.functions.LshBuckets.Dim
+  val NumTables: Int = graft.functions.LshBuckets.NumTables
+  val BitsPerTable: Int = graft.functions.LshBuckets.BitsPerTable
 
-  /** Deterministic unit-free hyperplanes (seeded, baked as literals —
-    * identical on every executor and every run).
+  /** All table buckets of a vector in one fused native pass (seeded
+    * hyperplanes baked into the expression — identical on every
+    * executor, run, and engine). See functions/LshBuckets.scala; the
+    * composed `vec_dot(v, lit(plane))`-per-bit form spent its time in
+    * per-call expression plumbing, not arithmetic.
     */
-  private[operators] val hyperplanes: Array[Array[Double]] = {
-    val rng = new scala.util.Random(4242)
-    Array.fill(NumTables * BitsPerTable)(Array.fill(Dim)(rng.nextGaussian()))
-  }
-
-  private def dotLit(v: Column, h: Array[Double]): Column =
-    graft.functions.vecDot(v, typedLit(h))
-
-  /** LSH bucket id of vector `v` for table `t`: b sign bits packed into
-    * a long. Pure projection — no shuffle, codegen-friendly arithmetic.
-    */
-  private def bucket(v: Column, t: Int): Column =
-    (0 until BitsPerTable).map { j =>
-      when(dotLit(v, hyperplanes(t * BitsPerTable + j)) >= 0,
-        lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  private def buckets(v: Column): Column = call_function("lsh_buckets", v)
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "embeddings")
@@ -97,8 +85,7 @@ object Similarity {
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir)
     def withBuckets(df: DataFrame, idCol: String, vecCol: String) =
-      df.select(col(idCol), col(vecCol),
-        posexplode(array((0 until NumTables).map(t => bucket(col(vecCol), t)): _*)))
+      df.select(col(idCol), col(vecCol), posexplode(buckets(col(vecCol))))
         .toDF(idCol, vecCol, "table", "bucket")
     val qb = withBuckets(
       e.filter(queryPred).select(col("vec_id").as("query_id"),
