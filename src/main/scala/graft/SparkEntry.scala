@@ -55,6 +55,8 @@ object SparkEntry {
     "skew_join_salted" -> (Skew.skewJoinSalted _),
     // rows-only (xxhash-based sketch not reproducible in SQL; accuracy
     // and determinism pinned by KMVDistinctSpec)
+    "approx_distinct_hll" -> (graft.operators.Approx.hllDistinct _),
+    "approx_quantiles" -> (graft.operators.Approx.approxQuantiles _),
     "approx_distinct_kmv" -> ((s, dir) => Tables.load(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(graft.functions.KMVDistinct(col("l_orderkey"), 256).as("est_orders"))

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+
+/** Approximate/sketch aggregation pack — the bounded-memory answers a
+  * 100 TB engine reaches for when exact answers would shuffle the
+  * world. Complements the custom KMV sketch (`functions/KMVDistinct`):
+  * here the engine-native sketches, each map-side combinable and
+  * merge-order-independent, so results are deterministic under any
+  * partial-aggregation schedule.
+  *
+  * No DuckDB oracles (sketch internals are engine-specific — DuckDB's
+  * HLL differs from Spark's); accuracy contracts are pinned against
+  * exact answers in ApproxSpec instead, mirroring how the KMV sketch
+  * is verified.
+  */
+object Approx {
+
+  /** HyperLogLog++ distinct counts per group (rsd 5%): O(1) state per
+    * group vs the exact shuffle of every distinct key.
+    */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.05).as("est_orders"),
+        approx_count_distinct(col("l_suppkey"), 0.05).as("est_suppliers"))
+      .orderBy(col("l_returnflag"))
+
+  /** Approximate percentiles (t-digest-style sketch, mergeable) next
+    * to the group count — the 100 TB swap for `percentiles_qty`'s
+    * exact per-group sort.
+    */
+  def approxQuantiles(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("p50"),
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("p50_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+}

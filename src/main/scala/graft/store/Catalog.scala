@@ -383,6 +383,24 @@ final class Catalog(spark: SparkSession, root: Path) {
     id
   }
 
+  /** Version lineage: the chain from `id` back to its root revision
+    * (reference data model: `dataset.parent` forms a version tree,
+    * `PostgreSQL.java:48-50,128-154`; the reference stores the tree but
+    * never walks it). Metadata-scale driver walk over the index — the
+    * distributed form would be an iterative self-join, unnecessary for
+    * a relation this size by design.
+    */
+  def lineage(id: Long): Seq[DatasetRow] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[DatasetRow]
+    var cur = lookupDataset(id)
+    val seen = scala.collection.mutable.Set.empty[Long] // cycle guard
+    while (cur.isDefined && seen.add(cur.get.id)) {
+      out += cur.get
+      cur = cur.get.parent.flatMap(lookupDataset)
+    }
+    out.toSeq
+  }
+
   /** Update-as-insert versioning (reference I2, `PostgreSQL.java:128-154`):
     * a new row inherits every field the override map omits and points back
     * at its parent, forming the version tree. Returns None if the parent

@@ -128,6 +128,15 @@ class LakeSpec extends SparkSpec {
     assert(v2.getAs[String]("source") == "wb")
     assert(v2.getAs[Long]("parent") == id)
     assert(v2.getAs[String]("type") == "text/csv")
+
+    // lineage walks the version tree child -> root
+    val id3 = lake.updateDataset(id2,
+      DatasetMeta.Partial(description = Some("v3"))).get
+    val chain = lake.catalog.lineage(id3)
+    assert(chain.map(_.id) == Seq(id3, id2, id))
+    assert(chain.head.description == "v3" &&
+      chain.last.description == "World population")
+    assert(chain.last.parent.isEmpty)
   }
 
   test("find merges dataset.extra || content.extra right-biased") {

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Accuracy contracts for the sketch pack (no SQL oracle — sketch
+  * internals are engine-specific): estimates vs exact answers, plus
+  * determinism (sketches must merge order-independently).
+  */
+class ApproxSpec extends SparkSpec {
+
+  test("HLL distinct estimates land within 10% of exact (rsd 5%)") {
+    val est = Approx.hllDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("o"),
+        countDistinct(col("l_suppkey")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, (o, s)) =>
+      assert(math.abs(est(k)._1 - o).toDouble / o <= 0.10, s"$k orders")
+      assert(math.abs(est(k)._2 - s).toDouble / s <= 0.10, s"$k suppliers")
+    }
+  }
+
+  test("approx medians track exact percentiles; both sketches deterministic") {
+    val approx = Approx.approxQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.5)").as("pp"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    approx.foreach { case (k, (q, p)) =>
+      assert(math.abs(q - exact(k)._1) <= 1.0, s"$k quantity median")
+      assert(math.abs(p - exact(k)._2) / exact(k)._2 <= 0.01, s"$k price")
+    }
+    // determinism under re-execution (different task schedules)
+    assert(Approx.hllDistinct(spark, sf).collect().toSeq ==
+      Approx.hllDistinct(spark, sf).collect().toSeq)
+    assert(Approx.approxQuantiles(spark, sf).collect().toSeq ==
+      Approx.approxQuantiles(spark, sf).collect().toSeq)
+  }
+
+  test("bloom filter: no false negatives, bounded false positives") {
+    val keys = Tables.load(spark, sf, "orders").select(col("o_custkey"))
+    val bloom = keys.stat.bloomFilter("o_custkey", 2000, 0.03)
+    val present = keys.distinct().collect().map(_.getLong(0))
+    assert(present.forall(bloom.mightContain), "false negative!")
+    val absent = (1000000L until 1010000L).count(bloom.mightContain)
+    assert(absent <= 10000 * 0.06, s"fpp too high: $absent/10000")
+  }
+}
