@@ -1,0 +1,41 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Layout ops: a month-partitioned, day-sorted copy of lineitem must
+  * (a) keep every row, (b) prune partitions at planning time for a
+  * month filter, and (c) expose the residual predicate to the parquet
+  * reader for row-group skipping.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("time-partitioned layout prunes partitions and pushes residuals") {
+    val out = Files.createTempDirectory("layout").toString
+    val src = Tables.load(spark, sf, "lineitem")
+    Layout.writeTimePartitioned(src, "l_shipdate", "l_shipdate", out)
+
+    val back = Layout.readTimePartitioned(spark, out)
+    assert(back.count() == src.count()) // lossless reshape
+
+    val q = back.filter(col("part_month") === "1996-03" &&
+      col("l_quantity") > 10)
+    val plan = q.queryExecution.executedPlan.toString
+    // month filter consumed at PLANNING time, not row time
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.linesIterator.find(_.contains("PartitionFilters")).get
+      .contains("part_month"), plan)
+    // quantity predicate reaches the parquet reader (row-group stats)
+    assert(plan.linesIterator.find(_.contains("PushedFilters")).get
+      .contains("GreaterThan(l_quantity"), plan)
+
+    // and the pruned read equals the unpruned filter
+    val expected = src
+      .filter(date_format(col("l_shipdate"), "yyyy-MM") === "1996-03" &&
+        col("l_quantity") > 10).count()
+    assert(q.count() == expected)
+  }
+}
