@@ -55,6 +55,8 @@ object SparkEntry {
     "skew_join_salted" -> (Skew.skewJoinSalted _),
     // rows-only (xxhash-based sketch not reproducible in SQL; accuracy
     // and determinism pinned by KMVDistinctSpec)
+    // rows-only (engine-specific sketch internals; accuracy vs exact
+    // pinned in ApproxSpec)
     "approx_distinct_hll" -> (graft.operators.Approx.hllDistinct _),
     "approx_quantiles" -> (graft.operators.Approx.approxQuantiles _),
     "approx_distinct_kmv" -> ((s, dir) => Tables.load(s, dir, "lineitem")

@@ -280,8 +280,14 @@ object Dedup {
       converged = curSum == prevSum
       prevSum = curSum
     }
+    // truncate lineage and release the loop's explicit caches: the
+    // checkpoint's blocks are reference-tracked (cleaned when the
+    // returned frame is dropped), unlike CacheManager entries which
+    // would pin a copy of the labels per invocation forever
+    val result = labels.localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+    result.select(col("id").as("doc_id"), col("lbl").as("cluster"))
       .orderBy(col("doc_id"))
   }
 

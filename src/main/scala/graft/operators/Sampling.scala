@@ -17,11 +17,21 @@ import graft.Tables.load
   */
 object Sampling {
 
-  /** Keep rows whose md5(key) first hex digit is strictly below
-    * `hexDigits` of 16 (rate = hexDigits/16).
+  /** Keep rows whose md5(key) first hex digit is strictly below the
+    * (possibly per-row) hex-digit threshold — rate = threshold/16.
     */
-  def universeFilter(key: Column, hexDigits: Int): Column =
-    substring(md5(key), 1, 1) < lit(Integer.toHexString(hexDigits))
+  def universeFilter(key: Column, hexThreshold: Column): Column =
+    substring(md5(key), 1, 1) < hexThreshold
+
+  /** Fixed-rate form: keep `hexSixteenths`/16 of rows (1..15 — 0 and
+    * 16 have no single-hex-digit representation; use the full table or
+    * an empty filter instead).
+    */
+  def universeFilter(key: Column, hexSixteenths: Int): Column = {
+    require(hexSixteenths >= 1 && hexSixteenths <= 15,
+      s"rate must be 1..15 sixteenths, got $hexSixteenths")
+    universeFilter(key, lit(Integer.toHexString(hexSixteenths)))
+  }
 
   /** Stratified universe sample of lineitem on the line's stable key
     * with per-stratum rates (A: 4/16, N: 2/16, R: 1/16), verified by
@@ -35,7 +45,7 @@ object Sampling {
       .when(col("l_returnflag") === "N", lit("2"))
       .otherwise(lit("1"))
     load(s, dir, "lineitem")
-      .filter(substring(md5(key), 1, 1) < threshold)
+      .filter(universeFilter(key, threshold))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_sampled"),
         round(sum(col("l_extendedprice")), 2).as("sampled_price"))

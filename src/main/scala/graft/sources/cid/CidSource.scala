@@ -134,14 +134,21 @@ final class CidScanBuilder(root: String, options: CaseInsensitiveStringMap)
     val cids = cidRestriction.fold(all)(keep => all.filter(keep))
     val maxParts = Option(options.get("maxPartitions")).map(_.toInt)
       .getOrElse(32)
-    new CidScan(root, cids, required, maxParts)
+    // streaming ignores the batch listing but keeps the restriction:
+    // explicit cids option ∩ pushed cid filters
+    val restriction = (explicit.map(_.toSet), cidRestriction) match {
+      case (Some(a), Some(b)) => Some(a intersect b)
+      case (a, b) => a.orElse(b)
+    }
+    new CidScan(root, cids, required, maxParts, restriction)
   }
 }
 
 final case class CidInputPartition(cids: Array[String]) extends InputPartition
 
 final class CidScan(root: String, cids: Seq[String], required: StructType,
-    maxPartitions: Int) extends Scan with Batch {
+    maxPartitions: Int, restriction: Option[Set[String]]) extends Scan
+    with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -162,40 +169,53 @@ final class CidScan(root: String, cids: Seq[String], required: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
-    new CidMicroBatchStream(root, required.fieldNames, maxPartitions)
+    new CidMicroBatchStream(root, required.fieldNames, maxPartitions,
+      restriction)
 }
 
 /** Streaming side of the connector: tails the store's ingest commit
-  * log. The offset is simply "how many ingest manifests have been
-  * committed" — each micro-batch reads the cids of the newly-arrived
-  * manifests. Content ingested anywhere (HTTP upload, a distributed
-  * `df.write.format("cid")`, another job) becomes a streaming event
-  * with exactly-once semantics: manifests are immutable, appended
-  * atomically after their blobs, and consumed strictly in commit
-  * order.
+  * log. The offset is the NAME of the last consumed manifest (empty =
+  * nothing consumed): each micro-batch reads the cids of manifests in
+  * the lexicographic window (start, end]. A name frontier — unlike a
+  * count — never re-points already-consumed positions if a slow
+  * writer's manifest lands sorting into the past, so consumed batches
+  * are immutable (such a late manifest is skipped; ordering across
+  * writer clocks is the same visibility assumption Spark's own file
+  * source makes). Manifests are immutable, appended atomically after
+  * their blobs, and consumed in name order — exactly-once relative to
+  * the log.
   */
-final case class CidOffset(manifests: Long) extends Offset {
-  override def json(): String = manifests.toString
+final case class CidOffset(frontier: String) extends Offset {
+  override def json(): String = frontier
 }
 
 final class CidMicroBatchStream(root: String, fields: Array[String],
-    maxPartitions: Int) extends MicroBatchStream {
-  private def store = new ContentStore(Paths.get(root))
+    maxPartitions: Int, restriction: Option[Set[String]])
+    extends MicroBatchStream {
+  private val store = new ContentStore(Paths.get(root))
 
-  override def initialOffset(): Offset = CidOffset(0)
-  override def latestOffset(): Offset = CidOffset(store.ingestLog.size)
-  override def deserializeOffset(json: String): Offset =
-    CidOffset(json.trim.toLong)
+  private def names: Seq[String] =
+    store.ingestLog.map(_.getFileName.toString)
+
+  override def initialOffset(): Offset = CidOffset("")
+  override def latestOffset(): Offset =
+    CidOffset(names.lastOption.getOrElse(""))
+  override def deserializeOffset(json: String): Offset = CidOffset(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val (s, e) = (start.asInstanceOf[CidOffset].manifests,
-      end.asInstanceOf[CidOffset].manifests)
-    val cids = store.ingestLog.slice(s.toInt, e.toInt)
+    val (s, e) = (start.asInstanceOf[CidOffset].frontier,
+      end.asInstanceOf[CidOffset].frontier)
+    val window = store.ingestLog.filter { p =>
+      val n = p.getFileName.toString
+      n > s && n <= e
+    }
+    val cids = window
       .flatMap(p => Files.readAllLines(p).asScala.filter(_.nonEmpty))
       .distinct
+      .filter(c => restriction.forall(_.contains(c)))
     if (cids.isEmpty) return Array.empty
     val nParts = math.max(1, math.min(maxPartitions, cids.length))
     cids.grouped(math.ceil(cids.length.toDouble / nParts).toInt)

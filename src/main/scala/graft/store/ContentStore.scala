@@ -79,8 +79,12 @@ final class ContentStore(val root: Path) {
     * own file streaming source makes about file visibility).
     */
   def logIngest(cids: Seq[String]): Unit = if (cids.nonEmpty) {
+    // millis + per-JVM seq give arrival order; the random suffix makes
+    // names collision-free across concurrent writer JVMs (same-ms,
+    // same-seq writers would otherwise REPLACE each other's manifest)
     val name = f"ingest-${System.currentTimeMillis()}%013d-" +
-      f"${ContentStore.ingestSeq.incrementAndGet()}%09d"
+      f"${ContentStore.ingestSeq.incrementAndGet()}%09d-" +
+      java.util.UUID.randomUUID().toString.take(8)
     val tmp = Files.createTempFile(root, "manifest", ".tmp")
     Files.write(tmp, cids.sorted.mkString("\n").getBytes("UTF-8"))
     Files.move(tmp, ingests.resolve(name),

@@ -102,5 +102,18 @@ class CidSourceSpec extends SparkSpec {
         .as[String].collect().toSet
       assert(seen2 == Set(first, second))
     } finally q.stop()
+
+    // the cids restriction applies on the streaming path too
+    val only = spark.readStream.format("cid").option("store", dir.toString)
+      .option("cids", first).load().select("cid")
+      .writeStream.format("memory").queryName("cid_stream_one")
+      .option("checkpointLocation",
+        Files.createTempDirectory("cidck2").toString)
+      .start()
+    try {
+      only.processAllAvailable()
+      assert(spark.sql("SELECT cid FROM cid_stream_one")
+        .as[String].collect().toSet == Set(first))
+    } finally only.stop()
   }
 }
