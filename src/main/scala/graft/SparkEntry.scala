@@ -63,6 +63,31 @@ object SparkEntry {
       .groupBy(col("l_returnflag"))
       .agg(graft.functions.KMVDistinct(col("l_orderkey"), 256).as("est_orders"))
       .orderBy(col("l_returnflag"))),
+    // scalar library breadth (SURVEY.md §2.3 "scalar fn library"):
+    // date parts, date arithmetic, string ops, numeric ops — one
+    // narrow projection, every function shared with the oracle
+    "scalar_functions" -> ((s, dir) => Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mon"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since"),
+        upper(substring(col("o_orderpriority"), 3, 20)).as("prio_up"),
+        lower(col("o_orderstatus")).as("status_lo"),
+        length(col("o_orderpriority")).cast("long").as("prio_len"),
+        concat_ws("|", col("o_orderstatus"), col("o_orderpriority"))
+          .as("tag"),
+        lpad(col("o_orderkey").cast("string"), 12, "0").as("key_pad"),
+        replace(col("o_orderpriority"), lit("-"), lit(" ")).as("prio_sp"),
+        round(abs(col("o_totalprice") - 250000d), 2).as("dist_mid"),
+        floor(col("o_totalprice") / 1000).cast("long").as("price_k"),
+        greatest(col("o_totalprice"), lit(100000d)).as("floored"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("CLOSED"))
+          .as("status_or"))
+      .orderBy(col("o_orderkey"))),
     // --- QAST query language (SURVEY.md §2.1) ---
     "qast_regex" -> (QastQueries.regexFilter _),
     "qast_arith" -> (QastQueries.arithFilter _),
@@ -109,6 +134,9 @@ object SparkEntry {
     "events_sliding" -> ((s, dir) =>
       graft.streaming.EventStream.slidingAgg(Tables.events(s, dir))
         .orderBy("window_start", "event_type")),
+    "events_trending" -> ((s, dir) =>
+      graft.streaming.EventStream.trending(Tables.events(s, dir))
+        .orderBy("window_start", "rank")),
     "events_sessions" -> ((s, dir) =>
       graft.streaming.EventStream.sessionAgg(Tables.events(s, dir))
         .orderBy("user_id", "session_start")),
@@ -168,6 +196,24 @@ object SparkEntry {
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1997-01-01'
          GROUP BY 1 ORDER BY 1""",
+    "scalar_functions" ->
+      """SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(month(o_orderdate) AS INT) AS mon,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+           upper(substr(o_orderpriority, 3, 20)) AS prio_up,
+           lower(o_orderstatus) AS status_lo,
+           CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+           o_orderstatus || '|' || o_orderpriority AS tag,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_pad,
+           replace(o_orderpriority, '-', ' ') AS prio_sp,
+           round(abs(o_totalprice - 250000), 2) AS dist_mid,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
+           greatest(o_totalprice, 100000) AS floored,
+           coalesce(nullif(o_orderstatus, 'O'), 'CLOSED') AS status_or
+         FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""",
     "q14_promo" ->
       """SELECT round(100 * sum(CASE WHEN p_type='PROMO'
              THEN l_extendedprice*(1-l_discount) ELSE 0 END)
@@ -529,6 +575,15 @@ object SparkEntry {
                  <= INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS new_sess
              FROM events))
          GROUP BY user_id, sess_id ORDER BY user_id, session_start""",
+    "events_trending" ->
+      """SELECT * FROM (
+           SELECT window_start, event_type, n_events,
+             CAST(row_number() OVER (PARTITION BY window_start
+               ORDER BY n_events DESC, event_type) AS INT) AS rank
+           FROM (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                   event_type, count(*) AS n_events
+                 FROM events GROUP BY 1, 2) c) r
+         WHERE rank <= 3 ORDER BY window_start, rank""",
     "events_funnel" ->
       """SELECT c.user_id, count(*) AS n_conversions,
            CAST(sum(CAST(b.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
