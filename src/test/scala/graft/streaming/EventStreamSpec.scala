@@ -46,6 +46,26 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding windows == batch sliding windows (2 windows/event)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val q = EventStream.slidingAgg(
+      mem.toDF().toDF("ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("slide_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("slide_out")
+        .orderBy("window_start", "event_type").collect()
+      val batch = EventStream.slidingAgg(sampleDf)
+        .orderBy("window_start", "event_type").collect()
+      assert(streamed.sameElements(batch))
+      // 1h window / 30m slide: every event lands in exactly 2 windows
+      assert(batch.map(_.getAs[Long]("n_events")).sum == 2 * sample.size)
+    } finally q.stop()
+  }
+
   test("streaming session windows merge within gap, split past it") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String, Double)]
