@@ -63,6 +63,27 @@ object SparkEntry {
       .groupBy(col("l_returnflag"))
       .agg(graft.functions.KMVDistinct(col("l_orderkey"), 256).as("est_orders"))
       .orderBy(col("l_returnflag"))),
+    // the cid connector end-to-end, oracle-verified: distributed write
+    // of every document into a fresh CAS (content-addressing dedups
+    // identical texts), then a connector read-back — counts and byte
+    // totals must equal DuckDB's view of the distinct texts
+    "cid_ingest" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cid-q")
+      Tables.load(s, dir, "documents")
+        .select(encode(col("text"), "UTF-8").as("content"))
+        .write.format("cid").option("store", tmp.toString).mode("append")
+        .save()
+      val row = s.read.format("cid").option("store", tmp.toString).load()
+        .agg(count(lit(1)).as("n_blobs"),
+          sum(col("length")).cast("long").as("total_bytes")).head()
+      // evaluated eagerly so the blob store can be deleted (repeated
+      // bench/verify runs must not accumulate temp stores)
+      import org.apache.commons.io.FileUtils
+      FileUtils.deleteDirectory(tmp.toFile)
+      import s.implicits._
+      Seq((row.getLong(0), row.getLong(1)))
+        .toDF("n_blobs", "total_bytes")
+    }),
     // scalar library breadth (SURVEY.md §2.3 "scalar fn library"):
     // date parts, date arithmetic, string ops, numeric ops — one
     // narrow projection, every function shared with the oracle
@@ -196,6 +217,10 @@ object SparkEntry {
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1997-01-01'
          GROUP BY 1 ORDER BY 1""",
+    "cid_ingest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_blobs,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+         FROM (SELECT DISTINCT text FROM documents) d""",
     "scalar_functions" ->
       """SELECT o_orderkey,
            CAST(year(o_orderdate) AS INT) AS yr,
