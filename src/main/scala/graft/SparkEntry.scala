@@ -69,19 +69,21 @@ object SparkEntry {
     // totals must equal DuckDB's view of the distinct texts
     "cid_ingest" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-cid-q")
-      Tables.load(s, dir, "documents")
-        .select(encode(col("text"), "UTF-8").as("content"))
-        .write.format("cid").option("store", tmp.toString).mode("append")
-        .save()
-      val row = s.read.format("cid").option("store", tmp.toString).load()
-        .agg(count(lit(1)).as("n_blobs"),
-          sum(col("length")).cast("long").as("total_bytes")).head()
-      // evaluated eagerly so the blob store can be deleted (repeated
-      // bench/verify runs must not accumulate temp stores)
-      import org.apache.commons.io.FileUtils
-      FileUtils.deleteDirectory(tmp.toFile)
+      // evaluated eagerly so the blob store can be deleted even on
+      // failure (repeated bench/verify runs must not accumulate
+      // temp stores)
+      val row =
+        try {
+          Tables.load(s, dir, "documents")
+            .select(encode(col("text"), "UTF-8").as("content"))
+            .write.format("cid").option("store", tmp.toString)
+            .mode("append").save()
+          s.read.format("cid").option("store", tmp.toString).load()
+            .agg(count(lit(1)).as("n_blobs"),
+              sum(col("length")).cast("long").as("total_bytes")).head()
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       import s.implicits._
-      Seq((row.getLong(0), row.getLong(1)))
+      Seq((row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1)))
         .toDF("n_blobs", "total_bytes")
     }),
     // scalar library breadth (SURVEY.md §2.3 "scalar fn library"):

@@ -53,26 +53,34 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"))
 
-  /** Trending: the top-3 event types of every hour window by count
-    * (rank ties broken by name). Batch form is windowed-agg + one
-    * rank window over the tiny aggregated grain; the streaming form
-    * is the same aggregation with the rank applied per output mode
-    * downstream (foreachBatch), since global ranking inside a
-    * micro-batch needs the window to be complete — i.e. rank after
-    * the watermark closes the window.
+  /** Trending, stage 1: per-hour-window counts per event type. This
+    * half is stream-safe (a time-window aggregation); the RANK half is
+    * not — `row_number` over a non-time window is unsupported in
+    * streaming — so in a live pipeline run THIS as the streaming agg
+    * and apply `rankTrending` inside `foreachBatch` on each emitted
+    * result (rank after the watermark closes the window).
     */
-  def trending(events: DataFrame): DataFrame = {
-    val counts = events
+  def trendingCounts(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"))
+
+  /** Trending, stage 2: top-3 event types per window (ties broken by
+    * name) — a batch transform over the tiny aggregated grain.
+    */
+  def rankTrending(counts: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("window_start"))
       .orderBy(col("n_events").desc, col("event_type"))
     counts.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
   }
+
+  /** Batch composition of both stages. */
+  def trending(events: DataFrame): DataFrame =
+    rankTrending(trendingCounts(events))
 
   /** Per-user sessionization with a 10-minute gap (built-in
     * `session_window` — merged incrementally under streaming).

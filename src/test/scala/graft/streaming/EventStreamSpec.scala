@@ -66,6 +66,27 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming trending: counts stream, rank applies per foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    @volatile var latest: Array[org.apache.spark.sql.Row] = Array.empty
+    val q = EventStream.trendingCounts(
+      mem.toDF().toDF("ts", "user_id", "event_type", "value"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        latest = EventStream.rankTrending(batch)
+          .orderBy("window_start", "rank").collect()
+      }.start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val batchForm = EventStream.trending(sampleDf)
+        .orderBy("window_start", "rank").collect()
+      assert(latest.sameElements(batchForm))
+      assert(latest.forall(_.getAs[Int]("rank") <= 3))
+    } finally q.stop()
+  }
+
   test("streaming session windows merge within gap, split past it") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String, Double)]
