@@ -28,7 +28,10 @@ object SparkEntry {
     "q6_forecast" -> (Relational.q6Forecast _),
     "q12_priority" -> (Relational.q12ShipMode _),
     "q14_promo" -> (Relational.q14Promo _),
+    "q15_top_supplier" -> (Relational.q15TopSupplier _),
+    "q17_small_qty" -> (Relational.q17SmallQty _),
     "q18_large_orders" -> (Relational.q18LargeOrders _),
+    "q22_rich_idle" -> (Relational.q22RichIdle _),
     "window_running" -> (Relational.windowRunning _),
     "topk_per_group" -> (Relational.topkPerGroup _),
     "pivot_status" -> (Relational.pivotStatus _),
@@ -248,6 +251,31 @@ object SparkEntry {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE l_shipdate >= TIMESTAMP '1997-06-01'
            AND l_shipdate < TIMESTAMP '1997-07-01'""",
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey, round(sum(l_extendedprice*(1-l_discount)),2) AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_rev
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_rev = (SELECT max(total_rev) FROM rev)
+         ORDER BY s_suppkey""",
+    "q17_small_qty" ->
+      """SELECT round(sum(l_extendedprice)/7.0, 2) AS avg_yearly
+         FROM lineitem l1 JOIN (
+           SELECT l_partkey AS pk, 0.2*avg(l_quantity) AS qty_limit
+           FROM lineitem GROUP BY 1) p ON l1.l_partkey = p.pk
+         WHERE l1.l_quantity < p.qty_limit""",
+    "q22_rich_idle" ->
+      """SELECT c_nationkey, count(*) AS n_custs,
+           round(sum(c_acctbal),2) AS total_bal
+         FROM customer
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                            WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY 1 ORDER BY 1""",
     "q18_large_orders" ->
       """SELECT c_name, o_orderkey, o_orderdate,
            round(sum(l_quantity),2) AS total_qty

@@ -332,6 +332,61 @@ object Relational {
         .otherwise(lit(0d))) / sum(disc), 6).as("promo_revenue"))
   }
 
+  /** TPC-H Q17-style correlated aggregate: lineitems below 20% of
+    * their part's average quantity. The correlated scalar subquery
+    * decorrelates to a per-part aggregate joined back to the fact —
+    * written directly in that decorrelated form (what Catalyst's
+    * RewriteCorrelatedScalarSubquery produces), with the per-part
+    * grain small enough to broadcast.
+    */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val l = load(s, dir, "lineitem")
+    val limits = l.groupBy(col("l_partkey").as("pk"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_limit"))
+    l.join(broadcast(limits), col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("qty_limit"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** TPC-H Q22-style: customers with above-average balance and no
+    * orders — a global scalar subquery (1-row broadcast, not a driver
+    * round-trip) feeding an anti join, grouped per nation.
+    */
+  def q22RichIdle(s: SparkSession, dir: String): DataFrame = {
+    val c = load(s, dir, "customer")
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(load(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** TPC-H Q15-style top supplier: argmax against an aggregated view
+    * via a 1-row max broadcast (the scalar-subquery form; ties all
+    * surface, like the spec's revenue = max(revenue)). Equality tests
+    * run on the ROUNDED revenue so both engines agree on ties.
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        2).as("total_rev"))
+    val top = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(load(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** TPC-H Q18-style large-volume orders: HAVING on an aggregate, then
     * global top-k. The HAVING filter runs on the aggregated grain
     * (orders, not lineitems) and the top-100 is TakeOrderedAndProject —
