@@ -164,6 +164,53 @@ object Multimodal {
         sqrt(greatest(lit(0.0), (sum("sumsq") / sum("n")) -
           pow(sum("sum") / sum("n"), 2))).as("std"))
 
+  /** Descriptor dimension for `descriptors`. */
+  val DescriptorDim = 8
+
+  /** Fixed-dim media descriptor: per-frame pixel means of the first
+    * `DescriptorDim` sampled frames, zero-padded — the
+    * embedding-from-media plumbing (with the stub decoder supplying
+    * deterministic planes; a real model head swaps in at the same
+    * boundary). One aggregation over the decoded-frame stream; planes
+    * never leave their partitions, only the k floats per media do.
+    */
+  def descriptors(s: SparkSession, dir: String): DataFrame = {
+    val frameMean = aggregate(col("pixels"), lit(0.0), (a, x) => a + x)
+      .cast("double") / size(col("pixels"))
+    val ordered = transform(
+      array_sort(collect_list(struct(col("frame_idx"), frameMean.as("m")))),
+      x => x.getField("m").cast("float"))
+    decodeFrames(s, dir).toDF()
+      .groupBy(col("media_id"), col("kind"))
+      .agg(ordered.as("raw"))
+      .select(col("media_id"), col("kind"),
+        slice(concat(col("raw"),
+          array_repeat(lit(0.0f), DescriptorDim)), 1, DescriptorDim)
+          .as("descriptor"))
+  }
+
+  /** Cross-pack composition: near-duplicate media by cosine over the
+    * frame descriptors — decode → embed → the same vec_dot pairing the
+    * text/embedding packs use. Quadratic pair form (fine for the
+    * descriptor grain); at corpus scale the LSH bucketing from
+    * Similarity applies unchanged to these vectors.
+    */
+  def mediaNearDup(s: SparkSession, dir: String, minCos: Double = 0.999)
+      : DataFrame = {
+    val d = descriptors(s, dir)
+      .select(col("media_id"), col("descriptor"),
+        sqrt(call_function("vec_dot", col("descriptor"), col("descriptor")))
+          .as("nrm"))
+    val a = d.toDF("id_a", "v_a", "nrm_a")
+    val b = d.toDF("id_b", "v_b", "nrm_b")
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", call_function("vec_dot", col("v_a"), col("v_b"))
+        / col("nrm_a") / col("nrm_b"))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Oracle-checkable metadata/shape stats (no decode involved):
     * payload size, frame count, sampled-frame count at stride 2.
     */

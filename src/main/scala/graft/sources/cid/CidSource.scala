@@ -122,14 +122,20 @@ final class CidScanBuilder(root: String, options: CaseInsensitiveStringMap)
   override def build(): Scan = {
     val explicit = Option(options.get("cids"))
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-    val all = explicit.getOrElse {
-      val blobs = Paths.get(root, "blobs")
-      if (!Files.isDirectory(blobs)) Seq.empty
-      else {
-        val s = Files.list(blobs)
-        try s.iterator().asScala.map(_.getFileName.toString).toVector.sorted
-        finally s.close()
-      }
+    // the table IS the store: an explicitly-requested cid that holds
+    // no blob yields no row (same semantics as a `cid = x` filter on
+    // an absent key), rather than a mid-scan task failure
+    val blobs = Paths.get(root, "blobs")
+    val all = explicit match {
+      case Some(cs) => cs.filter(c => Files.exists(blobs.resolve(c)))
+      case None =>
+        if (!Files.isDirectory(blobs)) Seq.empty
+        else {
+          val s = Files.list(blobs)
+          try s.iterator().asScala.map(_.getFileName.toString)
+            .toVector.sorted
+          finally s.close()
+        }
     }
     val cids = cidRestriction.fold(all)(keep => all.filter(keep))
     val maxParts = Option(options.get("maxPartitions")).map(_.toInt)

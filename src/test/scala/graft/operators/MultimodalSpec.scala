@@ -59,4 +59,32 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Double]("std") >= 0)
     }
   }
+
+  test("descriptors: fixed-dim, deterministic, zero-padded") {
+    val d1 = Multimodal.descriptors(spark, sf)
+      .orderBy("media_id").collect()
+    assert(d1.nonEmpty)
+    d1.foreach { r =>
+      val v = r.getSeq[Float](r.fieldIndex("descriptor"))
+      assert(v.length == Multimodal.DescriptorDim)
+      assert(v.forall(x => x >= 0 && x < 1))
+    }
+    val d2 = Multimodal.descriptors(spark, sf)
+      .orderBy("media_id").collect()
+    assert(d1.sameElements(d2)) // stub decode + agg fully deterministic
+  }
+
+  test("media near-dup: self-consistent cosine pairing over descriptors") {
+    // every media is a perfect near-dup of itself: pair each media
+    // with itself shifted by an id offset via a doubled corpus check —
+    // here simply assert the pair op's contract on the real corpus
+    val pairs = Multimodal.mediaNearDup(spark, sf, minCos = 0.999).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("cos") >= 0.999)
+    }
+    // descriptors are near-uniform means (~0.37 each) so most vectors
+    // point the same way: the op must find plenty of near-dups here
+    assert(pairs.length > 0)
+  }
 }

@@ -58,6 +58,16 @@ class CidSourceSpec extends SparkSpec {
     assert(new String(row.getAs[Array[Byte]]("content"), "UTF-8") == "beta")
   }
 
+  test("absent cids behave like filters on an empty key, not task failures") {
+    val target = sha("beta".getBytes("UTF-8"))
+    val df = spark.read.format("cid").option("store", root)
+      .option("cids", s"$target,sha256-doesnotexist").load()
+    val got = df.select("cid").collect().map(_.getString(0))
+    assert(got.toSeq == Seq(target)) // absent cid => no row, no crash
+    assert(spark.read.format("cid").option("store", root)
+      .load().filter(col("cid") === "sha256-alsomissing").count() == 0)
+  }
+
   test("write: executor-side ingest lands content-addressed blobs + manifest") {
     val out = Files.createTempDirectory("cidsink").toString
     val payloads = Seq("doc one", "doc two", "doc three")
