@@ -33,6 +33,7 @@ object SparkEntry {
     "q18_large_orders" -> (Relational.q18LargeOrders _),
     "q22_rich_idle" -> (Relational.q22RichIdle _),
     "window_running" -> (Relational.windowRunning _),
+    "window_range_frame" -> (Relational.windowRangeFrame _),
     "topk_per_group" -> (Relational.topkPerGroup _),
     "pivot_status" -> (Relational.pivotStatus _),
     "unpivot_metrics" -> (Relational.unpivotMetrics _),
@@ -209,7 +210,7 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY 1 ORDER BY revenue DESC, n_name""",
     "q6_forecast" ->
-      """SELECT sum(CAST(l_extendedprice*l_discount AS DECIMAL(14,4))) AS revenue
+      """SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(14,4))) AS DOUBLE) AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -379,6 +380,16 @@ object SparkEntry {
                ORDER BY l_shipdate, l_orderkey, l_linenumber
                ROWS UNBOUNDED PRECEDING),2) AS running_qty
            FROM lineitem) t WHERE rn <= 100""",
+    "window_range_frame" ->
+      """SELECT l_suppkey, day_num, rev,
+           round(sum(rev) OVER (PARTITION BY l_suppkey ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d
+         FROM (SELECT l_suppkey,
+                 date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day_num,
+                 round(sum(l_extendedprice), 2) AS rev
+               FROM lineitem WHERE l_suppkey % 50 = 0
+               GROUP BY 1, 2) d
+         ORDER BY l_suppkey, day_num""",
     "anti_join" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -418,7 +429,7 @@ object SparkEntry {
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "skew_join_salted" ->
       """SELECT o_orderpriority, count(*) AS n_items,
-         sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS total_price
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1 ORDER BY 1""",
     "outer_join_nations" ->

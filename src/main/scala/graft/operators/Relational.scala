@@ -148,7 +148,7 @@ object Relational {
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
       .agg(sum((col("l_extendedprice") * col("l_discount"))
-        .cast("decimal(14,4)")).as("revenue"))
+        .cast("decimal(14,4)")).cast("double").as("revenue"))
 
   /** TPC-H Q12-style shape on the synthetic schema: join + conditional
     * aggregation (sum of CASE) — service levels per return flag.
@@ -228,6 +228,26 @@ object Relational {
       .select(col("o_custkey"), col("o_orderpriority"))
     combos(1996).except(combos(1995))
       .orderBy(col("o_custkey"), col("o_orderpriority"))
+  }
+
+  /** RANGE-frame window: trailing-7-day revenue per supplier over the
+    * daily grain — a VALUE-based frame (all rows within 6 days), not a
+    * row-count frame like `windowRunning`. Ordered on the integer day
+    * number so the range arithmetic is exact and engine-portable.
+    * Pre-aggregation to (supplier, day) keeps the window input at the
+    * reduced grain.
+    */
+  def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val daily = load(s, dir, "lineitem")
+      .filter(col("l_suppkey") % 50 === 0)
+      .groupBy(col("l_suppkey"),
+        datediff(col("l_shipdate").cast("date"), lit("1970-01-01"))
+          .as("day_num"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("rev"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("day_num"))
+      .rangeBetween(-6, 0)
+    daily.withColumn("rev_7d", round(sum(col("rev")).over(w), 2))
+      .orderBy(col("l_suppkey"), col("day_num"))
   }
 
   /** Pivot: order counts as a priority × status matrix. The value list

@@ -45,7 +45,8 @@ object Skew {
       .select(col("o_orderkey"), col("o_orderpriority"))
     saltedJoin(l, o, "o_orderkey", salts = 8)
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_items"), sum(col("price")).as("total_price"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("price")).cast("double").as("total_price"))
       .orderBy(col("o_orderpriority"))
   }
 }
