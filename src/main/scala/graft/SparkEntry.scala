@@ -132,6 +132,7 @@ object SparkEntry {
     // --- similarity search ---
     "ann_brute_topk" -> (Similarity.bruteTopK _),
     "ann_lsh_topk" -> (Similarity.lshTopK _),
+    "ann_ivf_topk" -> (Similarity.ivfTopK _),
     // --- text analysis pack ---
     "text_langid" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -140,6 +141,8 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_tfidf" -> (TextAnalysis.tfidfTop _),
     "text_top_bigrams" -> (TextAnalysis.topBigrams _),
+    "text_repetition" -> (TextAnalysis.repetition _),
+    "contamination_check" -> (TextAnalysis.contamination _),
     // open-map JSON access (the reference's `extra`/props pattern,
     // SURVEY.md §1.1): typed extraction from a JSON string column
     "events_props_json" -> ((s, dir) =>
@@ -523,6 +526,37 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cos DESC, neighbor_id) AS rank FROM s)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "ann_ivf_topk" ->
+      """WITH n AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
+         FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
+           FROM n WHERE vec_id % 37 = 5),
+         sc AS (SELECT v.vec_id, c.cent_id,
+           list_reduce(list_transform(list_zip(v.embedding,c.cvec),
+             x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
+             /v.nrm/c.cnrm AS cs
+         FROM n v, cent c),
+         assign AS (SELECT vec_id, cent_id AS cell FROM (
+           SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cent_id) AS r FROM sc) WHERE r = 1),
+         probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM (
+           SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cent_id) AS r FROM sc WHERE vec_id % 100 = 0)
+           WHERE r <= 2),
+         cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+           list_reduce(list_transform(list_zip(q.embedding,v.embedding),
+             x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
+             /q.nrm/v.nrm AS cos
+         FROM probes p JOIN assign a ON a.cell = p.cell
+           JOIN n q ON q.vec_id = p.query_id
+           JOIN n v ON v.vec_id = a.vec_id
+         WHERE a.vec_id != p.query_id)
+         SELECT query_id, neighbor_id, rank, round(cos,6) AS cos FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS rank FROM cand)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     "text_langid" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
          SELECT doc_id,
@@ -588,6 +622,34 @@ object SparkEntry {
            FROM (SELECT string_split(text,' ') AS toks FROM documents)
            WHERE len(toks) >= 2) b
          GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""",
+    "text_repetition" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+         tc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1,2),
+         ta AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  CAST(max(c) AS BIGINT) AS max_tok FROM tc GROUP BY 1),
+         bg AS (SELECT doc_id,
+                  unnest([toks[i]||' '||toks[i+1] for i in range(1,len(toks))]) AS bg
+                FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+                      WHERE len(string_split(text,' ')) >= 2)),
+         ba AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bi,
+                  CAST(count(DISTINCT bg) AS BIGINT) AS nd_bi FROM bg GROUP BY 1)
+         SELECT ta.doc_id, n_tokens,
+           round(max_tok*1.0/n_tokens,6) AS max_tok_ratio,
+           round(1 - nd_bi*1.0/n_bi,6) AS dup_bigram_ratio,
+           (max_tok*1.0/n_tokens <= 0.2 AND 1 - nd_bi*1.0/n_bi <= 0.3) AS keep
+         FROM ta JOIN ba USING(doc_id) ORDER BY doc_id""",
+    "contamination_check" ->
+      """WITH sh AS (SELECT doc_id,
+           CASE WHEN len(toks)>=3 THEN list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+             for i in range(1,len(toks)-1)]) ELSE [text] END AS sh
+         FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents))
+         SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+           CAST(len(list_intersect(t.sh,b.sh)) AS BIGINT) AS n_shared,
+           round(len(list_intersect(t.sh,b.sh))*1.0/len(b.sh),6) AS overlap_frac
+         FROM sh t, sh b
+         WHERE t.doc_id % 100 <> 0 AND b.doc_id % 100 = 0
+           AND len(list_intersect(t.sh,b.sh)) >= 2
+         ORDER BY 1, 2""",
     "events_props_json" ->
       """SELECT event_type, count(k) AS n,
            CAST(sum(k) AS BIGINT) AS k_total, round(avg(k), 6) AS k_avg

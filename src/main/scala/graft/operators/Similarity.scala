@@ -77,6 +77,54 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF (inverted-file) top-k — the cell-probing scale path that
+    * complements LSH: a deterministic coarse quantizer (centroids =
+    * the vectors with vec_id % 37 == 5, scale-proportional cell count)
+    * partitions the corpus into cells; each query probes its NProbe
+    * nearest cells and ranks exactly within them.
+    *
+    * Scale shape: assignment is a broadcast join + per-vector argmax
+    * folded by `max_by` at the groupBy grain — map-side combine means
+    * the shuffle carries one (vec_id, cell) row per vector, never the
+    * N×C scored pairs; the probe is an equi-join on cell id. At 100 TB
+    * the assignment becomes the partition layout itself (write
+    * bucketed by cell) and probing touches NProbe/C of the data.
+    * Tie-breaks rank on (cos desc, id asc) over bit-identical double
+    * folds, so the DuckDB oracle reproduces the output exactly.
+    */
+  val NProbe = 2
+
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val cent = e.filter(col("vec_id") % 37 === 5)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    // cell assignment: argmax cosine, smallest cent_id on ties
+    val scoredCells = e.join(broadcast(cent))
+      .withColumn("cs", Dedup.cosine(col("embedding"), col("cvec")))
+    val assigned = scoredCells
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("cs"), -col("cent_id")))
+        .as("cell"), first(col("embedding")).as("cv"))
+    // query probes: NProbe nearest centroids (query set is tiny)
+    val pw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cs").desc, col("cent_id"))
+    val probes = scoredCells.filter(queryPred)
+      .withColumn("pr", row_number().over(pw)).filter(col("pr") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"),
+        col("embedding").as("qv"))
+    // exact rank within probed cells only
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Dedup.cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** LSH-bucketed top-k: candidates = corpus vectors sharing any
     * (table, bucket) with the query, then exact cosine + ranking over
     * candidates only. Same output shape as `bruteTopK` (its recall is

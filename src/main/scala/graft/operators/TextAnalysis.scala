@@ -154,6 +154,74 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // --- 6. repetition signals (Gopher-style filters) -------------------
+
+  /** Per-document repetition signals, the Gopher/MassiveText "repetition
+    * removal" rules: the most-frequent-token mass ratio and the
+    * duplicate-bigram fraction, plus a keep flag over both. Two
+    * explode→count aggregations (each map-side combinable at the
+    * (doc, gram) grain, so the shuffle carries distinct grams, not
+    * tokens) joined back on doc_id — no per-doc quadratic array ops.
+    * All ratios are integer/integer in double; the flag compares the
+    * UNROUNDED ratios so both engines branch on identical values.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val d = load(s, dir, "documents")
+    val t = toks(col("text"))
+    val tokAgg = d.select(col("doc_id"), explode(t).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("max_tok"))
+    val bigrams = zip_with(slice(t, lit(1), size(t) - 1),
+      slice(t, lit(2), size(t) - 1), (a, b) => concat(a, lit(" "), b))
+    val biAgg = d.filter(size(t) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bi"), count(lit(1)).as("nd_bi"))
+    val maxTokRatio = col("max_tok").cast("double") / col("n_tokens")
+    val dupBiRatio = lit(1.0) - col("nd_bi").cast("double") / col("n_bi")
+    tokAgg.join(biAgg, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        round(maxTokRatio, 6).as("max_tok_ratio"),
+        round(dupBiRatio, 6).as("dup_bigram_ratio"),
+        (maxTokRatio <= 0.2 && dupBiRatio <= 0.3).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --- 7. benchmark contamination ------------------------------------
+
+  /** Train/eval contamination check — the n-gram-overlap decontamination
+    * pass every pre-training pipeline runs (GPT-3 appendix-C style,
+    * 3-token shingles here to fit the synthetic corpus): for each
+    * training document, which benchmark documents share ≥ 2 shingles,
+    * and what fraction of the benchmark's shingles leak. The benchmark
+    * side (doc_id % 100 == 0) is tiny by construction, so its exploded
+    * shingle index broadcasts and the probe is a map-side hash join on
+    * the shingle string — never a doc×doc cross product; at 100 TB the
+    * same plan holds with the real benchmark suite as the broadcast
+    * side.
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = load(s, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
+    val bench = sh.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("bench_id"), col("sh"))
+    val benchSize = bench.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("bench_sh"))
+    val train = sh.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id").as("train_id"), col("sh"))
+    train.join(broadcast(bench), "sh")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .join(broadcast(benchSize), "bench_id")
+      .select(col("train_id"), col("bench_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("bench_sh"), 6)
+          .as("overlap_frac"))
+      .orderBy(col("train_id"), col("bench_id"))
+  }
+
   /** Top-50 corpus bigrams — vocabulary/n-gram statistics, one explode
     * + one map-side-combinable count + TakeOrderedAndProject.
     */

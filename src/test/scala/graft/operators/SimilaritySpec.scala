@@ -34,4 +34,29 @@ class SimilaritySpec extends SparkSpec {
     info(f"LSH recall@${Similarity.K} = $recall%.3f")
     assert(recall >= 0.3, f"recall $recall%.3f below floor")
   }
+
+  test("IVF top-k: exact within probed cells, measured recall vs brute") {
+    val brute = Similarity.bruteTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val ivf = Similarity.ivfTopK(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    // shape contract: ranks contiguous from 1, cos non-increasing
+    ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to sorted.length))
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    val pairs = ivf
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    // near-orthogonal corpus: cells are nearly arbitrary, so probing
+    // NProbe/C of the data bounds expected recall near NProbe/C — this
+    // pins the accuracy/cost trade-off is what IVF promises, no more.
+    val recall = (brute & pairs).size.toDouble / brute.size
+    info(f"IVF recall@${Similarity.K} = $recall%.3f")
+    assert(recall >= 0.05, f"recall $recall%.3f below floor")
+  }
 }
