@@ -115,4 +115,32 @@ class PlanSpec extends SparkSpec {
     // one aggregation shuffle only; the md5 filter happens pre-agg
     assert("Exchange".r.findAllIn(p).length <= 2)
   }
+
+  test("contamination: benchmark shingle index broadcasts; probe is a hash join") {
+    val p = physical(TextAnalysis.contamination(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("repetition: both gram counts keep partial aggregation") {
+    val p = physical(TextAnalysis.repetition(spark, sf))
+    // two explode→count pipelines, each partial+final
+    assert("HashAggregate".r.findAllIn(p).length >= 4)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ivf: centroid assignment folds via aggregation, probes broadcast") {
+    val p = physical(Similarity.ivfTopK(spark, sf))
+    // the probe is an equi-join on cell id with the tiny probe set built
+    // (broadcast); the corpus never nested-loops against itself
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // argmax folds as partial+final aggregation (SortAggregate: max_by
+    // over a struct ordering is not hash-aggregable; the N×C scored
+    // rows stream out of the broadcast join already clustered by
+    // vec_id, so the pre-agg sort is near-free) — the exchange carries
+    // one row per vector, never the N×C pairs
+    assert("SortAggregate".r.findAllIn(p).length >= 2)
+  }
 }
