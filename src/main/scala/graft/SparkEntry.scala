@@ -32,6 +32,9 @@ object SparkEntry {
     "q17_small_qty" -> (Relational.q17SmallQty _),
     "q18_large_orders" -> (Relational.q18LargeOrders _),
     "q22_rich_idle" -> (Relational.q22RichIdle _),
+    "q10_returns" -> (Relational.q10Returns _),
+    "q13_custdist" -> (Relational.q13CustDist _),
+    "q19_disjunctive" -> (Relational.q19Disjunctive _),
     "window_running" -> (Relational.windowRunning _),
     "window_range_frame" -> (Relational.windowRangeFrame _),
     "topk_per_group" -> (Relational.topkPerGroup _),
@@ -383,6 +386,28 @@ object SparkEntry {
                ORDER BY l_shipdate, l_orderkey, l_linenumber
                ROWS UNBOUNDED PRECEDING),2) AS running_qty
            FROM lineitem) t WHERE rn <= 100""",
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+           round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(14,4))) AS DOUBLE),2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation ON n_nationkey = c_nationkey
+         WHERE l_returnflag = 'R'
+         GROUP BY 1,2,3 ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             AND o_orderpriority <> '4-NOT SPECIFIED'
+           GROUP BY 1) t
+         GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
+    "q19_disjunctive" ->
+      """SELECT count(*) AS n_items,
+           round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(14,4))) AS DOUBLE),2) AS revenue
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)""",
     "window_range_frame" ->
       """SELECT l_suppkey, day_num, rev,
            round(sum(rev) OVER (PARTITION BY l_suppkey ORDER BY day_num

@@ -432,4 +432,82 @@ object Relational {
       .orderBy(col("total_qty").desc, col("o_orderkey"))
       .limit(100)
   }
+
+  /** TPC-H Q10-style returned-item revenue: which customers returned
+    * the most. Plan: the fact-fact join (lineitem ⋈ orders) shuffles on
+    * the order key once, aggregates to the customer grain, and only
+    * then touches the dimensions — the aggregated per-customer rows
+    * broadcast into the customer join instead of carrying name/nation
+    * through the big shuffle. Revenue sums exactly in decimal; ranking
+    * runs on the rounded double with a key tiebreak so top-20 is
+    * engine-reproducible.
+    */
+  def q10Returns(s: SparkSession, dir: String): DataFrame = {
+    val rev = load(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(14,4)").as("rv"))
+      .join(load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rv")).as("revd"))
+    load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .join(broadcast(rev), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        round(col("revd").cast("double"), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q13-style customer order-count distribution: LEFT join so
+    * zero-order customers keep their bucket, then two aggregations —
+    * per-customer count, then the histogram over counts. Both are
+    * two-phase (map-side partial) and the second one's input is already
+    * one row per customer, so the heavy shuffle happens exactly once.
+    */
+  def q13CustDist(s: SparkSession, dir: String): DataFrame = {
+    val o = load(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select(col("o_custkey"), col("o_orderkey"))
+    load(s, dir, "customer").select(col("c_custkey"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q19-style disjunctive join filter: an OR of (brand, size,
+    * quantity) conjunctions spanning both join sides. Catalyst factors
+    * the disjunction per side — the quantity-range OR reaches the
+    * lineitem scan and the brand/size OR reaches the part scan
+    * (PushedFilters, pinned in PlanSpec) — so the broadcast join only
+    * sees pre-filtered rows; the naive plan evaluates the whole
+    * predicate post-join against every lineitem.
+    */
+  def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    val l = load(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    val p = load(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20, 30))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(count(lit(1)).as("n_items"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(14,4)")).cast("double"), 2).as("revenue"))
+  }
 }

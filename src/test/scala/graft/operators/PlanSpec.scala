@@ -116,6 +116,25 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).length <= 2)
   }
 
+  test("q19: disjunction factored per side — quantity OR pushed to lineitem scan") {
+    val p = physical(Relational.q19Disjunctive(spark, sf))
+    val scans = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    // lineitem scan sees the quantity disjunction, part scan the
+    // brand/size one — neither side scans unfiltered
+    assert(scans.exists(l => l.contains("l_quantity") && l.contains("Or(")))
+    assert(scans.exists(l => l.contains("p_brand")))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q10: dims join the aggregated grain, top-20 is TakeOrderedAndProject") {
+    val p = physical(Relational.q10Returns(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastHashJoin"))
+    // returnflag filter reaches the lineitem scan
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("l_returnflag")))
+  }
+
   test("contamination: benchmark shingle index broadcasts; probe is a hash join") {
     val p = physical(TextAnalysis.contamination(spark, sf))
     assert(p.contains("BroadcastHashJoin"))
