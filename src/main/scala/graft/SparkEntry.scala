@@ -35,6 +35,7 @@ object SparkEntry {
     "q10_returns" -> (Relational.q10Returns _),
     "q13_custdist" -> (Relational.q13CustDist _),
     "q19_disjunctive" -> (Relational.q19Disjunctive _),
+    "q11_important_parts" -> (Relational.q11ImportantParts _),
     "window_running" -> (Relational.windowRunning _),
     "window_range_frame" -> (Relational.windowRangeFrame _),
     "topk_per_group" -> (Relational.topkPerGroup _),
@@ -401,6 +402,13 @@ object SparkEntry {
              AND o_orderpriority <> '4-NOT SPECIFIED'
            GROUP BY 1) t
          GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
+    "q11_important_parts" ->
+      """WITH v AS (SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS pv
+             FROM lineitem GROUP BY 1),
+         t AS (SELECT sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS tv FROM lineitem)
+         SELECT l_partkey, round(CAST(pv AS DOUBLE),2) AS value FROM v, t
+         WHERE CAST(pv AS DOUBLE) > 0.0008 * CAST(tv AS DOUBLE)
+         ORDER BY value DESC, l_partkey""",
     "q19_disjunctive" ->
       """SELECT count(*) AS n_items,
            round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(14,4))) AS DOUBLE),2) AS revenue

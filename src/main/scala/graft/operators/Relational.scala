@@ -483,6 +483,24 @@ object Relational {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** TPC-H Q11-style "important stock": groups whose share of a GLOBAL
+    * aggregate exceeds a threshold. The scalar total is a 1-row
+    * aggregate broadcast into the per-part grain (no second scan pass
+    * per group, no driver collect); both sums fold exactly in decimal
+    * and only the final compare/projection drops to double.
+    */
+  def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val l = load(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        col("l_extendedprice").cast("decimal(14,2)").as("v"))
+    val byPart = l.groupBy(col("l_partkey")).agg(sum(col("v")).as("pv"))
+    val total = l.agg(sum(col("v")).as("tv"))
+    byPart.crossJoin(broadcast(total))
+      .filter(col("pv").cast("double") > lit(0.0008) * col("tv").cast("double"))
+      .select(col("l_partkey"), round(col("pv").cast("double"), 2).as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
   /** TPC-H Q19-style disjunctive join filter: an OR of (brand, size,
     * quantity) conjunctions spanning both join sides. Catalyst factors
     * the disjunction per side — the quantity-range OR reaches the
