@@ -67,6 +67,7 @@ object SparkEntry {
     // pinned in ApproxSpec)
     "approx_distinct_hll" -> (graft.operators.Approx.hllDistinct _),
     "approx_quantiles" -> (graft.operators.Approx.approxQuantiles _),
+    "approx_heavy_hitters" -> (graft.operators.Approx.heavyHitters _),
     "approx_distinct_kmv" -> ((s, dir) => Tables.load(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(graft.functions.KMVDistinct(col("l_orderkey"), 256).as("est_orders"))

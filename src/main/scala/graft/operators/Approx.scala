@@ -42,4 +42,20 @@ object Approx {
           .as("p50_price"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
+
+  /** Heavy hitters: estimated top-20 corpus tokens via Spark's
+    * `approx_top_k` sketch — bounded state per partition and a single
+    * merge, vs the exact path's full (token, count) shuffle. With the
+    * tracked-item budget ≥ the vocabulary size the sketch degrades to
+    * exact (ApproxSpec pins set-equality with the exact top-k); at
+    * 100 TB the budget stays fixed and accuracy degrades gracefully on
+    * the tail, never on the head.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(expr("approx_top_k(tok, 20, 65536)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("token"), col("e.count").as("est_count"))
+      .orderBy(col("est_count").desc, col("token"))
 }

@@ -46,6 +46,21 @@ class ApproxSpec extends SparkSpec {
       Approx.approxQuantiles(spark, sf).collect().toSeq)
   }
 
+  test("heavy hitters: sketch top-20 equals exact top-20 at this vocabulary") {
+    val sketch = Approx.heavyHitters(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(20).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // budget (65536) >> vocabulary, so the sketch must be exact here
+    assert(sketch == exact)
+    // determinism under re-execution
+    assert(Approx.heavyHitters(spark, sf).collect().toSeq ==
+      Approx.heavyHitters(spark, sf).collect().toSeq)
+  }
+
   test("bloom filter: no false negatives, bounded false positives") {
     val keys = Tables.load(spark, sf, "orders").select(col("o_custkey"))
     val bloom = keys.stat.bloomFilter("o_custkey", 2000, 0.03)
