@@ -49,6 +49,27 @@ final class Lake(val spark: SparkSession, root: Path) {
   def contentTable: DataFrame =
     spark.read.format("cid").option("store", store.root.toString).load()
 
+  /** Live ingest curation: every text blob entering the store (HTTP
+    * upload, distributed `cid` write — both append the ingest log)
+    * streams through quality gating and MinHash near-dup suppression
+    * as micro-batches arrive. The full training-data pipeline as ONE
+    * declarative streaming plan: connector source → stateless quality
+    * filter → one stateful admission operator with bounded per-bucket
+    * state (streaming/DocStream.scala). doc_id is the cid's xxhash64,
+    * so admission decisions are content-addressed like everything else.
+    */
+  def curatedStream(minTokens: Int = 10)
+      : org.apache.spark.sql.Dataset[graft.streaming.DocStream.Admitted] = {
+    import org.apache.spark.sql.functions._
+    val raw = spark.readStream.format("cid")
+      .option("store", store.root.toString).load()
+    val docs = raw
+      .select(xxhash64(col("cid")).as("doc_id"),
+        col("content").cast("string").as("text"))
+      .filter(size(split(col("text"), " ")) >= minTokens)
+    graft.streaming.DocStream.nearDeduped(docs)
+  }
+
   /** `POST /dataset` (add-dataset) */
   def addDataset(meta: DatasetMeta): Long = {
     require(store.exists(meta.file), s"missing content: ${meta.file}")
