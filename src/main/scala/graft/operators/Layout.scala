@@ -32,4 +32,19 @@ object Layout {
   /** Read back with partition pruning available to the planner. */
   def readTimePartitioned(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
+
+  /** Write the embeddings corpus hive-partitioned by its IVF cell
+    * assignment (Similarity.cellAssignments): the coarse quantizer
+    * becomes the directory structure, so an ANN probe reads only its
+    * NProbe cells' directories — partition pruning before any vector
+    * I/O. This is `ann_ivf_topk`'s probe in on-disk form: at 100 TB
+    * the assignment is paid once at write time and every query
+    * thereafter scans NProbe/C of the corpus.
+    */
+  def writeIvfPartitioned(s: SparkSession, dir: String, path: String): Unit =
+    Similarity.cellAssignments(s, dir)
+      .select(col("vec_id"), col("cv").as("embedding"),
+        col("cell").as("part_cell"))
+      .repartition(col("part_cell"))
+      .write.partitionBy("part_cell").mode("overwrite").parquet(path)
 }

@@ -94,21 +94,31 @@ object Similarity {
     */
   val NProbe = 2
 
-  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = corpus(s, dir)
-    val cent = e.filter(col("vec_id") % 37 === 5)
+  /** The deterministic coarse quantizer's centroid set. */
+  def centroids(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir).filter(col("vec_id") % 37 === 5)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-    // cell assignment: argmax cosine, smallest cent_id on ties
-    val scoredCells = e.join(broadcast(cent))
+
+  private def scoredCells(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir).join(broadcast(centroids(s, dir)))
       .withColumn("cs", Dedup.cosine(col("embedding"), col("cvec")))
-    val assigned = scoredCells
+
+  /** Every vector's cell: argmax cosine, smallest cent_id on ties —
+    * (vec_id, cell, cv). Shared by the in-query probe (`ivfTopK`) and
+    * the on-disk form (`Layout.writeIvfPartitioned`).
+    */
+  def cellAssignments(s: SparkSession, dir: String): DataFrame =
+    scoredCells(s, dir)
       .groupBy(col("vec_id"))
       .agg(max_by(col("cent_id"), struct(col("cs"), -col("cent_id")))
         .as("cell"), first(col("embedding")).as("cv"))
+
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val assigned = cellAssignments(s, dir)
     // query probes: NProbe nearest centroids (query set is tiny)
     val pw = Window.partitionBy(col("vec_id"))
       .orderBy(col("cs").desc, col("cent_id"))
-    val probes = scoredCells.filter(queryPred)
+    val probes = scoredCells(s, dir).filter(queryPred)
       .withColumn("pr", row_number().over(pw)).filter(col("pr") <= NProbe)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"),
         col("embedding").as("qv"))

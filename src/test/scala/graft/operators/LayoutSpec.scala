@@ -38,4 +38,23 @@ class LayoutSpec extends SparkSpec {
         col("l_quantity") > 10).count()
     assert(q.count() == expected)
   }
+
+  test("IVF-cell layout: probe reads only its cells' directories") {
+    val out = Files.createTempDirectory("ivf_layout").toString
+    Layout.writeIvfPartitioned(spark, sf, out)
+
+    val assigned = Similarity.cellAssignments(spark, sf)
+      .select("vec_id", "cell").collect()
+    val back = spark.read.parquet(out)
+    assert(back.count() == assigned.length) // lossless reshape
+
+    // probe two cells: planning-time pruning, no vector I/O elsewhere
+    val cells = assigned.map(_.getLong(1)).distinct.sorted.take(2)
+    val probe = back.filter(col("part_cell").isin(cells: _*))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.find(_.contains("PartitionFilters")).get
+      .contains("part_cell"), plan)
+    val expected = assigned.count(r => cells.contains(r.getLong(1)))
+    assert(probe.count() == expected)
+  }
 }
