@@ -57,4 +57,39 @@ class LayoutSpec extends SparkSpec {
     val expected = assigned.count(r => cells.contains(r.getLong(1)))
     assert(probe.count() == expected)
   }
+
+  test("z-order layout clusters BOTH keys (bounded per-file spread)") {
+    val out = Files.createTempDirectory("zorder").toString
+    val src = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    Layout.writeZOrdered(src, "l_partkey", "l_suppkey", out)
+
+    val back = spark.read.parquet(out)
+    assert(back.count() == src.count()) // lossless reshape
+
+    // the skipping enabler: each file's min/max box is small on BOTH
+    // dimensions (a single-column sort bounds only its own key)
+    val spreads = back
+      .groupBy(input_file_name().as("f"))
+      .agg((max("l_partkey") - min("l_partkey")).as("sp_part"),
+        (max("l_suppkey") - min("l_suppkey")).as("sp_supp"))
+      .collect()
+    assert(spreads.length >= 8, "expected a multi-file layout")
+    val Seq(partRange, suppRange) = Seq("l_partkey", "l_suppkey").map { c =>
+      val r = src.agg(max(col(c)) - min(col(c))).head.getLong(0).toDouble
+      r
+    }
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    val meanPart = mean(spreads.map(_.getAs[Long]("sp_part").toDouble))
+    val meanSupp = mean(spreads.map(_.getAs[Long]("sp_supp").toDouble))
+    info(f"mean per-file spread: partkey ${meanPart / partRange}%.2f of range, " +
+      f"suppkey ${meanSupp / suppRange}%.2f of range")
+    assert(meanPart < partRange / 2, "partkey not clustered")
+    assert(meanSupp < suppRange / 2, "suppkey not clustered")
+
+    // correctness of a two-dimensional probe on the reshaped copy
+    val q = back.filter(col("l_partkey") < 100 && col("l_suppkey") < 50)
+    val expect = src.filter(col("l_partkey") < 100 && col("l_suppkey") < 50)
+    assert(q.count() == expect.count())
+  }
 }
