@@ -162,6 +162,7 @@ object SparkEntry {
     "curate_pipeline" -> (Curate.pipeline _),
     // --- multimodal plumbing (decode stubbed; see Multimodal scaladoc) ---
     "media_stats" -> (Multimodal.mediaStats _),
+    "media_frames" -> (Multimodal.mediaFrames _),
     // --- streaming logic, batch-applied (same plan both modes) ---
     "events_window" -> ((s, dir) =>
       graft.streaming.EventStream.windowedAgg(Tables.events(s, dir))
@@ -721,6 +722,16 @@ object SparkEntry {
            CAST(ceil(octet_length(encode(text))/256.0) AS INT) AS n_frames,
            CAST(floor((ceil(octet_length(encode(text))/256.0)+1)/2) AS INT) AS n_sampled
          FROM documents ORDER BY media_id""",
+    "media_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           text, CAST(ceil(octet_length(encode(text))/256.0) AS INT) AS n_frames
+         FROM documents),
+         f AS (SELECT media_id, kind, unnest(range(0, n_frames)) AS frame_idx, text FROM m)
+         SELECT media_id, kind, CAST(frame_idx AS INT) AS frame_idx,
+           octet_length(encode(substring(text, CAST(frame_idx*256+1 AS INT), 256))) AS frame_len,
+           md5(substring(text, CAST(frame_idx*256+1 AS INT), 256)) AS frame_md5
+         FROM f WHERE frame_idx % 2 = 0 ORDER BY media_id, frame_idx""",
     "events_window" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
            count(*) AS n_events,

@@ -224,4 +224,17 @@ object Multimodal {
       .withColumn("n_sampled",
         floor((col("n_frames") + 1) / 2).cast("int"))
       .orderBy(col("media_id"))
+
+  /** The frame-sampling plumbing as an oracle-checkable query: every
+    * stride-2 sampled frame's index, byte length, and md5 fingerprint.
+    * Still zero decode — slicing and hashing are column ops over the
+    * binary payload, so the whole expansion is one codegen'd explode
+    * (the exact shape a real decoder's `mapPartitions` consumes).
+    */
+  def mediaFrames(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(media(s, dir), stride = 2)
+      .select(col("media_id"), col("kind"), col("frame_idx"),
+        octet_length(col("frame_bytes")).as("frame_len"),
+        md5(col("frame_bytes")).as("frame_md5"))
+      .orderBy(col("media_id"), col("frame_idx"))
 }
