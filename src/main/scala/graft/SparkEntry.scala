@@ -46,6 +46,7 @@ object SparkEntry {
     "asof_join" -> (Temporal.asOfJoin _),
     "range_join_bands" -> (Temporal.rangeJoinBands _),
     "sample_stratified" -> (Sampling.stratified _),
+    "sample_quota" -> (Sampling.quotaSample _),
     "dedup_clusters" -> (Dedup.clusters _),
     "anti_join" -> (Relational.antiJoinCustomers _),
     "distinct_segments" -> (Relational.distinctSegments _),
@@ -359,6 +360,13 @@ object SparkEntry {
          WHERE substr(md5(l_orderkey || '-' || l_linenumber),1,1) <
            CASE l_returnflag WHEN 'A' THEN '4' WHEN 'N' THEN '2' ELSE '1' END
          GROUP BY 1 ORDER BY 1""",
+    "sample_quota" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_custkey FROM (
+           SELECT o_orderpriority, o_orderkey, o_custkey,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+           FROM orders) t
+         WHERE rn <= 25 ORDER BY o_orderpriority, rn""",
     "dedup_clusters" ->
       """WITH RECURSIVE sh AS (SELECT doc_id,
            CASE WHEN len(toks)>=3 THEN list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]

@@ -51,4 +51,27 @@ object Sampling {
         round(sum(col("l_extendedprice")), 2).as("sampled_price"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** Exact-quota sampling: exactly k rows per stratum, the rows whose
+    * md5(key) ranks lowest — a deterministic reservoir. Rate-based
+    * sampling (above) can't promise "give me exactly 25 eval rows per
+    * segment"; this can, stays engine-reproducible, and its plan is the
+    * top-k-per-group shape (partial WindowGroupLimit inside each scan
+    * partition before the single shuffle), not a global sort.
+    */
+  val QuotaK = 25
+
+  def quotaSample(s: SparkSession, dir: String): DataFrame = {
+    val key = concat_ws("-", col("o_orderkey"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority")).orderBy(col("h"), col("o_orderkey"))
+    load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        md5(key).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= QuotaK)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+        col("o_custkey"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
 }
