@@ -427,12 +427,13 @@ object SparkEntry {
             OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)""",
     "window_range_frame" ->
-      """SELECT l_suppkey, day_num, rev,
-           round(sum(rev) OVER (PARTITION BY l_suppkey ORDER BY day_num
-             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d
+      """SELECT l_suppkey, day_num,
+           round(CAST(revd AS DOUBLE), 2) AS rev,
+           round(CAST(sum(revd) OVER (PARTITION BY l_suppkey ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS rev_7d
          FROM (SELECT l_suppkey,
                  date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day_num,
-                 round(sum(l_extendedprice), 2) AS rev
+                 sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS revd
                FROM lineitem WHERE l_suppkey % 50 = 0
                GROUP BY 1, 2) d
          ORDER BY l_suppkey, day_num""",
@@ -733,11 +734,11 @@ object SparkEntry {
     "media_frames" ->
       """WITH m AS (SELECT doc_id AS media_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-           text, CAST(ceil(octet_length(encode(text))/256.0) AS INT) AS n_frames
+           text, CAST(ceil(len(text)/256.0) AS INT) AS n_frames
          FROM documents),
          f AS (SELECT media_id, kind, unnest(range(0, n_frames)) AS frame_idx, text FROM m)
          SELECT media_id, kind, CAST(frame_idx AS INT) AS frame_idx,
-           octet_length(encode(substring(text, CAST(frame_idx*256+1 AS INT), 256))) AS frame_len,
+           len(substring(text, CAST(frame_idx*256+1 AS INT), 256)) AS frame_len,
            md5(substring(text, CAST(frame_idx*256+1 AS INT), 256)) AS frame_md5
          FROM f WHERE frame_idx % 2 = 0 ORDER BY media_id, frame_idx""",
     "events_window" ->

@@ -156,6 +156,13 @@ object Dedup {
   def minhashSignature(sh: Column): Column =
     graft.functions.minhashSig(sh, NumPerms)
 
+  /** Bucket hash of one LSH band of a signature — THE banding
+    * definition, shared by the batch pair join and the streaming
+    * near-dup key (streaming/DocStream.scala) so the two cannot drift.
+    */
+  def bandBucket(sig: Column, band: Column): Column =
+    xxhash64(slice(sig, band * RowsPerBand + 1, lit(RowsPerBand)))
+
   /** Candidate pairs via banding + exact-Jaccard verification ≥ `minJ`.
     * The signature/banding pass is one narrow projection; candidate
     * generation is a self-join co-partitioned on (band, bucket-hash);
@@ -167,7 +174,7 @@ object Dedup {
       minhashSignature(col("sh")).as("sig"))
     val bands = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-        b => xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
+        b => bandBucket(col("sig"), b))))
       .toDF("doc_id", "band", "bucket")
     val cands = bands.toDF("id_a", "band", "bucket")
       .join(bands.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))

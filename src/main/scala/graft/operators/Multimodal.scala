@@ -95,9 +95,11 @@ object Multimodal {
   def sampleFrames(df: DataFrame, stride: Int): DataFrame = {
     val nFrames = ceil(length(col("content")).cast("double") / FrameBytes)
       .cast("int")
-    df.withColumn("frame_idx",
-      explode(filter(sequence(lit(0), nFrames - 1),
-        i => i % stride === 0)))
+    // empty payload → zero frames (sequence(0, -1) would yield [0, -1])
+    val idxs = when(nFrames > 0,
+      filter(sequence(lit(0), nFrames - 1), i => i % stride === 0))
+      .otherwise(array().cast("array<int>"))
+    df.withColumn("frame_idx", explode(idxs))
       .withColumn("frame_bytes",
         expr(s"substring(content, frame_idx * $FrameBytes + 1, $FrameBytes)"))
   }
@@ -226,15 +228,28 @@ object Multimodal {
       .orderBy(col("media_id"))
 
   /** The frame-sampling plumbing as an oracle-checkable query: every
-    * stride-2 sampled frame's index, byte length, and md5 fingerprint.
-    * Still zero decode — slicing and hashing are column ops over the
-    * binary payload, so the whole expansion is one codegen'd explode
-    * (the exact shape a real decoder's `mapPartitions` consumes).
+    * stride-2 sampled frame's index, length, and md5 fingerprint.
+    * Still zero decode — one codegen'd explode over payload slices (the
+    * exact shape a real decoder's `mapPartitions` consumes). This
+    * ORACLED query frames the payload by CHARACTERS of the decoded
+    * string (DuckDB 1.0 cannot slice BLOBs, and character slicing is
+    * well-defined in both engines for any UTF-8 text); the byte-exact
+    * path for real codecs is `sampleFrames`/`decodeFrames` above,
+    * covered by MultimodalSpec.
     */
-  def mediaFrames(s: SparkSession, dir: String): DataFrame =
-    sampleFrames(media(s, dir), stride = 2)
+  def mediaFrames(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("content").cast("string")
+    val nFrames = ceil(length(txt).cast("double") / FrameBytes).cast("int")
+    val idxs = when(nFrames > 0,
+      filter(sequence(lit(0), nFrames - 1), i => i % 2 === 0))
+      .otherwise(array().cast("array<int>"))
+    val frame = expr(
+      s"substring(cast(content as string), frame_idx * $FrameBytes + 1, $FrameBytes)")
+    media(s, dir)
+      .withColumn("frame_idx", explode(idxs))
       .select(col("media_id"), col("kind"), col("frame_idx"),
-        octet_length(col("frame_bytes")).as("frame_len"),
-        md5(col("frame_bytes")).as("frame_md5"))
+        length(frame).as("frame_len"),
+        md5(frame.cast("binary")).as("frame_md5"))
       .orderBy(col("media_id"), col("frame_idx"))
+  }
 }

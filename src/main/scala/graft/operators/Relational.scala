@@ -238,15 +238,22 @@ object Relational {
     * reduced grain.
     */
   def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    // fold in decimal at BOTH grains: window engines disagree on double
+    // accumulation order (Spark walks the frame, DuckDB uses a segment
+    // tree), so only an exact decimal window sum is order-independent;
+    // the doubles appear solely in the output projection
     val daily = load(s, dir, "lineitem")
       .filter(col("l_suppkey") % 50 === 0)
       .groupBy(col("l_suppkey"),
         datediff(col("l_shipdate").cast("date"), lit("1970-01-01"))
           .as("day_num"))
-      .agg(round(sum(col("l_extendedprice")), 2).as("rev"))
+      .agg(sum(col("l_extendedprice").cast("decimal(14,2)")).as("revd"))
     val w = Window.partitionBy(col("l_suppkey")).orderBy(col("day_num"))
       .rangeBetween(-6, 0)
-    daily.withColumn("rev_7d", round(sum(col("rev")).over(w), 2))
+    daily.withColumn("rev7d", sum(col("revd")).over(w))
+      .select(col("l_suppkey"), col("day_num"),
+        round(col("revd").cast("double"), 2).as("rev"),
+        round(col("rev7d").cast("double"), 2).as("rev_7d"))
       .orderBy(col("l_suppkey"), col("day_num"))
   }
 
@@ -436,10 +443,12 @@ object Relational {
   /** TPC-H Q10-style returned-item revenue: which customers returned
     * the most. Plan: the fact-fact join (lineitem ⋈ orders) shuffles on
     * the order key once, aggregates to the customer grain, and only
-    * then touches the dimensions — the aggregated per-customer rows
-    * broadcast into the customer join instead of carrying name/nation
-    * through the big shuffle. Revenue sums exactly in decimal; ranking
-    * runs on the rounded double with a key tiebreak so top-20 is
+    * then touches the dimensions — the per-customer aggregate (NOT
+    * broadcast: it is O(|customer|) and would not fit a driver
+    * broadcast at scale; AQE picks broadcast only when it actually
+    * fits) joins customer on its key, and only the 25-row nation dim
+    * is force-broadcast. Revenue sums exactly in decimal; ranking runs
+    * on the rounded double with a key tiebreak so top-20 is
     * engine-reproducible.
     */
   def q10Returns(s: SparkSession, dir: String): DataFrame = {
@@ -454,7 +463,7 @@ object Relational {
       .agg(sum(col("rv")).as("revd"))
     load(s, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-      .join(broadcast(rev), col("c_custkey") === col("o_custkey"))
+      .join(rev, col("c_custkey") === col("o_custkey"))
       .join(broadcast(load(s, dir, "nation")
         .select(col("n_nationkey"), col("n_name"))),
         col("c_nationkey") === col("n_nationkey"))

@@ -62,7 +62,7 @@ object Sampling {
   val QuotaK = 25
 
   def quotaSample(s: SparkSession, dir: String): DataFrame = {
-    val key = concat_ws("-", col("o_orderkey"))
+    val key = col("o_orderkey").cast("string")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("o_orderpriority")).orderBy(col("h"), col("o_orderkey"))
     load(s, dir, "orders")

@@ -54,8 +54,7 @@ object DocStream {
       .select(col("doc_id"),
         Dedup.minhashSignature(Dedup.shingles(col("text"))).as("sig"))
       .select(col("doc_id"),
-        xxhash64(slice(col("sig"), 1, Dedup.RowsPerBand)).as("bucket"),
-        col("sig"))
+        Dedup.bandBucket(col("sig"), lit(0)).as("bucket"), col("sig"))
       .as[SigDoc]
   }
 
@@ -80,8 +79,9 @@ object DocStream {
             val dup = seen.exists(s => estJaccard(s, d.sig) >= MinJ)
             if (dup) None
             else {
+              val nCompared = seen.size // before FIFO truncation
               seen = (d.sig :: seen).take(MaxPerBucket)
-              Some(Admitted(d.doc_id, bucket, seen.size - 1))
+              Some(Admitted(d.doc_id, bucket, nCompared))
             }
           }
           state.update(BucketState(seen))
