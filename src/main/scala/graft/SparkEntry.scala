@@ -36,6 +36,8 @@ object SparkEntry {
     "q13_custdist" -> (Relational.q13CustDist _),
     "q19_disjunctive" -> (Relational.q19Disjunctive _),
     "q11_important_parts" -> (Relational.q11ImportantParts _),
+    "q4_late_orders" -> (Relational.q4LateOrders _),
+    "q16_supplier_counts" -> (Relational.q16SupplierCounts _),
     "window_running" -> (Relational.windowRunning _),
     "window_range_frame" -> (Relational.windowRangeFrame _),
     "topk_per_group" -> (Relational.topkPerGroup _),
@@ -419,6 +421,18 @@ object SparkEntry {
          SELECT l_partkey, round(CAST(pv AS DOUBLE),2) AS value FROM v, t
          WHERE CAST(pv AS DOUBLE) > 0.0008 * CAST(tv AS DOUBLE)
          ORDER BY value DESC, l_partkey""",
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders WHERE EXISTS (
+           SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey
+             AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         GROUP BY 1 ORDER BY 1""",
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand <> 'Brand#45' AND p_size IN (1, 4, 7)
+         GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size""",
     "q19_disjunctive" ->
       """SELECT count(*) AS n_items,
            round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(14,4))) AS DOUBLE),2) AS revenue

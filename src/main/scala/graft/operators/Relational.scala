@@ -510,6 +510,44 @@ object Relational {
       .orderBy(col("value").desc, col("l_partkey"))
   }
 
+  /** TPC-H Q4-style order-priority checking: orders with at least one
+    * late shipment (shipped > 90 days after order date), counted per
+    * priority. The EXISTS compiles to a LEFT SEMI join — each order
+    * emits at most once no matter how many late lines it has, and the
+    * join condition's date arithmetic stays on the fact columns so
+    * both scans prune to the two columns each side needs.
+    */
+  def q4LateOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val l = load(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q16-style parts/supplier counting: DISTINCT suppliers per
+    * (brand, size) over the lineitem link. The distinct aggregation is
+    * the interesting physical shape — Spark plans partial aggregation
+    * on (brand, size, suppkey) BEFORE the shuffle, so duplicate
+    * supplier links collapse map-side and the exchange carries the
+    * distinct grain, not raw lineitems.
+    */
+  def q16SupplierCounts(s: SparkSession, dir: String): DataFrame = {
+    val p = load(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#45" &&
+        col("p_size").isin(1, 4, 7))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    load(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
   /** TPC-H Q19-style disjunctive join filter: an OR of (brand, size,
     * quantity) conjunctions spanning both join sides. Catalyst factors
     * the disjunction per side — the quantity-range OR reaches the
