@@ -37,6 +37,7 @@ object SparkEntry {
     "q19_disjunctive" -> (Relational.q19Disjunctive _),
     "q11_important_parts" -> (Relational.q11ImportantParts _),
     "q4_late_orders" -> (Relational.q4LateOrders _),
+    "q7_nation_volume" -> (Relational.q7NationVolume _),
     "q16_supplier_counts" -> (Relational.q16SupplierCounts _),
     "window_running" -> (Relational.windowRunning _),
     "window_range_frame" -> (Relational.windowRangeFrame _),
@@ -428,6 +429,20 @@ object SparkEntry {
            WHERE l_orderkey = o_orderkey
              AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
          GROUP BY 1 ORDER BY 1""",
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS year,
+           round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(14,4))) AS DOUBLE),2) AS revenue
+         FROM lineitem
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON n1.n_nationkey = s_nationkey
+           JOIN nation n2 ON n2.n_nationkey = c_nationkey
+         WHERE n1.n_name IN ('NATION_3','NATION_7')
+           AND n2.n_name IN ('NATION_3','NATION_7')
+           AND n1.n_name <> n2.n_name
+         GROUP BY 1,2,3 ORDER BY 1,2,3""",
     "q16_supplier_counts" ->
       """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
          FROM lineitem JOIN part ON p_partkey = l_partkey

@@ -534,6 +534,44 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** TPC-H Q7-style bi-national shipping volume: revenue between two
+    * nations per direction per year — the longest join chain in the
+    * pack (lineitem ⋈ orders ⋈ supplier ⋈ customer ⋈ nation ⋈ nation).
+    * The two-nation predicate is applied to each 25-row nation dim
+    * BEFORE its join, so the filtered dims broadcast and every
+    * intermediate row already belongs to the answer's nations — the
+    * fact table is filtered down by broadcast semi-equivalent joins
+    * instead of carrying all nations to a post-join filter. Volume
+    * folds exactly in decimal.
+    */
+  def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_3", "NATION_7")
+    def nations(alias: String) = load(s, dir, "nation")
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as(s"${alias}_key"),
+        col("n_name").as(alias))
+    val sup = load(s, dir, "supplier")
+      .join(broadcast(nations("supp_nation")),
+        col("s_nationkey") === col("supp_nation_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = load(s, dir, "customer")
+      .join(broadcast(nations("cust_nation")),
+        col("c_nationkey") === col("cust_nation_key"))
+      .select(col("c_custkey"), col("cust_nation"))
+    load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), year(col("l_shipdate")).as("year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(14,4)").as("vol"))
+      .join(load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("year"))
+      .agg(round(sum(col("vol")).cast("double"), 2).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("year"))
+  }
+
   /** TPC-H Q16-style parts/supplier counting: DISTINCT suppliers per
     * (brand, size) over the lineitem link. The distinct aggregation is
     * the interesting physical shape — Spark plans partial aggregation
