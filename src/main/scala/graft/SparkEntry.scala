@@ -38,6 +38,7 @@ object SparkEntry {
     "q11_important_parts" -> (Relational.q11ImportantParts _),
     "q4_late_orders" -> (Relational.q4LateOrders _),
     "q7_nation_volume" -> (Relational.q7NationVolume _),
+    "events_cohorts" -> (Temporal.cohortRetention _),
     "q16_supplier_counts" -> (Relational.q16SupplierCounts _),
     "window_running" -> (Relational.windowRunning _),
     "window_range_frame" -> (Relational.windowRangeFrame _),
@@ -786,6 +787,14 @@ object SparkEntry {
                  <= INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS new_sess
              FROM events))
          GROUP BY user_id, sess_id ORDER BY user_id, session_start""",
+    "events_cohorts" ->
+      """WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
+         f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1)
+         SELECT cohort_wk,
+           CAST(date_diff('day', cohort_wk, wk)/7 AS INT) AS weeks_since,
+           count(DISTINCT e.user_id) AS n_users
+         FROM e JOIN f ON e.user_id = f.user_id
+         GROUP BY 1,2 ORDER BY 1,2""",
     "events_trending" ->
       """SELECT * FROM (
            SELECT window_start, event_type, n_events,

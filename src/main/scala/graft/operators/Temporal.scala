@@ -67,4 +67,24 @@ object Temporal {
         round(avg(col("o_totalprice")), 2).as("avg_price"))
       .orderBy(col("band"))
   }
+
+  /** Cohort retention: users bucketed by their FIRST event's week, then
+    * distinct active users per (cohort, weeks-since) cell — the product
+    * analytics matrix. Two-phase shape: a per-user min (map-side
+    * combinable), a join back on user_id at the user grain (NOT the
+    * event grain — the cohort label joins once per user then fans out),
+    * and a distinct-count whose partial aggregation collapses each
+    * user's events within a week before the shuffle.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    e.join(first, "user_id")
+      .groupBy(col("cohort_wk"),
+        (datediff(col("wk"), col("cohort_wk")) / 7).cast("int")
+          .as("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_wk"), col("weeks_since"))
+  }
 }
