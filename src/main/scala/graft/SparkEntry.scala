@@ -39,6 +39,7 @@ object SparkEntry {
     "q4_late_orders" -> (Relational.q4LateOrders _),
     "q7_nation_volume" -> (Relational.q7NationVolume _),
     "events_cohorts" -> (Temporal.cohortRetention _),
+    "q9_profit" -> (Relational.q9Profit _),
     "q16_supplier_counts" -> (Relational.q16SupplierCounts _),
     "window_running" -> (Relational.windowRunning _),
     "window_range_frame" -> (Relational.windowRangeFrame _),
@@ -430,6 +431,16 @@ object SparkEntry {
            WHERE l_orderkey = o_orderkey
              AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
          GROUP BY 1 ORDER BY 1""",
+    "q9_profit" ->
+      """SELECT n_name AS nation, year(l_shipdate) AS year,
+           round(CAST(sum(CAST(l_extendedprice*(1-l_discount) - p_retailprice*l_quantity
+             AS DECIMAL(16,4))) AS DOUBLE),2) AS profit
+         FROM lineitem
+           JOIN part ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation ON n_nationkey = s_nationkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY 1,2 ORDER BY nation, year DESC""",
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            year(l_shipdate) AS year,

@@ -572,6 +572,35 @@ object Relational {
       .orderBy(col("supp_nation"), col("cust_nation"), col("year"))
   }
 
+  /** TPC-H Q9-style product-line profit by supplier nation and year:
+    * revenue minus cost (retail price × quantity as the cost proxy —
+    * the synthetic schema has no partsupp). The part-name filter
+    * reduces the broadcast part dim BEFORE the join (substring
+    * pushdown to the scan), supplier→nation resolves through two more
+    * broadcasts, and profit folds exactly in decimal after the
+    * per-row expression is computed in double identically on both
+    * engines.
+    */
+  def q9Profit(s: SparkSession, dir: String): DataFrame = {
+    val p = load(s, dir, "part")
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sup = load(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val n = load(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    load(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("year"),
+        col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("year"))
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("p_retailprice") * col("l_quantity")).cast("decimal(16,4)"))
+        .cast("double"), 2).as("profit"))
+      .orderBy(col("nation"), col("year").desc)
+  }
+
   /** TPC-H Q16-style parts/supplier counting: DISTINCT suppliers per
     * (brand, size) over the lineitem link. The distinct aggregation is
     * the interesting physical shape — Spark plans partial aggregation
