@@ -153,6 +153,7 @@ object SparkEntry {
     "text_tfidf" -> (TextAnalysis.tfidfTop _),
     "text_top_bigrams" -> (TextAnalysis.topBigrams _),
     "text_repetition" -> (TextAnalysis.repetition _),
+    "text_normalize" -> (TextAnalysis.normalize _),
     "contamination_check" -> (TextAnalysis.contamination _),
     // open-map JSON access (the reference's `extra`/props pattern,
     // SURVEY.md §1.1): typed extraction from a JSON string column
@@ -707,6 +708,13 @@ object SparkEntry {
            FROM (SELECT string_split(text,' ') AS toks FROM documents)
            WHERE len(toks) >= 2) b
          GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""",
+    "text_normalize" ->
+      """SELECT doc_id,
+           len(list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+             w -> w <> '' AND w NOT IN ('the','of','and','to','in','is','on','for','with','by','at','from'))) AS n_clean_tokens,
+           md5(array_to_string(list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+             w -> w <> '' AND w NOT IN ('the','of','and','to','in','is','on','for','with','by','at','from')), ' ')) AS clean_md5
+         FROM documents ORDER BY doc_id""",
     "text_repetition" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
          tc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1,2),

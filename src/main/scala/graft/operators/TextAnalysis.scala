@@ -154,6 +154,27 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // --- 5b. normalization ----------------------------------------------
+
+  /** Canonical text normalization — the preprocessing every training
+    * pipeline applies before dedup/tokenization: lowercase, strip
+    * non-alphabetic characters, drop stopwords and empty tokens, and
+    * fingerprint the cleaned form (md5, engine-portable). One narrow
+    * projection, no shuffle; the cleaned fingerprint is what exact
+    * dedup should key on so trivial formatting differences collapse.
+    */
+  def normalize(s: SparkSession, dir: String): DataFrame = {
+    val cleanedText = regexp_replace(lower(col("text")), "[^a-z ]", "")
+    val stop = profiles.head._2
+    val cleaned = filter(split(cleanedText, " "),
+      w => w =!= "" && !w.isin(stop: _*))
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(cleaned).as("n_clean_tokens"),
+        md5(concat_ws(" ", cleaned).cast("binary")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- 6. repetition signals (Gopher-style filters) -------------------
 
   /** Per-document repetition signals, the Gopher/MassiveText "repetition
