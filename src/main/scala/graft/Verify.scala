@@ -23,6 +23,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release any frames an operator cached internally: CacheManager
+      // entries are plan-keyed and never auto-dropped, so 80 queries in
+      // one session would otherwise pin blocks until execution memory
+      // starves (observed as 10-30x slowdowns late in the run)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
