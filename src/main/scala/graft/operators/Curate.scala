@@ -28,7 +28,7 @@ object Curate {
 
   def pipeline(s: SparkSession, dir: String): DataFrame = {
     val quality = TextAnalysis.quality(s, dir)
-    val dropped = Dedup.ngramJaccard(s, dir)
+    val dropped = Dedup.ngramJaccardPairs(s, dir)
       .select(col("id_b").as("doc_id")).distinct()
     quality.filter(col("keep"))
       .join(broadcast(dropped), Seq("doc_id"), "left_anti")

@@ -82,7 +82,14 @@ object Dedup {
     * stop-shingle dropping; on this corpus (max shingle frequency 25)
     * the full index measures ~4× faster than the prefix variant.
     */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(s, dir).orderBy(col("id_a"), col("id_b"))
+
+  /** The pair set WITHOUT the presentation sort — downstream consumers
+    * (connected components, the curation anti-join) re-shuffle on their
+    * own keys, so a global sort here would be pure waste.
+    */
+  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(s, dir)
     val inv = sh.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("shingle"))
@@ -100,7 +107,6 @@ object Dedup {
         (col("n_a") + col("n_b") - col("shared")))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Same contract via LOSSLESS prefix filtering (PPJoin-family set-
@@ -262,7 +268,7 @@ object Dedup {
     * strictly decreasing until fixpoint).
     */
   def clusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(s, dir).select(col("id_a"), col("id_b"))
+    val pairs = ngramJaccardPairs(s, dir).select(col("id_a"), col("id_b"))
     // undirected edge list, both directions + self-loop keeps own label
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

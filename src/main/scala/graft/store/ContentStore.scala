@@ -44,7 +44,7 @@ final class ContentStore(val root: Path) {
       val md = MessageDigest.getInstance("SHA-256")
       val din = new DigestInputStream(in, md)
       Files.copy(din, tmp, StandardCopyOption.REPLACE_EXISTING)
-      val cid = "sha256-" + md.digest().map("%02x".format(_)).mkString
+      val cid = "sha256-" + ContentStore.hex(md.digest())
       val dest = blobs.resolve(cid)
       if (!Files.exists(dest)) // content-addressed => same bytes, any writer
         Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
@@ -53,8 +53,25 @@ final class ContentStore(val root: Path) {
     } finally Files.deleteIfExists(tmp)
   }
 
-  def add(bytes: Array[Byte]): String =
-    add(new java.io.ByteArrayInputStream(bytes))
+  /** In-memory ingest fast path: digest first, touch the filesystem
+    * only when the content is new. Re-adding existing bytes (IPFS-style
+    * passive dedup — the common case in re-ingest workloads) costs one
+    * hash + one existence probe, no temp file, no copy.
+    */
+  def add(bytes: Array[Byte]): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val cid = "sha256-" + ContentStore.hex(md.digest(bytes))
+    val dest = blobs.resolve(cid)
+    if (!Files.exists(dest)) {
+      val tmp = Files.createTempFile(root, "ingest", ".tmp")
+      try {
+        Files.write(tmp, bytes)
+        Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      } finally Files.deleteIfExists(tmp)
+    }
+    cid
+  }
 
   /** Stream content by CID (reference `FileSystem.fetch`). */
   def fetch(cid: String): InputStream = {
@@ -135,7 +152,7 @@ final class ContentStore(val root: Path) {
       .map { case (n, c) => s"$n\t$c" }.mkString("\n")
       .getBytes("UTF-8")
     val md = MessageDigest.getInstance("SHA-256")
-    val cid = "sha256-" + md.digest(body).map("%02x".format(_)).mkString
+    val cid = "sha256-" + ContentStore.hex(md.digest(body))
     val dest = dirs.resolve(cid)
     if (!Files.exists(dest)) {
       val tmp = Files.createTempFile(root, "dir", ".tmp")
@@ -150,4 +167,21 @@ final class ContentStore(val root: Path) {
 object ContentStore {
   /** JVM-wide tiebreaker so same-millisecond manifests still order. */
   private val ingestSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Table-driven lowercase hex — `"%02x".format` costs a Formatter
+    * per byte, which dominated small-blob ingest profiles.
+    */
+  private[store] def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = HexChars(b >>> 4)
+      out(i * 2 + 1) = HexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 }
