@@ -20,7 +20,12 @@ object Bench {
     // bench host is shared, so any single run can be inflated by a
     // noisy neighbor. A third run is taken only when the first two
     // disagree by >25% — bounded cost, stable minimum.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run for local iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(
+      keep => SparkEntry.queries.filter { case (k, _) => keep(k) })
+    val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1 }

@@ -39,6 +39,12 @@ object Tables {
     */
   val sessionConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.extensions" -> "graft.GraftExtensions")
+    "spark.sql.extensions" -> "graft.GraftExtensions",
+    // let AQE re-plan cached frames too: several operators cache mid-
+    // pipeline (CC loop rounds, shingle sets), and with the default
+    // `false` those subtrees are planned WITHOUT adaptive execution —
+    // full-width shuffles and no runtime broadcast conversion on
+    // exactly the tiny iterative frames that benefit most
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true")
 
 }
