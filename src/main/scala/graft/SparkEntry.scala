@@ -38,6 +38,10 @@ object SparkEntry {
     "q11_important_parts" -> (Relational.q11ImportantParts _),
     "q4_late_orders" -> (Relational.q4LateOrders _),
     "q7_nation_volume" -> (Relational.q7NationVolume _),
+    "q2_min_cost_supp" -> (Relational.q2MinCostSupplier _),
+    "q8_market_share" -> (Relational.q8MarketShare _),
+    "q20_promo_suppliers" -> (Relational.q20PromoSuppliers _),
+    "q21_waiting_suppliers" -> (Relational.q21WaitingSuppliers _),
     "events_cohorts" -> (Temporal.cohortRetention _),
     "q9_profit" -> (Relational.q9Profit _),
     "q16_supplier_counts" -> (Relational.q16SupplierCounts _),
@@ -405,7 +409,7 @@ object SparkEntry {
            FROM lineitem) t WHERE rn <= 100""",
     "q10_returns" ->
       """SELECT c_custkey, c_name, n_name,
-           round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(14,4))) AS DOUBLE),2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(14,4))), 2) AS DOUBLE) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            JOIN customer ON c_custkey = o_custkey
            JOIN nation ON n_nationkey = c_nationkey
@@ -422,7 +426,7 @@ object SparkEntry {
       """WITH v AS (SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS pv
              FROM lineitem GROUP BY 1),
          t AS (SELECT sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS tv FROM lineitem)
-         SELECT l_partkey, round(CAST(pv AS DOUBLE),2) AS value FROM v, t
+         SELECT l_partkey, CAST(round(pv, 2) AS DOUBLE) AS value FROM v, t
          WHERE CAST(pv AS DOUBLE) > 0.0008 * CAST(tv AS DOUBLE)
          ORDER BY value DESC, l_partkey""",
     "q4_late_orders" ->
@@ -434,8 +438,8 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
     "q9_profit" ->
       """SELECT n_name AS nation, year(l_shipdate) AS year,
-           round(CAST(sum(CAST(l_extendedprice*(1-l_discount) - p_retailprice*l_quantity
-             AS DECIMAL(16,4))) AS DOUBLE),2) AS profit
+           CAST(round(sum(CAST(l_extendedprice*(1-l_discount) - p_retailprice*l_quantity
+             AS DECIMAL(16,4))), 2) AS DOUBLE) AS profit
          FROM lineitem
            JOIN part ON p_partkey = l_partkey
            JOIN supplier ON s_suppkey = l_suppkey
@@ -445,7 +449,7 @@ object SparkEntry {
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            year(l_shipdate) AS year,
-           round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(14,4))) AS DOUBLE),2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(14,4))), 2) AS DOUBLE) AS revenue
          FROM lineitem
            JOIN orders ON o_orderkey = l_orderkey
            JOIN supplier ON s_suppkey = l_suppkey
@@ -463,16 +467,77 @@ object SparkEntry {
          GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size""",
     "q19_disjunctive" ->
       """SELECT count(*) AS n_items,
-           round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(14,4))) AS DOUBLE),2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(14,4))), 2) AS DOUBLE) AS revenue
          FROM lineitem JOIN part ON p_partkey = l_partkey
          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
             OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)""",
+    "q2_min_cost_supp" ->
+      """WITH offers AS (
+           SELECT l_partkey, s_suppkey, s_name, n_name,
+                  l_extendedprice / l_quantity AS cost
+           FROM lineitem
+             JOIN supplier ON s_suppkey = l_suppkey
+             JOIN nation ON n_nationkey = s_nationkey
+             JOIN region ON r_regionkey = n_regionkey
+           WHERE r_name = 'EUROPE'
+         ), best AS (
+           SELECT *, row_number() OVER (PARTITION BY l_partkey
+             ORDER BY cost, s_suppkey) AS rn
+           FROM offers
+         )
+         SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+                cost AS best_cost
+         FROM best JOIN part ON p_partkey = l_partkey
+         WHERE rn = 1 AND p_size <= 15 AND p_type = 'STANDARD'
+         ORDER BY p_partkey""",
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS yr,
+           round(CAST(sum(CASE WHEN ns.n_name = 'NATION_3'
+               THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(14,4))
+               ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(14,4))) AS DOUBLE),
+             6) AS mkt_share
+         FROM lineitem
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation nc ON nc.n_nationkey = c_nationkey
+           JOIN region ON r_regionkey = nc.n_regionkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation ns ON ns.n_nationkey = s_nationkey
+         WHERE r_name = 'ASIA' AND year(o_orderdate) BETWEEN 1996 AND 1999
+         GROUP BY 1 ORDER BY 1""",
+    "q20_promo_suppliers" ->
+      """SELECT s_suppkey, s_name, n_name
+         FROM supplier JOIN nation ON n_nationkey = s_nationkey
+         WHERE s_suppkey IN (
+           SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+           WHERE p_name LIKE 'red%' AND year(l_shipdate) = 1996
+           GROUP BY l_suppkey
+           HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 300.0)
+         ORDER BY s_suppkey""",
+    "q21_waiting_suppliers" ->
+      """WITH late1 AS (
+           SELECT l_orderkey, l_suppkey
+           FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           WHERE o_orderstatus = 'F'
+             AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+         )
+         SELECT s_name, count(*) AS numwait
+         FROM late1 l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+         WHERE EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM late1 l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey)
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name LIMIT 20""",
     "window_range_frame" ->
       """SELECT l_suppkey, day_num,
-           round(CAST(revd AS DOUBLE), 2) AS rev,
-           round(CAST(sum(revd) OVER (PARTITION BY l_suppkey ORDER BY day_num
-             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS rev_7d
+           CAST(round(revd, 2) AS DOUBLE) AS rev,
+           CAST(round(sum(revd) OVER (PARTITION BY l_suppkey ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rev_7d
          FROM (SELECT l_suppkey,
                  date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day_num,
                  sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS revd

@@ -252,8 +252,8 @@ object Relational {
       .rangeBetween(-6, 0)
     daily.withColumn("rev7d", sum(col("revd")).over(w))
       .select(col("l_suppkey"), col("day_num"),
-        round(col("revd").cast("double"), 2).as("rev"),
-        round(col("rev7d").cast("double"), 2).as("rev_7d"))
+        round(col("revd"), 2).cast("double").as("rev"),
+        round(col("rev7d"), 2).cast("double").as("rev_7d"))
       .orderBy(col("l_suppkey"), col("day_num"))
   }
 
@@ -468,7 +468,7 @@ object Relational {
         .select(col("n_nationkey"), col("n_name"))),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("c_name"), col("n_name"),
-        round(col("revd").cast("double"), 2).as("revenue"))
+        round(col("revd"), 2).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
@@ -506,7 +506,7 @@ object Relational {
     val total = l.agg(sum(col("v")).as("tv"))
     byPart.crossJoin(broadcast(total))
       .filter(col("pv").cast("double") > lit(0.0008) * col("tv").cast("double"))
-      .select(col("l_partkey"), round(col("pv").cast("double"), 2).as("value"))
+      .select(col("l_partkey"), round(col("pv"), 2).cast("double").as("value"))
       .orderBy(col("value").desc, col("l_partkey"))
   }
 
@@ -568,7 +568,7 @@ object Relational {
       .join(cust, col("o_custkey") === col("c_custkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"), col("year"))
-      .agg(round(sum(col("vol")).cast("double"), 2).as("revenue"))
+      .agg(round(sum(col("vol")), 2).cast("double").as("revenue"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("year"))
   }
 
@@ -596,8 +596,8 @@ object Relational {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"), col("year"))
       .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")) -
-        col("p_retailprice") * col("l_quantity")).cast("decimal(16,4)"))
-        .cast("double"), 2).as("profit"))
+        col("p_retailprice") * col("l_quantity")).cast("decimal(16,4)")), 2)
+        .cast("double").as("profit"))
       .orderBy(col("nation"), col("year").desc)
   }
 
@@ -645,6 +645,128 @@ object Relational {
       .filter(cond)
       .agg(count(lit(1)).as("n_items"),
         round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(14,4)")).cast("double"), 2).as("revenue"))
+          .cast("decimal(14,4)")), 2).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q2-style minimum-cost supplier (adapted: no partsupp table,
+    * so the offer relation is lineitem itself with cost = unit price).
+    * The correlated `cost = (SELECT min ...)` subquery is written
+    * directly in decorrelated form: one `min_by` argmin per part —
+    * map-side combining beats the textbook join-back-on-equality,
+    * whose double-equality join is also numerically fragile. The
+    * region-restricted supplier dimension is assembled first and
+    * broadcast, so the fact table is scanned once, pre-filtered.
+    */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val eurSupp = load(s, dir, "supplier")
+      .join(load(s, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(load(s, dir, "region").filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val p = load(s, dir, "part")
+      .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
+      .select(col("p_partkey"), col("p_name"))
+    load(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("cost"))
+      .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(min_by(
+        struct(col("s_suppkey"), col("s_name"), col("n_name"), col("cost")),
+        struct(col("cost"), col("s_suppkey"))).as("best"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("best.s_suppkey"),
+        col("best.s_name"), col("best.n_name"),
+        col("best.cost").as("best_cost"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** TPC-H Q8-style national market share: conditional / total revenue
+    * per year inside one aggregation pass (no self-join, no second
+    * scan). Both sums fold in decimal so the ratio is order-independent
+    * under partial aggregation; the ratio itself is double.
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val custGeo = load(s, dir, "customer")
+      .join(load(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(load(s, dir, "region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = load(s, dir, "supplier")
+      .join(load(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(14,4)")
+    load(s, dir, "lineitem")
+      .join(load(s, dir, "orders")
+        .filter(year(col("o_orderdate")).between(1996, 1999)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custGeo), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(lit(0).cast("decimal(14,4)"))).cast("double")
+          / sum(vol).cast("double"), 6).as("mkt_share"))
+      .orderBy(col("yr"))
+  }
+
+  /** TPC-H Q20-style supplier shortlist (adapted: partsupp availqty →
+    * shipped-quantity threshold): a two-level semi-join chain — parts
+    * by name prefix, the per-supplier aggregate HAVING over the promo
+    * lineitems, then `LEFT SEMI` into the supplier dimension. Only
+    * supplier keys cross the shuffle; the HAVING sum folds in decimal.
+    */
+  def q20PromoSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val promoParts = load(s, dir, "part")
+      .filter(col("p_name").startsWith("red"))
+      .select(col("p_partkey"))
+    val qual = load(s, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === 1996)
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("qty"))
+      .filter(col("qty").cast("double") > 300.0)
+      .select(col("l_suppkey"))
+    load(s, dir, "supplier")
+      .join(load(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(qual), col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q21-style waiting-orders count (adapted: late =
+    * shipped > 60 days after order date; the reference data has no
+    * commit/receipt dates): an EXISTS (other supplier participated)
+    * plus a NOT EXISTS (no other supplier was late) — the canonical
+    * semi + anti self-join pair on the fact table, both on the order
+    * key with a supplier-inequality residual, then a per-supplier
+    * count and top-20.
+    */
+  def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val l = load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late1 = l
+      .join(load(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val lateOthers = late1
+      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+    late1
+      .join(others, col("l_orderkey") === col("k2") &&
+        col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(lateOthers, col("l_orderkey") === col("k3") &&
+        col("l_suppkey") =!= col("s3"), "left_anti")
+      .join(broadcast(load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
   }
 }
