@@ -162,4 +162,52 @@ class PlanSpec extends SparkSpec {
     // one row per vector, never the N×C pairs
     assert("SortAggregate".r.findAllIn(p).length >= 2)
   }
+
+  test("q2: argmin folds as aggregation; supplier geo dim broadcasts") {
+    val p = physical(Relational.q2MinCostSupplier(spark, sf))
+    // the decorrelated min_by runs as partial+final aggregation — the
+    // exchange carries one best-offer row per part, never all offers
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert("SortAggregate|HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
+  test("q8: market share is ONE pass over lineitem (no self-join)") {
+    val p = physical(Relational.q8MarketShare(spark, sf))
+    val factScans = p.linesIterator
+      .count(l => l.contains("Scan parquet") || l.contains("FileScan"))
+    // lineitem, orders, customer, nation×2, region, supplier = 7 scans
+    // — exactly one of the fact table; the conditional sum shares the
+    // total sum's aggregation
+    assert(factScans <= 7, s"expected <=7 scans, plan had $factScans")
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
+  test("q20: supplier shortlist is a LEFT SEMI on broadcast keys") {
+    val p = physical(Relational.q20PromoSuppliers(spark, sf))
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("BroadcastHashJoin"))
+    // promo-part name prefix reaches the part scan
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("p_name")))
+  }
+
+  test("q21: EXISTS/NOT-EXISTS pair stays semi + anti hash joins") {
+    val p = physical(Relational.q21WaitingSuppliers(spark, sf))
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject")) // top-20, no global sort
+  }
+
+  test("q2/q8 value invariants: one row per part; share within [0,1]") {
+    val q2 = Relational.q2MinCostSupplier(spark, sf).collect()
+    assert(q2.map(_.getLong(0)).distinct.length == q2.length)
+    val q8 = Relational.q8MarketShare(spark, sf).collect()
+    assert(q8.nonEmpty)
+    q8.foreach { r =>
+      val share = r.getDouble(1)
+      assert(share >= 0.0 && share <= 1.0, s"share $share")
+    }
+  }
 }
