@@ -13,7 +13,6 @@ Test / fork := true
 run / fork := true
 // Forked run output must reach stdout raw (no "[info] " logger prefix):
 // the bench/verify drivers parse the JSON line that graft.Bench prints.
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
