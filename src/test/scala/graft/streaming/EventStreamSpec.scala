@@ -163,6 +163,36 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append mode: watermark closes windows and drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val q = EventStream.streamingWindowedAgg(
+      mem.toDF().toDF("ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two on-time clicks in the [00:00, 01:00) window
+      mem.addData((ts(0), 1L, "click", 1.0), (ts(10), 1L, "click", 2.0))
+      q.processAllAvailable()
+      // batch 2: an event 200m in advances the watermark to 140m,
+      // past the first window's end -> [00:00,01:00) emits and seals
+      mem.addData((ts(200), 2L, "buy", 5.0))
+      q.processAllAvailable()
+      // batch 3: a LATE click stamped inside the sealed window must be
+      // DROPPED by the watermark, not re-open or mutate the result
+      mem.addData((ts(10), 3L, "click", 99.0))
+      q.processAllAvailable()
+      val rows = spark.table("late_out").collect()
+        .map(r => (r.getAs[Timestamp]("window_start"),
+          r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("total_value")))
+      // only the sealed window is in the output (the 200m event's own
+      // window stays open: watermark 140m < its 240m end), and its
+      // count/sum reflect exactly the two on-time rows
+      assert(rows.toSeq == Seq((ts(0), "click", 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("file-source streaming read over an events drop-directory") {
     // stream from a directory of event files (the production shape:
     // new files land, micro-batches pick them up)
