@@ -43,9 +43,17 @@ import graft.store.DatasetMeta
   * contract lives here, not in the transport.
   */
 final class LakeServer(lake: Lake, port: Int) {
+  // The JDK HttpServer leaves Nagle's algorithm on; chunked replies
+  // (/find, /extract, /file downloads) then lose ~40ms per request to
+  // the Nagle/delayed-ACK interaction — measured 259 req/s vs 1500+
+  // with it off. ServerConfig reads this in a static initializer, so
+  // it must be set before the first HttpServer is created in the JVM.
+  System.setProperty("sun.net.httpserver.nodelay", "true")
+
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+    math.max(8, Runtime.getRuntime.availableProcessors)))
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -260,12 +268,15 @@ final class LakeServer(lake: Lake, port: Int) {
     try out.write(body) finally out.close()
   }
 
-  /** Chunked `[obj,obj,...]` without materializing the iterator. */
+  /** Chunked `[obj,obj,...]` without materializing the iterator.
+    * Buffered so small rows coalesce into full-size chunks instead of
+    * one HTTP chunk per write.
+    */
   private def streamJsonArray(ex: HttpExchange, rows: Iterator[String])
       : Unit = {
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(200, 0)
-    val out = ex.getResponseBody
+    val out = new java.io.BufferedOutputStream(ex.getResponseBody, 64 * 1024)
     try {
       out.write('[')
       var first = true
