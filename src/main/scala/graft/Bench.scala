@@ -25,42 +25,64 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(
       keep => SparkEntry.queries.filter { case (k, _) => keep(k) })
-    val results = selected.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1 }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val (a, b) = (once(), once())
-      val best =
-        if (a < 0 || b < 0) -1.0
-        else {
-          val m = math.min(a, b)
-          if (math.abs(a - b) / m > 0.25) {
-            val c = once()
-            // a transient third-run failure must not discard two good
-            // measurements — keep their minimum
-            if (c < 0) m else math.min(m, c)
-          } else m
+    // per query: Right(best seconds, runs taken) or Left(error class).
+    // Failures surface by NAME in the final line — a broken query must
+    // never hide inside the total as a silent sentinel.
+    val results: Map[String, Either[String, (Double, Int)]] =
+      selected.map { case (name, fn) =>
+        var err: String = null
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() }
+          catch { case t: Throwable => err = t.getClass.getSimpleName; return -1 }
+          (System.nanoTime() - t0) / 1e9
         }
-      // drop frames the operator cached internally before the next
-      // query: CacheManager entries are plan-keyed and never auto-
-      // dropped, so pinned blocks accumulate across 80 queries and
-      // starve execution memory. Cleared AFTER the runs so later
-      // runs still reuse the cache run 1 populated.
-      spark.catalog.clearCache()
-      name -> best
+        val (a, b) = (once(), once())
+        val best: Either[String, (Double, Int)] =
+          if (a < 0 || b < 0) Left(err)
+          else {
+            val m = math.min(a, b)
+            if (math.abs(a - b) / m > 0.25) {
+              val c = once()
+              // a transient third-run failure must not discard two good
+              // measurements — keep their minimum
+              if (c < 0) Right((m, 3)) else Right((math.min(m, c), 3))
+            } else Right((m, 2))
+          }
+        // drop frames the operator cached internally before the next
+        // query: CacheManager entries are plan-keyed and never auto-
+        // dropped, so pinned blocks accumulate across 80 queries and
+        // starve execution memory. Cleared AFTER the runs so later
+        // runs still reuse the cache run 1 populated.
+        spark.catalog.clearCache()
+        name -> best
+      }
+    // Per-query breakdown goes out one line per query: the grading
+    // driver captures only a ~2KB stdout TAIL, and a single JSON line
+    // with 85 timings is >4KB — it arrives truncated mid-object and
+    // parses as null. Individual lines keep the detail in the log
+    // while the FINAL line stays a compact (<500B) summary that always
+    // survives the tail capture.
+    results.toSeq.sortBy(_._1).foreach {
+      case (k, Right((sec, runs))) =>
+        println(s"""{"query":"$k","sec":$sec,"runs":$runs}""")
+      case (k, Left(e)) =>
+        println(s"""{"query":"$k","error":"$e"}""")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val ok = results.collect { case (_, Right((sec, _))) => sec }
+    val failed = results.collect { case (k, Left(_)) => k }.toSeq.sorted
+    val total = ok.sum
+    val maxRuns = results.collect { case (_, Right((_, r))) => r }
+      .foldLeft(2)(math.max)
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // n_queries + filtered let a consumer distinguish a partial
-    // SPARK_GRAFT_ONLY iteration run from the official full bench;
-    // runs=2 is the baseline (a third run happens only on >25% spread)
-    val filtered = only.isDefined
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,""" +
-      s""""adaptive_third_run":true,"n_queries":${results.size},""" +
-      s""""filtered":$filtered,"queries":$qs,"sf":"$sfDir"}""")
+    // SPARK_GRAFT_ONLY iteration run from the official full bench.
+    // Failed queries are EXCLUDED from the total (n_failed says how
+    // many) so a partial failure can't masquerade as a fast clean run.
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""n_queries":${results.size},"n_failed":${failed.size},""" +
+      s""""failed":$failedJson,"runs_min":2,"runs_max":$maxRuns,""" +
+      s""""filtered":${only.isDefined},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
