@@ -318,4 +318,98 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Number of hash blocks for the blocked exact pair join. Sized so
+    * C(B+1,2) = 36 tasks comfortably feed 32 cores here; at cluster
+    * scale pick B ≈ √(2·P) for P desired tasks — per-task memory is
+    * 2·(n/B) vectors and total replication is (B+1)·n rows, both
+    * tunable independent of corpus size.
+    */
+  val EmbeddingBlocks = 8
+
+  /** The SAME cos ≥ 0.45 contract as `embeddingPairs`, restructured as
+    * a block-pair EQUI-join — the shape that survives a 1000-executor
+    * scale-up. Vectors are hashed into B blocks; each unordered block
+    * pair (i ≤ j) is one join key, so every vector pair meets exactly
+    * once inside one shuffle task and nothing is ever broadcast or
+    * nested-loop joined. Per-task work is (n/B)², per-task memory
+    * 2·(n/B) vectors: exhaustive O(n²) total (unavoidable, see below)
+    * but evenly sharded — the plan production systems use for sharded
+    * exact vector search.
+    *
+    * Why not sign-bucket LSH for THIS contract, as for `minhashLsh`?
+    * The math doesn't close at t = 0.45 on a near-orthogonal corpus
+    * (bulk cos ≈ N(0, 1/√64): median 0.0003, p99.9 0.377; planted
+    * pairs only reach 0.513). Hyperplane collision probability is
+    * p(c) = 1 − acos(c)/π: p(0.45) = 0.649 vs bulk p ≈ 0.5. For
+    * per-pair miss ≤ ε the band count must be L = ln(1/ε)/p₁^r, so
+    * candidate volume scales as C(n,2)·ln(1/ε)·(p₂/p₁)^r =
+    * C(n,2)·ln(1/ε)·0.771^r: reaching even 5% of brute-force
+    * candidates needs r ≈ 20 bits/band and L ≈ 53 000 bands — a
+    * million hyperplane dots per vector, more than brute force costs
+    * for any corpus under ~10⁶ vectors. Sign-LSH only prunes when the
+    * threshold sits in the high-cos regime real dedup uses
+    * (`embeddingSignLshPairs` below, near-exact at c ≥ 0.9); at
+    * t = 0.45 the honest scale path is this blocked exhaustive join.
+    */
+  def embeddingPairsBlocked(s: SparkSession, dir: String): DataFrame = {
+    val B = EmbeddingBlocks
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(call_function("vec_dot", col("embedding"), col("embedding")))
+          .as("nrm"),
+        pmod(xxhash64(col("vec_id")), lit(B)).cast("int").as("blk"))
+    // triangle replication: a vector in block b serves as the LEFT leg
+    // of tasks (b, j) for j ≥ b and the RIGHT leg of tasks (i, b) for
+    // i ≤ b, so unordered block pair (i, j) is materialized exactly once
+    val left = e.withColumn("j", explode(sequence(col("blk"), lit(B - 1))))
+      .select(col("blk").as("i"), col("j"), col("vec_id").as("id_l"),
+        col("embedding").as("v_l"), col("nrm").as("n_l"))
+    val right = e.withColumn("i", explode(sequence(lit(0), col("blk"))))
+      .select(col("i"), col("blk").as("j"), col("vec_id").as("id_r"),
+        col("embedding").as("v_r"), col("nrm").as("n_r"))
+    left.join(right, Seq("i", "j"))
+      // diagonal tasks see both orientations of a pair — keep one;
+      // off-diagonal tasks see each cross-block pair exactly once
+      .filter(col("i") =!= col("j") || col("id_l") < col("id_r"))
+      .withColumn("cos", call_function("vec_dot", col("v_l"), col("v_r"))
+        / col("n_l") / col("n_r"))
+      .filter(col("cos") >= 0.45)
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Sign-bucket (random-hyperplane) near-dup pairs for the HIGH-cos
+    * regime where LSH genuinely prunes: candidates are pairs sharing
+    * any of the 16 4-bit `lsh_buckets` tables (equi-join on
+    * (table, bucket)), then exact cosine verification ≥ `minCos`.
+    * Detection probability per pair is 1 − (1 − p(c)⁴)¹⁶ with
+    * p(c) = 1 − acos(c)/π: miss ≈ 4e-6 at c = 0.9, 5e-8 at c = 0.95 —
+    * the thresholds production dedup runs at — so there the verified
+    * output equals the exhaustive contract (pinned on a synthetic
+    * planted corpus in DedupSpec). Takes the corpus as a frame
+    * (`vec_id`, `embedding`) so callers choose source and threshold.
+    */
+  def embeddingSignLshPairs(e: DataFrame, minCos: Double): DataFrame = {
+    val base = e.select(col("vec_id"), col("embedding"),
+      sqrt(call_function("vec_dot", col("embedding"), col("embedding")))
+        .as("nrm"))
+    val bands = base.select(col("vec_id"), col("embedding"), col("nrm"),
+      posexplode(call_function("lsh_buckets", col("embedding"))))
+      .toDF("vec_id", "embedding", "nrm", "table", "bucket")
+    val a = bands.toDF("id_a", "v_a", "nrm_a", "table", "bucket")
+    val b = bands.toDF("id_b", "v_b", "nrm_b", "table", "bucket")
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      // verify-then-dedup: the dot product is cheap; distinct() after
+      // scoring shuffles (id, id, cos) triplets, never the vectors
+      .withColumn("cos", call_function("vec_dot", col("v_a"), col("v_b"))
+        / col("nrm_a") / col("nrm_b"))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

@@ -71,6 +71,50 @@ class DedupSpec extends SparkSpec {
     assert(p.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
   }
 
+  test("blocked embedding pair join equals the exact nested-loop baseline") {
+    val brute = Dedup.embeddingPairs(spark, sf).collect().toSeq
+    val blocked = Dedup.embeddingPairsBlocked(spark, sf).collect().toSeq
+    assert(brute.nonEmpty, "test data should contain cos >= 0.45 pairs")
+    assert(blocked == brute)
+  }
+
+  test("sign-LSH equals exhaustive search in the high-cos regime it targets") {
+    import spark.implicits._
+    // synthetic corpus: near-orthogonal bulk + planted near-dups at
+    // cos >= ~0.98 (the regime production embedding dedup runs at,
+    // where the 16x4 banding's per-pair miss probability is ~5e-8)
+    val rng = new scala.util.Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val base = (0L until 200L).map(i => (i, unit()))
+    val planted = (0 until 5).map { k =>
+      val (srcId, src) = base(k * 13)
+      // tiny perturbation keeps cosine near 1
+      val p = src.map(x => x + (rng.nextGaussian() * 0.02).toFloat)
+      (1000L + srcId, p)
+    }
+    val corpus = base ++ planted
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).foldLeft(0.0) { case (s, (p, q)) =>
+          s + p.toDouble * q.toDouble }
+      dot(a, b) / math.sqrt(dot(a, a)) / math.sqrt(dot(b, b))
+    }
+    val expected = (for {
+      (ia, va) <- corpus; (ib, vb) <- corpus if ia < ib
+      c = cos(va, vb) if c >= 0.9
+    } yield (ia, ib)).sorted
+    assert(expected.size >= 5, "all planted pairs should exceed 0.9")
+    val got = Dedup.embeddingSignLshPairs(
+        corpus.toDF("vec_id", "embedding"), 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSeq.sorted
+    assert(got == expected)
+  }
+
   test("clusters equal the transitive closure of the pair graph") {
     val pairs = Dedup.ngramJaccard(spark, sf).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))

@@ -74,6 +74,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("blocked embedding near-dup joins on block-pair keys, never nested-loop") {
+    val p = physical(Dedup.embeddingPairsBlocked(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("windowed event agg keeps partial aggregation (map-side combine)") {
     val p = physical(graft.streaming.EventStream.windowedAgg(
       graft.Tables.events(spark, sf)))
