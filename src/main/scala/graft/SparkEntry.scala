@@ -144,6 +144,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhashPairs _),
     "dedup_embedding" -> (Dedup.embeddingPairs _),
+    "dedup_embedding_blocked" -> (Dedup.embeddingPairsBlocked _),
     // --- similarity search ---
     "ann_brute_topk" -> (Similarity.bruteTopK _),
     "ann_lsh_topk" -> (Similarity.lshTopK _),
@@ -174,6 +175,7 @@ object SparkEntry {
     // --- multimodal plumbing (decode stubbed; see Multimodal scaladoc) ---
     "media_stats" -> (Multimodal.mediaStats _),
     "media_frames" -> (Multimodal.mediaFrames _),
+    "media_decode" -> (Multimodal.mediaDecode _),
     // --- streaming logic, batch-applied (same plan both modes) ---
     "events_window" -> ((s, dir) =>
       graft.streaming.EventStream.windowedAgg(Tables.events(s, dir))
@@ -646,20 +648,11 @@ object SparkEntry {
     // dedup_simhash intentionally omitted: its contract depends on
     // xxhash64 bit patterns DuckDB cannot reproduce; covered by
     // DedupSpec instead (driver records rows-only).
-    "dedup_embedding" ->
-      """WITH n AS (SELECT vec_id, embedding,
-           sqrt(list_reduce(list_transform(embedding,
-             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
-         FROM embeddings)
-         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_reduce(list_transform(list_zip(a.embedding,b.embedding),
-             x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p,q)->p+q)
-             /a.nrm/b.nrm, 6) AS cos
-         FROM n a, n b WHERE a.vec_id < b.vec_id
-           AND list_reduce(list_transform(list_zip(a.embedding,b.embedding),
-             x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p,q)->p+q)
-             /a.nrm/b.nrm >= 0.45
-         ORDER BY 1, 2""",
+    // same exhaustive contract under two physical plans: the labelled
+    // exact baseline (nested-loop) and the block-pair equi-join that
+    // is the 100 TB shape — both must equal this brute-force oracle
+    "dedup_embedding" -> embeddingPairsOracle,
+    "dedup_embedding_blocked" -> embeddingPairsOracle,
     // ann_lsh_topk intentionally omitted: approximate recall contract,
     // measured against bruteTopK in SimilaritySpec (driver rows-only).
     "ann_brute_topk" ->
@@ -855,6 +848,20 @@ object SparkEntry {
            len(substring(text, CAST(frame_idx*256+1 AS INT), 256)) AS frame_len,
            md5(substring(text, CAST(frame_idx*256+1 AS INT), 256)) AS frame_md5
          FROM f WHERE frame_idx % 2 = 0 ORDER BY media_id, frame_idx""",
+    // the oracle can't run a codec, but it doesn't need one: the Spark
+    // side re-quantizes decoded planes back to 8-bit source levels
+    // (bit-exact — see Multimodal.JdkDecoder), so summed character
+    // codes of the payload are the full decode contract
+    "media_decode" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' ELSE 'audio' END AS kind,
+           text,
+           16 * least(CAST(ceil(len(text)/16.0) AS INT), 16) AS n_px
+         FROM documents WHERE doc_id % 3 < 2)
+         SELECT media_id, kind, CAST(n_px AS INT) AS n_px,
+           CAST(list_reduce(list_transform(range(1, least(len(text), n_px) + 1),
+             i -> ascii(text[i])), (a,b) -> a+b) AS BIGINT) AS px_sum
+         FROM m ORDER BY media_id""",
     "events_window" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
            count(*) AS n_events,
@@ -898,6 +905,21 @@ object SparkEntry {
            ON c.user_id = b.user_id AND b.buy_ts >= c.click_ts
           AND b.buy_ts <= c.click_ts + INTERVAL 30 MINUTE
          GROUP BY 1 ORDER BY 1""")
+
+  private val embeddingPairsOracle =
+    """WITH n AS (SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(embedding,
+           x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
+       FROM embeddings)
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_reduce(list_transform(list_zip(a.embedding,b.embedding),
+           x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p,q)->p+q)
+           /a.nrm/b.nrm, 6) AS cos
+       FROM n a, n b WHERE a.vec_id < b.vec_id
+         AND list_reduce(list_transform(list_zip(a.embedding,b.embedding),
+           x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p,q)->p+q)
+           /a.nrm/b.nrm >= 0.45
+       ORDER BY 1, 2"""
 
   private val dedupPairsOracle =
     """WITH sh AS (SELECT doc_id,

@@ -15,13 +15,16 @@ import graft.Tables.load
   * arrow-batched Python UDFs: one decoder instantiation per partition,
   * streaming through rows, never materializing a partition in memory).
   *
-  * ── STUB BOUNDARY ──────────────────────────────────────────────────
-  * This container has no codec libraries, so `Decoder` is pluggable and
-  * the default `FakeDecoder` derives deterministic "pixels"/"samples"
-  * from the bytes themselves (stable across runs/executors). Swapping
-  * in a real JNI/javacpp decoder changes ONLY the `Decoder` binding —
-  * schema, partitioning, batch shape and every downstream op are real
-  * and tested.
+  * ── DECODE BOUNDARY ────────────────────────────────────────────────
+  * `Decoder` is pluggable. PNG and WAV decode for REAL through the
+  * JDK's own codecs (`javax.imageio`, `javax.sound.sampled` — no
+  * external library needed): see [[JdkDecoder]], exercised end-to-end
+  * by the oracled `media_decode` query over [[mediaEncoded]], whose
+  * image rows carry actual grayscale PNG containers and audio rows
+  * actual 16-bit PCM WAV containers. Only VIDEO remains stubbed
+  * (`FakeDecoder` — the JDK ships no video codec and this container
+  * has no ffmpeg); a real frame decoder swaps in at the same trait
+  * without touching schema, partitioning, or any downstream op.
   * ───────────────────────────────────────────────────────────────────
   *
   * The synthetic `media` table is derived deterministically from
@@ -56,15 +59,125 @@ object Multimodal {
     def decode(bytes: Array[Byte], width: Int, height: Int): Array[Float]
   }
 
-  /** STUB: deterministic fake — byte k of the payload becomes pixel k
-    * (normalized to [0,1), plane padded/truncated to width×height).
-    * NOT a real codec; see the stub-boundary note above.
+  /** STUB (video only): deterministic fake — byte k of the payload
+    * becomes pixel k (normalized to [0,1), plane padded/truncated to
+    * width×height). NOT a real codec; see the decode-boundary note.
     */
   object FakeDecoder extends Decoder {
     def decode(bytes: Array[Byte], width: Int, height: Int): Array[Float] = {
       val n = width * height
       Array.tabulate(n)(i =>
         if (i < bytes.length) (bytes(i) & 0xFF) / 256.0f else 0.0f)
+    }
+  }
+
+  /** REAL decode through the JDK's built-in codecs, dispatched on the
+    * container's magic bytes (self-describing formats need no mime at
+    * this boundary): PNG via `javax.imageio`, WAV via
+    * `javax.sound.sampled`; anything else (the fake video payloads)
+    * falls through to [[FakeDecoder]].
+    *
+    * Plane contract (shared with FakeDecoder so every downstream op is
+    * decoder-agnostic): row-major `Array[Float]` of exactly
+    * width×height normalized levels in [0,1), quantization step 1/256
+    * for 8-bit sources — gray level g → g/256, 16-bit PCM sample v →
+    * v/65536 + 1/2. Both maps are power-of-two exact in Float, so
+    * re-quantizing `round(p*256)` recovers source levels bit-exactly —
+    * that is what lets the `media_decode` query be hash-verified
+    * against a SQL oracle even though the oracle cannot run a codec.
+    */
+  object JdkDecoder extends Decoder {
+    private def isPng(b: Array[Byte]): Boolean =
+      b.length > 8 && b(0) == 0x89.toByte && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G'
+    private def isWav(b: Array[Byte]): Boolean =
+      b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+        b(11) == 'E'
+
+    def decode(bytes: Array[Byte], width: Int, height: Int): Array[Float] =
+      if (isPng(bytes)) {
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file churn
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val raster = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        val n = width * height
+        val plane = new Array[Float](n)
+        var i = 0
+        while (i < n && i < w * h) {
+          plane(i) = raster.getSample(i % w, i / w, 0) / 256.0f
+          i += 1
+        }
+        plane
+      } else if (isWav(bytes)) {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val data =
+          try ais.readAllBytes()
+          finally ais.close()
+        val n = width * height
+        val plane = new Array[Float](n)
+        val samples = data.length / 2
+        var i = 0
+        while (i < n && i < samples) {
+          // 16-bit signed little-endian PCM
+          val v = (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xFF)
+          plane(i) = v / 65536.0f + 0.5f
+          i += 1
+        }
+        plane
+      } else FakeDecoder.decode(bytes, width, height)
+  }
+
+  /** Deterministic container ENCODERS (JDK codecs again) used to give
+    * the synthetic media relation real decodable payloads. Executors
+    * call these inside `mapPartitions` — cheap, allocation-only, no
+    * native state.
+    */
+  object MediaCodec {
+    /** payload bytes → grayscale PNG of the w×h plane (byte k = gray
+      * level of pixel k; truncated at w·h, zero-padded past the end).
+      */
+    def encodePng(bytes: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      val n = width * height
+      while (i < n) {
+        raster.setSample(i % width, i / width, 0,
+          if (i < bytes.length) bytes(i) & 0xFF else 0)
+        i += 1
+      }
+      javax.imageio.ImageIO.setUseCache(false)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** payload bytes → mono 16-bit signed PCM WAV, one sample per
+      * byte: sample k = (b_k − 128) · 256, exactly invertible under
+      * [[JdkDecoder]]'s v/65536 + 1/2 normalization (→ b_k/256).
+      */
+    def encodeWav(bytes: Array[Byte]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        8000f, 16, 1, true, false) // signed, little-endian
+      val pcm = new Array[Byte](bytes.length * 2)
+      var i = 0
+      while (i < bytes.length) {
+        val s = ((bytes(i) & 0xFF) - 128) << 8
+        pcm(2 * i) = (s & 0xFF).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, bytes.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      try javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      finally ais.close()
+      out.toByteArray
     }
   }
 
@@ -87,6 +200,67 @@ object Multimodal {
     import s.implicits._
     media(s, dir).as[MediaRow]
   }
+
+  /** The media relation with REAL containers: image rows carry an
+    * actual grayscale PNG of their payload plane, audio rows an actual
+    * 16-bit PCM WAV (one sample per payload byte); video rows keep the
+    * raw payload (no JDK video codec — the declared remaining stub).
+    * Encoding runs partition-parallel on executors; only the binary
+    * column changes, so every metadata-driven op sees the same schema.
+    */
+  def mediaEncoded(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    mediaDs(s, dir).mapPartitions(_.map { m =>
+      m.kind match {
+        case "image" =>
+          m.copy(content = MediaCodec.encodePng(m.content, m.width, m.height))
+        case "audio" =>
+          m.copy(content = MediaCodec.encodeWav(m.content))
+        case _ => m
+      }
+    })
+  }
+
+  /** Decode the real-container relation: for image/audio the container
+    * IS the frame set (one decoded plane per media); video chunks into
+    * FrameBytes fake frames exactly like [[decodeFrames]]. One decoder
+    * dispatch per row, streaming through partitions — planes never
+    * leave their partition until an aggregation reduces them.
+    */
+  def decodeMedia(s: SparkSession, dir: String,
+      decoder: Decoder = JdkDecoder): Dataset[DecodedFrame] = {
+    import s.implicits._
+    mediaEncoded(s, dir).mapPartitions(_.flatMap { m =>
+      if (m.kind == "video") {
+        val n = (m.content.length + FrameBytes - 1) / FrameBytes
+        (0 until n).iterator.map { i =>
+          val chunk = m.content.slice(i * FrameBytes,
+            math.min((i + 1) * FrameBytes, m.content.length))
+          DecodedFrame(m.media_id, m.kind, i, m.width, m.height,
+            decoder.decode(chunk, m.width, m.height))
+        }
+      } else Iterator.single(DecodedFrame(m.media_id, m.kind, 0,
+        m.width, m.height, decoder.decode(m.content, m.width, m.height)))
+    })
+  }
+
+  /** The REAL decode path as an oracle-checkable query: encode →
+    * JDK-codec decode → re-quantize each plane back to source levels
+    * (`round(p·256)`, bit-exact per the [[JdkDecoder]] contract) and
+    * sum them. The SQL oracle computes the same sum directly from the
+    * payload's character codes — so a hash match proves the PNG/WAV
+    * containers round-tripped through the actual codecs losslessly.
+    * Video is excluded: its decode is the declared stub, covered by
+    * MultimodalSpec instead.
+    */
+  def mediaDecode(s: SparkSession, dir: String): DataFrame =
+    decodeMedia(s, dir).toDF()
+      .filter(col("kind") =!= "video")
+      .select(col("media_id"), col("kind"),
+        size(col("pixels")).as("n_px"),
+        aggregate(col("pixels"), lit(0L),
+          (a, x) => a + round(x * 256).cast("long")).as("px_sum"))
+      .orderBy(col("media_id"))
 
   /** Frame sampling: split the payload into FrameBytes chunks, keep
     * every `stride`-th. Pure column ops (no decode needed to *sample*),

@@ -87,4 +87,62 @@ class MultimodalSpec extends SparkSpec {
     // point the same way: the op must find plenty of near-dups here
     assert(pairs.length > 0)
   }
+
+  test("JDK PNG codec round-trips every 8-bit level to known pixels") {
+    val bytes = Array.tabulate(256)(_.toByte) // all gray levels 0..255
+    val png = Multimodal.MediaCodec.encodePng(bytes, 16, 16)
+    assert(png.take(4).map(_ & 0xFF).sameElements(Seq(0x89, 'P', 'N', 'G')))
+    val plane = Multimodal.JdkDecoder.decode(png, 16, 16)
+    assert(plane.length == 256)
+    // decode contract: gray level g -> exactly g/256f
+    (0 until 256).foreach(i => assert(plane(i) == i / 256.0f))
+  }
+
+  test("JDK PNG decode pads past the payload and truncates at the plane") {
+    val bytes = Array.tabulate(40)(i => (i + 1).toByte)
+    val png = Multimodal.MediaCodec.encodePng(bytes, 16, 3) // plane 48
+    val plane = Multimodal.JdkDecoder.decode(png, 16, 3)
+    assert(plane.length == 48)
+    (0 until 40).foreach(i => assert(plane(i) == (i + 1) / 256.0f))
+    (40 until 48).foreach(i => assert(plane(i) == 0.0f))
+  }
+
+  test("JDK WAV codec round-trips every byte to known samples") {
+    val bytes = Array.tabulate(256)(_.toByte)
+    val wav = Multimodal.MediaCodec.encodeWav(bytes)
+    assert(new String(wav.take(4), "ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "ASCII") == "WAVE")
+    val plane = Multimodal.JdkDecoder.decode(wav, 16, 16)
+    // decode contract: sample (b-128)<<8 -> v/65536 + 1/2 = b/256f
+    (0 until 256).foreach(i => assert(plane(i) == i / 256.0f))
+  }
+
+  test("JdkDecoder falls through to the fake decoder off-magic (video)") {
+    val raw = "not a container".getBytes("UTF-8")
+    val a = Multimodal.JdkDecoder.decode(raw, 4, 4)
+    val b = Multimodal.FakeDecoder.decode(raw, 4, 4)
+    assert(a.sameElements(b))
+  }
+
+  test("encoded relation decodes through real codecs at corpus scale") {
+    val decoded = Multimodal.decodeMedia(spark, sf).collect()
+    assert(decoded.nonEmpty)
+    // image/audio: one real container frame per media, plane w*h
+    val real = decoded.filter(f => f.kind != "video")
+    assert(real.nonEmpty)
+    assert(real.forall(_.frame_idx == 0))
+    assert(real.forall(f => f.pixels.length == f.width * f.height))
+    assert(real.forall(_.pixels.forall(p => p >= 0f && p < 1f)))
+    // decoded levels re-quantize to the source payload's bytes
+    val m = Multimodal.mediaDs(spark, sf).collect()
+      .map(r => r.media_id -> r).toMap
+    real.take(20).foreach { f =>
+      val src = m(f.media_id)
+      val n = f.width * f.height
+      val expect = Array.tabulate(n)(i =>
+        if (i < src.content.length) src.content(i) & 0xFF else 0)
+      val got = f.pixels.map(p => math.round(p * 256))
+      assert(got.sameElements(expect), s"media ${f.media_id}")
+    }
+  }
 }
