@@ -12,6 +12,8 @@ import graft.engine.Lake
   */
 object Serve {
   def main(args: Array[String]): Unit = {
+    // before any HttpServer can exist in this JVM (see LakeServer.noDelay)
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     val port = args.lift(0).map(_.toInt).getOrElse(8080)
     val root = args.lift(1).map(Paths.get(_))
       .getOrElse(Files.createTempDirectory("graft-lake"))

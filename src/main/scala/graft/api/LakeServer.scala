@@ -43,12 +43,7 @@ import graft.store.DatasetMeta
   * contract lives here, not in the transport.
   */
 final class LakeServer(lake: Lake, port: Int) {
-  // The JDK HttpServer leaves Nagle's algorithm on; chunked replies
-  // (/find, /extract, /file downloads) then lose ~40ms per request to
-  // the Nagle/delayed-ACK interaction — measured 259 req/s vs 1500+
-  // with it off. ServerConfig reads this in a static initializer, so
-  // it must be set before the first HttpServer is created in the JVM.
-  System.setProperty("sun.net.httpserver.nodelay", "true")
+  LakeServer.noDelay // must be forced before HttpServer.create below
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -291,6 +286,20 @@ final class LakeServer(lake: Lake, port: Int) {
 }
 
 object LakeServer {
+  /** The JDK HttpServer leaves Nagle's algorithm on; chunked replies
+    * (/find, /extract, /file downloads) then lose ~40ms per request to
+    * the Nagle/delayed-ACK interaction — measured 259 req/s vs 1500+
+    * with it off. `sun.net.httpserver.ServerConfig` reads the property
+    * in ITS static initializer, so it must be set before the first
+    * `HttpServer` is created anywhere in the JVM. Living in this
+    * companion's static initializer (touched first thing in the class
+    * constructor) makes the ordering structural for every LakeServer
+    * path; processes that create an unrelated HttpServer earlier must
+    * set it at their entry point (Serve.main does).
+    */
+  private[api] val noDelay: Unit =
+    System.setProperty("sun.net.httpserver.nodelay", "true")
+
   def start(lake: Lake, port: Int = 0): LakeServer =
     new LakeServer(lake, port).start()
 }

@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.load
-
 /** The composite curation pipeline — what this engine exists for at
   * 100 TB: one declarative plan that quality-filters, near-dedups and
   * selects canonical documents, end to end.
@@ -40,12 +38,21 @@ object Curate {
     * numbers a pipeline operator reports after each run.
     */
   def stats(s: SparkSession, dir: String): DataFrame = {
-    val total = load(s, dir, "documents").count()
-    val q = TextAnalysis.quality(s, dir).filter(col("keep")).count()
-    val curated = pipeline(s, dir).count()
-    import s.implicits._
-    Seq((total, q, total - q, q - curated, curated))
-      .toDF("n_docs", "n_quality", "dropped_quality", "dropped_neardup",
-        "n_curated")
+    // One job: mark every doc with its quality gate and near-dup flag,
+    // then fold all five counters in a single aggregation — the
+    // three-action form scanned the corpus and re-ran the pair join
+    // per counter.
+    val dropped = Dedup.ngramJaccardPairs(s, dir)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("neardup", lit(true))
+    TextAnalysis.quality(s, dir)
+      .join(broadcast(dropped), Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_if(col("keep")).as("n_quality"),
+        count_if(!col("keep")).as("dropped_quality"),
+        count_if(col("keep") && col("neardup").isNotNull)
+          .as("dropped_neardup"),
+        count_if(col("keep") && col("neardup").isNull).as("n_curated"))
   }
 }

@@ -31,8 +31,27 @@ import graft.qast.{Compiler, Evaluator}
   * these are driver-cheap, and `search` stays a fully distributed
   * join+filter.
   */
-final class Catalog(spark: SparkSession, root: Path) {
+final class Catalog(spark: SparkSession, root: Path,
+    localIndexMaxRowsOverride: Long = -1L) {
   import spark.implicits._
+
+  /** Driver-side materialization cap. The point-lookup indexes and the
+    * `searchLocal` snapshot hold the RESOLVED metadata relations on the
+    * driver — reference parity (its Postgres held them the same way)
+    * and the measured hot-path win at metadata scale. At 100× metadata
+    * that becomes a driver OOM, so above this row count the catalog
+    * stops materializing: point lookups become pushed-down distributed
+    * filters over the log and `searchLocal` falls back to the Catalyst
+    * QAST backend (`searchWith`), which only collects MATCHES. Both
+    * backends are semantics-equivalent (QastBackendsSpec), so callers
+    * see identical results either side of the cap. Configurable via
+    * `spark.graft.catalog.localIndexMaxRows` (or the constructor, for
+    * tests).
+    */
+  private val localIndexMaxRows: Long =
+    if (localIndexMaxRowsOverride >= 0L) localIndexMaxRowsOverride
+    else spark.conf.getOption("spark.graft.catalog.localIndexMaxRows")
+      .map(_.toLong).getOrElse(4L * 1000 * 1000)
 
   private val contentDir = root.resolve("content")
   private val datasetDir = root.resolve("dataset")
@@ -202,22 +221,48 @@ final class Catalog(spark: SparkSession, root: Path) {
     if (pendingDatasets.size >= 1024) flush()
   }
 
-  private def lookupDataset(id: Long)
-      : Option[DatasetRow] = Option(dsIndex.get(id))
+  private def lookupDataset(id: Long): Option[DatasetRow] =
+    dsIndex match {
+      case Some(m) => Option(m.get(id))
+      case None => // above the cap: pending rows first (no job for the
+        // WAL hot path), then a pushed-down point filter over the log
+        synchronized(pendingDatasets.get(id)).orElse {
+          implicit val enc = org.apache.spark.sql.Encoders.product[DatasetRow]
+          dataset.filter(col("id") === id).as[DatasetRow]
+            .collect().headOption
+        }
+    }
+
+  /** Parquet row counts are footer-metadata reads — no data scan. */
+  private def logRows(dir: Path): Long =
+    if (!hasData(dir)) 0L else spark.read.parquet(dir.toString).count()
+
+  /** Once the log crosses the cap it never shrinks (append-only), so
+    * the disabled decision is memoized — over-cap lookups pay one
+    * filter job, not an extra count.
+    */
+  @volatile private var datasetIndexDisabled = false
+  @volatile private var contentIndexDisabled = false
 
   private def dsIndex
-      : java.util.concurrent.ConcurrentHashMap[Long, DatasetRow] =
-    datasetIndex.getOrElse(synchronized {
-      datasetIndex.getOrElse {
-        implicit val enc = org.apache.spark.sql.Encoders.product[DatasetRow]
-        val m = new java.util.concurrent.ConcurrentHashMap[Long, DatasetRow]
-        if (hasData(datasetDir)) {
-          spark.read.parquet(datasetDir.toString)
-            .as[DatasetRow].collect().foreach(r => m.put(r.id, r))
+      : Option[java.util.concurrent.ConcurrentHashMap[Long, DatasetRow]] =
+    if (datasetIndexDisabled) None
+    else datasetIndex.orElse(synchronized {
+      datasetIndex.orElse {
+        if (logRows(datasetDir) > localIndexMaxRows) {
+          datasetIndexDisabled = true
+          None
+        } else {
+          implicit val enc = org.apache.spark.sql.Encoders.product[DatasetRow]
+          val m = new java.util.concurrent.ConcurrentHashMap[Long, DatasetRow]
+          if (hasData(datasetDir)) {
+            spark.read.parquet(datasetDir.toString)
+              .as[DatasetRow].collect().foreach(r => m.put(r.id, r))
+          }
+          pendingDatasets.valuesIterator.foreach(r => m.put(r.id, r))
+          datasetIndex = Some(m)
+          datasetIndex
         }
-        pendingDatasets.valuesIterator.foreach(r => m.put(r.id, r))
-        datasetIndex = Some(m)
-        m
       }
     })
 
@@ -320,25 +365,33 @@ final class Catalog(spark: SparkSession, root: Path) {
     if (pending.size >= 1024) flush()
   }
 
-  /** Resolved driver index (lazy; updated incrementally on writes). */
+  /** Resolved driver index (lazy; updated incrementally on writes;
+    * None above the cap — see `localIndexMaxRows`).
+    */
   private def index
-      : java.util.concurrent.ConcurrentHashMap[String, ContentRow] =
-    contentIndex.getOrElse(synchronized {
-      contentIndex.getOrElse {
-        implicit val enc = org.apache.spark.sql.Encoders.product[ContentRow]
-        val m = new java.util.concurrent.ConcurrentHashMap[String, ContentRow]
-        if (hasData(contentDir)) {
-          spark.read.parquet(contentDir.toString)
-            .groupBy("cid")
-            .agg(max_by(struct(col("type"), col("extra"), col("seq")),
-              col("seq")).as("r"))
-            .select(col("cid"), col("r.type").as("type"),
-              col("r.extra").as("extra"), col("r.seq").as("seq"))
-            .as[ContentRow].collect().foreach(r => m.put(r.cid, r))
+      : Option[java.util.concurrent.ConcurrentHashMap[String, ContentRow]] =
+    if (contentIndexDisabled) None
+    else contentIndex.orElse(synchronized {
+      contentIndex.orElse {
+        if (logRows(contentDir) > localIndexMaxRows) {
+          contentIndexDisabled = true
+          None
+        } else {
+          implicit val enc = org.apache.spark.sql.Encoders.product[ContentRow]
+          val m = new java.util.concurrent.ConcurrentHashMap[String, ContentRow]
+          if (hasData(contentDir)) {
+            spark.read.parquet(contentDir.toString)
+              .groupBy("cid")
+              .agg(max_by(struct(col("type"), col("extra"), col("seq")),
+                col("seq")).as("r"))
+              .select(col("cid"), col("r.type").as("type"),
+                col("r.extra").as("extra"), col("r.seq").as("seq"))
+              .as[ContentRow].collect().foreach(r => m.put(r.cid, r))
+          }
+          pending.valuesIterator.foreach(r => m.put(r.cid, r))
+          contentIndex = Some(m)
+          contentIndex
         }
-        pending.valuesIterator.foreach(r => m.put(r.cid, r))
-        contentIndex = Some(m)
-        m
       }
     })
 
@@ -371,7 +424,16 @@ final class Catalog(spark: SparkSession, root: Path) {
     lookupContent(cid).flatMap(_.extra.get("schema"))
 
   private def lookupContent(cid: String): Option[ContentRow] =
-    Option(index.get(cid)) // pure map access — no Spark job on uploads
+    index match {
+      case Some(m) => Option(m.get(cid)) // pure map access on uploads
+      case None => // above the cap: WAL rows first, then a pushed-down
+        // point filter over the LWW-resolved view
+        synchronized(pending.get(cid)).orElse {
+          implicit val enc = org.apache.spark.sql.Encoders.product[ContentRow]
+          content.filter(col("cid") === cid).as[ContentRow]
+            .collect().headOption
+        }
+    }
 
   /** Required dataset fields (`HttpHandler.java:138-142`); anything else
     * in `meta` is open-map `extra`.
@@ -421,9 +483,11 @@ final class Catalog(spark: SparkSession, root: Path) {
   /** Metadata search (reference S5/S6, `PostgreSQL.java:51-54`):
     * `dataset ⋈ content ON file = cid`, QAST predicate over the joined
     * open row, fixed projection plus right-biased merge
-    * `dataset.extra || content.extra` (jsonb `||` semantics). The
-    * metadata side is broadcast — at any scale the content relation
-    * dwarfs it per-key, and the predicate lands in both scans.
+    * `dataset.extra || content.extra` (jsonb `||` semantics). Join
+    * strategy is left to Catalyst: at metadata scale both sides
+    * auto-broadcast; past that a hint would force the OOM the
+    * `localIndexMaxRows` cap exists to prevent. The predicate lands
+    * in both scans.
     */
   def search(qastJson: String): Either[graft.qast.Ast.QastError, DataFrame] =
     Compiler.fromJson(qastJson).map(searchWith)
@@ -440,27 +504,47 @@ final class Catalog(spark: SparkSession, root: Path) {
     */
   def searchLocal(qastJson: String)
       : Either[graft.qast.Ast.QastError, Seq[Evaluator.Row]] =
-    Evaluator.fromJson(qastJson).map { pred =>
-      snapshot.filter(r => pred(r) == true)
+    snapshot match {
+      case Some(rows) =>
+        Evaluator.fromJson(qastJson).map(pred => rows.filter(pred(_) == true))
+      case None =>
+        // Above the cap the full relation must not live on the driver:
+        // run the SAME predicate through the Catalyst backend (the two
+        // backends are equivalence-tested in QastBackendsSpec) so the
+        // filter executes distributed and only MATCHES are collected.
+        Compiler.fromJson(qastJson).map(pred =>
+          searchWith(pred).collect().toSeq.map(searchRowToMap))
     }
 
-  private def snapshot: Seq[Evaluator.Row] =
-    snapshotCache.getOrElse(synchronized {
-      snapshotCache.getOrElse {
-        val rows = searchWith(lit(true)).collect().toSeq.map { r =>
-          Map[String, Any](
-            "id" -> r.getAs[Long]("id"),
-            "file" -> r.getAs[String]("file"),
-            "description" -> r.getAs[String]("description"),
-            "source" -> r.getAs[String]("source"),
-            "topics" -> r.getAs[Seq[String]]("topics").toList,
-            "type" -> r.getAs[String]("type"),
-            "parent" -> (if (r.isNullAt(r.fieldIndex("parent"))) null
-                         else r.getAs[Long]("parent")),
-            "extra" -> r.getAs[Map[String, String]]("extra"))
+  private def searchRowToMap(r: org.apache.spark.sql.Row): Evaluator.Row =
+    Map[String, Any](
+      "id" -> r.getAs[Long]("id"),
+      "file" -> r.getAs[String]("file"),
+      "description" -> r.getAs[String]("description"),
+      "source" -> r.getAs[String]("source"),
+      "topics" -> r.getAs[Seq[String]]("topics").toList,
+      "type" -> r.getAs[String]("type"),
+      "parent" -> (if (r.isNullAt(r.fieldIndex("parent"))) null
+                   else r.getAs[Long]("parent")),
+      "extra" -> r.getAs[Map[String, String]]("extra"))
+
+  @volatile private var snapshotDisabled = false
+
+  private def snapshot: Option[Seq[Evaluator.Row]] =
+    if (snapshotDisabled) None
+    else snapshotCache.orElse(synchronized {
+      snapshotCache.orElse {
+        // dataset rows bound the joined search relation's size (the
+        // join is on file=cid, one content row per key)
+        if (logRows(datasetDir) + pendingDatasets.size > localIndexMaxRows) {
+          snapshotDisabled = true
+          None
+        } else {
+          val rows =
+            searchWith(lit(true)).collect().toSeq.map(searchRowToMap)
+          snapshotCache = Some(rows)
+          snapshotCache
         }
-        snapshotCache = Some(rows)
-        rows
       }
     })
 
@@ -472,7 +556,12 @@ final class Catalog(spark: SparkSession, root: Path) {
       map_filter(coalesce(col("extra"), map()),
         (k, _) => !map_contains_key(coalesce(col("content_extra"), map()), k)),
       coalesce(col("content_extra"), map()))
-    d.join(broadcast(c), col("file") === col("cid"))
+    // no broadcast hint: at metadata scale both sides fall under the
+    // auto-broadcast threshold (same plan as before); above the
+    // localIndexMaxRows cap a forced broadcast of either side would be
+    // the driver OOM this cap exists to prevent — Catalyst/AQE pick
+    // from actual sizes instead
+    d.join(c, col("file") === col("cid"))
       .withColumn("merged_extra", mergedExtra)
       .filter(pred)
       .select(col("id"), col("file"), col("description"), col("source"),
