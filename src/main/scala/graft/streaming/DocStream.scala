@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
@@ -32,7 +32,11 @@ import graft.operators.Dedup
   * length; buckets distribute by hash across executors. Batch parity:
   * admitting first-seen docs per near-dup cluster is exactly what
   * `Dedup.minhashLsh` + keep-min-id does offline (DocStreamSpec pins
-  * the streaming decisions against the batch pair contract).
+  * the streaming decisions against the batch pair contract), and the
+  * decision procedure itself is oracle-verified: `nearDedupedMd5`
+  * runs the IDENTICAL admission fold over md5-based signatures DuckDB
+  * can recompute, and the `stream_near_dedup` query hash-matches a
+  * recursive-CTE replay of the fold (SparkEntry.oracleSql).
   */
 object DocStream {
 
@@ -63,6 +67,32 @@ object DocStream {
     a.iterator.zip(b.iterator).count { case (x, y) => x == y }.toDouble /
       Dedup.NumPerms
 
+  /** THE admission decision, factored out so every variant (streaming
+    * xxhash, batch xxhash, the md5 oracle twin) runs one fold: docs in
+    * ascending doc_id order; admit iff the signature agrees with every
+    * previously admitted signature on fewer than `minJ` of `nPerms`
+    * positions; admitted signatures join the FIFO-bounded `prior` list.
+    * Returns the updated list and (doc_id, n_compared) per admitted doc,
+    * where n_compared is the admitted-state size the doc was verified
+    * against.
+    */
+  private[streaming] def admitFold[S](docs: Iterator[(Long, Seq[S])],
+      prior: List[Seq[S]], nPerms: Int): (List[Seq[S]], Seq[(Long, Int)]) = {
+    var seen = prior
+    val out = docs.toSeq.sortBy(_._1).flatMap { case (id, sig) =>
+      val matches = (s: Seq[S]) =>
+        s.iterator.zip(sig.iterator).count { case (x, y) => x == y }
+      val dup = seen.exists(s => matches(s).toDouble / nPerms >= MinJ)
+      if (dup) None
+      else {
+        val nCompared = seen.size // before FIFO truncation
+        seen = (sig :: seen).take(MaxPerBucket)
+        Some((id, nCompared))
+      }
+    }
+    (seen, out)
+  }
+
   /** The stateful admission decision. Within a micro-batch, docs are
     * processed in doc_id order so admission is deterministic (iterator
     * order from a shuffle is not).
@@ -74,18 +104,72 @@ object DocStream {
       .flatMapGroupsWithState[BucketState, Admitted](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (bucket, rows, state) =>
-          var seen = state.getOption.getOrElse(BucketState(Nil)).sigs
-          val out = rows.toSeq.sortBy(_.doc_id).flatMap { d =>
-            val dup = seen.exists(s => estJaccard(s, d.sig) >= MinJ)
-            if (dup) None
-            else {
-              val nCompared = seen.size // before FIFO truncation
-              seen = (d.sig :: seen).take(MaxPerBucket)
-              Some(Admitted(d.doc_id, bucket, nCompared))
-            }
-          }
+          val (seen, admitted) = admitFold(
+            rows.map(d => (d.doc_id, d.sig)),
+            state.getOption.getOrElse(BucketState(Nil)).sigs,
+            Dedup.NumPerms)
           state.update(BucketState(seen))
-          out.iterator
+          admitted.iterator.map { case (id, n) => Admitted(id, bucket, n) }
+      }
+  }
+
+  // --- oracle twin -----------------------------------------------------
+
+  /** Perms in the md5 twin's signature (band 0 = the first 4, like the
+    * production 4-row band). Small because the oracle recomputes every
+    * (perm, shingle) md5 in SQL.
+    */
+  val OraclePerms = 8
+  val OracleBandRows = 4
+
+  case class SigDocS(doc_id: Long, bucket: String, sig: Seq[String])
+  case class BucketStateS(sigs: List[Seq[String]])
+  case class AdmittedS(doc_id: Long, bucket: String, n_compared: Long)
+
+  /** md5 MinHash signature: perm p = min over distinct shingles of
+    * md5("p|shingle") — a K-perm MinHash whose hash DuckDB reproduces
+    * exactly (`md5`, lexicographic min over lowercase hex). Declarative
+    * (nested `transform`) rather than a native expression: this twin
+    * exists for verifiability, the hot path stays `minhash_sig`.
+    */
+  def md5Signature(sh: Column): Column =
+    transform(sequence(lit(0), lit(OraclePerms - 1)),
+      p => array_min(transform(sh,
+        s => md5(concat(p.cast("string"), lit("|"), s)))))
+
+  def md5Signed(docs: DataFrame): Dataset[SigDocS] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"),
+        md5Signature(Dedup.shingles(col("text"))).as("sig"))
+      .select(col("doc_id"),
+        md5(concat_ws("", slice(col("sig"), 1, OracleBandRows)))
+          .as("bucket"),
+        col("sig"))
+      .as[SigDocS]
+  }
+
+  /** The admission operator over the md5 twin — same
+    * `flatMapGroupsWithState` physical shape, same `admitFold`, only
+    * the signature hash differs. Runs on batch frames (empty initial
+    * state) for the oracled `stream_near_dedup` query and on streams
+    * alike.
+    */
+  def nearDedupedMd5(docs: DataFrame): Dataset[AdmittedS] = {
+    import docs.sparkSession.implicits._
+    md5Signed(docs)
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketStateS, AdmittedS](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (bucket, rows, state) =>
+          val (seen, admitted) = admitFold(
+            rows.map(d => (d.doc_id, d.sig)),
+            state.getOption.getOrElse(BucketStateS(Nil)).sigs,
+            OraclePerms)
+          state.update(BucketStateS(seen))
+          admitted.iterator.map { case (id, n) =>
+            AdmittedS(id, bucket, n.toLong)
+          }
       }
   }
 }

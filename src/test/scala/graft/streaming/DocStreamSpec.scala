@@ -52,6 +52,33 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("md5 twin: streaming micro-batches = one batch fold (same decisions)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(1L -> original, 2L -> unrelated, 3L -> original,
+      4L -> nearDup, 5L -> ("totally novel words here that share " +
+        "nothing with previous documents at all okay"))
+    val batch = DocStream.nearDedupedMd5(docs.toDF("doc_id", "text"))
+      .collect().map(a => a.doc_id -> a.n_compared).toMap
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStream.nearDedupedMd5(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("md5_dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(docs.take(2): _*) // id-ordered chunks, like ingest
+      q.processAllAvailable()
+      mem.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("md5_dedup_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_compared"))
+        .toMap
+      assert(streamed == batch, "cross-batch state must replay the fold")
+      // the exact dup is hash-family-independent: identical text ->
+      // identical signature -> same bucket, 8/8 agreement
+      assert(!streamed.contains(3L), "exact dup suppressed by md5 twin")
+    } finally q.stop()
+  }
+
   test("batch parity: colliding strong pairs never both admitted") {
     val docs = graft.Tables.load(spark, sf, "documents")
     val admitted = DocStream.nearDeduped(docs).collect().map(_.doc_id).toSet
