@@ -2,7 +2,6 @@ package graft.store
 
 import java.io.{InputStream, FileNotFoundException}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.security.{DigestInputStream, MessageDigest}
 
 import scala.jdk.CollectionConverters._
 
@@ -11,12 +10,16 @@ import scala.jdk.CollectionConverters._
   * (`/root/reference/src/comlake/core/fs/FileSystem.java:25-46`,
   * `fs/InterPlanetaryFileSystem.java:47-121`).
   *
-  * Content is immutable bytes addressed by CID. Here the CID is
-  * `sha256-<hex>` of the bytes (deterministic like an IPFS multihash, so
-  * re-adding identical bytes dedups to the same address — the passive
-  * dedup the reference gets from IPFS). Directories are content too: a
-  * directory CID addresses a manifest mapping name → child CID, mirroring
-  * IPFS `inode/directory` semantics (`db/PostgreSQL.java:97-99`).
+  * Content is immutable bytes addressed by CID — a REAL IPFS CIDv0
+  * (dag-pb/UnixFS merkle root, `Cid.scala`), so re-adding identical
+  * bytes dedups to the same address (the passive dedup the reference
+  * gets from IPFS) AND the addresses themselves equal what the
+  * reference's daemon would issue: the golden CIDs from its
+  * `api_test.clj:36-44` reproduce here (CidSpec). Directories are
+  * content too: a directory CID addresses a manifest mapping name →
+  * child CID, mirroring IPFS `inode/directory` semantics
+  * (`db/PostgreSQL.java:97-99`); the dir CID is the UnixFS directory
+  * node's, with PBLink tsizes composed from the children.
   *
   * Layout under `root`:
   *   blobs/<cid>           — raw bytes (write-once)
@@ -37,31 +40,43 @@ final class ContentStore(val root: Path) {
   Files.createDirectories(dirs)
   Files.createDirectories(ingests)
 
-  /** Ingest a byte stream, return its CID (reference `FileSystem.add`). */
+  /** Dag sizes already computed by this instance (PBLink.Tsize inputs
+    * for directory nodes). A miss recomputes from the stored bytes, so
+    * this is purely a fast path — safe across restarts and writers.
+    */
+  private val dagSizes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Ingest a byte stream, return its CID (reference `FileSystem.add`).
+    * Spooled to a temp file first: the CID is the UnixFS merkle root,
+    * which needs one full pass before the blob's final address exists.
+    */
   def add(in: InputStream): String = {
     val tmp = Files.createTempFile(root, "ingest", ".tmp")
     try {
-      val md = MessageDigest.getInstance("SHA-256")
-      val din = new DigestInputStream(in, md)
-      Files.copy(din, tmp, StandardCopyOption.REPLACE_EXISTING)
-      val cid = "sha256-" + ContentStore.hex(md.digest())
-      val dest = blobs.resolve(cid)
+      Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+      val node = {
+        val s = Files.newInputStream(tmp)
+        try Cid.ofStream(s) finally s.close()
+      }
+      dagSizes.put(node.cid, node.tsize)
+      val dest = blobs.resolve(node.cid)
       if (!Files.exists(dest)) // content-addressed => same bytes, any writer
         Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
-      cid
+      node.cid
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** In-memory ingest fast path: digest first, touch the filesystem
+  /** In-memory ingest fast path: hash first, touch the filesystem
     * only when the content is new. Re-adding existing bytes (IPFS-style
     * passive dedup — the common case in re-ingest workloads) costs one
-    * hash + one existence probe, no temp file, no copy.
+    * merkle pass + one existence probe, no temp file, no copy.
     */
   def add(bytes: Array[Byte]): String = {
-    val md = MessageDigest.getInstance("SHA-256")
-    val cid = "sha256-" + ContentStore.hex(md.digest(bytes))
-    val dest = blobs.resolve(cid)
+    val node = Cid.ofBytes(bytes)
+    dagSizes.put(node.cid, node.tsize)
+    val dest = blobs.resolve(node.cid)
     if (!Files.exists(dest)) {
       val tmp = Files.createTempFile(root, "ingest", ".tmp")
       try {
@@ -70,7 +85,30 @@ final class ContentStore(val root: Path) {
           StandardCopyOption.REPLACE_EXISTING)
       } finally Files.deleteIfExists(tmp)
     }
-    cid
+    node.cid
+  }
+
+  /** Cumulative dag size of any stored cid (blob or directory) — the
+    * PBLink.Tsize a parent directory must carry. Memoized; a cold
+    * lookup recomputes from the stored content.
+    */
+  private def dagSize(cid: String): Long = {
+    // NOT computeIfAbsent: directory sizing recurses into children and
+    // ConcurrentHashMap forbids recursive updates inside the mapping fn
+    val cached = dagSizes.get(cid)
+    if (cached != null) cached.longValue
+    else {
+      val v: Long =
+        if (isDir(cid))
+          Cid.directory(ls(cid).map { case (n, child) =>
+            n -> (child, dagSize(child)) }).tsize
+        else {
+          val s = Files.newInputStream(blobs.resolve(cid))
+          try Cid.ofStream(s).tsize finally s.close()
+        }
+      dagSizes.put(cid, v)
+      v
+    }
   }
 
   /** Stream content by CID (reference `FileSystem.fetch`). */
@@ -148,40 +186,27 @@ final class ContentStore(val root: Path) {
   def isDir(cid: String): Boolean = Files.exists(dirs.resolve(cid))
 
   private def writeManifest(entries: Map[String, String]): String = {
+    // the directory's ADDRESS is its UnixFS node CID (golden dir CIDs
+    // reproduce — the canonical empty dir is pinned in CidSpec); the
+    // manifest file is just our readable storage of the link set
+    val node = Cid.directory(entries.map { case (n, c) =>
+      n -> (c, dagSize(c)) })
+    dagSizes.put(node.cid, node.tsize)
     val body = entries.toSeq.sorted
       .map { case (n, c) => s"$n\t$c" }.mkString("\n")
       .getBytes("UTF-8")
-    val md = MessageDigest.getInstance("SHA-256")
-    val cid = "sha256-" + ContentStore.hex(md.digest(body))
-    val dest = dirs.resolve(cid)
+    val dest = dirs.resolve(node.cid)
     if (!Files.exists(dest)) {
       val tmp = Files.createTempFile(root, "dir", ".tmp")
       Files.write(tmp, body)
       Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
     }
-    cid
+    node.cid
   }
 }
 
 object ContentStore {
   /** JVM-wide tiebreaker so same-millisecond manifests still order. */
   private val ingestSeq = new java.util.concurrent.atomic.AtomicLong(0)
-
-  private val HexChars = "0123456789abcdef".toCharArray
-
-  /** Table-driven lowercase hex — `"%02x".format` costs a Formatter
-    * per byte, which dominated small-blob ingest profiles.
-    */
-  private[store] def hex(bytes: Array[Byte]): String = {
-    val out = new Array[Char](bytes.length * 2)
-    var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xff
-      out(i * 2) = HexChars(b >>> 4)
-      out(i * 2 + 1) = HexChars(b & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
 }

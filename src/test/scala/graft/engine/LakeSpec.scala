@@ -30,7 +30,7 @@ class LakeSpec extends SparkSpec {
   test("content add is deterministic and dedups (CAS)") {
     val cid1 = lake.addFile(csv, "text/csv")
     val cid2 = lake.store.add(csv)
-    assert(cid1 == cid2 && cid1.startsWith("sha256-"))
+    assert(cid1 == cid2 && cid1.startsWith("Qm")) // real CIDv0
     val read = new String(lake.fetch(cid1).readAllBytes(), "UTF-8")
     assert(read.startsWith("country_name"))
   }

@@ -1,12 +1,11 @@
 package graft.sources
 
 import java.nio.file.Files
-import java.security.MessageDigest
 
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.store.ContentStore
+import graft.store.{Cid, ContentStore}
 
 /** The CID DataSource V2 connector: write-side ingest, read-side
   * round-trip, column pruning, and cid filter pushdown into the
@@ -15,9 +14,7 @@ import graft.store.ContentStore
 class CidSourceSpec extends SparkSpec {
   import spark.implicits._
 
-  private def sha(b: Array[Byte]): String =
-    "sha256-" + MessageDigest.getInstance("SHA-256").digest(b)
-      .map("%02x".format(_)).mkString
+  private def sha(b: Array[Byte]): String = Cid.ofBytes(b).cid
 
   private lazy val root = {
     val dir = Files.createTempDirectory("cidsource")
