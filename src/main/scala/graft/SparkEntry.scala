@@ -173,6 +173,7 @@ object SparkEntry {
     "dedup_embedding_blocked" -> (Dedup.embeddingPairsBlocked _),
     // --- similarity search ---
     "ann_brute_topk" -> (Similarity.bruteTopK _),
+    "ann_blocked_topk" -> (Similarity.bruteTopKBlocked _),
     "ann_lsh_topk" -> (Similarity.lshTopK _),
     "ann_ivf_topk" -> (Similarity.ivfTopK _),
     // --- text analysis pack ---
@@ -726,21 +727,11 @@ object SparkEntry {
          ORDER BY doc_id""",
     // ann_lsh_topk intentionally omitted: approximate recall contract,
     // measured against bruteTopK in SimilaritySpec (driver rows-only).
-    "ann_brute_topk" ->
-      """WITH n AS (SELECT vec_id, embedding,
-           sqrt(list_reduce(list_transform(embedding,
-             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
-         FROM embeddings),
-         s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           list_reduce(list_transform(list_zip(q.embedding,c.embedding),
-             x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p,q2)->p+q2)
-             /q.nrm/c.nrm AS cos
-         FROM n q, n c
-         WHERE q.vec_id % 100 = 0 AND c.vec_id != q.vec_id)
-         SELECT query_id, neighbor_id, rank, round(cos,6) AS cos FROM (
-           SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY cos DESC, neighbor_id) AS rank FROM s)
-         WHERE rank <= 5 ORDER BY query_id, rank""",
+    // same exact contract under two physical plans: the labelled
+    // broadcast baseline and the block-partitioned equi-join that is
+    // the 100 TB shape — both must equal this brute-force oracle
+    "ann_brute_topk" -> annExactOracle,
+    "ann_blocked_topk" -> annExactOracle,
     "ann_ivf_topk" ->
       """WITH n AS (SELECT vec_id, embedding,
            sqrt(list_reduce(list_transform(embedding,
@@ -976,6 +967,22 @@ object SparkEntry {
            ON c.user_id = b.user_id AND b.buy_ts >= c.click_ts
           AND b.buy_ts <= c.click_ts + INTERVAL 30 MINUTE
          GROUP BY 1 ORDER BY 1""")
+
+  private val annExactOracle =
+    """WITH n AS (SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(embedding,
+           x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
+       FROM embeddings),
+       s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(q.embedding,c.embedding),
+           x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p,q2)->p+q2)
+           /q.nrm/c.nrm AS cos
+       FROM n q, n c
+       WHERE q.vec_id % 100 = 0 AND c.vec_id != q.vec_id)
+       SELECT query_id, neighbor_id, rank, round(cos,6) AS cos FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+       WHERE rank <= 5 ORDER BY query_id, rank"""
 
   private val embeddingPairsOracle =
     """WITH n AS (SELECT vec_id, embedding,

@@ -162,20 +162,68 @@ object Cid {
 
   /** Balanced DAG over the chunk stream: leaves in arrival order,
     * grouped ≤174 per parent, repeated until one root — the layout
-    * go-ipfs's balanced builder produces. Streaming: only one group
-    * of nodes per level is ever held, so memory is O(depth × 174)
-    * regardless of file size.
+    * go-ipfs's balanced builder produces. Streaming: only one partial
+    * group of nodes per level is ever held, so memory is
+    * O(depth × 174) regardless of file size (a 100 TB file is depth 4).
     */
   def ofStream(in: InputStream): Node = {
-    var nodes = List.newBuilder[Node]
     val buf = new Array[Byte](ChunkSize)
-    var any = false
-    var n = 0
-    while ({ n = readFully(in, buf); n > 0 }) {
-      nodes += leaf(java.util.Arrays.copyOf(buf, n))._1
-      any = true
+    ofChunks(new Iterator[Array[Byte]] {
+      private var n = readFully(in, buf)
+      def hasNext: Boolean = n > 0
+      def next(): Array[Byte] = {
+        val c = java.util.Arrays.copyOf(buf, n)
+        n = readFully(in, buf)
+        c
+      }
+    })
+  }
+
+  /** Eager bottom-up build: a full group of 174 collapses into its
+    * parent the moment it completes, cascading upward; the final flush
+    * wraps each level's remainder exactly like one more `grouped` pass
+    * would. Produces the identical tree to the all-at-once
+    * [[rootOfNaive]] (property-tested across group boundaries in
+    * CidSpec) while holding at most one partial group per level.
+    */
+  private[store] def ofChunks(chunks: Iterator[Array[Byte]]): Node = {
+    val levels = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[Node])
+    def append(i: Int, node: Node): Unit = {
+      if (i == levels.length)
+        levels += scala.collection.mutable.ArrayBuffer.empty[Node]
+      levels(i) += node
+      if (levels(i).length == LinksPerBlock) {
+        val p = fileParent(levels(i).toSeq)
+        levels(i).clear()
+        append(i + 1, p)
+      }
     }
-    var level = if (any) nodes.result() else List(leaf(Array.emptyByteArray)._1)
+    var any = false
+    chunks.foreach { c => append(0, leaf(c)._1); any = true }
+    if (!any) leaf(Array.emptyByteArray)._1
+    else {
+      var i = 0
+      var root: Node = null
+      while (root == null) {
+        if (i == levels.length - 1 && levels(i).length == 1)
+          root = levels(i).head
+        else {
+          if (levels(i).nonEmpty) append(i + 1, fileParent(levels(i).toSeq))
+          i += 1
+        }
+      }
+      root
+    }
+  }
+
+  /** The obviously-correct whole-level build (the shape the dag-pb
+    * docs describe): all leaves, then repeated `grouped(174)` passes.
+    * Test-only reference implementation for [[ofChunks]].
+    */
+  private[store] def rootOfNaive(chunks: Iterator[Array[Byte]]): Node = {
+    var level = chunks.map(c => leaf(c)._1).toList
+    if (level.isEmpty) level = List(leaf(Array.emptyByteArray)._1)
     while (level.length > 1)
       level = level.grouped(LinksPerBlock).map(fileParent).toList
     level.head

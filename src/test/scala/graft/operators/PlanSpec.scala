@@ -80,6 +80,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("blocked exact top-k: pure equi-join shape (no broadcast needed), " +
+      "rank-K filter split into a partial per-partition WindowGroupLimit") {
+    // Catalyst may still broadcast the tiny query side at toy scale —
+    // that's an optimizer choice, not a structural requirement. The
+    // scale property is that with broadcast off the plan is a plain
+    // shuffled equi-join, never nested-loop (bruteTopK by contrast
+    // HINTS broadcast, which no threshold can override).
+    val p = withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      physical(Similarity.bruteTopKBlocked(spark, sf))
+    }
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastExchange"))
+    // stage-2 shuffle must carry only per-partition top-K survivors
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("Partial"))
+  }
+
   test("windowed event agg keeps partial aggregation (map-side combine)") {
     val p = physical(graft.streaming.EventStream.windowedAgg(
       graft.Tables.events(spark, sf)))

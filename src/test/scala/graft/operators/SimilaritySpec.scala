@@ -19,6 +19,12 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("blocked exact top-k equals the broadcast baseline row-for-row") {
+    val brute = Similarity.bruteTopK(spark, sf).collect().toSeq
+    val blocked = Similarity.bruteTopKBlocked(spark, sf).collect().toSeq
+    assert(blocked == brute)
+  }
+
   test("LSH top-k recalls most true neighbors on planted structure") {
     val brute = Similarity.bruteTopK(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))

@@ -77,4 +77,19 @@ class CidSpec extends AnyFunSuite {
     val n = Cid.ofBytes(Array.emptyByteArray)
     assert(n.cid.startsWith("Qm") && n.filesize == 0L)
   }
+
+  test("streaming eager-collapse build equals the whole-level build " +
+      "across every group boundary") {
+    // chunk k = 3 deterministic bytes; counts straddle the 174-per-node
+    // and 174²-per-level boundaries where eager collapsing could diverge
+    def chunks(n: Int) = (0 until n).iterator.map(k =>
+      Array((k & 0xff).toByte, ((k >> 8) & 0xff).toByte, 0x5a.toByte))
+    val counts = Seq(0, 1, 2, 173, 174, 175, 347, 348, 349,
+      174 * 174 - 1, 174 * 174, 174 * 174 + 1)
+    counts.foreach { n =>
+      val eager = Cid.ofChunks(chunks(n))
+      val naive = Cid.rootOfNaive(chunks(n))
+      assert(eager == naive, s"divergence at $n chunks")
+    }
+  }
 }
