@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curate, Dedup, Multimodal, QastQueries, Relational, Sampling, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Curate, Dedup, Multimodal, Pack, QastQueries, Relational, Sampling, Similarity, Skew, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -199,6 +199,8 @@ object SparkEntry {
           round(avg(col("k")), 6).as("k_avg"))
         .orderBy(col("event_type"))),
     "curate_pipeline" -> (Curate.pipeline _),
+    // --- sequence packing (distributed prefix sum; see Pack scaladoc) ---
+    "pack_chunks" -> (Pack.packChunks _),
     // --- multimodal plumbing (decode stubbed; see Multimodal scaladoc) ---
     "media_stats" -> (Multimodal.mediaStats _),
     "media_frames" -> (Multimodal.mediaFrames _),
@@ -900,6 +902,21 @@ object SparkEntry {
            CAST(ceil(octet_length(encode(text))/256.0) AS INT) AS n_frames,
            CAST(floor((ceil(octet_length(encode(text))/256.0)+1)/2) AS INT) AS n_sampled
          FROM documents ORDER BY media_id""",
+    // the distributed two-phase prefix sum must equal the sequential
+    // one: a plain ordered window cumsum (what a single box would run)
+    "pack_chunks" ->
+      """WITH t AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS tok_start
+         FROM t)
+         SELECT doc_id, n_tokens, tok_start,
+           tok_start // 2048 AS chunk_first,
+           (tok_start + n_tokens - 1) // 2048 AS chunk_last
+         FROM c ORDER BY doc_id""",
     "media_frames" ->
       """WITH m AS (SELECT doc_id AS media_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+
+/** Sequence packing — the layout step between a curated corpus and a
+  * pretraining data loader: documents are concatenated in a canonical
+  * order and the token stream is cut into fixed-size context windows
+  * (concat-then-chunk, the packing GPT-style pipelines use). The
+  * deliverable is each document's GLOBAL token offset and the span of
+  * context windows it lands in, so a loader can seek any window
+  * without replaying the corpus. No analog in the reference (this is
+  * §2.3 beyond-reference capability territory).
+  *
+  * The core is a distributed prefix sum — the textbook case where the
+  * naive Spark formulation (`Window.orderBy(doc_id)` with no
+  * partition key) silently collapses the whole corpus into ONE task.
+  * The scale-correct two-phase shape used here:
+  *
+  *   1. range-partition by doc_id (so partition order = doc order)
+  *      and sort within partitions;
+  *   2. per-partition token totals — one row PER PARTITION, a frame
+  *      bounded by cluster parallelism, never by data size. Their
+  *      exclusive running sum (a window over that tiny frame) is each
+  *      partition's starting offset;
+  *   3. broadcast the offsets back onto the big side (pid equi-join —
+  *      map-side, preserves the range partitioning and sort) and one
+  *      streaming `mapPartitions` pass turns offset + per-row counts
+  *      into per-doc global offsets.
+  *
+  * The `mapPartitions` is the genuine per-partition-imperative case:
+  * a running sum seeded per partition has no declarative form that
+  * avoids a second full shuffle (a window keyed by partition id would
+  * re-exchange every row). Everything stays distributed: the only
+  * single-point state is the P-row offsets frame.
+  *
+  * Chunk ids are bit-shifts ([[ChunkTokens]] is a power of two), so
+  * the arithmetic stays integer-exact at any corpus size — a
+  * double-precision `floor(x / c)` would corrupt offsets past 2^53
+  * tokens.
+  */
+object Pack {
+
+  /** Context window size in tokens (2^11 — see the shift arithmetic). */
+  val ChunkTokens = 2048
+  private val ChunkShift = 11
+
+  /** (doc_id, n_tokens, tok_start, chunk_first, chunk_last): global
+    * token offset of each doc in doc_id order and the context windows
+    * its tokens span. Token = whitespace split, the same definition as
+    * the text-analysis pack.
+    */
+  def packChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    // phase 1: doc order becomes partition order
+    val rel = docs.repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .persist() // both phases below read it; Bench clears caches per query
+    // phase 2: one total per partition; exclusive cumsum over that
+    // P-row frame (the single-partition window is over P rows — a
+    // frame sized by the cluster, not the data)
+    val sums = rel.groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col("n_tokens")).as("t"))
+    val owin = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sums
+      .withColumn("offset", coalesce(sum(col("t")).over(owin), lit(0L)))
+      .select(col("pid"), col("offset"))
+    // phase 3: land each partition's offset map-side, then one
+    // streaming pass per partition
+    val packed = rel
+      .withColumn("pid", spark_partition_id())
+      .join(broadcast(offs), "pid")
+      .select(col("doc_id"), col("n_tokens"), col("offset"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var run = Long.MinValue
+        it.map { case (id, nt, off) =>
+          if (run == Long.MinValue) run = off
+          val start = run
+          run += nt
+          (id, nt, start)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "tok_start")
+    packed
+      .withColumn("chunk_first", shiftright(col("tok_start"), ChunkShift))
+      .withColumn("chunk_last",
+        shiftright(col("tok_start") + col("n_tokens") - 1, ChunkShift))
+      .orderBy(col("doc_id"))
+  }
+}
