@@ -201,6 +201,7 @@ object SparkEntry {
     "curate_pipeline" -> (Curate.pipeline _),
     // --- sequence packing (distributed prefix sum; see Pack scaladoc) ---
     "pack_chunks" -> (Pack.packChunks _),
+    "pack_bins" -> (Pack.packBins _),
     // --- multimodal plumbing (decode stubbed; see Multimodal scaladoc) ---
     "media_stats" -> (Multimodal.mediaStats _),
     "media_frames" -> (Multimodal.mediaFrames _),
@@ -917,6 +918,29 @@ object SparkEntry {
            tok_start // 2048 AS chunk_first,
            (tok_start + n_tokens - 1) // 2048 AS chunk_last
          FROM c ORDER BY doc_id""",
+    // replays the block-local greedy fold sequentially: a recursive
+    // CTE walks each 256-doc block in doc_id order carrying
+    // (bin, fill) — exactly Pack.packBins' per-group fold
+    "pack_bins" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           doc_id // 256 AS grp
+         FROM documents),
+         r AS (SELECT *, row_number() OVER (PARTITION BY grp
+           ORDER BY doc_id) AS rk FROM t),
+         f AS (
+           SELECT grp, rk, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS bin_fill
+           FROM r WHERE rk = 1
+           UNION ALL
+           SELECT r.grp, r.rk, r.doc_id, r.n_tokens,
+             CASE WHEN f.bin_fill + r.n_tokens > 2048
+               THEN f.bin + 1 ELSE f.bin END,
+             CASE WHEN f.bin_fill + r.n_tokens > 2048
+               THEN r.n_tokens ELSE f.bin_fill + r.n_tokens END
+           FROM f JOIN r ON r.grp = f.grp AND r.rk = f.rk + 1)
+         SELECT doc_id, n_tokens, grp, bin, bin_fill
+         FROM f ORDER BY doc_id""",
     "media_frames" ->
       """WITH m AS (SELECT doc_id AS media_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -95,4 +95,54 @@ object Pack {
         shiftright(col("tok_start") + col("n_tokens") - 1, ChunkShift))
       .orderBy(col("doc_id"))
   }
+
+  /** Docs per packing block for [[packBins]] (2^8 — shift-derived). */
+  val BinBlockDocs = 256
+  private val BinBlockShift = 8
+
+  final case class TokDoc(doc_id: Long, n_tokens: Long, grp: Long)
+  final case class BinnedDoc(doc_id: Long, n_tokens: Long, grp: Long,
+      bin: Long, bin_fill: Long)
+
+  /** NO-SPLIT packing — the variant for objectives that must not let
+    * a document cross a context-window boundary: greedy first-fit in
+    * doc_id order; a doc that would overflow the current bin starts
+    * the next one (an oversized doc occupies a bin alone). Output per
+    * doc: its packing block, bin number within the block, and the
+    * bin's fill after placement.
+    *
+    * Greedy packing is inherently sequential — bin state after doc i
+    * feeds doc i+1 — so a GLOBAL greedy pack cannot be parallelized
+    * exactly. The scale answer (same one production packers use) is
+    * block-local packing: blocks of [[BinBlockDocs]] consecutive docs
+    * (`grp = doc_id >> 8`, deterministic and oracle-reproducible) pack
+    * independently, costing at most one under-filled bin per block
+    * boundary. Physically: one shuffle keyed by block, then a bounded
+    * in-memory fold per group (`flatMapGroups` — ≤256 rows held, the
+    * genuine sequential-within-bounded-group case). Blocks are
+    * uniform by construction, so the shuffle cannot skew.
+    */
+  def packBins(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        shiftright(col("doc_id"), BinBlockShift).as("grp"))
+      .as[TokDoc]
+      .groupByKey(_.grp)
+      .flatMapGroups { (g, it) =>
+        val docs = it.toArray.sortBy(_.doc_id) // shuffle order isn't doc order
+        var bin = 0L
+        var fill = 0L
+        var first = true
+        docs.iterator.map { d =>
+          if (first) { fill = d.n_tokens; first = false }
+          else if (fill + d.n_tokens > ChunkTokens) { bin += 1; fill = d.n_tokens }
+          else fill += d.n_tokens
+          BinnedDoc(d.doc_id, d.n_tokens, g, bin, fill)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
 }

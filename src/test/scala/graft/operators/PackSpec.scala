@@ -34,6 +34,42 @@ class PackSpec extends SparkSpec {
     assert(run == expected.map(_._2).sum)
   }
 
+  test("no-split bins: every bin fits the window (or is one oversized " +
+      "doc), fills are gapless, blocks pack independently") {
+    val rows = Pack.packBins(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byBin = rows.groupBy(r =>
+      (r.getAs[Long]("grp"), r.getAs[Long]("bin")))
+    byBin.foreach { case ((g, b), ds) =>
+      val sorted = ds.sortBy(_.getAs[Long]("doc_id"))
+      val total = sorted.map(_.getAs[Long]("n_tokens")).sum
+      // capacity holds unless the bin is a single oversized doc
+      assert(total <= Pack.ChunkTokens || sorted.length == 1,
+        s"overfull bin ($g,$b)")
+      // bin_fill is the running fill within the bin
+      var run = 0L
+      sorted.foreach { r =>
+        run += r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("bin_fill") == run)
+      }
+    }
+    // block id is doc_id >> 8; a doc never lands outside its block
+    rows.foreach { r =>
+      assert(r.getAs[Long]("grp") == r.getAs[Long]("doc_id") >> 8)
+    }
+    // greedy property: a doc opens a new bin only because it would
+    // not have fit the previous bin's fill
+    rows.groupBy(_.getAs[Long]("grp")).foreach { case (_, ds) =>
+      val sorted = ds.sortBy(_.getAs[Long]("doc_id"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) if b.getAs[Long]("bin") != a.getAs[Long]("bin") =>
+          assert(a.getAs[Long]("bin_fill") + b.getAs[Long]("n_tokens") >
+            Pack.ChunkTokens)
+        case _ =>
+      }
+    }
+  }
+
   test("plan stays distributed: range partitioning + broadcast offsets, " +
       "no global-window collapse of the corpus") {
     val df = Pack.packChunks(spark, sf)
