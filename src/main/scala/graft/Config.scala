@@ -25,7 +25,9 @@ import java.nio.file.{Files, Path, Paths}
 final case class Config(values: Map[String, String]) {
   def get(key: String): Option[String] =
     values.get(key).filter(_.nonEmpty)
-  def port: Int = values("port").toInt
+  // empty string means "unset" for every key (see Fallback), so an
+  // explicitly blanked port falls back instead of crashing .toInt
+  def port: Int = get("port").fold(Config.Fallback("port").toInt)(_.toInt)
   def lakeRoot: Option[Path] = get("lake-root").map(Paths.get(_))
   def cpus: Option[Int] = get("cpus").map(_.toInt)
   def shufflePartitions: Option[Int] = get("shuffle-partitions").map(_.toInt)
@@ -106,13 +108,18 @@ object Config {
     sb.toString
   }
 
-  /** `#` starts a comment unless inside a quoted string. */
+  /** `#` starts a comment unless inside a quoted string. Escapes are
+    * consumed pairwise so a string ending in an escaped backslash
+    * (`"...\\"`) still closes — checking only the previous char would
+    * misread that quote as escaped.
+    */
   private def stripComment(line: String): String = {
     var inStr = false
     var k = 0
     while (k < line.length) {
       val c = line(k)
-      if (c == '"' && (k == 0 || line(k - 1) != '\\')) inStr = !inStr
+      if (inStr && c == '\\') k += 1 // skip the escaped char
+      else if (c == '"') inStr = !inStr
       else if (c == '#' && !inStr) return line.substring(0, k)
       k += 1
     }

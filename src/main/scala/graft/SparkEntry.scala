@@ -708,8 +708,8 @@ object SparkEntry {
              for p in range(0,8)] AS sig
            FROM shg),
          ranked AS (SELECT doc_id, sig,
-           md5(sig[1]||sig[2]||sig[3]||sig[4]) AS bucket,
-           row_number() OVER (PARTITION BY md5(sig[1]||sig[2]||sig[3]||sig[4])
+           md5(sig[1]||sig[2]) AS bucket,
+           row_number() OVER (PARTITION BY md5(sig[1]||sig[2])
              ORDER BY doc_id) AS rk
            FROM sg),
          adm AS (
@@ -724,7 +724,10 @@ object SparkEntry {
              CAST(len(a.seen) AS BIGINT) AS n_compared,
              CASE WHEN len(list_filter(a.seen, s ->
                  len(list_filter(range(1,9), i -> s[i] = r.sig[i])) >= 4)) = 0
-               THEN list_append(a.seen, r.sig) ELSE a.seen END AS seen
+               -- admitted signatures join a 64-deep FIFO: keep the 63
+               -- most recent plus the newcomer, = admitFold's
+               -- (sig :: seen).take(MaxPerBucket)
+               THEN list_append(a.seen[-63:], r.sig) ELSE a.seen END AS seen
            FROM adm a JOIN ranked r ON r.bucket = a.bucket AND r.rk = a.rk + 1)
          SELECT doc_id, bucket, n_compared FROM adm WHERE admitted
          ORDER BY doc_id""",
@@ -960,7 +963,11 @@ object SparkEntry {
            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' ELSE 'audio' END AS kind,
            text,
            16 * least(CAST(ceil(len(text)/16.0) AS INT), 16) AS n_px
-         FROM documents WHERE doc_id % 3 < 2)
+         FROM documents WHERE doc_id % 3 < 2
+           -- ASCII + non-empty only: the codecs process BYTES, this
+           -- oracle sums CHARACTER codes; the contract holds exactly
+           -- where the two coincide (same predicate on the Spark side)
+           AND len(text) = octet_length(encode(text)) AND len(text) > 0)
          SELECT media_id, kind, CAST(n_px AS INT) AS n_px,
            CAST(list_reduce(list_transform(range(1, least(len(text), n_px) + 1),
              i -> ascii(text[i])), (a,b) -> a+b) AS BIGINT) AS px_sum

@@ -140,6 +140,7 @@ object Multimodal {
       * level of pixel k; truncated at w·h, zero-padded past the end).
       */
     def encodePng(bytes: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      if (width <= 0 || height <= 0) return bytes // BufferedImage rejects 0-dim
       val img = new java.awt.image.BufferedImage(
         width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
       val raster = img.getRaster
@@ -208,9 +209,15 @@ object Multimodal {
     * Encoding runs partition-parallel on executors; only the binary
     * column changes, so every metadata-driven op sees the same schema.
     */
-  def mediaEncoded(s: SparkSession, dir: String): Dataset[MediaRow] = {
-    import s.implicits._
-    mediaDs(s, dir).mapPartitions(_.map { m =>
+  def mediaEncoded(s: SparkSession, dir: String): Dataset[MediaRow] =
+    encodeRows(mediaDs(s, dir))
+
+  /** Container-encode any media subset (the partition-parallel stage
+    * [[mediaEncoded]] runs over the full relation).
+    */
+  def encodeRows(rows: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.map { m =>
       m.kind match {
         case "image" =>
           m.copy(content = MediaCodec.encodePng(m.content, m.width, m.height))
@@ -228,9 +235,13 @@ object Multimodal {
     * leave their partition until an aggregation reduces them.
     */
   def decodeMedia(s: SparkSession, dir: String,
-      decoder: Decoder = JdkDecoder): Dataset[DecodedFrame] = {
-    import s.implicits._
-    mediaEncoded(s, dir).mapPartitions(_.flatMap { m =>
+      decoder: Decoder = JdkDecoder): Dataset[DecodedFrame] =
+    decodeRows(mediaEncoded(s, dir), decoder)
+
+  def decodeRows(rows: Dataset[MediaRow], decoder: Decoder)
+      : Dataset[DecodedFrame] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.flatMap { m =>
       if (m.kind == "video") {
         val n = (m.content.length + FrameBytes - 1) / FrameBytes
         (0 until n).iterator.map { i =>
@@ -250,17 +261,31 @@ object Multimodal {
     * sum them. The SQL oracle computes the same sum directly from the
     * payload's character codes — so a hash match proves the PNG/WAV
     * containers round-tripped through the actual codecs losslessly.
-    * Video is excluded: its decode is the declared stub, covered by
+    * Video is excluded BEFORE the decode stage: a filter above the
+    * typed mapPartitions can't be pushed through it, and decoding a
+    * third of the corpus to discard it is real waste. Docs whose text
+    * is non-ASCII or empty are excluded by the same predicate on both
+    * sides (`octet_length(content)·10 = duration_ms` ⟺ chars = bytes):
+    * the oracle sums CHARACTER codes while the codecs process BYTES,
+    * so the contract is only byte-exact where the two coincide —
+    * rather than silently assume an ASCII corpus, the query states the
+    * boundary. Video's decode is the declared stub, covered by
     * MultimodalSpec instead.
     */
-  def mediaDecode(s: SparkSession, dir: String): DataFrame =
-    decodeMedia(s, dir).toDF()
-      .filter(col("kind") =!= "video")
+  def mediaDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decodable = media(s, dir)
+      .filter(col("kind") =!= "video" &&
+        octet_length(col("content")) * 10 === col("duration_ms") &&
+        col("duration_ms") > 0)
+      .as[MediaRow]
+    decodeRows(encodeRows(decodable), JdkDecoder).toDF()
       .select(col("media_id"), col("kind"),
         size(col("pixels")).as("n_px"),
         aggregate(col("pixels"), lit(0L),
           (a, x) => a + round(x * 256).cast("long")).as("px_sum"))
       .orderBy(col("media_id"))
+  }
 
   /** Frame sampling: split the payload into FrameBytes chunks, keep
     * every `stride`-th. Pure column ops (no decode needed to *sample*),

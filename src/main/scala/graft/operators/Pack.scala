@@ -58,10 +58,15 @@ object Pack {
     val docs = load(s, dir, "documents")
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    // phase 1: doc order becomes partition order
+    // phase 1: doc order becomes partition order. No cache: the sums
+    // subtree and the probe subtree below contain the IDENTICAL
+    // exchange, so ReuseExchange materializes the range shuffle once
+    // and both read its files — same partitions (pid-consistent), no
+    // pinned storage leaking past the query (a persist here would
+    // have no unpersist point on a lazily returned frame). Pinned in
+    // PackSpec.
     val rel = docs.repartitionByRange(col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
-      .persist() // both phases below read it; Bench clears caches per query
     // phase 2: one total per partition; exclusive cumsum over that
     // P-row frame (the single-partition window is over P rows — a
     // frame sized by the cluster, not the data)

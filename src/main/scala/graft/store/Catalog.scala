@@ -214,7 +214,16 @@ final class Catalog(spark: SparkSession, root: Path,
       java.nio.file.StandardOpenOption.APPEND,
       java.nio.file.StandardOpenOption.SYNC)
     pendingDatasets.put(row.id, row)
-    datasetIndex.foreach(_.put(row.id, row))
+    datasetIndex.foreach { m =>
+      m.put(row.id, row)
+      // the cap must hold across the process LIFETIME, not just the
+      // first build: a long-running server that ingests past it drops
+      // the driver map and falls through to the distributed paths
+      if (m.size > localIndexMaxRows) {
+        datasetIndexDisabled = true
+        datasetIndex = None
+      }
+    }
     datasetCache.foreach(_.unpersist())
     datasetCache = None
     snapshotCache = None
@@ -358,7 +367,14 @@ final class Catalog(spark: SparkSession, root: Path,
       java.nio.file.StandardOpenOption.APPEND,
       java.nio.file.StandardOpenOption.SYNC)
     pending.put(row.cid, row)
-    contentIndex.foreach(_.put(row.cid, row))
+    contentIndex.foreach { m =>
+      m.put(row.cid, row)
+      // lifetime cap, same as the dataset index (see appendDataset)
+      if (m.size > localIndexMaxRows) {
+        contentIndexDisabled = true
+        contentIndex = None
+      }
+    }
     contentCache.foreach(_.unpersist())
     contentCache = None
     snapshotCache = None

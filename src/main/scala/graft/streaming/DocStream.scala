@@ -115,12 +115,19 @@ object DocStream {
 
   // --- oracle twin -----------------------------------------------------
 
-  /** Perms in the md5 twin's signature (band 0 = the first 4, like the
-    * production 4-row band). Small because the oracle recomputes every
-    * (perm, shingle) md5 in SQL.
+  /** Perms in the md5 twin's signature. Small because the oracle
+    * recomputes every (perm, shingle) md5 in SQL.
     */
   val OraclePerms = 8
-  val OracleBandRows = 4
+  /** Twin band = 2 of the 8 perms. NOT 4: with a 4-perm band and
+    * MinJ = 0.5, any same-bucket pair already agrees on ≥ 4/8
+    * positions, so every non-first doc per bucket would be a dup and
+    * the fold's compare/admit logic would never execute non-trivially.
+    * At 2 the bucket guarantees only 2/8 = 0.25 < MinJ, so admission
+    * genuinely depends on the other six perms — the oracle then
+    * exercises the same decision structure the production path runs.
+    */
+  val OracleBandRows = 2
 
   case class SigDocS(doc_id: Long, bucket: String, sig: Seq[String])
   case class BucketStateS(sigs: List[Seq[String]])

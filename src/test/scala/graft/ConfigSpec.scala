@@ -50,6 +50,15 @@ class ConfigSpec extends AnyFunSuite {
     assert(m("spark.note") == "a#b")
   }
 
+  test("string ending in an escaped backslash still closes before a comment") {
+    val m = Config.parse("""lake-root = "/srv\\"  # trailing escape""" + "\n")
+    assert(m("lake-root") == "/srv\\")
+  }
+
+  test("explicitly blanked port falls back like every other empty key") {
+    assert(Config(Config.Fallback ++ Map("port" -> "")).port == 8080)
+  }
+
   test("present-but-invalid file is a real error, line-numbered") {
     val e = intercept[IllegalArgumentException](
       Config.parse("port = 8080\nwhat even is this\n"))

@@ -58,6 +58,24 @@ class CatalogBoundSpec extends SparkSpec {
       cached.searchLocal("not json").isLeft)
   }
 
+  test("cap holds across the process lifetime: incremental writes past " +
+      "it drop the driver maps, answers unchanged") {
+    val root = Files.createTempDirectory("catalog-bound-life")
+    // cap 2: the maps materialize small, then ingest crosses the cap
+    val c = new Catalog(spark, root, localIndexMaxRowsOverride = 2)
+    c.insertFile("sha256-one", "text/csv")
+    assert(c.getType("sha256-one").contains("text/csv")) // builds the map
+    seed(c) // 3 more files + 3 datasets: both indexes cross the cap
+    // lookups of rows written before AND after the cap flip still work
+    assert(c.getType("sha256-one").contains("text/csv"))
+    assert(c.getType("sha256-ccc").contains("text/plain"))
+    val post = c.insertDataset(DatasetMeta("sha256-one", "late", "fs", Nil))
+    assert(c.lineage(post).map(_.file) == Seq("sha256-one"))
+    // and the flip is sticky after a flush compacts the WAL
+    c.flush()
+    assert(c.getType("sha256-bbb").contains("application/json"))
+  }
+
   test("over-cap catalog still serves fresh writes from the WAL (no job)") {
     val root = Files.createTempDirectory("catalog-bound-wal")
     val c0 = new Catalog(spark, root)

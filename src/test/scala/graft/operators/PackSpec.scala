@@ -73,10 +73,20 @@ class PackSpec extends SparkSpec {
   test("plan stays distributed: range partitioning + broadcast offsets, " +
       "no global-window collapse of the corpus") {
     val df = Pack.packChunks(spark, sf)
+    // materialize first: exchange reuse under AQE is a RUNTIME stage
+    // decision, invisible in the pre-execution plan string
+    df.collect()
+    // the executed AdaptiveSparkPlan prints Final + Initial sections;
+    // assert only on what actually ran
     val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
     assert(p.contains("rangepartitioning"))
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
+    // the two phases must share ONE range shuffle (no cache, no
+    // double scan): the offsets subtree reads the reused exchange
+    assert(p.contains("ReusedExchange"),
+      s"range shuffle not shared between phases:\n$p")
     // exactly one single-partition exchange is allowed — the P-row
     // offsets frame's cumsum — and none may sit under the big side's
     // mapPartitions pass
