@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curate, Dedup, Multimodal, Pack, QastQueries, Relational, Sampling, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Curate, Dedup, Mix, Multimodal, Pack, Pii, QastQueries, Relational, Sampling, Similarity, Skew, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -186,7 +186,13 @@ object SparkEntry {
     "text_top_bigrams" -> (TextAnalysis.topBigrams _),
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_normalize" -> (TextAnalysis.normalize _),
+    "text_dup_ngrams" -> (TextAnalysis.dupNgrams _),
+    "text_lm_score" -> (TextAnalysis.lmScore _),
     "contamination_check" -> (TextAnalysis.contamination _),
+    // --- PII scrubbing + mixture sampling (see Pii/Mix scaladoc) ---
+    "pii_scrub" -> (Pii.scrub _),
+    "mix_sources" -> (Mix.mixSources _),
+    "mix_audit" -> (Mix.mixAudit _),
     // open-map JSON access (the reference's `extra`/props pattern,
     // SURVEY.md §1.1): typed extraction from a JSON string column
     "events_props_json" -> ((s, dir) =>
@@ -857,6 +863,111 @@ object SparkEntry {
            round(1 - nd_bi*1.0/n_bi,6) AS dup_bigram_ratio,
            (max_tok*1.0/n_tokens <= 0.2 AND 1 - nd_bi*1.0/n_bi <= 0.3) AS keep
          FROM ta JOIN ba USING(doc_id) ORDER BY doc_id""",
+    "text_dup_ngrams" ->
+      """WITH s AS (SELECT doc_id,
+           unnest(CASE WHEN len(toks)>=3
+             THEN list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+               for i in range(1,len(toks)-1)])
+             ELSE [text] END) AS sh
+         FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
+         f AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM s GROUP BY sh)
+         SELECT s.doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           round(CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_frac,
+           (CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*)) <= 0.6 AS keep
+         FROM s JOIN f USING (sh) GROUP BY s.doc_id ORDER BY doc_id""",
+    // the per-doc sum folds the SORTED log-prob list on both sides so
+    // the addition order (and hence the last ulp) is engine-pinned
+    "text_lm_score" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+           FROM documents),
+         uni AS (SELECT w AS w1, count(*) AS c1 FROM tk GROUP BY w),
+         voc AS (SELECT count(DISTINCT w) AS v FROM tk),
+         bg AS (SELECT doc_id,
+             unnest([{'w1': toks[i], 'w2': toks[i+1]}
+               for i in range(1,len(toks))], recursive := true)
+           FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+           WHERE len(toks) >= 2),
+         big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         lps AS (SELECT doc_id,
+             ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v)) AS lp
+           FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1), voc)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(list_reduce(list_sort(list(lp)), (a, b) -> a + b)
+             / count(*), 6) AS mean_lp
+         FROM lps GROUP BY doc_id ORDER BY doc_id""",
+    // PII injection mirrors Pii.withPii; counts run on the ORIGINAL
+    // injected text, redaction chains email -> phone -> ip
+    "pii_scrub" ->
+      """WITH p AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 2 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END ||
+           CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+           CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+             || '.' || CAST((doc_id // 256) % 256 AS VARCHAR)
+             || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS text
+         FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS n_emails,
+           len(regexp_extract_all(text, '\+1-555-[0-9]{4}')) AS n_phones,
+           len(regexp_extract_all(text, '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+             '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+             '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5,
+           (len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+'))
+             + len(regexp_extract_all(text, '\+1-555-[0-9]{4}'))
+             + len(regexp_extract_all(text, '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))) > 0
+             AS has_pii
+         FROM p ORDER BY doc_id""",
+    // integer-exact mixture semantics: budget = corpus*w // (2*wsum),
+    // admission while cum_before < budget in md5-priority order
+    "mix_sources" ->
+      """WITH d AS (SELECT doc_id, source,
+           CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS pri FROM documents),
+         s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+           CAST(greatest(10 - CAST(regexp_extract(source, '[0-9]+') AS INT), 1)
+             AS BIGINT) AS w
+         FROM d GROUP BY source),
+         t AS (SELECT CAST(sum(w) AS BIGINT) AS wsum,
+           CAST(sum(src_tokens) AS BIGINT) AS corpus_tokens FROM s),
+         b AS (SELECT source, corpus_tokens * w // (2 * wsum) AS budget
+           FROM s, t),
+         c AS (SELECT d.doc_id, d.source, d.n_tokens, b.budget,
+           CAST(coalesce(sum(n_tokens) OVER (PARTITION BY d.source
+             ORDER BY pri, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS cum_before
+         FROM d JOIN b USING (source))
+         SELECT doc_id, source, n_tokens, budget, cum_before FROM c
+         WHERE cum_before < budget ORDER BY doc_id""",
+    "mix_audit" ->
+      """WITH d AS (SELECT doc_id, source,
+           CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS pri FROM documents),
+         s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+           CAST(greatest(10 - CAST(regexp_extract(source, '[0-9]+') AS INT), 1)
+             AS BIGINT) AS w
+         FROM d GROUP BY source),
+         t AS (SELECT CAST(sum(w) AS BIGINT) AS wsum,
+           CAST(sum(src_tokens) AS BIGINT) AS corpus_tokens FROM s),
+         b AS (SELECT source, corpus_tokens * w // (2 * wsum) AS budget
+           FROM s, t),
+         c AS (SELECT d.doc_id, d.source, d.n_tokens, b.budget,
+           CAST(coalesce(sum(n_tokens) OVER (PARTITION BY d.source
+             ORDER BY pri, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS cum_before
+         FROM d JOIN b USING (source))
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS admitted_tokens,
+           min(budget) AS budget,
+           round(CAST(sum(n_tokens) AS DOUBLE) / min(budget), 6) AS fill_ratio
+         FROM c WHERE cum_before < budget GROUP BY source ORDER BY source""",
     "contamination_check" ->
       """WITH sh AS (SELECT doc_id,
            CASE WHEN len(toks)>=3 THEN list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]

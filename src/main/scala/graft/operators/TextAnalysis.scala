@@ -243,6 +243,85 @@ object TextAnalysis {
       .orderBy(col("train_id"), col("bench_id"))
   }
 
+  // --- 8. corpus-wide boilerplate ------------------------------------
+
+  /** Duplicated-shingle fraction — the CCNet-style boilerplate signal
+    * the within-document [[repetition]] rules cannot see: what share
+    * of a document's distinct 3-token shingles also occur in at least
+    * one OTHER document. Near-1 means the doc is assembled from
+    * corpus-common fragments (headers, navigation, license blocks)
+    * even when no single near-duplicate partner exists.
+    *
+    * Shape at scale: explode distinct (doc, shingle) pairs once, a
+    * map-side-combinable count per shingle (the shuffle carries
+    * DISTINCT shingles), an equi-join back on the shingle string, and
+    * a per-doc aggregation — the inverted-index shape, never doc×doc.
+    * The ratio is integer/integer in double (engine-exact).
+    */
+  def dupNgrams(s: SparkSession, dir: String): DataFrame = {
+    val sh = load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(col("text")))).as("sh"))
+    val docFreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val dupFrac = col("n_shared").cast("double") / col("n_shingles")
+    sh.join(docFreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        round(dupFrac, 6).as("dup_frac"),
+        (dupFrac <= 0.6).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --- 9. n-gram LM fluency scoring ------------------------------------
+
+  /** Bigram-LM scoring — the CCNet/KenLM-style perplexity filter:
+    * train an add-one-smoothed bigram model ON the corpus in one pass,
+    * then score every document by its mean log-probability
+    * (higher = more fluent under corpus statistics; the downstream
+    * filter thresholds or buckets on this score).
+    *
+    * Shape at scale: two map-side-combinable count aggregations
+    * (context unigrams, bigrams — both vocabulary-sized, so they
+    * re-join on the gram key as shuffle equi-joins, NOT broadcasts),
+    * the 1-row vocabulary size broadcast in, and one per-doc
+    * aggregation. No doc×doc interaction anywhere.
+    *
+    * Cross-engine determinism: P = (c12+1)/(c1+V) is one correctly-
+    * rounded IEEE division of exact integers, and ln(P) is evaluated
+    * on bit-identical inputs; the per-doc sum folds the SORTED
+    * log-prob list (`aggregate(array_sort(...))`), so the addition
+    * ORDER is pinned — a plain SUM would re-associate differently per
+    * engine/partitioning and shift the last ulp.
+    */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val d = load(s, dir, "documents")
+    val toksOf = d.select(col("doc_id"), explode(t).as("w"))
+    val uni = toksOf.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = toksOf.agg(countDistinct(col("w")).as("v"))
+    val pairs = d.filter(size(t) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val lp = log((col("c12") + 1).cast("double") / (col("c1") + col("v")))
+    pairs
+      .join(big, Seq("w1", "w2"))
+      .join(uni, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), lp.as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(array_sort(collect_list(col("lp"))), lit(0.0),
+          (a, x) => a + x).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_lp") / col("n_bigrams"), 6).as("mean_lp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Top-50 corpus bigrams — vocabulary/n-gram statistics, one explode
     * + one map-side-combinable count + TakeOrderedAndProject.
     */

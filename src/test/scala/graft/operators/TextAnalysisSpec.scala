@@ -45,6 +45,56 @@ class TextAnalysisSpec extends SparkSpec {
       st.agg(sum("n_words")).head().getLong(0))
   }
 
+  test("dupNgrams: matches a brute-force doc-frequency replay; ratios " +
+      "and keep are self-consistent") {
+    val out = TextAnalysis.dupNgrams(spark, sf).collect()
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_shingles")
+      val sh = r.getAs[Long]("n_shared")
+      assert(sh >= 0 && sh <= n)
+      val frac = sh.toDouble / n
+      assert(math.abs(r.getAs[Double]("dup_frac") - frac) < 1e-6)
+      assert(r.getAs[Boolean]("keep") == (frac <= 0.6))
+    }
+    // brute-force replay over the whole (small) corpus: distinct
+    // 3-shingles per doc, corpus doc-frequency, shared counts
+    def shingles(text: String): Set[String] = {
+      val tk = text.split(" ", -1)
+      if (tk.length >= 3) tk.sliding(3).map(_.mkString(" ")).toSet
+      else Set(text)
+    }
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> shingles(r.getString(1)))
+    val freq = docs.flatMap(_._2).groupBy(identity).map {
+      case (s, o) => s -> o.length
+    }
+    val expect = docs.map { case (id, sh) =>
+      id -> ((sh.size.toLong, sh.count(freq(_) >= 2).toLong))
+    }.toMap
+    assert(out.length == docs.length)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_shared"))
+        == expect(id), s"doc $id")
+    }
+  }
+
+  test("lmScore: one row per multi-token doc, negative mean log-prob, " +
+      "n_bigrams = n_tokens - 1") {
+    val out = TextAnalysis.lmScore(spark, sf).collect()
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nt"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("nt"))
+      .toMap
+    assert(out.length == docs.count(_._2 >= 2))
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_bigrams") == docs(id) - 1, s"doc $id")
+      assert(r.getAs[Double]("mean_lp") < 0, s"doc $id: P < 1 always")
+    }
+  }
+
   test("fingerprint: k sorted md5 prefixes per doc, stable across runs") {
     val fp1 = TextAnalysis.fingerprint(spark, sf).collect()
     val fp2 = TextAnalysis.fingerprint(spark, sf).collect()
