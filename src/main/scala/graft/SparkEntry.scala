@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curate, Dedup, Mix, Multimodal, Pack, Pii, QastQueries, Relational, Sampling, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Curate, Curriculum, Dedup, Mix, Multimodal, Pack, Pii, QastQueries, Relational, Sampling, Similarity, Skew, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -188,6 +188,8 @@ object SparkEntry {
     "text_normalize" -> (TextAnalysis.normalize _),
     "text_dup_ngrams" -> (TextAnalysis.dupNgrams _),
     "text_lm_score" -> (TextAnalysis.lmScore _),
+    "bpe_pairs" -> (TextAnalysis.bpePairs _),
+    "curriculum_order" -> (Curriculum.order _),
     "contamination_check" -> (TextAnalysis.contamination _),
     // --- PII scrubbing + mixture sampling (see Pii/Mix scaladoc) ---
     "pii_scrub" -> (Pii.scrub _),
@@ -898,6 +900,42 @@ object SparkEntry {
            round(list_reduce(list_sort(list(lp)), (a, b) -> a + b)
              / count(*), 6) AS mean_lp
          FROM lps GROUP BY doc_id ORDER BY doc_id""",
+    "bpe_pairs" ->
+      """WITH w AS (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS w
+           FROM documents),
+         p AS (SELECT unnest([substr(w, i, 2) for i in range(1, len(w))])
+             AS pair
+           FROM w WHERE len(w) >= 2)
+         SELECT pair, count(*) AS n FROM p GROUP BY pair
+         ORDER BY n DESC, pair LIMIT 50""",
+    // the sequential replay of Curriculum.order's two-phase rank: a
+    // plain global window (what a single box would run), decile cut
+    // by the same integer arithmetic
+    "curriculum_order" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+           FROM documents),
+         uni AS (SELECT w AS w1, count(*) AS c1 FROM tk GROUP BY w),
+         voc AS (SELECT count(DISTINCT w) AS v FROM tk),
+         bg AS (SELECT doc_id,
+             unnest([{'w1': toks[i], 'w2': toks[i+1]}
+               for i in range(1,len(toks))], recursive := true)
+           FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+           WHERE len(toks) >= 2),
+         big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         lps AS (SELECT doc_id,
+             ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v)) AS lp
+           FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1), voc),
+         sc AS (SELECT doc_id,
+             round(list_reduce(list_sort(list(lp)), (a, b) -> a + b)
+               / count(*), 6) AS mean_lp
+           FROM lps GROUP BY doc_id),
+         r AS (SELECT doc_id, mean_lp,
+             row_number() OVER (ORDER BY mean_lp, doc_id) AS rank,
+             count(*) OVER () AS n
+           FROM sc)
+         SELECT doc_id, mean_lp, CAST(rank AS BIGINT) AS rank,
+           CAST((rank - 1) * 10 // n AS BIGINT) AS decile
+         FROM r ORDER BY doc_id""",
     // PII injection mirrors Pii.withPii; counts run on the ORIGINAL
     // injected text, redaction chains email -> phone -> ip
     "pii_scrub" ->

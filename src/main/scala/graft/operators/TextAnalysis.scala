@@ -322,6 +322,31 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // --- 10. tokenizer induction -----------------------------------------
+
+  /** First BPE iteration: corpus-wide counts of adjacent character
+    * pairs within words — the merge-candidate table a BPE tokenizer
+    * trainer ranks every round (each merge re-runs this count over the
+    * re-segmented corpus; the OPERATOR per round is exactly this).
+    * The explode is per-character — the true cost of BPE counting —
+    * but the aggregation key space is tiny (≤ alphabet², here ≤ 676),
+    * so partial aggregation collapses each partition to its local
+    * pair table before the shuffle, and the final top-50 is a
+    * TakeOrderedAndProject. Deterministic tiebreak on the pair
+    * string.
+    */
+  def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    val words = expr("regexp_extract_all(text, '[a-z]+', 0)")
+    load(s, dir, "documents")
+      .select(explode(words).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(50)
+  }
+
   /** Top-50 corpus bigrams — vocabulary/n-gram statistics, one explode
     * + one map-side-combinable count + TakeOrderedAndProject.
     */

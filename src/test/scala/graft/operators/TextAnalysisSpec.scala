@@ -95,6 +95,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("bpePairs: matches a brute-force pair count; top-50 is " +
+      "deterministic") {
+    val out = TextAnalysis.bpePairs(spark, sf).collect()
+    val brute = graft.Tables.load(spark, sf, "documents")
+      .select(col("text")).collect()
+      .flatMap(r => "[a-z]+".r.findAllIn(r.getString(0)))
+      .filter(_.length >= 2)
+      .flatMap(w => (0 until w.length - 1).map(i => w.substring(i, i + 2)))
+      .groupBy(identity).map { case (p, o) => p -> o.length.toLong }
+    val top = brute.toSeq.sortBy { case (p, n) => (-n, p) }.take(50)
+    assert(out.length == top.length)
+    out.zip(top).foreach { case (r, (p, n)) =>
+      assert(r.getAs[String]("pair") == p && r.getAs[Long]("n") == n)
+    }
+  }
+
   test("fingerprint: k sorted md5 prefixes per doc, stable across runs") {
     val fp1 = TextAnalysis.fingerprint(spark, sf).collect()
     val fp2 = TextAnalysis.fingerprint(spark, sf).collect()
