@@ -30,7 +30,7 @@ object Curriculum {
 
   def order(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val scored = TextAnalysis.lmScore(s, dir)
+    val scored = TextAnalysis.lmScored(s, dir)
       .select(col("doc_id"), col("mean_lp"))
     val rel = scored.repartitionByRange(col("mean_lp"), col("doc_id"))
       .sortWithinPartitions(col("mean_lp"), col("doc_id"))

@@ -295,7 +295,14 @@ object TextAnalysis {
     * ORDER is pinned — a plain SUM would re-associate differently per
     * engine/partitioning and shift the last ulp.
     */
-  def lmScore(s: SparkSession, dir: String): DataFrame = {
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    lmScored(s, dir).orderBy(col("doc_id"))
+
+  /** [[lmScore]] without the presentation sort — consumers that
+    * re-partition anyway ([[Curriculum]]) start from here so the plan
+    * carries no dead global range exchange.
+    */
+  private[operators] def lmScored(s: SparkSession, dir: String): DataFrame = {
     val t = toks(col("text"))
     val d = load(s, dir, "documents")
     val toksOf = d.select(col("doc_id"), explode(t).as("w"))
@@ -319,7 +326,6 @@ object TextAnalysis {
           (a, x) => a + x).as("sum_lp"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("sum_lp") / col("n_bigrams"), 6).as("mean_lp"))
-      .orderBy(col("doc_id"))
   }
 
   // --- 10. tokenizer induction -----------------------------------------
