@@ -166,6 +166,7 @@ object SparkEntry {
     // --- dedup pack (training-data pipeline ops) ---
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_incremental" -> (Dedup.incremental _),
     "dedup_ngram_prefix" -> (Dedup.ngramJaccardPrefix _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhashPairs _),
@@ -688,6 +689,24 @@ object SparkEntry {
     // candidates exactly; at the J>=0.9 where real dups live its miss
     // probability is ~1e-15, so both must equal this brute-force oracle).
     "dedup_ngram_jaccard" -> dedupPairsOracle,
+    // bipartite screen: shard (ids = 7 mod 10) vs the rest; a shard
+    // doc is admitted iff NO corpus partner reaches Jaccard >= 0.5
+    "dedup_incremental" ->
+      """WITH sh AS (SELECT doc_id,
+           CASE WHEN len(toks)>=3 THEN list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+             for i in range(1,len(toks)-1)]) ELSE [text] END AS sh
+         FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
+         rej AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_dup_partners
+           FROM sh a, sh b
+           WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+             AND len(list_intersect(a.sh,b.sh))*1.0
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh,b.sh))) >= 0.5
+           GROUP BY a.doc_id)
+         SELECT s.doc_id, len(s.sh) AS n_shingles,
+           coalesce(r.n_dup_partners, 0) AS n_dup_partners,
+           coalesce(r.n_dup_partners, 0) = 0 AS admitted
+         FROM sh s LEFT JOIN rej r ON s.doc_id = r.doc_id
+         WHERE s.doc_id % 10 = 7 ORDER BY s.doc_id""",
     "dedup_ngram_prefix" -> dedupPairsOracle,
     "dedup_minhash_lsh" -> dedupPairsOracle,
     // dedup_simhash intentionally omitted: its contract depends on

@@ -142,6 +142,53 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // --- 2b. incremental (shard-vs-corpus) screening ---------------------
+
+  /** Incremental near-dup screening — the form production pipelines
+    * actually run at 100 TB: a NEW shard arrives and must be deduped
+    * against the EXISTING corpus without re-deduping the corpus
+    * itself. A shard document is admitted iff no corpus document has
+    * 3-shingle Jaccard ≥ [[JaccardThreshold]] with it (within-shard
+    * dedup is the separate, existing operators — pipelines run the two
+    * stages independently).
+    *
+    * Shape at scale: the same lossless inverted-index join as
+    * [[ngramJaccardPairs]] made BIPARTITE — the shard side explodes
+    * against the corpus-side shingle index as a shuffle equi-join on
+    * the 8-byte shingle hash (at 100 TB the corpus index is the
+    * precomputed, incrementally-maintained artifact; neither side
+    * broadcasts), size-ratio prune intact, then one per-shard-doc
+    * aggregation. Candidate fanout is shard-linear, never corpus².
+    * The synthetic shard is ids ≡ 7 (mod 10); the operator is
+    * agnostic to how the split is defined.
+    */
+  def incremental(s: SparkSession, dir: String): DataFrame = {
+    val inv = docShingles(s, dir)
+      .select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("shingle"))
+    val shard = inv.filter(col("doc_id") % 10 === 7)
+      .toDF("id_new", "n_new", "shingle")
+    val corpus = inv.filter(col("doc_id") % 10 =!= 7)
+      .toDF("id_old", "n_old", "shingle")
+    val partners = shard.join(corpus, Seq("shingle"))
+      .filter(col("n_new") <= col("n_old") * 2 &&
+        col("n_old") <= col("n_new") * 2)
+      .groupBy(col("id_new"), col("id_old"), col("n_new"), col("n_old"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared").cast("double")
+        / (col("n_new") + col("n_old") - col("shared")) >= JaccardThreshold)
+      .groupBy(col("id_new")).agg(count(lit(1)).as("n_dup_partners"))
+    docShingles(s, dir).filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"))
+      .join(partners.withColumnRenamed("id_new", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_dup_partners"), lit(0L)).as("n_dup_partners"))
+      .withColumn("admitted", col("n_dup_partners") === 0)
+      .orderBy(col("doc_id"))
+  }
+
   // --- 3. MinHash + LSH ----------------------------------------------
 
   /** 64 perms / 16 bands × 4 rows: detection miss at J = 0.9 is

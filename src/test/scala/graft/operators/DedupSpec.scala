@@ -115,6 +115,33 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("incremental screen equals the straddling subset of the full " +
+      "pair join") {
+    val inc = Dedup.incremental(spark, sf).collect()
+    // every shard doc reports, and only shard docs
+    val shardIds = graft.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 10 === 7)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(inc.map(_.getAs[Long]("doc_id")).toSet == shardIds)
+    // n_dup_partners per shard doc = its cross-boundary partners in
+    // the (independently oracled) full pair set
+    val pairs = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val partners = pairs.flatMap { case (a, b) =>
+      Seq(a -> b, b -> a)
+    }.filter { case (x, y) => x % 10 == 7 && y % 10 != 7 }
+      .groupBy(_._1).map { case (id, o) => id -> o.length.toLong }
+    inc.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = partners.getOrElse(id, 0L)
+      assert(r.getAs[Long]("n_dup_partners") == n, s"doc $id")
+      assert(r.getAs[Boolean]("admitted") == (n == 0), s"doc $id")
+    }
+    // the screen is exercised non-trivially at this sf
+    assert(inc.exists(!_.getAs[Boolean]("admitted")),
+      "no straddling near-dup pair at this sf — screen untested")
+  }
+
   test("clusters equal the transitive closure of the pair graph") {
     val pairs = Dedup.ngramJaccard(spark, sf).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))

@@ -224,6 +224,48 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject")) // top-20, no global sort
   }
 
+  test("pii_scrub: one narrow projection — no exchange below the " +
+      "presentation sort, regex ops codegen'd (no UDF)") {
+    val p = physical(Pii.scrub(spark, sf))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+    // only the final orderBy may exchange; detection/redaction are
+    // per-partition column ops
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges <= 1, s"PII pass must not shuffle:\n$p")
+  }
+
+  test("mix: budget table broadcasts; only the per-source window sorts") {
+    val p = physical(Mix.mixSources(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dup-ngrams: shingle doc-frequency joins back as a hash " +
+      "equi-join, never doc x doc") {
+    val p = physical(TextAnalysis.dupNgrams(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("lm score: gram-count joins are equi-joins; the only nested " +
+      "loop is the 1-row vocabulary broadcast") {
+    val p = physical(TextAnalysis.lmScore(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    // the vocab crossJoin is a 1-row broadcast — anything else
+    // nested-loop would be a corpus-sized disaster
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1)
+    assert(p.contains("HashAggregate")) // map-side combinable counts
+  }
+
+  test("bpe pairs: partial aggregation below the shuffle; top-50 is " +
+      "TakeOrderedAndProject, not a global sort") {
+    val p = physical(TextAnalysis.bpePairs(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
   test("q2/q8 value invariants: one row per part; share within [0,1]") {
     val q2 = Relational.q2MinCostSupplier(spark, sf).collect()
     assert(q2.map(_.getLong(0)).distinct.length == q2.length)
