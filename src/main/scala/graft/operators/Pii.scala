@@ -58,14 +58,21 @@ object Pii {
     * email → phone → IP order; the patterns are disjoint so the
     * order is cosmetic, but it is pinned for reproducibility).
     */
-  def scrub(s: SparkSession, dir: String): DataFrame = {
+  def scrub(s: SparkSession, dir: String): DataFrame =
+    scrubRows(withPii(s, dir)).orderBy(col("doc_id"))
+
+  /** The audit over ANY (doc_id, text) frame — stateless and
+    * sort-free, so the identical plan runs under `readStream` in
+    * append mode (streaming-parity pinned in CurationStreamSpec).
+    */
+  def scrubRows(docs: DataFrame): DataFrame = {
     val redacted =
       regexp_replace(
         regexp_replace(
           regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
           lit(PhoneRe), lit("<PHONE>")),
         lit(IpRe), lit("<IP>"))
-    withPii(s, dir)
+    docs
       .select(col("doc_id"),
         regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
         regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
@@ -73,6 +80,5 @@ object Pii {
         md5(redacted.cast("binary")).as("redacted_md5"))
       .withColumn("has_pii",
         col("n_emails") + col("n_phones") + col("n_ips") > 0)
-      .orderBy(col("doc_id"))
   }
 }

@@ -61,7 +61,14 @@ object TextAnalysis {
     * (C4/Gopher-style rules), each an integer-exact ratio. `keep` is a
     * sample filter over them.
     */
-  def quality(s: SparkSession, dir: String): DataFrame = {
+  def quality(s: SparkSession, dir: String): DataFrame =
+    qualityRows(load(s, dir, "documents")).orderBy(col("doc_id"))
+
+  /** The quality signals over ANY (doc_id, text) frame — stateless
+    * and sort-free, so the identical plan runs under `readStream` in
+    * append mode (streaming-parity pinned in CurationStreamSpec).
+    */
+  def qualityRows(docs: DataFrame): DataFrame = {
     val t = toks(col("text"))
     val nTok = size(t).cast("double")
     val meanLen = aggregate(t, lit(0L), (a, w) => a + length(w))
@@ -70,7 +77,7 @@ object TextAnalysis {
     val alpha = (length(regexp_replace(col("text"), "[^a-z]", ""))
       .cast("double") / length(col("text")))
     val stopRatio = hits(t, profiles.head._2).cast("double") / nTok
-    load(s, dir, "documents")
+    docs
       .select(col("doc_id"), length(col("text")).as("len"),
         size(t).as("n_tokens"),
         round(meanLen, 6).as("mean_tok_len"),
@@ -79,7 +86,6 @@ object TextAnalysis {
         round(stopRatio, 6).as("stop_ratio"))
       .withColumn("keep",
         col("n_tokens") >= 10 && col("ttr") >= 0.2 && col("alpha_ratio") >= 0.6)
-      .orderBy(col("doc_id"))
   }
 
   // --- 3. token counting ----------------------------------------------

@@ -1,0 +1,49 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Empty-shard robustness: a pipeline run against an empty arrival
+  * (zero documents, schema intact) must yield empty results, not
+  * throw — the operational case every scheduled ingestion hits.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val dir = Files.createTempDirectory("graft-empty").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      schema).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("every documents-driven operator returns empty, never throws") {
+    val ops: Seq[(String, () => Long)] = Seq(
+      "pii_scrub" -> (() => Pii.scrub(spark, emptyDir).count()),
+      "mix_sources" -> (() => Mix.mixSources(spark, emptyDir).count()),
+      "mix_audit" -> (() => Mix.mixAudit(spark, emptyDir).count()),
+      "dup_ngrams" -> (() => TextAnalysis.dupNgrams(spark, emptyDir).count()),
+      "lm_score" -> (() => TextAnalysis.lmScore(spark, emptyDir).count()),
+      "bpe_pairs" -> (() => TextAnalysis.bpePairs(spark, emptyDir).count()),
+      "curriculum" -> (() => Curriculum.order(spark, emptyDir).count()),
+      "pack_chunks" -> (() => Pack.packChunks(spark, emptyDir).count()),
+      "pack_bins" -> (() => Pack.packBins(spark, emptyDir).count()),
+      "dedup_incremental" -> (() => Dedup.incremental(spark, emptyDir).count()),
+      "dedup_exact" -> (() => Dedup.exact(spark, emptyDir).count()),
+      "quality" -> (() => TextAnalysis.quality(spark, emptyDir).count()),
+      "langid" -> (() => TextAnalysis.langId(spark, emptyDir).count()),
+      "fingerprint" -> (() => TextAnalysis.fingerprint(spark, emptyDir).count()))
+    ops.foreach { case (name, run) =>
+      val n = try run() catch {
+        case e: Throwable => fail(s"$name threw on empty input: $e")
+      }
+      assert(n == 0, s"$name returned $n rows on empty input")
+    }
+  }
+}
