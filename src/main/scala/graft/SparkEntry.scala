@@ -173,6 +173,7 @@ object SparkEntry {
     "dedup_embedding" -> (Dedup.embeddingPairs _),
     "dedup_embedding_blocked" -> (Dedup.embeddingPairsBlocked _),
     // --- similarity search ---
+    "embed_stats" -> (Similarity.embedStats _),
     "ann_brute_topk" -> (Similarity.bruteTopK _),
     "ann_blocked_topk" -> (Similarity.bruteTopKBlocked _),
     "ann_lsh_topk" -> (Similarity.lshTopK _),
@@ -763,6 +764,20 @@ object SparkEntry {
     // same exact contract under two physical plans: the labelled
     // broadcast baseline and the block-partitioned equi-join that is
     // the 100 TB shape — both must equal this brute-force oracle
+    // squared-norm fold left-to-right, per-label mean over the SORTED
+    // norm list — addition order pinned on both engines
+    "embed_stats" ->
+      """WITH v AS (SELECT label, len(embedding) AS dim,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b)) AS norm
+         FROM embeddings)
+         SELECT label, count(*) AS n_vecs,
+           min(dim) AS dim_min, max(dim) AS dim_max,
+           round(min(norm), 6) AS min_norm,
+           round(max(norm), 6) AS max_norm,
+           round(list_reduce(list_sort(list(norm)), (a, b) -> a + b)
+             / count(*), 6) AS mean_norm
+         FROM v GROUP BY label ORDER BY label""",
     "ann_brute_topk" -> annExactOracle,
     "ann_blocked_topk" -> annExactOracle,
     "ann_ivf_topk" ->

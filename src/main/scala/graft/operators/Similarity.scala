@@ -30,6 +30,34 @@ import graft.Tables.load
   */
 object Similarity {
 
+  /** Embedding-table hygiene — the validation pass a pipeline runs
+    * BEFORE building any ANN index: per-label cardinality, dimension
+    * bounds (a ragged table breaks every distance kernel), and norm
+    * statistics (zero or exploding norms break cosine). One narrow
+    * projection + one map-side-combinable aggregation.
+    *
+    * Cross-engine determinism: the squared-norm fold runs left-to-
+    * right over the vector on both engines (identical doubles), sqrt
+    * is correctly-rounded IEEE, and the per-label mean folds the
+    * SORTED norm list — same engine-pinned-order trick as the LM
+    * score. min/max are order-free.
+    */
+  def embedStats(s: SparkSession, dir: String): DataFrame = {
+    val sq = aggregate(transform(col("embedding"),
+      x => x.cast("double") * x), lit(0.0), (a, x) => a + x)
+    load(s, dir, "embeddings")
+      .select(col("label"), size(col("embedding")).as("dim"),
+        sqrt(sq).as("norm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
+        round(min(col("norm")), 6).as("min_norm"),
+        round(max(col("norm")), 6).as("max_norm"),
+        round(aggregate(array_sort(collect_list(col("norm"))), lit(0.0),
+          (a, x) => a + x) / count(lit(1)), 6).as("mean_norm"))
+      .orderBy(col("label"))
+  }
+
   val K = 5
   /** Every 100th vector is a query — scale-proportional query set. */
   private val queryPred: Column = col("vec_id") % 100 === 0

@@ -7,6 +7,32 @@ import graft.SparkSpec
   */
 class SimilaritySpec extends SparkSpec {
 
+  test("embed stats: square table, totals add up, norms match a JVM " +
+      "replay") {
+    val out = Similarity.embedStats(spark, sf).collect()
+    val vecs = graft.Tables.load(spark, sf, "embeddings").collect()
+      .map(r => (r.getAs[Int]("label"),
+        r.getAs[Seq[Float]]("embedding")))
+    assert(out.map(_.getAs[Long]("n_vecs")).sum == vecs.length)
+    out.foreach { r =>
+      assert(r.getAs[Int]("dim_min") == 64 && r.getAs[Int]("dim_max") == 64)
+      assert(r.getAs[Double]("min_norm") > 0)
+      assert(r.getAs[Double]("min_norm") <= r.getAs[Double]("mean_norm"))
+      assert(r.getAs[Double]("mean_norm") <= r.getAs[Double]("max_norm"))
+    }
+    // independent norm replay: fold left in double, sorted-sum mean
+    val byLabel = vecs.groupBy(_._1).map { case (l, vs) =>
+      val norms = vs.map(v => math.sqrt(
+        v._2.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+      l -> BigDecimal(norms.sorted.sum / norms.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.foreach { r =>
+      assert(r.getAs[Double]("mean_norm") ==
+        byLabel(r.getAs[Int]("label")), s"label ${r.getAs[Int]("label")}")
+    }
+  }
+
   test("brute top-k: k rows per query, ranks contiguous, cos descending") {
     val rows = Similarity.bruteTopK(spark, sf).collect()
     val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
