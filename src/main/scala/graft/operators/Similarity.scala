@@ -40,7 +40,12 @@ object Similarity {
     * right over the vector on both engines (identical doubles), sqrt
     * is correctly-rounded IEEE, and the per-label mean folds the
     * SORTED norm list — same engine-pinned-order trick as the LM
-    * score. min/max are order-free.
+    * score. min/max are order-free. Boundary stated honestly: unlike
+    * the LM score's per-DOC fold (bounded by document length), this
+    * collects per LABEL — fine while a label's cardinality fits an
+    * executor (here ~corpus/10); at a 100 TB table swap the sorted
+    * fold for plain `avg(norm)` (order-free up to the last ulp, which
+    * only the oracle hash cares about) and keep everything else.
     */
   def embedStats(s: SparkSession, dir: String): DataFrame = {
     val sq = aggregate(transform(col("embedding"),
