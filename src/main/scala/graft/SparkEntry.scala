@@ -197,6 +197,7 @@ object SparkEntry {
     "pii_scrub" -> (Pii.scrub _),
     "mix_sources" -> (Mix.mixSources _),
     "mix_audit" -> (Mix.mixAudit _),
+    "mix_arrival" -> (Mix.mixArrival _),
     // open-map JSON access (the reference's `extra`/props pattern,
     // SURVEY.md §1.1): typed extraction from a JSON string column
     "events_props_json" -> ((s, dir) =>
@@ -1017,6 +1018,20 @@ object SparkEntry {
          FROM d JOIN b USING (source))
          SELECT doc_id, source, n_tokens, budget, cum_before FROM c
          WHERE cum_before < budget ORDER BY doc_id""",
+    // arrival-order admission under the fixed streaming budget — the
+    // batch twin the stateful MixStream operator must equal
+    "mix_arrival" ->
+      """WITH d AS (SELECT doc_id, source,
+           CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+         FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS cum_before
+         FROM d)
+         SELECT doc_id, source, n_tokens, cum_before FROM c
+         WHERE cum_before < 1000 ORDER BY doc_id""",
     "mix_audit" ->
       """WITH d AS (SELECT doc_id, source,
            CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,

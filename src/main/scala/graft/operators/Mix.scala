@@ -75,6 +75,36 @@ object Mix {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixed per-source token budget for the ARRIVAL-TIME mixer (a
+    * stream cannot know corpus totals up front, so the budget is the
+    * configured knob rather than a derived share).
+    */
+  val ArrivalBudget = 1000L
+
+  /** Arrival-order admission — the batch form of the streaming mixer
+    * ([[graft.streaming.MixStream]]): docs arrive in doc_id order and
+    * a source admits while its running token total is under the fixed
+    * budget (the doc crossing the boundary is kept, then the source
+    * closes — the same boundary rule as [[mixSources]]). This batch
+    * twin is the oracle contract the stateful streaming operator must
+    * reproduce exactly.
+    */
+  def mixArrival(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val byArrival = Window.partitionBy(col("source"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(byArrival), lit(0L)))
+      .filter(col("cum_before") < lit(ArrivalBudget))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_before"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The mixture audit: realized vs requested share per source — what
     * a pipeline logs to confirm the mix landed (admitted tokens per
     * source, its budget, and the fill ratio). The ratio is one double
