@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curate, Curriculum, Dedup, Mix, Multimodal, Pack, Pii, QastQueries, Relational, Sampling, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Bpe, Curate, Curriculum, Dedup, Mix, Multimodal, Pack, Pii, QastQueries, Relational, Sampling, Similarity, Skew, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -191,6 +191,9 @@ object SparkEntry {
     "text_dup_ngrams" -> (TextAnalysis.dupNgrams _),
     "text_lm_score" -> (TextAnalysis.lmScore _),
     "bpe_pairs" -> (TextAnalysis.bpePairs _),
+    // rows-only: the data-dependent merge loop has no fixed SQL form;
+    // exact-pinned by BpeSpec's sequential replay (see Bpe scaladoc)
+    "bpe_train" -> (Bpe.train _),
     "curriculum_order" -> (Curriculum.order _),
     "contamination_check" -> (TextAnalysis.contamination _),
     // --- PII scrubbing + mixture sampling (see Pii/Mix scaladoc) ---

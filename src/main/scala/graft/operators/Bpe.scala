@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+
+/** Iterative BPE training — the merge LOOP that
+  * [[TextAnalysis.bpePairs]] is one round of: each round counts
+  * adjacent symbol pairs over the CURRENT segmentation, takes the
+  * most frequent pair as the next merge, and re-segments the corpus
+  * with it (greedy left-to-right, the standard BPE application).
+  * Deliverable: the ranked merge table a tokenizer ships.
+  *
+  * Orchestration shape (same pattern as [[Dedup.clusters]]' iterative
+  * connected components): a bounded driver loop where each round is
+  * one distributed aggregation plus ONE collected row (the argmax
+  * pair — O(1) driver traffic per round, never the corpus). The
+  * re-segmentation is a codegen'd `aggregate` fold over each word's
+  * symbol array — per-word state, partition-parallel, no shuffle; the
+  * only shuffle per round is the ≤ |symbols|²-key pair count.
+  *
+  * Pair counting uses the standard convention (all adjacent pairs,
+  * overlaps included — "aaa" contributes (a,a) twice to the COUNT but
+  * greedy application merges it once); the BpeSpec replay pins both
+  * sides of that convention. Ties rank by (count desc, left, right),
+  * so the merge sequence is deterministic. No SQL oracle: the
+  * data-dependent merge loop (round N's input depends on round N−1's
+  * collected argmax) is not expressible as a fixed DuckDB query —
+  * `bpe_train` is a declared rows-only query, exact-pinned by the
+  * spec's sequential replay instead.
+  */
+object Bpe {
+
+  /** Merge rounds trained (tiny for the synthetic corpus; the loop,
+    * not the constant, is the operator).
+    */
+  val TrainRounds = 3
+
+  private def pairCounts(words: DataFrame): DataFrame = {
+    val syms = col("syms")
+    words
+      .select(explode(zip_with(
+        slice(syms, lit(1), size(syms) - 1), slice(syms, lit(2), size(syms) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"), col("freq"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("n"))
+  }
+
+  /** Greedy left-to-right application of one merge to a symbol array. */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, typedlit(Seq.empty[String]), (acc, x) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** (merge_rank, left, right, pair_count) for [[TrainRounds]] rounds.
+    * Each round's segmentation is cached and the previous round's
+    * released (the [[Dedup.clusters]] discipline) — without it, round
+    * N's count action would replay every earlier round's fold from
+    * the scan. All caches are dropped before returning: the result is
+    * the tiny collected merge table, so nothing pins storage past the
+    * call.
+    */
+  def train(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Collapse the corpus to (unique word, occurrence count) up front —
+    // the standard BPE trick. Pair counts weighted by freq are exactly
+    // the token-level counts, but the iterated segmentation state is
+    // vocabulary-sized, not corpus-sized: at 100 TB the per-round cache
+    // and fold touch ~|vocab| rows while the corpus is scanned once.
+    var words = load(s, dir, "documents")
+      .select(explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("syms"), col("freq"))
+      .cache()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (round <- 1 to TrainRounds) {
+      val top = pairCounts(words)
+        .orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()
+      if (top.nonEmpty) {
+        val (a, b, n) = (top(0).getAs[String]("l"),
+          top(0).getAs[String]("r"), top(0).getAs[Long]("n"))
+        merges += ((round, a, b, n))
+        if (round < TrainRounds) {
+          val prev = words
+          words = words
+            .select(applyMerge(col("syms"), a, b).as("syms"), col("freq"))
+            .cache()
+          words.count() // materialize before releasing the parent
+          prev.unpersist()
+        }
+      }
+    }
+    words.unpersist()
+    merges.result()
+      .toDF("merge_rank", "left", "right", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+}
