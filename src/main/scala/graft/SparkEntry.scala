@@ -967,10 +967,11 @@ object SparkEntry {
              round(list_reduce(list_sort(list(lp)), (a, b) -> a + b)
                / count(*), 6) AS mean_lp
            FROM lps GROUP BY doc_id),
-         r AS (SELECT doc_id, mean_lp,
-             row_number() OVER (ORDER BY mean_lp, doc_id) AS rank,
+         r AS (SELECT d.doc_id, mean_lp,
+             row_number() OVER (ORDER BY mean_lp NULLS FIRST, d.doc_id)
+               AS rank,
              count(*) OVER () AS n
-           FROM sc)
+           FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
          SELECT doc_id, mean_lp, CAST(rank AS BIGINT) AS rank,
            CAST((rank - 1) * 10 // n AS BIGINT) AS decile
          FROM r ORDER BY doc_id""",

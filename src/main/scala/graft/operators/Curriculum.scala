@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Curriculum ordering — rank every document on a difficulty signal
@@ -25,36 +24,37 @@ import org.apache.spark.sql.functions._
   * — so the cut is engine-exact at any corpus size (an interpolated
   * percentile boundary would re-open the cross-engine float question
   * for no benefit: curriculum stages only need equal-mass cuts).
+  *
+  * EVERY document is ranked, including ones the LM cannot score
+  * (fewer than two tokens → zero bigrams → no defined mean): those
+  * keep a NULL `mean_lp` and sort FIRST (ties by id) — explicitly
+  * `NULLS FIRST` on both engines, since Spark's ascending default is
+  * nulls-first but DuckDB's is nulls-last. Unscoreable docs landing
+  * in the earliest stage is the conservative curriculum choice; a
+  * consumer wanting them excluded filters on `mean_lp IS NOT NULL`
+  * without re-ranking (ranks of scored docs stay contiguous after
+  * the prefix of NULLs).
   */
 object Curriculum {
 
   def order(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val scored = TextAnalysis.lmScored(s, dir)
       .select(col("doc_id"), col("mean_lp"))
-    val rel = scored.repartitionByRange(col("mean_lp"), col("doc_id"))
-      .sortWithinPartitions(col("mean_lp"), col("doc_id"))
-    val counts = rel.groupBy(spark_partition_id().as("pid"))
-      .agg(count(lit(1)).as("c"))
-    val owin = Window.orderBy(col("pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = counts
-      .withColumn("offset", coalesce(sum(col("c")).over(owin), lit(0L)))
-      .select(col("pid"), col("offset"))
-    val total = counts.agg(sum(col("c")).as("n"))
-    rel.withColumn("pid", spark_partition_id())
-      .join(broadcast(offs), "pid")
-      .select(col("doc_id"), col("mean_lp"), col("offset"))
-      .as[(Long, Double, Long)]
-      .mapPartitions { it =>
-        var rank = Long.MinValue
-        it.map { case (id, lp, off) =>
-          if (rank == Long.MinValue) rank = off
-          rank += 1
-          (id, lp, rank)
-        }
-      }
-      .toDF("doc_id", "mean_lp", "rank")
+    val all = graft.Tables.load(s, dir, "documents").select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+    // rank = exclusive prefix of weight 1, plus one; the three-phase
+    // scaffolding lives in [[DistributedPrefix.exclusiveSum]]
+    val ranked = DistributedPrefix.exclusiveSum(all,
+      Seq(col("mean_lp").asc_nulls_first, col("doc_id").asc), lit(1L),
+      "rank0")
+    // corpus size straight off the documents scan (column-less count):
+    // `all` is one row per document by construction (left join onto a
+    // per-doc_id aggregate), so this avoids re-deriving the LM join
+    val total = graft.Tables.load(s, dir, "documents")
+      .agg(count(lit(1)).as("n"))
+    ranked
+      .select(col("doc_id"), col("mean_lp"),
+        (col("rank0") + 1).as("rank"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("mean_lp"), col("rank"),
         expr("(rank - 1) * 10 div n").as("decile"))

@@ -90,24 +90,44 @@ object Dedup {
     * own keys, so a global sort here would be pure waste.
     */
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(s, dir)
-    val inv = sh.select(col("doc_id"), size(col("sh")).as("n"),
-      explode(col("sh")).as("shingle"))
+    val inv = shingleIndex(s, dir)
+    invertedJaccardPairs(inv.toDF("id_a", "n_a", "shingle"),
+      inv.toDF("id_b", "n_b", "shingle"), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** The per-shingle inverted index both Jaccard joins build on:
+    * (doc_id, shingle-set size, 8-byte xxhash64 shingle key) — one row
+    * per (doc, shingle), the explode that makes "only docs sharing a
+    * shingle ever meet" an equi-join.
+    */
+  private def shingleIndex(s: SparkSession, dir: String): DataFrame =
+    docShingles(s, dir)
+      .select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("shingle"))
       .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("shingle"))
-    val a = inv.toDF("id_a", "n_a", "shingle")
-    val b = inv.toDF("id_b", "n_b", "shingle")
-    // size-ratio prune (lossless for J >= 0.5): J <= min/max, so a
-    // qualifying pair's shingle-set sizes differ by at most 2x — cut
-    // cross-size candidate rows before they reach the pair aggregation
-    a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b") &&
+
+  /** All (id_a, id_b) pairs with shingle-Jaccard ≥ [[JaccardThreshold]]
+    * between two inverted-index frames (`id_a/n_a/shingle` ×
+    * `id_b/n_b/shingle`): shuffle equi-join on the shingle hash,
+    * lossless 2× size-ratio prune (J ≤ min/max, so a qualifying
+    * pair's set sizes differ by at most 2× at t = 0.5), per-pair
+    * shared-count aggregation, exact Jaccard verify. `pairPred` adds
+    * the caller's pair orientation (`id_a < id_b` for the self-join;
+    * `lit(true)` for the bipartite shard-vs-corpus screen). Output:
+    * (id_a, id_b, jaccard) un-rounded, unsorted.
+    */
+  private def invertedJaccardPairs(a: DataFrame, b: DataFrame,
+      pairPred: Column): DataFrame =
+    a.join(b, Seq("shingle"))
+      .filter(pairPred &&
         col("n_a") <= col("n_b") * 2 && col("n_b") <= col("n_a") * 2)
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard", col("shared").cast("double") /
         (col("n_a") + col("n_b") - col("shared")))
       .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-  }
+      .select(col("id_a"), col("id_b"), col("jaccard"))
 
   /** Same contract via LOSSLESS prefix filtering (PPJoin-family set-
     * similarity join): under one global hash order, a pair with
@@ -163,25 +183,16 @@ object Dedup {
     * agnostic to how the split is defined.
     */
   def incremental(s: SparkSession, dir: String): DataFrame = {
-    val inv = docShingles(s, dir)
-      .select(col("doc_id"), size(col("sh")).as("n"),
-        explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("shingle"))
+    val inv = shingleIndex(s, dir)
     val shard = inv.filter(col("doc_id") % 10 === 7)
-      .toDF("id_new", "n_new", "shingle")
+      .toDF("id_a", "n_a", "shingle")
     val corpus = inv.filter(col("doc_id") % 10 =!= 7)
-      .toDF("id_old", "n_old", "shingle")
-    val partners = shard.join(corpus, Seq("shingle"))
-      .filter(col("n_new") <= col("n_old") * 2 &&
-        col("n_old") <= col("n_new") * 2)
-      .groupBy(col("id_new"), col("id_old"), col("n_new"), col("n_old"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared").cast("double")
-        / (col("n_new") + col("n_old") - col("shared")) >= JaccardThreshold)
-      .groupBy(col("id_new")).agg(count(lit(1)).as("n_dup_partners"))
+      .toDF("id_b", "n_b", "shingle")
+    val partners = invertedJaccardPairs(shard, corpus, lit(true))
+      .groupBy(col("id_a")).agg(count(lit(1)).as("n_dup_partners"))
     docShingles(s, dir).filter(col("doc_id") % 10 === 7)
       .select(col("doc_id"), size(col("sh")).as("n_shingles"))
-      .join(partners.withColumnRenamed("id_new", "doc_id"),
+      .join(partners.withColumnRenamed("id_a", "doc_id"),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_dup_partners"), lit(0L)).as("n_dup_partners"))

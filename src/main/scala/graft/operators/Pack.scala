@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.load
@@ -54,46 +53,13 @@ object Pack {
     * the text-analysis pack.
     */
   def packChunks(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val docs = load(s, dir, "documents")
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    // phase 1: doc order becomes partition order. No cache: the sums
-    // subtree and the probe subtree below contain the IDENTICAL
-    // exchange, so ReuseExchange materializes the range shuffle once
-    // and both read its files — same partitions (pid-consistent), no
-    // pinned storage leaking past the query (a persist here would
-    // have no unpersist point on a lazily returned frame). Pinned in
-    // PackSpec.
-    val rel = docs.repartitionByRange(col("doc_id"))
-      .sortWithinPartitions(col("doc_id"))
-    // phase 2: one total per partition; exclusive cumsum over that
-    // P-row frame (the single-partition window is over P rows — a
-    // frame sized by the cluster, not the data)
-    val sums = rel.groupBy(spark_partition_id().as("pid"))
-      .agg(sum(col("n_tokens")).as("t"))
-    val owin = Window.orderBy(col("pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = sums
-      .withColumn("offset", coalesce(sum(col("t")).over(owin), lit(0L)))
-      .select(col("pid"), col("offset"))
-    // phase 3: land each partition's offset map-side, then one
-    // streaming pass per partition
-    val packed = rel
-      .withColumn("pid", spark_partition_id())
-      .join(broadcast(offs), "pid")
-      .select(col("doc_id"), col("n_tokens"), col("offset"))
-      .as[(Long, Long, Long)]
-      .mapPartitions { it =>
-        var run = Long.MinValue
-        it.map { case (id, nt, off) =>
-          if (run == Long.MinValue) run = off
-          val start = run
-          run += nt
-          (id, nt, start)
-        }
-      }
-      .toDF("doc_id", "n_tokens", "tok_start")
+    // the three-phase scaffolding (and its ReuseExchange / map-side
+    // broadcast invariants) lives in [[DistributedPrefix.exclusiveSum]]
+    val packed = DistributedPrefix.exclusiveSum(docs,
+      Seq(col("doc_id")), col("n_tokens"), "tok_start")
     packed
       .withColumn("chunk_first", shiftright(col("tok_start"), ChunkShift))
       .withColumn("chunk_last",

@@ -267,7 +267,7 @@ object TextAnalysis {
   def dupNgrams(s: SparkSession, dir: String): DataFrame = {
     val sh = load(s, dir, "documents")
       .select(col("doc_id"),
-        explode(array_distinct(Dedup.shingles(col("text")))).as("sh"))
+        explode(Dedup.shingles(col("text"))).as("sh"))
     val docFreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val dupFrac = col("n_shared").cast("double") / col("n_shingles")
     sh.join(docFreq, "sh")

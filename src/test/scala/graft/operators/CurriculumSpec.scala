@@ -34,6 +34,38 @@ class CurriculumSpec extends SparkSpec {
     assert(sizes.max - sizes.min <= 1)
   }
 
+  test("unscoreable docs (< 2 tokens, or NULL text) are still ranked: " +
+      "NULL mean_lp, NULLS FIRST, scored ranks contiguous after them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-curr").toString
+    import spark.implicits._
+    // ids chosen so NULLs-first is distinguishable from id order:
+    // 7 (one token), 9 (NULL text) are unscoreable; 1..3 scoreable
+    Seq(
+      (1L, "the cat sat on the mat", "en", "a", 22L),
+      (2L, "the dog sat on the log", "en", "a", 22L),
+      (3L, "a cat and a dog", "en", "a", 15L),
+      (7L, "solo", "en", "a", 4L),
+      (9L, null.asInstanceOf[String], "en", "a", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Curriculum.order(spark, dir).collect()
+    assert(rows.length == 5, "every document must be ranked")
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(7L, 9L).foreach { id =>
+      assert(byId(id).isNullAt(byId(id).fieldIndex("mean_lp")),
+        s"doc $id should be unscoreable")
+    }
+    // NULLS FIRST, ties by id: 7 then 9, before every scored doc
+    assert(byId(7L).getAs[Long]("rank") == 1L)
+    assert(byId(9L).getAs[Long]("rank") == 2L)
+    val scored = rows.filter(r => !r.isNullAt(r.fieldIndex("mean_lp")))
+      .sortBy(r => (r.getAs[Double]("mean_lp"), r.getAs[Long]("doc_id")))
+    scored.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("rank") == i + 3,
+        s"scored doc ${r.getAs[Long]("doc_id")} rank not contiguous")
+    }
+  }
+
   test("plan stays distributed: range partitioning, single-partition " +
       "exchanges only above cluster-sized frames") {
     val df = Curriculum.order(spark, sf)

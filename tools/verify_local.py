@@ -36,56 +36,68 @@ def canon(rows, colnames):
     return out
 
 
-def main(sf_dir, out_dir):
+def compare_one(con, out_dir, name, sql):
+    """One query's full compare (missing output, oracle error, dtype
+    warning, cols/rows/values). Prints its own PASS/FAIL/WARN lines and
+    returns True iff the query passed — shared with verify_subset.py so
+    a subset run can never silently skip a check this gate performs.
+    """
+    pq = Path(out_dir) / name
+    if not pq.exists():
+        print(f"FAIL {name}: spark output missing")
+        return False
+    got = con.sql(f"SELECT * FROM '{pq}/*.parquet'")
+    g_rows, g_cols = got.fetchall(), [d[0] for d in got.description]
+    try:
+        want = con.sql(sql)
+        w_rows, w_cols = want.fetchall(), [d[0] for d in want.description]
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {e}")
+        return False
+    # DuckDB HUGEINT (sum of ints) and DECIMAL results convert to
+    # float64 on some client paths while Spark's parquet ints and
+    # decimals do not — a hash-divergence class the round-1 driver
+    # flagged on 4 queries. Keep oracle outputs BIGINT/DOUBLE/
+    # VARCHAR/TIMESTAMP/BOOLEAN.
+    risky = [(c, str(t)) for c, t in zip(w_cols, want.types)
+             if "HUGEINT" in str(t) or "DECIMAL" in str(t)]
+    if risky:
+        print(f"WARN {name}: oracle emits risky dtypes {risky} — "
+              "cast to BIGINT/DOUBLE in the oracle SQL")
+    if sorted(g_cols) != sorted(w_cols):
+        print(f"FAIL {name}: cols {sorted(g_cols)} != {sorted(w_cols)}")
+        return False
+    if len(g_rows) != len(w_rows):
+        print(f"FAIL {name}: rows {len(g_rows)} != {len(w_rows)}")
+        return False
+    cg, cw = canon(g_rows, g_cols), canon(w_rows, w_cols)
+    if cg != cw:
+        bad = [i for i, (a, b) in enumerate(zip(cg, cw)) if a != b][:3]
+        print(f"FAIL {name}: value mismatch at sorted rows {bad}")
+        for i in bad:
+            print(f"   spark: {cg[i]}\n   duck : {cw[i]}")
+        return False
+    print(f"PASS {name} ({len(g_rows)} rows)")
+    return True
+
+
+def connect(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def main(sf_dir, out_dir):
+    con = connect(sf_dir)
     oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
-        pq = Path(out_dir) / name
-        if not pq.exists():
-            print(f"FAIL {name}: spark output missing")
+        if compare_one(con, out_dir, name, sql):
+            n_pass += 1
+        else:
             n_fail += 1
-            continue
-        got = con.sql(f"SELECT * FROM '{pq}/*.parquet'")
-        g_rows, g_cols = got.fetchall(), [d[0] for d in got.description]
-        try:
-            want = con.sql(sql)
-            w_rows, w_cols = want.fetchall(), [d[0] for d in want.description]
-        except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
-            n_fail += 1
-            continue
-        # DuckDB HUGEINT (sum of ints) and DECIMAL results convert to
-        # float64 on some client paths while Spark's parquet ints and
-        # decimals do not — a hash-divergence class the round-1 driver
-        # flagged on 4 queries. Keep oracle outputs BIGINT/DOUBLE/
-        # VARCHAR/TIMESTAMP/BOOLEAN.
-        risky = [(c, str(t)) for c, t in zip(w_cols, want.types)
-                 if "HUGEINT" in str(t) or "DECIMAL" in str(t)]
-        if risky:
-            print(f"WARN {name}: oracle emits risky dtypes {risky} — "
-                  "cast to BIGINT/DOUBLE in the oracle SQL")
-        if sorted(g_cols) != sorted(w_cols):
-            print(f"FAIL {name}: cols {sorted(g_cols)} != {sorted(w_cols)}")
-            n_fail += 1
-            continue
-        if len(g_rows) != len(w_rows):
-            print(f"FAIL {name}: rows {len(g_rows)} != {len(w_rows)}")
-            n_fail += 1
-            continue
-        cg, cw = canon(g_rows, g_cols), canon(w_rows, w_cols)
-        if cg != cw:
-            bad = [i for i, (a, b) in enumerate(zip(cg, cw)) if a != b][:3]
-            print(f"FAIL {name}: value mismatch at sorted rows {bad}")
-            for i in bad:
-                print(f"   spark: {cg[i]}\n   duck : {cw[i]}")
-            n_fail += 1
-            continue
-        print(f"PASS {name} ({len(g_rows)} rows)")
-        n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
 

@@ -12,30 +12,21 @@ import json
 import sys
 from pathlib import Path
 
-import duckdb
-
 sys.path.insert(0, str(Path(__file__).parent))
-from verify_local import TABLES, canon  # noqa: E402
+from verify_local import compare_one, connect  # noqa: E402
 
 
 def main(sf_dir, out_dir, names):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con = connect(sf_dir)
     oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
     n_pass = n_fail = 0
     for name in names:
-        sql = oracle[name]
-        got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-        g_rows, g_cols = got.fetchall(), [d[0] for d in got.description]
-        want = con.sql(sql)
-        w_rows, w_cols = want.fetchall(), [d[0] for d in want.description]
-        ok = (sorted(g_cols) == sorted(w_cols)
-              and len(g_rows) == len(w_rows)
-              and canon(g_rows, g_cols) == canon(w_rows, w_cols))
-        print(("PASS" if ok else "FAIL"), name, f"({len(g_rows)} rows)")
-        if ok:
+        if name not in oracle:
+            print(f"FAIL {name}: no such oracle query "
+                  "(check the comma-separated list for typos)")
+            n_fail += 1
+            continue
+        if compare_one(con, out_dir, name, oracle[name]):
             n_pass += 1
         else:
             n_fail += 1
