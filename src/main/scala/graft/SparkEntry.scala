@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Curate, Curriculum, Dedup, Mix, Multimodal, Pack, Pii, QastQueries, Relational, Sampling, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Bpe, Curate, Curriculum, Dedup, Mix, Multimodal, Pack, Pii, QastQueries, Relational, Sampling, Shuffle, Similarity, Skew, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -195,6 +195,7 @@ object SparkEntry {
     // exact-pinned by BpeSpec's sequential replay (see Bpe scaladoc)
     "bpe_train" -> (Bpe.train _),
     "curriculum_order" -> (Curriculum.order _),
+    "corpus_shuffle" -> (Shuffle.permute _),
     "contamination_check" -> (TextAnalysis.contamination _),
     // --- PII scrubbing + mixture sampling (see Pii/Mix scaladoc) ---
     "pii_scrub" -> (Pii.scrub _),
@@ -974,6 +975,18 @@ object SparkEntry {
            FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
          SELECT doc_id, mean_lp, CAST(rank AS BIGINT) AS rank,
            CAST((rank - 1) * 10 // n AS BIGINT) AS decile
+         FROM r ORDER BY doc_id""",
+    // the sequential replay of Shuffle.permute's distributed rank: a
+    // plain global window over the seeded md5 key
+    "corpus_shuffle" ->
+      """WITH p AS (SELECT doc_id,
+           md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         r AS (SELECT doc_id, h,
+             row_number() OVER (ORDER BY h, doc_id) - 1 AS pos
+           FROM p)
+         SELECT doc_id, h, CAST(pos AS BIGINT) AS pos,
+           CAST(pos // 512 AS BIGINT) AS shard
          FROM r ORDER BY doc_id""",
     // PII injection mirrors Pii.withPii; counts run on the ORIGINAL
     // injected text, redaction chains email -> phone -> ip

@@ -32,6 +32,7 @@ class EmptyInputSpec extends SparkSpec {
       "lm_score" -> (() => TextAnalysis.lmScore(spark, emptyDir).count()),
       "bpe_pairs" -> (() => TextAnalysis.bpePairs(spark, emptyDir).count()),
       "curriculum" -> (() => Curriculum.order(spark, emptyDir).count()),
+      "corpus_shuffle" -> (() => Shuffle.permute(spark, emptyDir).count()),
       "pack_chunks" -> (() => Pack.packChunks(spark, emptyDir).count()),
       "pack_bins" -> (() => Pack.packBins(spark, emptyDir).count()),
       "dedup_incremental" -> (() => Dedup.incremental(spark, emptyDir).count()),
