@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Curate, Curriculum, Dedup, Mix, Multimodal, Pack, Pii, QastQueries, Relational, Sampling, Shuffle, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Bpe, Curate, Curriculum, Dedup, KMeans, Mix, Multimodal, Pack, Pii, QastQueries, Relational, Sampling, Shuffle, Similarity, Skew, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -196,6 +196,10 @@ object SparkEntry {
     "bpe_train" -> (Bpe.train _),
     "curriculum_order" -> (Curriculum.order _),
     "corpus_shuffle" -> (Shuffle.permute _),
+    // rows-only: 3 unrolled rounds of sorted-fold means have no
+    // readable SQL form; exact-pinned by KMeansSpec's sequential
+    // replay (see KMeans scaladoc)
+    "kmeans_train" -> (KMeans.train _),
     "contamination_check" -> (TextAnalysis.contamination _),
     // --- PII scrubbing + mixture sampling (see Pii/Mix scaladoc) ---
     "pii_scrub" -> (Pii.scrub _),

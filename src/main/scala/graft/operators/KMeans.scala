@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+
+/** Lloyd's k-means over the embedding corpus — the TRAINING half of
+  * the IVF index whose probe half is [[Similarity.ivfTopK]]: the same
+  * deterministic seed set (`vec_id % 37 == 5`) is refined for
+  * [[Rounds]] iterations, after which [[Similarity.cellAssignments]]'s
+  * quantizer would use the trained centroids instead of raw seeds.
+  *
+  * Per round, entirely declarative (no driver action, unlike the
+  * data-dependent `bpe_train` loop — the round count is FIXED, so the
+  * whole training is one Catalyst DAG):
+  *
+  *   1. assignment: corpus × broadcast(centroids) scored by cosine,
+  *      argmax folded by `max_by` at the groupBy grain — map-side
+  *      combine means the shuffle carries one (vec_id, cell) row per
+  *      vector, never the N×C scored pairs (the
+  *      [[Similarity.cellAssignments]] shape);
+  *   2. update: per-(cell, dim) means via posexplode + two-phase agg,
+  *      re-assembled into centroid arrays by a dim-sorted collect.
+  *
+  * Determinism: every floating sum folds a SORTED list
+  * (`aggregate(array_sort(collect_list(x)))`), so the addition order —
+  * and therefore the trained centroids, double-run byte-identical —
+  * is pinned regardless of partitioning. At 100 TB the per-(cell,dim)
+  * sorted collect (state = cell population) would be traded for a
+  * plain two-phase `avg` (order-free, fp-tolerance reproducible);
+  * the pinned fold is what makes the EXACT sequential-replay spec
+  * possible here. Cells that lose all members drop (standard Lloyd's
+  * degeneracy; the seed count is scale-proportional so locally it
+  * doesn't occur — `KMeansSpec` pins that too).
+  *
+  * Output: one row per surviving cell — member count, mean member
+  * cosine to the trained centroid (the inertia analog, higher =
+  * tighter), centroid norm. Rows-only query: the loop has a fixed SQL
+  * form in principle but 3 unrolled rounds of sorted-fold means are
+  * beyond what a readable oracle buys; `KMeansSpec` replays the whole
+  * training sequentially and compares bit-for-bit.
+  */
+object KMeans {
+
+  /** Fixed Lloyd's rounds — enough to move every centroid off its
+    * seed while keeping the unrolled plan shallow.
+    */
+  val Rounds = 3
+
+  /** (vec_id, cell, cos, v): each vector's argmax-cosine cell under
+    * `cents`, ties to the smallest cent_id, plus its cosine there.
+    */
+  private def assign(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.join(broadcast(cents))
+      .withColumn("cs", Dedup.cosine(col("embedding"), col("cvec")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("cs"), -col("cent_id")))
+        .as("cell"),
+        max(col("cs")).as("cos"),
+        first(col("embedding")).as("v"))
+
+  def train(s: SparkSession, dir: String): DataFrame = {
+    val corpus = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    var cents = Similarity.centroids(s, dir) // (cent_id, cvec) seeds
+    for (_ <- 1 to Rounds) {
+      val dims = assign(corpus, cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+      val means = dims.groupBy(col("cell"), col("d"))
+        .agg((aggregate(array_sort(collect_list(col("x").cast("double"))),
+          lit(0.0), (a, b) => a + b) / count(lit(1))).as("m"))
+      cents = means.groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("cell").as("cent_id"),
+          transform(col("dm"), e => e.getField("m").cast("float"))
+            .as("cvec"))
+    }
+    assign(corpus, cents)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        round(aggregate(array_sort(collect_list(col("cos"))), lit(0.0),
+          (a, b) => a + b) / count(lit(1)), 6).as("mean_cos"))
+      .join(cents.select(col("cent_id").as("cell"),
+        round(sqrt(graft.functions.vecDot(col("cvec"), col("cvec"))), 6)
+          .as("c_norm")), "cell")
+      .orderBy(col("cell"))
+  }
+}
