@@ -52,6 +52,9 @@ object DistributedPrefix {
   private[operators] def exclusiveSum(df: DataFrame, orderCols: Seq[
       org.apache.spark.sql.Column], weight: org.apache.spark.sql.Column,
       outName: String): DataFrame = {
+    val reserved = Set("__w", "pid", "offset")
+    require(!df.columns.exists(reserved), s"input columns collide with " +
+      s"the helper's internals: ${df.columns.filter(reserved).mkString(",")}")
     val rel = df.repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .withColumn("__w", weight.cast("long"))
