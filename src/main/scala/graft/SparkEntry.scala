@@ -194,6 +194,9 @@ object SparkEntry {
     // rows-only: the data-dependent merge loop has no fixed SQL form;
     // exact-pinned by BpeSpec's sequential replay (see Bpe scaladoc)
     "bpe_train" -> (Bpe.train _),
+    // rows-only: segments under bpe_train's data-dependent merges;
+    // exact-pinned by BpeSpec's sequential segmentation replay
+    "bpe_tokenize" -> (Bpe.tokenize _),
     "curriculum_order" -> (Curriculum.order _),
     "corpus_shuffle" -> (Shuffle.permute _),
     // rows-only: 3 unrolled rounds of sorted-fold means have no

@@ -65,6 +65,16 @@ object Bpe {
     */
   def train(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    trainedMerges(s, dir)
+      .toDF("merge_rank", "left", "right", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** The collected merge list behind [[train]] — shared with
+    * [[tokenize]], which needs the merges themselves, not the table.
+    */
+  private[operators] def trainedMerges(s: SparkSession, dir: String)
+      : Seq[(Int, String, String, Long)] = {
     // Collapse the corpus to (unique word, occurrence count) up front —
     // the standard BPE trick. Pair counts weighted by freq are exactly
     // the token-level counts, but the iterated segmentation state is
@@ -96,7 +106,43 @@ object Bpe {
     }
     words.unpersist()
     merges.result()
-      .toDF("merge_rank", "left", "right", "pair_count")
-      .orderBy(col("merge_rank"))
+  }
+
+  /** Tokenization under the trained merges — the APPLY half of the
+    * trainer: how many pieces each document costs once the vocabulary
+    * ships. Segmentation runs on the UNIQUE-word frame (the same
+    * vocabulary collapse as training — per-word chained greedy merge
+    * folds, vocab-sized work), then an equi-join on the word lands
+    * each document's piece counts; at 100 TB the segmented vocabulary
+    * is the small side and the corpus explode streams against it.
+    * EVERY document is kept — one with no trainable word (only
+    * single-letter or non-[a-z] tokens) reports zero counts rather
+    * than vanishing (the [[Curriculum]] completeness contract).
+    * Rows-only like `bpe_train` (the merge list is data-dependent);
+    * BpeSpec replays the segmentation sequentially.
+    *
+    * Output: (doc_id, n_words, n_pieces) — trainable-word count and
+    * total BPE pieces under the [[TrainRounds]]-merge vocabulary.
+    */
+  def tokenize(s: SparkSession, dir: String): DataFrame = {
+    val merges = trainedMerges(s, dir)
+    val words = load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("w"))
+      .filter(length(col("w")) >= 2)
+    val segmented = words.select(col("w")).distinct()
+      .select(col("w"), merges.foldLeft(split(col("w"), "")) {
+        case (syms, (_, a, b, _)) => applyMerge(syms, a, b)
+      }.as("syms"))
+      .select(col("w"), size(col("syms")).cast("long").as("pieces"))
+    val perDoc = words.join(segmented, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("pieces")).as("n_pieces"))
+    load(s, dir, "documents").select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+      .orderBy(col("doc_id"))
   }
 }

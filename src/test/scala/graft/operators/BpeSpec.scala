@@ -10,6 +10,17 @@ import graft.SparkSpec
   */
 class BpeSpec extends SparkSpec {
 
+  private def applyOne(w: Array[String], a: String, b: String)
+      : Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    w.foreach { x =>
+      if (out.nonEmpty && out.last == a && x == b) {
+        out.remove(out.length - 1); out += (a + b)
+      } else out += x
+    }
+    out.toArray
+  }
+
   private def replay(words0: Seq[Array[String]], rounds: Int)
       : Seq[(Int, String, String, Long)] = {
     var words = words0
@@ -24,15 +35,7 @@ class BpeSpec extends SparkSpec {
       if (counts.isEmpty) None
       else {
         val ((a, b), n) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
-        words = words.map { w =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          w.foreach { x =>
-            if (out.nonEmpty && out.last == a && x == b) {
-              out.remove(out.length - 1); out += (a + b)
-            } else out += x
-          }
-          out.toArray
-        }
+        words = words.map(applyOne(_, a, b))
         Some((round, a, b, n))
       }
     }
@@ -55,5 +58,28 @@ class BpeSpec extends SparkSpec {
       case Array(x, y) => y._4 <= x._4
       case _ => true
     })
+  }
+
+  test("tokenize applies the full trained merge list: per-doc piece " +
+      "counts equal the sequential segmentation; every doc is kept") {
+    val merges = Bpe.train(spark, sf).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+    val got = Bpe.tokenize(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_pieces"))).sortBy(_._1)
+    val want = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val ws = "[a-z]+".r.findAllIn(Option(r.getString(1)).getOrElse(""))
+          .filter(_.length >= 2).toSeq
+        val pieces = ws.map { w =>
+          merges.foldLeft(w.split("")) { case (s, (a, b)) =>
+            applyOne(s, a, b)
+          }.length.toLong
+        }
+        (r.getLong(0), ws.size.toLong, pieces.sum)
+      }.sortBy(_._1)
+    assert(got.length == want.length, "every document must be kept")
+    assert(got.toSeq == want.toSeq)
   }
 }

@@ -31,6 +31,7 @@ class EmptyInputSpec extends SparkSpec {
       "dup_ngrams" -> (() => TextAnalysis.dupNgrams(spark, emptyDir).count()),
       "lm_score" -> (() => TextAnalysis.lmScore(spark, emptyDir).count()),
       "bpe_pairs" -> (() => TextAnalysis.bpePairs(spark, emptyDir).count()),
+      "bpe_tokenize" -> (() => Bpe.tokenize(spark, emptyDir).count()),
       "curriculum" -> (() => Curriculum.order(spark, emptyDir).count()),
       "corpus_shuffle" -> (() => Shuffle.permute(spark, emptyDir).count()),
       "pack_chunks" -> (() => Pack.packChunks(spark, emptyDir).count()),
