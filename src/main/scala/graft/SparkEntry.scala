@@ -199,6 +199,7 @@ object SparkEntry {
     "bpe_tokenize" -> (Bpe.tokenize _),
     "curriculum_order" -> (Curriculum.order _),
     "corpus_shuffle" -> (Shuffle.permute _),
+    "split_manifest" -> (Sampling.splitAudit _),
     // rows-only: 3 unrolled rounds of sorted-fold means have no
     // readable SQL form; exact-pinned by KMeansSpec's sequential
     // replay (see KMeans scaladoc)
@@ -983,6 +984,17 @@ object SparkEntry {
          SELECT doc_id, mean_lp, CAST(rank AS BIGINT) AS rank,
            CAST((rank - 1) * 10 // n AS BIGINT) AS decile
          FROM r ORDER BY doc_id""",
+    // universe-hash split membership is a pure function of the key:
+    // the same CASE over the md5 first hex digit on both engines
+    "split_manifest" ->
+      """SELECT CASE
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+             THEN 'train'
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'e'
+             THEN 'val'
+           ELSE 'test' END AS split,
+         count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+         FROM documents GROUP BY 1 ORDER BY 1""",
     // the sequential replay of Shuffle.permute's distributed rank: a
     // plain global window over the seeded md5 key
     "corpus_shuffle" ->

@@ -52,6 +52,35 @@ object Sampling {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Deterministic train/val/test split — the holdout boundary every
+    * training pipeline fixes before any model sees data. The same
+    * universe-hash argument as the samplers: a row's split is a pure
+    * function of its key (`md5` first hex digit: `0..d` train = 14/16,
+    * `e` val = 1/16, `f` test = 1/16), so membership is reproducible
+    * on any engine, stable under re-partitioning and re-runs, and a
+    * document can never migrate between splits when the corpus grows —
+    * the property RNG splits lose. Per-doc assignment is a narrow
+    * codegen'd projection (no shuffle); the audit aggregation is the
+    * oracled query.
+    */
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 1) < "e",
+          "train")
+          .when(substring(md5(col("doc_id").cast("string")), 1, 1) === "e",
+            "val")
+          .otherwise("test").as("split"))
+
+  /** (split, n_docs, n_chars): the split manifest a pipeline records
+    * next to the corpus snapshot.
+    */
+  def splitAudit(s: SparkSession, dir: String): DataFrame =
+    splitAssign(s, dir)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("split"))
+
   /** Exact-quota sampling: exactly k rows per stratum, the rows whose
     * md5(key) ranks lowest — a deterministic reservoir. Rate-based
     * sampling (above) can't promise "give me exactly 25 eval rows per

@@ -32,6 +32,30 @@ class SamplingSpec extends SparkSpec {
     assert(a.nonEmpty && a.sameElements(b))
   }
 
+  test("train/val/test split partitions the corpus: disjoint, " +
+      "exhaustive, rerun-stable, rates near 14:1:1") {
+    val assigns = Sampling.splitAssign(spark, sf).collect()
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(assigns.length == total, "every document gets exactly one split")
+    assert(assigns.map(_.getAs[Long]("doc_id")).distinct.length == total)
+    val bySplit = assigns.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.length.toLong).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit.values.sum == total)
+    assert(math.abs(bySplit("train").toDouble / total - 14.0 / 16) < 0.1)
+    // membership is a pure function of the key: rerun yields the
+    // identical assignment (not just identical counts)
+    val again = Sampling.splitAssign(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assigns.foreach { r =>
+      assert(again(r.getAs[Long]("doc_id")) == r.getAs[String]("split"))
+    }
+    // the audit aggregates the same assignment
+    val audit = Sampling.splitAudit(spark, sf).collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    assert(audit == bySplit)
+  }
+
   test("universe filter is deterministic and rate-monotone") {
     val keys = Tables.load(spark, sf, "orders").select(col("o_orderkey"))
     def n(sixteenths: Int): Long = keys
