@@ -204,6 +204,9 @@ object SparkEntry {
     // readable SQL form; exact-pinned by KMeansSpec's sequential
     // replay (see KMeans scaladoc)
     "kmeans_train" -> (KMeans.train _),
+    // rows-only: probes the trainer's data-dependent centroids;
+    // recall measured against bruteTopK in SimilaritySpec
+    "ann_ivf_trained_topk" -> (Similarity.ivfTrainedTopK _),
     "contamination_check" -> (TextAnalysis.contamination _),
     // --- PII scrubbing + mixture sampling (see Pii/Mix scaladoc) ---
     "pii_scrub" -> (Pii.scrub _),

@@ -60,7 +60,10 @@ object KMeans {
         max(col("cs")).as("cos"),
         first(col("embedding")).as("v"))
 
-  def train(s: SparkSession, dir: String): DataFrame = {
+  /** (cent_id, cvec) after [[Rounds]] Lloyd's iterations — the
+    * trained quantizer [[Similarity.ivfTrainedTopK]] probes with.
+    */
+  def trainedCentroids(s: SparkSession, dir: String): DataFrame = {
     val corpus = load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     var cents = Similarity.centroids(s, dir) // (cent_id, cvec) seeds
@@ -76,6 +79,13 @@ object KMeans {
           transform(col("dm"), e => e.getField("m").cast("float"))
             .as("cvec"))
     }
+    cents
+  }
+
+  def train(s: SparkSession, dir: String): DataFrame = {
+    val corpus = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = trainedCentroids(s, dir)
     assign(corpus, cents)
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"),

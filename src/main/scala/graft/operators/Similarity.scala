@@ -175,8 +175,9 @@ object Similarity {
     corpus(s, dir).filter(col("vec_id") % 37 === 5)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
 
-  private def scoredCells(s: SparkSession, dir: String): DataFrame =
-    corpus(s, dir).join(broadcast(centroids(s, dir)))
+  private def scoredCells(s: SparkSession, dir: String,
+      cents: DataFrame): DataFrame =
+    corpus(s, dir).join(broadcast(cents))
       .withColumn("cs", Dedup.cosine(col("embedding"), col("cvec")))
 
   /** Every vector's cell: argmax cosine, smallest cent_id on ties —
@@ -184,17 +185,38 @@ object Similarity {
     * the on-disk form (`Layout.writeIvfPartitioned`).
     */
   def cellAssignments(s: SparkSession, dir: String): DataFrame =
-    scoredCells(s, dir)
+    cellAssignmentsWith(s, dir, centroids(s, dir))
+
+  private def cellAssignmentsWith(s: SparkSession, dir: String,
+      cents: DataFrame): DataFrame =
+    scoredCells(s, dir, cents)
       .groupBy(col("vec_id"))
       .agg(max_by(col("cent_id"), struct(col("cs"), -col("cent_id")))
         .as("cell"), first(col("embedding")).as("cv"))
 
-  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
-    val assigned = cellAssignments(s, dir)
+  def ivfTopK(s: SparkSession, dir: String): DataFrame =
+    ivfTopKWith(s, dir, centroids(s, dir))
+
+  /** The same probe over TRAINED centroids ([[KMeans.trainedCentroids]]
+    * — Lloyd's-refined seeds): the quantizer the index would ship
+    * after training. Rows-only (the centroid set is the trainer's
+    * data-dependent output); SimilaritySpec measures its recall
+    * against `bruteTopK` alongside the seed-centroid probe — on this
+    * near-orthogonal synthetic corpus training holds rather than
+    * lifts recall (means shrink toward the grand mean; clustered
+    * real embeddings are where training pays), and the spec pins
+    * non-degradation.
+    */
+  def ivfTrainedTopK(s: SparkSession, dir: String): DataFrame =
+    ivfTopKWith(s, dir, KMeans.trainedCentroids(s, dir))
+
+  private def ivfTopKWith(s: SparkSession, dir: String,
+      cents: DataFrame): DataFrame = {
+    val assigned = cellAssignmentsWith(s, dir, cents)
     // query probes: NProbe nearest centroids (query set is tiny)
     val pw = Window.partitionBy(col("vec_id"))
       .orderBy(col("cs").desc, col("cent_id"))
-    val probes = scoredCells(s, dir).filter(queryPred)
+    val probes = scoredCells(s, dir, cents).filter(queryPred)
       .withColumn("pr", row_number().over(pw)).filter(col("pr") <= NProbe)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"),
         col("embedding").as("qv"))

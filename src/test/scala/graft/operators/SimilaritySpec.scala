@@ -91,4 +91,36 @@ class SimilaritySpec extends SparkSpec {
     info(f"IVF recall@${Similarity.K} = $recall%.3f")
     assert(recall >= 0.05, f"recall $recall%.3f below floor")
   }
+
+  test("trained-centroid IVF keeps the probe contract and does not " +
+      "degrade recall vs the seed quantizer") {
+    val brute = Similarity.bruteTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    def recall(rows: Array[org.apache.spark.sql.Row]) = {
+      val got = rows
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val trained = Similarity.ivfTrainedTopK(spark, sf).collect()
+    assert(trained.nonEmpty)
+    // same shape contract as the seed probe
+    trained.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    val seedR = recall(Similarity.ivfTopK(spark, sf).collect())
+    val trainedR = recall(trained)
+    info(f"IVF recall@${Similarity.K}: seeds=$seedR%.3f trained=$trainedR%.3f")
+    // Honest pin: on this NEAR-ORTHOGONAL synthetic corpus Lloyd's
+    // means shrink toward the grand mean, so training shifts cell
+    // boundaries without a recall win (measured 0.44 -> 0.40 at
+    // sf0.001 — real clustered embeddings are where training pays).
+    // The contract pinned here is non-degradation beyond slack.
+    assert(trainedR >= seedR - 0.05,
+      f"training degraded recall: $seedR%.3f -> $trainedR%.3f")
+  }
 }
