@@ -266,6 +266,14 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2)
   }
 
+  test("split assignment: a pure scan-side projection — no exchange, " +
+      "only the referenced columns read") {
+    val p = physical(Sampling.splitAssign(spark, sf))
+    assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"))
+  }
+
   test("q2/q8 value invariants: one row per part; share within [0,1]") {
     val q2 = Relational.q2MinCostSupplier(spark, sf).collect()
     assert(q2.map(_.getLong(0)).distinct.length == q2.length)
