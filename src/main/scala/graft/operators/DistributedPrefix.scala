@@ -52,9 +52,16 @@ object DistributedPrefix {
   private[operators] def exclusiveSum(df: DataFrame, orderCols: Seq[
       org.apache.spark.sql.Column], weight: org.apache.spark.sql.Column,
       outName: String): DataFrame = {
+    // case-insensitive (Spark's default resolution) and covering
+    // outName too: a duplicate output column or a case-variant "PID"
+    // would corrupt the frame just as silently as an exact match
     val reserved = Set("__w", "pid", "offset")
-    require(!df.columns.exists(reserved), s"input columns collide with " +
-      s"the helper's internals: ${df.columns.filter(reserved).mkString(",")}")
+    val lower = df.columns.map(_.toLowerCase)
+    require(!lower.exists(reserved), s"input columns collide with " +
+      s"the helper's internals: ${df.columns.mkString(",")}")
+    require(!reserved(outName.toLowerCase) &&
+      !lower.contains(outName.toLowerCase),
+      s"outName '$outName' collides with an input or internal column")
     val rel = df.repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .withColumn("__w", weight.cast("long"))

@@ -62,8 +62,17 @@ object KMeans {
 
   /** (cent_id, cvec) after [[Rounds]] Lloyd's iterations — the
     * trained quantizer [[Similarity.ivfTrainedTopK]] probes with.
+    * The result is COLLECTED into a local relation before returning:
+    * the quantizer is ~corpus/37 tiny rows while its lineage is the
+    * full 3-round corpus-wide training DAG, and every downstream
+    * consumer references the centroid frame at least twice (assign +
+    * audit/probe branches) — an uncollected frame would re-run the
+    * entire training once per branch (the differing projections
+    * defeat ReuseExchange). Same discipline as `Bpe.trainedMerges`:
+    * training runs exactly once, consumers broadcast ~100 rows.
     */
   def trainedCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val corpus = load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     var cents = Similarity.centroids(s, dir) // (cent_id, cvec) seeds
@@ -79,7 +88,8 @@ object KMeans {
           transform(col("dm"), e => e.getField("m").cast("float"))
             .as("cvec"))
     }
-    cents
+    cents.as[(Long, Array[Float])].collect().toSeq
+      .toDF("cent_id", "cvec")
   }
 
   def train(s: SparkSession, dir: String): DataFrame = {

@@ -34,6 +34,7 @@ class EmptyInputSpec extends SparkSpec {
       "bpe_tokenize" -> (() => Bpe.tokenize(spark, emptyDir).count()),
       "curriculum" -> (() => Curriculum.order(spark, emptyDir).count()),
       "corpus_shuffle" -> (() => Shuffle.permute(spark, emptyDir).count()),
+      "split_manifest" -> (() => Sampling.splitAudit(spark, emptyDir).count()),
       "pack_chunks" -> (() => Pack.packChunks(spark, emptyDir).count()),
       "pack_bins" -> (() => Pack.packBins(spark, emptyDir).count()),
       "dedup_incremental" -> (() => Dedup.incremental(spark, emptyDir).count()),
