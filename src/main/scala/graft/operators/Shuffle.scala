@@ -32,11 +32,12 @@ object Shuffle {
   private val ShardShift = 9
 
   def permute(s: SparkSession, dir: String): DataFrame =
-    permuteSeeded(s, dir, "epoch0")
+    permuteSeeded(s, dir, "epoch0").orderBy(col("doc_id"))
 
-  /** (doc_id, h, pos, shard): the seeded permutation position of every
-    * document and its output shard. `h` is kept in the output so a
-    * consumer can verify any row's placement locally.
+  /** (doc_id, h, pos, shard) WITHOUT the presentation sort — consumers
+    * that re-partition anyway ([[Layout.writeShuffledShards]]) start
+    * here so the plan carries no dead global exchange. `h` is kept in
+    * the output so a consumer can verify any row's placement locally.
     */
   def permuteSeeded(s: SparkSession, dir: String, seed: String): DataFrame = {
     val keyed = load(s, dir, "documents")
@@ -47,6 +48,5 @@ object Shuffle {
       Seq(col("h").asc, col("doc_id").asc), lit(1L), "pos")
       .select(col("doc_id"), col("h"), col("pos"),
         shiftright(col("pos"), ShardShift).as("shard"))
-      .orderBy(col("doc_id"))
   }
 }
