@@ -168,12 +168,14 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_incremental" -> (Dedup.incremental _),
     "dedup_ngram_prefix" -> (Dedup.ngramJaccardPrefix _),
+    "dedup_ngram_dfcap" -> (Dedup.ngramJaccardDfCapped _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhashPairs _),
     "dedup_embedding" -> (Dedup.embeddingPairs _),
     "dedup_embedding_blocked" -> (Dedup.embeddingPairsBlocked _),
     // --- similarity search ---
     "embed_stats" -> (Similarity.embedStats _),
+    "embed_stats_scale" -> (Similarity.embedStatsScale _),
     "ann_brute_topk" -> (Similarity.bruteTopK _),
     "ann_blocked_topk" -> (Similarity.bruteTopKBlocked _),
     "ann_lsh_topk" -> (Similarity.lshTopK _),
@@ -725,6 +727,11 @@ object SparkEntry {
          FROM sh s LEFT JOIN rej r ON s.doc_id = r.doc_id
          WHERE s.doc_id % 10 = 7 ORDER BY s.doc_id""",
     "dedup_ngram_prefix" -> dedupPairsOracle,
+    // df-capped candidate generation, exact full-set verification: the
+    // cap (df > 20 shingles leave the index) is inert on this corpus —
+    // every qualifying pair shares a rarer shingle — so the output
+    // must still equal the exact brute-force contract
+    "dedup_ngram_dfcap" -> dedupPairsOracle,
     "dedup_minhash_lsh" -> dedupPairsOracle,
     // dedup_simhash intentionally omitted: its contract depends on
     // xxhash64 bit patterns DuckDB cannot reproduce; covered by
@@ -792,6 +799,22 @@ object SparkEntry {
            round(min(norm), 6) AS min_norm,
            round(max(norm), 6) AS max_norm,
            round(list_reduce(list_sort(list(norm)), (a, b) -> a + b)
+             / count(*), 6) AS mean_norm
+         FROM v GROUP BY label ORDER BY label""",
+    // O(1)-state sibling: norms quantized to 6 decimals and summed as
+    // DECIMAL — exact integer micro-unit arithmetic, associative, so
+    // the mean is order-free on both engines (one IEEE division of an
+    // exact sum); min/max/count were already order-free
+    "embed_stats_scale" ->
+      """WITH v AS (SELECT label, len(embedding) AS dim,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b)) AS norm
+         FROM embeddings)
+         SELECT label, count(*) AS n_vecs,
+           min(dim) AS dim_min, max(dim) AS dim_max,
+           round(min(norm), 6) AS min_norm,
+           round(max(norm), 6) AS max_norm,
+           round(CAST(sum(CAST(round(norm, 6) AS DECIMAL(38,6))) AS DOUBLE)
              / count(*), 6) AS mean_norm
          FROM v GROUP BY label ORDER BY label""",
     "ann_brute_topk" -> annExactOracle,

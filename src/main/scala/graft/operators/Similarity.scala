@@ -43,9 +43,9 @@ object Similarity {
     * score. min/max are order-free. Boundary stated honestly: unlike
     * the LM score's per-DOC fold (bounded by document length), this
     * collects per LABEL — fine while a label's cardinality fits an
-    * executor (here ~corpus/10); at a 100 TB table swap the sorted
-    * fold for plain `avg(norm)` (order-free up to the last ulp, which
-    * only the oracle hash cares about) and keep everything else.
+    * executor (here ~corpus/10). The 100 TB form is
+    * [[embedStatsScale]]: O(1) state per label via an exact decimal
+    * sum of quantized norms, equally oracled.
     */
   def embedStats(s: SparkSession, dir: String): DataFrame = {
     val sq = aggregate(transform(col("embedding"),
@@ -60,6 +60,41 @@ object Similarity {
         round(max(col("norm")), 6).as("max_norm"),
         round(aggregate(array_sort(collect_list(col("norm"))), lit(0.0),
           (a, x) => a + x) / count(lit(1)), 6).as("mean_norm"))
+      .orderBy(col("label"))
+  }
+
+  /** The same hygiene report with O(1) aggregation state per label —
+    * the form that survives a 100 TB table, where [[embedStats]]'s
+    * sorted per-label norm fold (state = label population) would OOM
+    * an executor. Order-independence without losing the exact oracle:
+    * each norm is quantized to 6 decimal places and summed as
+    * DECIMAL — integer micro-unit arithmetic, exact and associative,
+    * so the sum is bit-identical under ANY partitioning and addition
+    * order on both engines. The mean is then ONE correctly-rounded
+    * IEEE division of that exact sum by the count. min/max/count were
+    * already order-free. Aggregation state per label: a count, two
+    * doubles, one decimal — independent of label cardinality.
+    *
+    * The decimal sum stays exact while Σ round(norm, 6) · 10⁶ fits
+    * DECIMAL(38,6) (10³² micro-units — beyond any corpus); the
+    * double cast before the division is exact up to 2⁵³ micro-units
+    * ≈ 10⁹ vectors/label at unit norm, after which the mean degrades
+    * gracefully to half-ulp-of-sum precision (never wrong by more
+    * than the last displayed digit's rounding).
+    */
+  def embedStatsScale(s: SparkSession, dir: String): DataFrame = {
+    val sq = aggregate(transform(col("embedding"),
+      x => x.cast("double") * x), lit(0.0), (a, x) => a + x)
+    load(s, dir, "embeddings")
+      .select(col("label"), size(col("embedding")).as("dim"),
+        sqrt(sq).as("norm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
+        round(min(col("norm")), 6).as("min_norm"),
+        round(max(col("norm")), 6).as("max_norm"),
+        round(sum(round(col("norm"), 6).cast("decimal(38,6)"))
+          .cast("double") / count(lit(1)), 6).as("mean_norm"))
       .orderBy(col("label"))
   }
 

@@ -163,4 +163,41 @@ class DedupSpec extends SparkSpec {
     // transitivity really exercised: labels are component minima
     assert(got.values.toSet.subsetOf(got.keySet))
   }
+
+  test("df-capped pair join equals the exact inverted-index join on " +
+      "the corpus") {
+    val exact = Dedup.ngramJaccard(spark, sf).collect().toSeq
+    val capped = Dedup.ngramJaccardDfCapped(spark, sf).collect().toSeq
+    assert(exact.nonEmpty)
+    assert(capped == exact)
+  }
+
+  test("df cap drops boilerplate-only candidates but keeps exact " +
+      "Jaccard for pairs reached via a cold shingle") {
+    import spark.implicits._
+    // six docs that are NOTHING BUT the same boilerplate shingle: every
+    // pair qualifies at J = 1.0 yet shares only a df=8 shingle
+    val boiler = (1L to 6L).map(i => (i, "boil plate common"))
+    // two docs that share the boilerplate AND cold content: reachable
+    // through df=2 shingles even when the hot one leaves the index
+    val mixed = Seq((100L, "boil plate common x y z"),
+      (101L, "boil plate common x y z"))
+    val docs = (boiler ++ mixed).toDF("doc_id", "text")
+
+    // cap 3 < df("boil plate common") = 8: the 15 boilerplate-only
+    // pairs are dropped by design (the CCNet recall contract)...
+    val capped = Dedup.dfCappedPairs(docs, 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard"))).sorted.toSeq
+    // ...while (100, 101) survives via its cold shingles, and its
+    // Jaccard is still computed over the FULL sets (hot included):
+    // identical docs -> exactly 1.0, not 3/4
+    assert(capped == Seq((100L, 101L, 1.0)))
+
+    // a cap above every df is inert: all 16 identical-doc pairs with
+    // J = 1.0, plus nothing else
+    val uncapped = Dedup.dfCappedPairs(docs, 100).collect()
+    assert(uncapped.length == 15 + 1)
+    assert(uncapped.forall(_.getAs[Double]("jaccard") == 1.0))
+  }
 }

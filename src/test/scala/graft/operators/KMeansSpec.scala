@@ -91,4 +91,23 @@ class KMeansSpec extends SparkSpec {
     val trainedNorms = trained.map(_.getAs[Double]("c_norm")).sorted.toSeq
     assert(trainedNorms != seedNorms, "centroids did not move")
   }
+
+  test("order-free scale mode trains the same quantizer within float " +
+      "tolerance") {
+    def centMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("cent_id") ->
+        r.getAs[scala.collection.Seq[Float]]("cvec").toArray).toMap
+    val exact = centMap(KMeans.trainedCentroids(spark, sf))
+    val scale = centMap(KMeans.trainedCentroidsScale(spark, sf))
+    assert(scale.keySet == exact.keySet, "same surviving cells")
+    exact.foreach { case (cell, ev) =>
+      val sv = scale(cell)
+      assert(sv.length == ev.length)
+      ev.zip(sv).zipWithIndex.foreach { case ((e, s2), d) =>
+        // same memberships + double-precision means differing only in
+        // addition order: after the float cast at most a last-ulp gap
+        assert(math.abs(e - s2) <= 1e-6, s"cell $cell dim $d: $e vs $s2")
+      }
+    }
+  }
 }

@@ -33,6 +33,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embed stats scale mode: same report within quantization, O(1) " +
+      "aggregation state (no per-label collect)") {
+    val exact = Similarity.embedStats(spark, sf).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    val scaleDf = Similarity.embedStatsScale(spark, sf)
+    val scale = scaleDf.collect().map(r => r.getAs[Int]("label") -> r).toMap
+    assert(scale.keySet == exact.keySet)
+    scale.foreach { case (l, s) =>
+      val e = exact(l)
+      // order-free columns are identical; the mean differs from the
+      // sorted-fold mean by at most the 1e-6 norm quantization
+      Seq("n_vecs", "dim_min", "dim_max").foreach(c =>
+        assert(s.getAs[Any](c) == e.getAs[Any](c), s"label $l $c"))
+      Seq("min_norm", "max_norm").foreach(c =>
+        assert(s.getAs[Double](c) == e.getAs[Double](c), s"label $l $c"))
+      assert(math.abs(s.getAs[Double]("mean_norm") -
+        e.getAs[Double]("mean_norm")) <= 1e-6, s"label $l mean_norm")
+    }
+    // the scale claim itself: the plan's aggregate carries NO
+    // collect_list buffer — count/min/max/sum only, so state per label
+    // is constant (the exact mode shows ObjectHashAggregate instead)
+    val plan = scaleDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), "scale mode must not collect")
+  }
+
   test("brute top-k: k rows per query, ranks contiguous, cos descending") {
     val rows = Similarity.bruteTopK(spark, sf).collect()
     val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
