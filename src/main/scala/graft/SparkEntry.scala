@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Curate, Curriculum, Dedup, KMeans, Mix, Multimodal, Pack, Pii, QastQueries, Relational, Sampling, Shuffle, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Bpe, Chunk, Curate, Curriculum, Dedup, KMeans, Mix, Multimodal, Pack, Pii, QastQueries, Relational, Sampling, Shuffle, Similarity, Skew, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -173,6 +173,8 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.simhashPairs _),
     "dedup_embedding" -> (Dedup.embeddingPairs _),
     "dedup_embedding_blocked" -> (Dedup.embeddingPairsBlocked _),
+    "semantic_dedup" -> (Dedup.semantic _),
+    "rag_chunks" -> (Chunk.ragChunks _),
     // --- similarity search ---
     "embed_stats" -> (Similarity.embedStats _),
     "embed_stats_scale" -> (Similarity.embedStatsScale _),
@@ -741,6 +743,49 @@ object SparkEntry {
     // is the 100 TB shape — both must equal this brute-force oracle
     "dedup_embedding" -> embeddingPairsOracle,
     "dedup_embedding_blocked" -> embeddingPairsOracle,
+    // SemDeDup: same deterministic coarse quantizer as ann_ivf_topk
+    // (vec_id % 37 = 5 seeds, argmax cosine, ties to smallest id),
+    // then "smallest id in the in-cell cos >= 0.35 neighborhood
+    // survives" — integer/boolean output only, no float hash surface
+    "semantic_dedup" ->
+      """WITH n AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
+         FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
+           FROM n WHERE vec_id % 37 = 5),
+         sc AS (SELECT v.vec_id, c.cent_id,
+           list_reduce(list_transform(list_zip(v.embedding,c.cvec),
+             x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
+             /v.nrm/c.cnrm AS cs
+         FROM n v, cent c),
+         asg AS (SELECT vec_id, cent_id AS cell FROM (
+           SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cent_id) AS r FROM sc) WHERE r = 1),
+         sh AS (SELECT b.vec_id, CAST(count(*) AS BIGINT) AS n_shadowing
+           FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           JOIN n va ON va.vec_id = a.vec_id
+           JOIN n vb ON vb.vec_id = b.vec_id
+           WHERE list_reduce(list_transform(list_zip(va.embedding,vb.embedding),
+             x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
+             /va.nrm/vb.nrm >= 0.35
+           GROUP BY b.vec_id)
+         SELECT g.vec_id, g.cell,
+           coalesce(s.n_shadowing, 0) AS n_shadowing,
+           coalesce(s.n_shadowing, 0) = 0 AS kept
+         FROM asg g LEFT JOIN sh s ON s.vec_id = g.vec_id
+         ORDER BY g.vec_id""",
+    // sliding-window chunker: 64-token windows every 48 tokens,
+    // 1-based start_tok, dense per-doc chunk ids, short final window
+    "rag_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+           FROM documents),
+         c AS (SELECT doc_id, unnest(range(0, len(toks), 48)) AS st, toks
+           FROM t)
+         SELECT doc_id, st // 48 AS chunk_id, st + 1 AS start_tok,
+           CAST(len(toks[st+1:st+64]) AS BIGINT) AS n_toks,
+           array_to_string(toks[st+1:st+64], ' ') AS chunk_text
+         FROM c ORDER BY doc_id, chunk_id""",
     // replays DocStream's sequential per-bucket admission fold exactly:
     // rank docs per band-0 bucket, then a recursive CTE walks each
     // bucket in doc_id order carrying the admitted-signature list —

@@ -505,6 +505,57 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Cosine threshold for [[semantic]]. Lower than [[embeddingPairs]]'
+    * 0.45 bar deliberately: on this near-orthogonal synthetic corpus
+    * the planted ~0.5-cos pairs straddle cell boundaries (60° apart —
+    * their nearest centroids differ), so at 0.45 the in-cell screen
+    * would never fire; at 0.35 both contract sides are live at every
+    * test SF — dozens of in-cell drops AND cross-cell misses
+    * (SemDeDup's documented recall trade, pinned in DedupSpec).
+    */
+  val SemCos = 0.35
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding corpus with a coarse
+    * quantizer, then drop a vector iff a SAME-CLUSTER vector with a
+    * smaller id is a near-duplicate (cos ≥ [[SemCos]]) — the
+    * clustering turns the quadratic all-pairs screen into per-cell
+    * work, which is the entire point of the method at 100 TB: the
+    * pair join is an EQUI-join on the cell id, cell population stays
+    * ~constant because the quantizer's centroid count is
+    * scale-proportional (`vec_id % 37 == 5` seeds — the same
+    * deterministic quantizer as [[Similarity.ivfTopK]], which is what
+    * makes this oracle-able in SQL; swap in
+    * [[KMeans.trainedCentroidsScale]] for a trained cluster map),
+    * and the keep/drop rule needs no transitive closure — "smallest
+    * id in the near-dup neighborhood survives" is one aggregation.
+    * Cross-cluster duplicates are missed BY DESIGN (the method's
+    * documented recall trade: boundary pairs land in different cells;
+    * SemDedupSpec pins this honestly on planted data).
+    *
+    * Output per vector: its cell, how many smaller-id in-cell
+    * near-dups shadow it, and the keep verdict — integer columns
+    * only, so the oracle hash has no float-rounding surface.
+    */
+  def semantic(s: SparkSession, dir: String): DataFrame = {
+    val a = Similarity.cellAssignments(s, dir)
+      .select(col("vec_id"), col("cell"), col("cv"),
+        sqrt(call_function("vec_dot", col("cv"), col("cv"))).as("nrm"))
+    val l = a.toDF("id_a", "cell", "v_a", "n_a")
+    val r = a.toDF("id_b", "cell", "v_b", "n_b")
+    val shadowed = l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(call_function("vec_dot", col("v_a"), col("v_b"))
+        / col("n_a") / col("n_b") >= SemCos)
+      .groupBy(col("id_b")).agg(count(lit(1)).as("n_shadowing"))
+    a.select(col("vec_id"), col("cell"))
+      .join(shadowed.withColumnRenamed("id_b", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_shadowing"), lit(0L)).as("n_shadowing"))
+      .withColumn("kept", col("n_shadowing") === 0)
+      .orderBy(col("vec_id"))
+  }
+
   /** Sign-bucket (random-hyperplane) near-dup pairs for the HIGH-cos
     * regime where LSH genuinely prunes: candidates are pairs sharing
     * any of the 16 4-bit `lsh_buckets` tables (equi-join on

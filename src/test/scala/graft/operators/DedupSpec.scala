@@ -164,6 +164,49 @@ class DedupSpec extends SparkSpec {
     assert(got.values.toSet.subsetOf(got.keySet))
   }
 
+  test("semantic dedup equals the in-cell restriction of the exact " +
+      "pair screen; cross-cluster pairs are the documented miss") {
+    val out = Dedup.semantic(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cell"), r.getAs[Long]("n_shadowing"),
+          r.getAs[Boolean]("kept"))).toMap
+    val nVecs = graft.Tables.load(spark, sf, "embeddings").count()
+    assert(out.size.toLong == nVecs, "one verdict per vector")
+    // independent replay: cells from the (ivf-oracled) quantizer,
+    // near-dup pairs from a driver-side exhaustive cosine sweep at
+    // SemCos — a vector's shadow count is its smaller-id SAME-cell
+    // partners, nothing else
+    val cells = Similarity.cellAssignments(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    val vecs = graft.Tables.load(spark, sf, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (s2, (p, q)) =>
+        s2 + p.toDouble * q.toDouble }
+    val pairs = for {
+      (ia, va) <- vecs.toSeq; (ib, vb) <- vecs if ia < ib
+      c = dot(va, vb) / math.sqrt(dot(va, va)) / math.sqrt(dot(vb, vb))
+      if c >= Dedup.SemCos
+    } yield (ia, ib)
+    val expected = pairs.filter { case (a, b) => cells(a) == cells(b) }
+      .groupBy(_._2).map { case (b, ps) => b -> ps.length.toLong }
+    out.foreach { case (id, (cell, n, kept)) =>
+      assert(cell == cells(id), s"vec $id cell")
+      assert(n == expected.getOrElse(id, 0L), s"vec $id n_shadowing")
+      assert(kept == (n == 0L), s"vec $id kept")
+    }
+    // the screen must be non-trivially exercised, and the in-cell
+    // restriction must genuinely differ from the all-pairs screen
+    // (otherwise the clustering would be untested decoration)
+    assert(out.values.exists(!_._3), "nothing dropped — screen untested")
+    // the documented recall trade is live too: some near-dup pairs
+    // straddle cells and are therefore (intentionally) not screened
+    assert(pairs.exists { case (a, b) => cells(a) != cells(b) },
+      "no cross-cell pair — the miss contract is untested")
+  }
+
   test("df-capped pair join equals the exact inverted-index join on " +
       "the corpus") {
     val exact = Dedup.ngramJaccard(spark, sf).collect().toSeq
