@@ -193,6 +193,7 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_normalize" -> (TextAnalysis.normalize _),
     "text_dup_ngrams" -> (TextAnalysis.dupNgrams _),
+    "text_dup_spans" -> (TextAnalysis.dupSpans _),
     "text_lm_score" -> (TextAnalysis.lmScore _),
     "bpe_pairs" -> (TextAnalysis.bpePairs _),
     // rows-only: the data-dependent merge loop has no fixed SQL form;
@@ -998,6 +999,30 @@ object SparkEntry {
            (CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*)) <= 0.6 AS keep
          FROM s JOIN f USING (sh) GROUP BY s.doc_id ORDER BY doc_id""",
+    // maximal token ranges covered by duplicated 20-windows (verbatim
+    // window text appearing twice anywhere in the corpus), merged by
+    // coverage overlap (gaps-and-islands in token space); all-integer
+    "text_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+           FROM documents),
+         w AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
+             array_to_string(toks[i:i+19], ' ') AS wtext
+           FROM t, unnest(range(1, len(toks) - 18)) AS u(i)),
+         d AS (SELECT wtext
+           FROM (SELECT wtext, count(*) AS c FROM w GROUP BY wtext)
+           WHERE c >= 2),
+         m AS (SELECT doc_id, start FROM w
+           WHERE wtext IN (SELECT wtext FROM d)),
+         i2 AS (SELECT doc_id, start,
+           CASE WHEN start - lag(start) OVER (PARTITION BY doc_id
+             ORDER BY start) <= 20 THEN 0 ELSE 1 END AS ni FROM m),
+         s AS (SELECT doc_id, start,
+           CAST(sum(ni) OVER (PARTITION BY doc_id ORDER BY start)
+             AS BIGINT) AS isl FROM i2)
+         SELECT doc_id, isl - 1 AS span_id, min(start) AS start_tok,
+           max(start) + 19 AS end_tok,
+           max(start) + 19 - min(start) + 1 AS n_toks
+         FROM s GROUP BY doc_id, isl ORDER BY doc_id, span_id""",
     // the per-doc sum folds the SORTED log-prob list on both sides so
     // the addition order (and hence the last ulp) is engine-pinned
     "text_lm_score" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.load
@@ -278,6 +279,74 @@ object TextAnalysis {
         round(dupFrac, 6).as("dup_frac"),
         (dupFrac <= 0.6).as("keep"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Span window width for [[dupSpans]] — the "memorization-length"
+    * threshold: only verbatim repeats of at least this many tokens
+    * count as duplicated spans (Lee et al. 2107.06499 use 50 BPE
+    * tokens at web scale; 20 whitespace tokens is the proportionate
+    * bar for this corpus's 10-99-token documents).
+    */
+  val SpanWindow = 20
+
+  /** Exact duplicated-SUBSTRING spans — the span-level sibling of
+    * [[dupNgrams]] (which only counts duplicated shingles, it cannot
+    * say WHERE they are): the maximal token ranges in which EVERY
+    * token lies inside some [[SpanWindow]]-token window whose text
+    * appears verbatim elsewhere in the corpus (any doc, any position,
+    * including elsewhere in the same doc), as (doc_id, span_id,
+    * start_tok, end_tok, n_toks) — exactly the ranges a substring
+    * scrubber would cut. This is the distributed approximation of
+    * suffix-array substring dedup: a duplicated span of length
+    * L ≥ W appears as L−W+1 consecutive duplicated W-windows, so
+    * marking duplicated windows and merging islands of OVERLAPPING
+    * window coverage (next start within W of the previous — the
+    * gaps-and-islands rule in token space, which also merges two
+    * distinct duplicated spans that touch) reconstructs the covered
+    * regions, and nothing shorter than W can false-positive.
+    *
+    * Shape at scale: window fingerprints are 8-byte xxhash64 keys
+    * (the DuckDB oracle groups the window TEXT — identical output
+    * absent a 2⁻⁶⁴ hash collision, the same keying trade every
+    * shingle join here makes); duplicate marking is one count
+    * aggregation + one semi-join on the hash — NO pair join of any
+    * kind, so there is no k² fanout to cap: a window duplicated a
+    * million times costs a million marked rows, linear in input. The
+    * island merge is one per-doc window function over integer starts.
+    * Output is all-integer — no float surface for the oracle hash.
+    */
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    dupSpansFor(load(s, dir, "documents"), SpanWindow)
+
+  /** Frame-parametric core of [[dupSpans]] — any (`doc_id`, `text`)
+    * corpus, any window, so `TextAnalysisSpec` can plant verbatim
+    * spans at known offsets.
+    */
+  def dupSpansFor(docs: DataFrame, W: Int): DataFrame = {
+    val wins = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= W)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("toks")) - (W - 1))).as("start"),
+        col("toks"))
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        xxhash64(concat_ws(" ", slice(col("toks"), col("start"), lit(W))))
+          .as("wh"))
+    val dup = wins.groupBy(col("wh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("wh"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val marked = wins.join(dup, Seq("wh"))
+      .withColumn("ni",
+        when(col("start") - lag(col("start"), 1).over(byDoc) <= W, 0L)
+          .otherwise(1L))
+      .withColumn("isl", sum(col("ni")).over(byDoc))
+    marked.groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("start")).as("start_tok"),
+        (max(col("start")) + (W - 1)).as("end_tok"))
+      .select(col("doc_id"), (col("isl") - 1).as("span_id"),
+        col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("n_toks"))
+      .orderBy(col("doc_id"), col("span_id"))
   }
 
   // --- 9. n-gram LM fluency scoring ------------------------------------

@@ -123,4 +123,58 @@ class TextAnalysisSpec extends SparkSpec {
       assert(hashes.forall(_.matches("[0-9a-f]{32}")))
     }
   }
+
+  test("dup spans: planted verbatim spans recovered at exact offsets, " +
+      "islands split on gaps") {
+    import spark.implicits._
+    def toks(prefix: String, n: Int) = (1 to n).map(prefix + _)
+    val shared = toks("s", 30)
+    val blockA = toks("p", 20)
+    val blockB = toks("q", 20)
+    val docs = Seq(
+      // 30-token shared span at offsets 11 and 1
+      (1L, (toks("u", 10) ++ shared ++ toks("v", 5)).mkString(" ")),
+      (2L, (shared ++ toks("w", 25)).mkString(" ")),
+      // two 20-token shared blocks split by unique gaps -> two islands
+      (3L, (blockA ++ toks("x", 10) ++ blockB).mkString(" ")),
+      (4L, (blockA ++ toks("y", 15) ++ blockB).mkString(" ")),
+      // too short to window
+      (5L, toks("z", 10).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpansFor(docs, 20).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_id"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("end_tok"),
+        r.getAs[Long]("n_toks"))).toSeq.sorted
+    assert(got == Seq(
+      (1L, 0L, 11L, 40L, 30L),
+      (2L, 0L, 1L, 30L, 30L),
+      (3L, 0L, 1L, 20L, 20L), (3L, 1L, 31L, 50L, 20L),
+      (4L, 0L, 1L, 20L, 20L), (4L, 1L, 36L, 55L, 20L)))
+  }
+
+  test("dup spans on the corpus: windows-long, in-bounds, " +
+      "non-overlapping, dense ids") {
+    val spans = TextAnalysis.dupSpans(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_id"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("end_tok"),
+        r.getAs[Long]("n_toks")))
+    assert(spans.nonEmpty, "planted near-dups should share long spans")
+    val nToks = graft.Tables.load(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").length).toMap
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length),
+        s"doc $id dense span ids")
+      sorted.foreach { case (_, _, st, en, n) =>
+        assert(n == en - st + 1 && n >= TextAnalysis.SpanWindow)
+        assert(st >= 1 && en <= nToks(id), s"doc $id bounds")
+      }
+      // islands merged: consecutive spans are separated by a gap
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 > a._4 + 1, s"doc $id overlap")
+        case _ =>
+      }
+    }
+  }
 }
