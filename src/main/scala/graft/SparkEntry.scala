@@ -194,6 +194,7 @@ object SparkEntry {
     "text_normalize" -> (TextAnalysis.normalize _),
     "text_dup_ngrams" -> (TextAnalysis.dupNgrams _),
     "text_dup_spans" -> (TextAnalysis.dupSpans _),
+    "text_span_scrub" -> (TextAnalysis.spanScrub _),
     "text_lm_score" -> (TextAnalysis.lmScore _),
     "bpe_pairs" -> (TextAnalysis.bpePairs _),
     // rows-only: the data-dependent merge loop has no fixed SQL form;
@@ -1023,6 +1024,37 @@ object SparkEntry {
            max(start) + 19 AS end_tok,
            max(start) + 19 - min(start) + 1 AS n_toks
          FROM s GROUP BY doc_id, isl ORDER BY doc_id, span_id""",
+    // the scrub the spans plan: a token goes iff covered by any
+    // duplicated 20-window; survivors re-join in order, every doc
+    // reports (untouched docs pass through)
+    "text_span_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+           FROM documents),
+         w AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
+             array_to_string(toks[i:i+19], ' ') AS wtext
+           FROM t, unnest(range(1, len(toks) - 18)) AS u(i)),
+         d AS (SELECT wtext
+           FROM (SELECT wtext, count(*) AS c FROM w GROUP BY wtext)
+           WHERE c >= 2),
+         m AS (SELECT doc_id, start FROM w
+           WHERE wtext IN (SELECT wtext FROM d)),
+         cov AS (SELECT DISTINCT doc_id, start + o AS pos
+           FROM m, unnest(range(0, 20)) AS v(o)),
+         tok AS (SELECT doc_id, toks[pos] AS tk, CAST(pos AS BIGINT) AS pos
+           FROM t, unnest(range(1, len(toks) + 1)) AS p(pos)),
+         kept AS (SELECT tok.doc_id,
+             string_agg(tok.tk, ' ' ORDER BY tok.pos) AS txt
+           FROM tok LEFT JOIN cov
+             ON cov.doc_id = tok.doc_id AND cov.pos = tok.pos
+           WHERE cov.pos IS NULL GROUP BY tok.doc_id),
+         rem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           FROM cov GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks_before,
+           coalesce(rem.n, 0) AS n_toks_removed,
+           coalesce(kept.txt, '') AS clean_text
+         FROM t LEFT JOIN rem ON rem.doc_id = t.doc_id
+           LEFT JOIN kept ON kept.doc_id = t.doc_id
+         ORDER BY t.doc_id""",
     // the per-doc sum folds the SORTED log-prob list on both sides so
     // the addition order (and hence the last ulp) is engine-pinned
     "text_lm_score" ->

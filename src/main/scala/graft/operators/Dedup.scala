@@ -538,9 +538,16 @@ object Dedup {
     * only, so the oracle hash has no float-rounding surface.
     */
   def semantic(s: SparkSession, dir: String): DataFrame = {
+    // cache: the N×C quantizer scoring runs ONCE — the output, both
+    // pair-join legs, and the left-join spine all read the cached
+    // assignment (uncached, Catalyst re-derives the scoring three
+    // times: the projections differ enough to defeat ReuseExchange).
+    // At 100 TB the materialized form is the IVF partition layout
+    // itself (Layout.writeIvfPartitioned); in-query, a narrow cache.
     val a = Similarity.cellAssignments(s, dir)
       .select(col("vec_id"), col("cell"), col("cv"),
         sqrt(call_function("vec_dot", col("cv"), col("cv"))).as("nrm"))
+      .cache()
     val l = a.toDF("id_a", "cell", "v_a", "n_a")
     val r = a.toDF("id_b", "cell", "v_b", "n_b")
     val shadowed = l.join(r, Seq("cell"))

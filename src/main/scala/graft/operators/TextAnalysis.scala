@@ -349,6 +349,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("span_id"))
   }
 
+  /** The scrub that [[dupSpans]] plans: every document with its
+    * duplicated spans CUT — tokens covered by a span are removed,
+    * the rest re-join in order — plus the removal audit
+    * (n_toks_before/removed, clean_text). Documents with no spans
+    * pass through untouched (left join + empty-coalesce), the
+    * Curriculum completeness contract.
+    *
+    * Shape: the span frame is doc-keyed and tiny relative to the
+    * corpus (spans, not tokens); the cut itself is a per-document
+    * array filter over the collected span list — state per doc =
+    * its own span count, bounded by doc length / window, never by
+    * corpus size. One equi-join on doc_id, one narrow projection.
+    * NOTE this removes ALL occurrences of a duplicated region (the
+    * conservative pre-training scrub); keep-one-copy needs a global
+    * canonical-occurrence election on top — the [[Dedup.clusters]]
+    * representative pattern — and is a policy layer, not a new
+    * physical shape.
+    */
+  def spanScrub(s: SparkSession, dir: String): DataFrame =
+    spanScrubFor(load(s, dir, "documents"), SpanWindow)
+
+  /** Frame-parametric core of [[spanScrub]]. */
+  def spanScrubFor(docs: DataFrame, W: Int): DataFrame = {
+    val spans = dupSpansFor(docs, W)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok")))
+        .as("spans"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        array().cast("array<struct<start_tok:bigint,end_tok:bigint>>")))
+      .select(col("doc_id"), size(col("toks")).cast("long")
+        .as("n_toks_before"),
+        filter(col("toks"), (t, i) => !exists(col("spans"),
+          sp => i + 1 >= sp.getField("start_tok") &&
+            i + 1 <= sp.getField("end_tok"))).as("kept"))
+      .select(col("doc_id"), col("n_toks_before"),
+        (col("n_toks_before") - size(col("kept"))).as("n_toks_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- 9. n-gram LM fluency scoring ------------------------------------
 
   /** Bigram-LM scoring — the CCNet/KenLM-style perplexity filter:

@@ -274,6 +274,54 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("doc_id") && !readSchema.contains("text"))
   }
 
+  test("rag chunks: narrow chunking — no join, no aggregate, the only " +
+      "exchange is the presentation sort") {
+    val p = physical(Chunk.ragChunks(spark, sf))
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"chunking must not aggregate:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no shuffle besides the output sort:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("text") && !readSchema.contains("lang"))
+  }
+
+  test("dup spans + scrub: window-hash equi-joins only, never a " +
+      "cartesian or nested loop") {
+    Seq(TextAnalysis.dupSpans(spark, sf),
+        TextAnalysis.spanScrub(spark, sf)).foreach { df =>
+      val p = physical(df)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(p.contains("HashAggregate")) // df count is map-side combinable
+    }
+  }
+
+  test("df-capped jaccard: equi-joins throughout (hot-shingle path " +
+      "adds no nested loop)") {
+    val p = physical(Dedup.ngramJaccardDfCapped(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("semantic dedup: quantizer scoring runs once into a cached " +
+      "assignment; the in-cell pair join is an equi-join") {
+    val p = physical(Dedup.semantic(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // the N×C centroid scoring lives behind the cached assignment —
+    // every consumer reads the InMemoryTableScan, no consumer
+    // re-derives the broadcast nested-loop scoring. The plan STRING
+    // re-prints the cached relation (one scoring BNLJ inside) under
+    // every table scan, so the pin is count equality: each BNLJ
+    // occurrence is a cached-plan printout, none free-standing.
+    val imr = "InMemoryRelation".r.findAllIn(p).length
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(imr >= 1, p)
+    assert(bnlj == imr, s"free-standing nested-loop scoring: $bnlj vs $imr\n$p")
+    // the pair join on the cell id itself hash-/sort-merge-joins
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q2/q8 value invariants: one row per part; share within [0,1]") {
     val q2 = Relational.q2MinCostSupplier(spark, sf).collect()
     assert(q2.map(_.getLong(0)).distinct.length == q2.length)

@@ -152,6 +152,47 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, 0L, 1L, 20L, 20L), (4L, 1L, 36L, 55L, 20L)))
   }
 
+  test("span scrub cuts exactly the planted spans and passes clean " +
+      "docs through") {
+    import spark.implicits._
+    def toks(prefix: String, n: Int) = (1 to n).map(prefix + _)
+    val shared = toks("s", 30)
+    val docs = Seq(
+      (1L, (toks("u", 10) ++ shared ++ toks("v", 5)).mkString(" ")),
+      (2L, (shared ++ toks("w", 25)).mkString(" ")),
+      (3L, shared.mkString(" ")), // entirely duplicated -> empty
+      (5L, toks("z", 10).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.spanScrubFor(docs, 20).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_toks_before"),
+        r.getAs[Long]("n_toks_removed"), r.getAs[String]("clean_text")))
+      .toSeq.sorted
+    assert(got == Seq(
+      (1L, 45L, 30L, (toks("u", 10) ++ toks("v", 5)).mkString(" ")),
+      (2L, 55L, 30L, toks("w", 25).mkString(" ")),
+      (3L, 30L, 30L, ""),
+      (5L, 10L, 0L, toks("z", 10).mkString(" "))))
+  }
+
+  test("span scrub removal counts equal the span report's coverage") {
+    val bySpan = TextAnalysis.dupSpans(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_toks")).sum).toMap
+    val scrub = TextAnalysis.spanScrub(spark, sf).collect()
+    assert(scrub.length ==
+      graft.Tables.load(spark, sf, "documents").count())
+    scrub.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_toks_removed") ==
+        bySpan.getOrElse(id, 0L), s"doc $id")
+      val kept = r.getAs[String]("clean_text")
+      val nKept = if (kept.isEmpty) 0 else kept.split(" ").length
+      assert(nKept ==
+        r.getAs[Long]("n_toks_before") - r.getAs[Long]("n_toks_removed"),
+        s"doc $id token accounting")
+    }
+  }
+
   test("dup spans on the corpus: windows-long, in-bounds, " +
       "non-overlapping, dense ids") {
     val spans = TextAnalysis.dupSpans(spark, sf).collect()
