@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Chunk, Curate, Curriculum, Dedup, KMeans, Mix, Multimodal, Pack, Pii, QastQueries, Relational, Sampling, Shuffle, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Bpe, Chunk, Curate, Curriculum, Dedup, KMeans, Mix, Multimodal, Pack, Pii, Pq, QastQueries, Relational, Sampling, Shuffle, Similarity, Skew, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -182,6 +182,8 @@ object SparkEntry {
     "ann_blocked_topk" -> (Similarity.bruteTopKBlocked _),
     "ann_lsh_topk" -> (Similarity.lshTopK _),
     "ann_ivf_topk" -> (Similarity.ivfTopK _),
+    "pq_codes" -> (Pq.codes _),
+    "ann_pq_adc_topk" -> (Pq.adcTopK _),
     // --- text analysis pack ---
     "text_langid" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -866,6 +868,69 @@ object SparkEntry {
          FROM v GROUP BY label ORDER BY label""",
     "ann_brute_topk" -> annExactOracle,
     "ann_blocked_topk" -> annExactOracle,
+    // PQ encoding: 16 smallest-id seed vectors (vec_id % 29 = 3) make
+    // the per-subspace codebook; nearest sub-centroid by squared L2
+    // (left-to-right fold), ties to the smallest code
+    "pq_codes" ->
+      """WITH cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+             AS BIGINT) AS code, embedding
+           FROM (SELECT vec_id, embedding FROM embeddings
+             WHERE vec_id % 29 = 3 ORDER BY vec_id LIMIT 16)),
+         cbs AS (SELECT code, CAST(m AS BIGINT) AS subspace,
+             embedding[m*8+1:m*8+8] AS cvec_sub
+           FROM cb, unnest(range(0, 8)) AS u(m)),
+         subs AS (SELECT vec_id, CAST(m AS BIGINT) AS subspace,
+             embedding[m*8+1:m*8+8] AS sub
+           FROM embeddings, unnest(range(0, 8)) AS u(m)),
+         sc AS (SELECT s.vec_id, s.subspace, c.code,
+             list_reduce(list_transform(list_zip(s.sub, c.cvec_sub),
+               x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                  * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+               (p,q) -> p + q) AS d2
+           FROM subs s JOIN cbs c ON c.subspace = s.subspace)
+         SELECT vec_id, subspace, code FROM (
+           SELECT vec_id, subspace, code, row_number() OVER (
+             PARTITION BY vec_id, subspace ORDER BY d2, code) AS r
+           FROM sc)
+         WHERE r = 1 ORDER BY vec_id, subspace""",
+    // ADC ranking over the codes: per-query 8x16 LUT of subspace
+    // distances, neighbor score = exact DECIMAL sum of 6-decimal-
+    // quantized LUT entries (order-free on both engines), rank by
+    // (score, neighbor_id)
+    "ann_pq_adc_topk" ->
+      """WITH cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+             AS BIGINT) AS code, embedding
+           FROM (SELECT vec_id, embedding FROM embeddings
+             WHERE vec_id % 29 = 3 ORDER BY vec_id LIMIT 16)),
+         cbs AS (SELECT code, CAST(m AS BIGINT) AS subspace,
+             embedding[m*8+1:m*8+8] AS cvec_sub
+           FROM cb, unnest(range(0, 8)) AS u(m)),
+         subs AS (SELECT vec_id, CAST(m AS BIGINT) AS subspace,
+             embedding[m*8+1:m*8+8] AS sub
+           FROM embeddings, unnest(range(0, 8)) AS u(m)),
+         sc AS (SELECT s.vec_id, s.subspace, c.code,
+             list_reduce(list_transform(list_zip(s.sub, c.cvec_sub),
+               x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                  * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+               (p,q) -> p + q) AS d2
+           FROM subs s JOIN cbs c ON c.subspace = s.subspace),
+         codes AS (SELECT vec_id, subspace, code FROM (
+           SELECT vec_id, subspace, code, row_number() OVER (
+             PARTITION BY vec_id, subspace ORDER BY d2, code) AS r
+           FROM sc) WHERE r = 1),
+         lut AS (SELECT vec_id AS query_id, subspace, code, d2
+           FROM sc WHERE vec_id % 100 = 0),
+         scored AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+             CAST(sum(CAST(round(l.d2, 6) AS DECIMAL(38,6))) AS DOUBLE)
+               AS adc_d2
+           FROM codes co JOIN lut l
+             ON l.subspace = co.subspace AND l.code = co.code
+           WHERE l.query_id != co.vec_id
+           GROUP BY l.query_id, co.vec_id)
+         SELECT query_id, neighbor_id, rank, adc_d2 FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_d2, neighbor_id) AS rank FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     "ann_ivf_topk" ->
       """WITH n AS (SELECT vec_id, embedding,
            sqrt(list_reduce(list_transform(embedding,

@@ -157,7 +157,7 @@ object Dedup {
     * design; `DedupSpec` pins both sides (planted boilerplate prunes
     * the candidate set; a boilerplate-only pair is dropped; on the
     * real corpus the output is bit-identical to the exact oracle).
-    * The df frame joins by shuffle equi-join on the 8-byte shingle
+    * The stop-set joins by shuffle equi-join on the 8-byte shingle
     * key — no broadcast, so a pathologically large stop-set cannot
     * OOM the driver (AQE still converts it when small).
     */
@@ -169,6 +169,14 @@ object Dedup {
     * (`doc_id`, `text`) corpus and cap so `DedupSpec` can plant
     * boilerplate shingles above the cap and pin both contract sides.
     * Output unsorted (see [[ngramJaccardPairs]] for why).
+    *
+    * Verification is COUNT-based like [[invertedJaccardPairs]] (never
+    * materializes candidate arrays): the cold join counts shared cold
+    * shingles per pair, then one correction join against per-doc HOT
+    * shingle sets (each bounded by the stop-set size, usually empty)
+    * restores the hot contribution — so found pairs get their exact
+    * full-set Jaccard without ever shuffling full shingle arrays or
+    * deduplicating a candidate list.
     */
   def dfCappedPairs(docs: DataFrame, maxDf: Int): DataFrame = {
     val base = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
@@ -176,21 +184,27 @@ object Dedup {
       .select(col("doc_id"), size(col("sh")).as("n"),
         explode(col("sh")).as("shingle"))
       .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("shingle"))
-    val cold = inv.join(
-      inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select(col("shingle")),
-      Seq("shingle"))
-    val cands = cold.toDF("shingle", "id_a", "n_a")
+    val hot = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("shingle"))
+    val cold = inv.join(hot, Seq("shingle"), "left_anti")
+    val hotByDoc = inv.join(hot, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("hotsh"))
+    val emptyHot = array().cast("array<bigint>")
+    val counted = cold.toDF("shingle", "id_a", "n_a")
       .join(cold.toDF("shingle", "id_b", "n_b"), Seq("shingle"))
       .filter(col("id_a") < col("id_b") &&
         col("n_a") <= col("n_b") * 2 && col("n_b") <= col("n_a") * 2)
-      .select(col("id_a"), col("id_b")).distinct()
-    val hs = base
-      .select(col("doc_id"), transform(col("sh"), t => xxhash64(t)).as("hs"))
-    cands
-      .join(hs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
-      .join(hs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("hs_a"), col("hs_b")))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared_cold"))
+    counted
+      .join(hotByDoc.toDF("id_a", "hot_a"), Seq("id_a"), "left")
+      .join(hotByDoc.toDF("id_b", "hot_b"), Seq("id_b"), "left")
+      .withColumn("shared", col("shared_cold") +
+        size(array_intersect(coalesce(col("hot_a"), emptyHot),
+          coalesce(col("hot_b"), emptyHot))))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("n_a") + col("n_b") - col("shared")))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
