@@ -56,6 +56,23 @@ object Pq {
         * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Slices an embedding-like array column into its M subvectors:
+    * posexplode output normalized to (…, subspace: long, sub).
+    */
+  private def sliced(c: Column): Column =
+    posexplode(transform(sequence(lit(0), lit(M - 1)),
+      m => slice(c, m * SubDim + 1, lit(SubDim))))
+
+  /** The corpus as subvectors: (vec_id, subspace, sub) — shared by
+    * encoding and codebook training.
+    */
+  private def subvectors(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "embeddings")
+      .select(col("vec_id"), sliced(col("embedding")))
+      .toDF("vec_id", "subspace", "sub")
+      .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+        col("sub"))
+
   /** The per-subspace codebook: (subspace, code, cvec_sub) — K seed
     * vectors ordered by vec_id, code = rank − 1, each sliced into M
     * subvectors. 128 rows total; every consumer broadcasts it.
@@ -66,12 +83,78 @@ object Pq {
       .filter(col("vec_id") % 29 === 3)
       .orderBy(col("vec_id")).limit(K)
       .withColumn("code", (row_number().over(w) - 1).cast("long"))
-      .select(col("code"), posexplode(
-        transform(sequence(lit(0), lit(M - 1)),
-          m => slice(col("embedding"), m * SubDim + 1, lit(SubDim)))))
+      .select(col("code"), sliced(col("embedding")))
       .toDF("code", "subspace", "cvec_sub")
       .select(col("subspace").cast("long").as("subspace"),
         col("code"), col("cvec_sub"))
+  }
+
+  /** Lloyd's rounds for the trained codebook (the [[KMeans.Rounds]]
+    * discipline applied per subspace).
+    */
+  val Rounds = 3
+
+  /** k-means-TRAINED per-subspace codebooks — the production form of
+    * [[codebooks]], exactly the coarse-quantizer relationship
+    * [[KMeans.trainedCentroids]] has to [[Similarity.centroids]]: the
+    * seed codebook refines by [[Rounds]] rounds of per-subspace
+    * Lloyd's (assign every corpus subvector to its nearest
+    * sub-centroid by squared L2, ties to the smallest code; recenter
+    * each code on the mean of its members). All M subspaces train in
+    * the SAME corpus×broadcast(codebook) DAG — the per-round shuffle
+    * carries one row per (vector, subspace), never the M×K scored
+    * pairs, and the update is a two-phase per-(subspace, code, dim)
+    * mean.
+    *
+    * Determinism: exact mode folds SORTED member lists so the trained
+    * codebook is double-run byte-identical and sequentially
+    * replayable (`PqSpec`); [[trainedCodebooksScale]] is the O(1)
+    * aggregation-state mode for 100 TB. Codes that lose every member
+    * drop (standard Lloyd's degeneracy; PqSpec pins all M×K survive
+    * on the shipped corpus). The result COLLECTS to a 128-row local
+    * relation for the same reason [[KMeans.trainedCentroids]] does:
+    * consumers reference it more than once and would otherwise replay
+    * the whole training per branch.
+    */
+  def trainedCodebooks(s: SparkSession, dir: String): DataFrame =
+    trainedCodebooksMode(s, dir, orderFree = false)
+
+  /** 100 TB training mode: plain two-phase `avg` recenters — O(1)
+    * aggregation state instead of O(members) sorted collects, at the
+    * price of last-ulp addition-order dependence (PqSpec pins the two
+    * modes within 1e-9 per dimension with identical final codes).
+    */
+  def trainedCodebooksScale(s: SparkSession, dir: String): DataFrame =
+    trainedCodebooksMode(s, dir, orderFree = true)
+
+  private def trainedCodebooksMode(s: SparkSession, dir: String,
+      orderFree: Boolean): DataFrame = {
+    import s.implicits._
+    val subs = subvectors(s, dir)
+    var cb = codebooks(s, dir)
+    for (_ <- 1 to Rounds) {
+      val assigned = subs.join(broadcast(cb), Seq("subspace"))
+        .withColumn("d2", l2sq(col("sub"), col("cvec_sub")))
+        .groupBy(col("vec_id"), col("subspace"))
+        .agg(max_by(col("code"), struct(-col("d2"), -col("code")))
+          .as("code"), first(col("sub")).as("sub"))
+      val dims = assigned.select(col("subspace"), col("code"),
+        posexplode(col("sub")).as(Seq("d", "x")))
+      val mean =
+        if (orderFree) avg(col("x").cast("double"))
+        else aggregate(array_sort(collect_list(col("x").cast("double"))),
+          lit(0.0), (a, b) => a + b) / count(lit(1))
+      val means = dims.groupBy(col("subspace"), col("code"), col("d"))
+        .agg(mean.as("m"))
+      cb = means.groupBy(col("subspace"), col("code"))
+        .agg(array_sort(collect_list(struct(col("d"), col("m"))))
+          .as("dm"))
+        .select(col("subspace"), col("code"),
+          transform(col("dm"), e => e.getField("m").cast("float"))
+            .as("cvec_sub"))
+    }
+    cb.as[(Long, Long, Array[Float])].collect().toSeq
+      .toDF("subspace", "code", "cvec_sub")
   }
 
   /** PQ encoding of the corpus: (vec_id, subspace, code) — nearest
@@ -79,22 +162,46 @@ object Pq {
     * per vector, all-integer output.
     */
   def codes(s: SparkSession, dir: String): DataFrame =
-    codesUnsorted(s, dir)
+    codesWith(s, dir, codebooks(s, dir))
       .orderBy(col("vec_id"), col("subspace"))
 
-  private def codesUnsorted(s: SparkSession, dir: String): DataFrame = {
-    val subs = load(s, dir, "embeddings")
-      .select(col("vec_id"), posexplode(
-        transform(sequence(lit(0), lit(M - 1)),
-          m => slice(col("embedding"), m * SubDim + 1, lit(SubDim)))))
-      .toDF("vec_id", "subspace", "sub")
-      .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
-        col("sub"))
-    subs.join(broadcast(codebooks(s, dir)), Seq("subspace"))
+  private def codesWith(s: SparkSession, dir: String,
+      cb: DataFrame): DataFrame =
+    subvectors(s, dir).join(broadcast(cb), Seq("subspace"))
       .withColumn("d2", l2sq(col("sub"), col("cvec_sub")))
       .groupBy(col("vec_id"), col("subspace"))
       .agg(max_by(col("code"), struct(-col("d2"), -col("code")))
         .as("code"))
+
+  /** Training audit: one row per trained (subspace, code) — members
+    * assigned and their mean quantization distortion (the per-code
+    * Lloyd's objective), plus the sub-centroid norm. The distortion
+    * mean sums 6-decimal-quantized d2 as exact DECIMAL (order-free,
+    * O(1) state — the `embed_stats_scale` discipline, not a sorted
+    * collect). Rows-only query: the codebook is the trainer's
+    * data-dependent output; PqSpec replays training sequentially and
+    * pins the total distortion never above the seed codebook's
+    * (Lloyd's monotonicity).
+    */
+  def train(s: SparkSession, dir: String): DataFrame = {
+    val cb = trainedCodebooks(s, dir)
+    subvectors(s, dir).join(broadcast(cb), Seq("subspace"))
+      .withColumn("d2", l2sq(col("sub"), col("cvec_sub")))
+      .groupBy(col("vec_id"), col("subspace"))
+      .agg(max_by(struct(col("code"), col("d2")),
+        struct(-col("d2"), -col("code"))).as("b"))
+      .select(col("subspace"), col("b.code").as("code"),
+        col("b.d2").as("d2"))
+      .groupBy(col("subspace"), col("code"))
+      .agg(count(lit(1)).as("n_assigned"),
+        round(sum(round(col("d2"), 6).cast("decimal(38,6)"))
+          .cast("double") / count(lit(1)), 6).as("mean_d2"))
+      .join(broadcast(cb.select(col("subspace"), col("code"),
+        round(sqrt(aggregate(transform(col("cvec_sub"),
+          x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, b) => a + b)), 6).as("c_norm"))),
+        Seq("subspace", "code"))
+      .orderBy(col("subspace"), col("code"))
   }
 
   val TopK = 5
@@ -114,21 +221,115 @@ object Pq {
     * (approximation quality is the operator's value, exactness of
     * the pipeline is the oracle's).
     */
-  def adcTopK(s: SparkSession, dir: String): DataFrame = {
+  def adcTopK(s: SparkSession, dir: String): DataFrame =
+    adcTopKWith(s, dir, codebooks(s, dir))
+
+  /** ADC over the TRAINED codebooks ([[trainedCodebooks]]) — the
+    * ranking the index ships after training, mirroring
+    * [[Similarity.ivfTrainedTopK]]. Rows-only (data-dependent
+    * quantizer); PqSpec measures its recall next to the seed form and
+    * pins the trained codebook's lower distortion.
+    */
+  def adcTrainedTopK(s: SparkSession, dir: String): DataFrame =
+    adcTopKWith(s, dir, trainedCodebooks(s, dir))
+
+  private def adcTopKWith(s: SparkSession, dir: String,
+      cb: DataFrame): DataFrame = {
     val luts = load(s, dir, "embeddings").filter(queryPred)
-      .select(col("vec_id").as("query_id"), posexplode(
-        transform(sequence(lit(0), lit(M - 1)),
-          m => slice(col("embedding"), m * SubDim + 1, lit(SubDim)))))
+      .select(col("vec_id").as("query_id"), sliced(col("embedding")))
       .toDF("query_id", "subspace", "qsub")
       .select(col("query_id"), col("subspace").cast("long").as("subspace"),
         col("qsub"))
-      .join(codebooks(s, dir), Seq("subspace"))
+      .join(cb, Seq("subspace"))
       .select(col("query_id"), col("subspace"), col("code"),
         l2sq(col("qsub"), col("cvec_sub")).as("d2"))
     val byQuery = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_d2"), col("neighbor_id"))
-    codesUnsorted(s, dir).toDF("neighbor_id", "subspace", "code")
+    codesWith(s, dir, cb).toDF("neighbor_id", "subspace", "code")
       .join(broadcast(luts), Seq("subspace", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(round(col("d2"), 6).cast("decimal(38,6)"))
+        .cast("double").as("adc_d2"))
+      .withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("adc_d2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Full residual IVF-PQ top-k — the FAISS-style composition of the
+    * IVF cell-probing half ([[Similarity.ivfTopK]]) and the PQ
+    * compression half ([[adcTopK]]), with the piece neither has
+    * alone: RESIDUAL encoding. Each vector is PQ-coded not on its raw
+    * coordinates but on its residual v − centroid(cell(v)) — the
+    * displacement from its IVF cell's center — which is the
+    * distribution the codebook actually has to cover once the coarse
+    * quantizer has soaked up the between-cell variance (Jégou et al.,
+    * TPAMI 2011 §IV). One shared residual codebook serves all cells
+    * (the standard memory/accuracy trade vs per-cell codebooks);
+    * deterministically, its K entries are the seed vectors' own
+    * residuals, so the whole operator — assignment, residuals, codes,
+    * probes, ADC ranking — is exact-arithmetic and HASH-ORACLED
+    * against DuckDB (`ann_ivfpq_topk`), approximation and all.
+    *
+    * Query side: each query probes its [[Similarity.NProbe]] nearest
+    * cells and builds a LUT PER PROBED CELL from its residual against
+    * that cell's centroid (asymmetric: the query stays exact).
+    * Ranking joins codes to LUTs on (cell, subspace, code) — an
+    * equi-join against a broadcast of q·NProbe·M·K tiny LUT rows —
+    * sums 6-decimal-quantized subspace distances as exact DECIMAL,
+    * and takes top-k per query via WindowGroupLimit. At 100 TB the
+    * cell id is the partition layout ([[Layout.writeIvfPartitioned]]),
+    * the scan reads codes (nibbles), never raw vectors, and probing
+    * touches NProbe/C of the data — this query IS the shape of a
+    * billion-scale vector index on Spark.
+    */
+  def ivfpqTopK(s: SparkSession, dir: String): DataFrame = {
+    val cents = Similarity.centroids(s, dir)
+      .select(col("cent_id").as("cell"), col("cvec"))
+    // residual per vector w.r.t. its assigned cell, double-exact
+    val resid = Similarity.cellAssignments(s, dir)
+      .join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("cv"), col("cvec"),
+          (x, y) => x.cast("double") - y.cast("double")).as("rv"))
+    // shared residual codebook: the PQ seeds' own residuals
+    val w = Window.orderBy(col("vec_id"))
+    val rcb = resid.filter(col("vec_id") % 29 === 3)
+      .orderBy(col("vec_id")).limit(K)
+      .withColumn("code", (row_number().over(w) - 1).cast("long"))
+      .select(col("code"), sliced(col("rv")))
+      .toDF("code", "subspace", "cvec_sub")
+      .select(col("subspace").cast("long").as("subspace"),
+        col("code"), col("cvec_sub"))
+    // corpus codes: nearest residual sub-centroid, ties to smallest
+    val codes = resid
+      .select(col("vec_id"), col("cell"), sliced(col("rv")))
+      .toDF("vec_id", "cell", "subspace", "sub")
+      .select(col("vec_id"), col("cell"),
+        col("subspace").cast("long").as("subspace"), col("sub"))
+      .join(broadcast(rcb), Seq("subspace"))
+      .withColumn("d2", l2sq(col("sub"), col("cvec_sub")))
+      .groupBy(col("vec_id"), col("subspace"))
+      .agg(first(col("cell")).as("cell"),
+        max_by(col("code"), struct(-col("d2"), -col("code"))).as("code"))
+    // per-(query, probed cell) LUT from the query's residual there
+    val luts = Similarity.queryProbes(s, dir)
+      .join(broadcast(cents), "cell")
+      .select(col("query_id"), col("cell"),
+        sliced(zip_with(col("qv"), col("cvec"),
+          (x, y) => x.cast("double") - y.cast("double"))))
+      .toDF("query_id", "cell", "subspace", "qsub")
+      .select(col("query_id"), col("cell"),
+        col("subspace").cast("long").as("subspace"), col("qsub"))
+      .join(rcb, Seq("subspace"))
+      .select(col("query_id"), col("cell"), col("subspace"), col("code"),
+        l2sq(col("qsub"), col("cvec_sub")).as("d2"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2"), col("neighbor_id"))
+    codes.toDF("neighbor_id", "subspace", "cell", "code")
+      .join(broadcast(luts), Seq("cell", "subspace", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(round(col("d2"), 6).cast("decimal(38,6)"))

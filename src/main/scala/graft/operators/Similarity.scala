@@ -245,16 +245,28 @@ object Similarity {
   def ivfTrainedTopK(s: SparkSession, dir: String): DataFrame =
     ivfTopKWith(s, dir, KMeans.trainedCentroids(s, dir))
 
-  private def ivfTopKWith(s: SparkSession, dir: String,
+  /** Each query's [[NProbe]] nearest cells under the seed quantizer:
+    * (query_id, cell, qv) — shared by the in-query IVF probe and the
+    * residual IVF-PQ LUT builder ([[Pq.ivfpqTopK]]). The query set is
+    * tiny; consumers broadcast it.
+    */
+  def queryProbes(s: SparkSession, dir: String): DataFrame =
+    queryProbesWith(s, dir, centroids(s, dir))
+
+  private def queryProbesWith(s: SparkSession, dir: String,
       cents: DataFrame): DataFrame = {
-    val assigned = cellAssignmentsWith(s, dir, cents)
-    // query probes: NProbe nearest centroids (query set is tiny)
     val pw = Window.partitionBy(col("vec_id"))
       .orderBy(col("cs").desc, col("cent_id"))
-    val probes = scoredCells(s, dir, cents).filter(queryPred)
+    scoredCells(s, dir, cents).filter(queryPred)
       .withColumn("pr", row_number().over(pw)).filter(col("pr") <= NProbe)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"),
         col("embedding").as("qv"))
+  }
+
+  private def ivfTopKWith(s: SparkSession, dir: String,
+      cents: DataFrame): DataFrame = {
+    val assigned = cellAssignmentsWith(s, dir, cents)
+    val probes = queryProbesWith(s, dir, cents)
     // exact rank within probed cells only
     val global = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))

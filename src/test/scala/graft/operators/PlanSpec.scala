@@ -305,6 +305,12 @@ class PlanSpec extends SparkSpec {
 
   test("semantic dedup: quantizer scoring runs once into a cached " +
       "assignment; the in-cell pair join is an equi-join") {
+    // the suite session's cache manager is global: if another suite
+    // already EXECUTED the shared cached assignment, its printout
+    // flips to `isFinalPlan=true` and re-prints the initial plan too,
+    // doubling the BNLJ count per cached relation. Clear first so the
+    // printout shape is deterministic regardless of suite order.
+    spark.catalog.clearCache()
     val p = physical(Dedup.semantic(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
     // the N×C centroid scoring lives behind the cached assignment —
@@ -320,6 +326,24 @@ class PlanSpec extends SparkSpec {
     // the pair join on the cell id itself hash-/sort-merge-joins
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
       || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("residual IVF-PQ: ranking joins codes to broadcast LUTs on " +
+      "(cell, subspace, code) — no cartesian; partial top-k via " +
+      "WindowGroupLimit; aggregations two-phase") {
+    val p = physical(Pq.ivfpqTopK(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus-sized ranking join is a HASH join on the composite
+    // (cell, subspace, code) key — the scan side never pairs with
+    // anything but its own cell's LUT rows. (The N×C centroid scoring
+    // inside assignment/probing is a deliberate broadcast nested loop
+    // over the tiny centroid set — the ann_ivf_topk shape — so a
+    // blanket no-BNLJ pin would be wrong here.)
+    assert(p.contains("BroadcastHashJoin [cell"), p)
+    // rank-≤-K splits into a per-partition partial before the exchange
+    assert(p.contains("WindowGroupLimit"), p)
+    // the ADC sum and the argmin folds keep map-side combine
+    assert(p.contains("Partial"), p)
   }
 
   test("q2/q8 value invariants: one row per part; share within [0,1]") {
