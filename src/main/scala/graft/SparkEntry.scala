@@ -174,6 +174,7 @@ object SparkEntry {
     "dedup_embedding" -> (Dedup.embeddingPairs _),
     "dedup_embedding_blocked" -> (Dedup.embeddingPairsBlocked _),
     "semantic_dedup" -> (Dedup.semantic _),
+    "text_dedup_paragraphs" -> (Dedup.paragraphDedup _),
     "rag_chunks" -> (Chunk.ragChunks _),
     // --- similarity search ---
     "embed_stats" -> (Similarity.embedStats _),
@@ -798,6 +799,28 @@ object SparkEntry {
            CAST(len(toks[st+1:st+64]) AS BIGINT) AS n_toks,
            array_to_string(toks[st+1:st+64], ' ') AS chunk_text
          FROM c ORDER BY doc_id, chunk_id""",
+    // CCNet paragraph dedup: 32-token blocks, first corpus occurrence
+    // (min doc_id, par_id) survives, text reassembled in order. The
+    // Spark side groups by md5(par_text); grouping by the text itself
+    // here is the same equivalence relation.
+    "text_dedup_paragraphs" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+           FROM documents),
+         p AS (SELECT doc_id, unnest(range(0, len(toks), 32)) AS st, toks
+           FROM t),
+         pars AS (SELECT doc_id, st // 32 AS par_id,
+             array_to_string(toks[st+1:st+32], ' ') AS par_text
+           FROM p),
+         marked AS (SELECT doc_id, par_id, par_text,
+             row_number() OVER (PARTITION BY par_text
+               ORDER BY doc_id, par_id) AS rn
+           FROM pars)
+         SELECT doc_id, count(*) AS n_pars,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_pars,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN par_text END,
+             ' ' ORDER BY par_id), '') AS clean_text
+         FROM marked GROUP BY doc_id ORDER BY doc_id""",
     // replays DocStream's sequential per-bucket admission fold exactly:
     // rank docs per band-0 bucket, then a recursive CTE walks each
     // bucket in doc_id order carrying the admitted-signature list —

@@ -608,4 +608,61 @@ object Dedup {
       .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  // --- 9. paragraph-level dedup (CCNet) ------------------------------
+
+  /** Paragraph unit for [[paragraphDedup]]: non-overlapping
+    * [[ParTokens]]-token blocks (the synthetic corpus has no newlines,
+    * so fixed blocks stand in for `split(text, "\n\n")` — swap the
+    * segmenter for real corpora; everything downstream is unchanged).
+    */
+  val ParTokens = 32
+
+  /** CCNet-style paragraph dedup (Wenzek et al., arXiv:1911.00359 §3:
+    * dedup at paragraph granularity removes boilerplate that doc-level
+    * hashing misses): explode every document into paragraphs, keep
+    * each distinct paragraph's FIRST corpus occurrence (min
+    * (doc_id, par_id) — deterministic), cut the rest, and reassemble
+    * the surviving text in original order with a per-doc audit row.
+    *
+    * Scale shape: the corpus-wide duplicate test is ONE hash
+    * aggregation on `md5(par_text)` — 32-byte keys shuffle, never the
+    * text twice; `min(struct(...))` keeps map-side combine, so the
+    * shuffle carries one candidate winner per (partition, hash), not
+    * the postings. The winner set joins back as a hash equi-join on
+    * the same key (output = |paragraphs| rows, no fanout: the keeper
+    * side has exactly one row per hash). Reassembly folds per
+    * document — state bounded by document length, the same per-doc
+    * bound every text fold here relies on. One shuffle for the
+    * aggregation, one for the join-back, one per-doc fold.
+    */
+  def paragraphDedup(s: SparkSession, dir: String): DataFrame =
+    paragraphs(load(s, dir, "documents"), ParTokens)
+
+  /** Frame-parametric core — any (`doc_id`, `text`) corpus, any
+    * paragraph size (DedupSpec plants cross-doc boilerplate and
+    * whole-doc copies).
+    */
+  def paragraphs(docs: DataFrame, parTokens: Int): DataFrame = {
+    val pars = Chunk.chunks(docs, parTokens, parTokens)
+      .select(col("doc_id"), col("chunk_id").as("par_id"),
+        col("chunk_text").as("par_text"),
+        md5(col("chunk_text")).as("h"))
+    val keepers = pars
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("par_id"))).as("first"))
+      .select(col("h"), col("first").getField("doc_id").as("kdoc"),
+        col("first").getField("par_id").as("kpar"))
+    pars.join(keepers, Seq("h"))
+      .withColumn("keep",
+        col("doc_id") === col("kdoc") && col("par_id") === col("kpar"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pars"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_pars"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("par_id"), col("par_text"))))),
+          p => p.getField("par_text"))).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -243,4 +243,31 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.length == 15 + 1)
     assert(uncapped.forall(_.getAs[Double]("jaccard") == 1.0))
   }
+
+  test("paragraph dedup: first corpus occurrence survives, copies cut, " +
+      "reassembly preserves order") {
+    import spark.implicits._
+    // 2-token "paragraphs". Doc 1 owns both its blocks; doc 2 repeats
+    // doc 1's boilerplate block between fresh content; doc 3 is a
+    // whole-document copy of doc 1; doc 4 repeats a block WITHIN
+    // itself (second occurrence also cut — corpus-global contract).
+    val docs = Seq(
+      (1L, "cookie policy applies here"),
+      (2L, "fresh stuff cookie policy more text"),
+      (3L, "cookie policy applies here"),
+      (4L, "unique words unique words")).toDF("doc_id", "text")
+    val out = Dedup.paragraphs(docs, 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_pars"),
+        r.getAs[Long]("kept_pars"), r.getAs[String]("clean_text")))
+      .toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, "cookie policy applies here"),
+      // middle block is doc 1's boilerplate -> cut; survivors re-join
+      // in original order across the gap
+      (2L, 3L, 2L, "fresh stuff more text"),
+      // full copy of doc 1: nothing survives, audit row remains
+      (3L, 2L, 0L, ""),
+      // in-doc repeat: first kept, second cut
+      (4L, 2L, 1L, "unique words")))
+  }
 }
