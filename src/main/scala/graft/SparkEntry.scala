@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Chunk, Curate, Curriculum, Dedup, KMeans, Mix, Multimodal, Pack, Pii, Pq, QastQueries, Relational, Sampling, Shuffle, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Bpe, Chunk, Curate, Curriculum, Dedup, KMeans, Mix, Multimodal, Pack, Pii, Pipeline, Pq, QastQueries, Relational, Sampling, Shuffle, Similarity, Skew, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -242,6 +242,7 @@ object SparkEntry {
           round(avg(col("k")), 6).as("k_avg"))
         .orderBy(col("event_type"))),
     "curate_pipeline" -> (Curate.pipeline _),
+    "pipeline_manifest" -> (Pipeline.manifest _),
     // --- sequence packing (distributed prefix sum; see Pack scaladoc) ---
     "pack_chunks" -> (Pack.packChunks _),
     "pack_bins" -> (Pack.packBins _),
@@ -1423,6 +1424,45 @@ object SparkEntry {
          WHERE n_tokens >= 10 AND ttr >= 0.2 AND alpha_ratio >= 0.6
            AND doc_id NOT IN (SELECT doc_id FROM dropped)
          ORDER BY doc_id""",
+    // capstone: curate (same CTEs as curate_pipeline) -> md5 split ->
+    // per-split seeded shuffle rank -> per-split token prefix sum ->
+    // 2048-token window span + 512-doc shard, all integer-exact
+    "pipeline_manifest" ->
+      """WITH q AS (
+           SELECT doc_id, len(toks) AS n_tokens,
+             round(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks),6) AS ttr,
+             round(CAST(len(regexp_replace(text,'[^a-z]','','g')) AS DOUBLE)/len(text),6) AS alpha_ratio
+           FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
+         sh AS (SELECT doc_id,
+           CASE WHEN len(toks)>=3 THEN list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+             for i in range(1,len(toks)-1)]) ELSE [text] END AS sh
+           FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
+         dropped AS (
+           SELECT DISTINCT b.doc_id FROM sh a, sh b
+           WHERE a.doc_id < b.doc_id
+             AND len(list_intersect(a.sh,b.sh))*1.0/len(list_distinct(a.sh||b.sh)) >= 0.5),
+         curated AS (
+           SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM q
+           WHERE n_tokens >= 10 AND ttr >= 0.2 AND alpha_ratio >= 0.6
+             AND doc_id NOT IN (SELECT doc_id FROM dropped)),
+         keyed AS (SELECT doc_id, n_tokens,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'e' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) = 'e' THEN 'val'
+                  ELSE 'test' END AS split,
+             md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS h
+           FROM curated),
+         ranked AS (SELECT split, doc_id, n_tokens,
+             CAST(row_number() OVER (PARTITION BY split
+               ORDER BY h, doc_id) - 1 AS BIGINT) AS pos,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY split
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS tok_start
+           FROM keyed)
+         SELECT split, doc_id, pos, pos // 512 AS shard, n_tokens,
+           tok_start, tok_start // 2048 AS chunk_first,
+           (tok_start + n_tokens - 1) // 2048 AS chunk_last
+         FROM ranked ORDER BY split, pos""",
     "media_stats" ->
       """SELECT doc_id AS media_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

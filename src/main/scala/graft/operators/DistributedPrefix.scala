@@ -51,43 +51,69 @@ object DistributedPrefix {
     */
   private[operators] def exclusiveSum(df: DataFrame, orderCols: Seq[
       org.apache.spark.sql.Column], weight: org.apache.spark.sql.Column,
-      outName: String): DataFrame = {
-    // case-insensitive (Spark's default resolution) and covering
-    // outName too: a duplicate output column or a case-variant "PID"
+      outName: String): DataFrame =
+    exclusiveSums(df, orderCols, Seq((weight, outName)))
+
+  /** Several exclusive prefix sums over the SAME total order in ONE
+    * pass — one range exchange, one P-row offsets frame carrying all
+    * the running counters, one phase-3 `mapPartitions`. The capstone
+    * pipeline needs (position, token offset) together; two
+    * `exclusiveSum` calls would rebuild the identical range shuffle
+    * and fold twice.
+    */
+  private[operators] def exclusiveSums(df: DataFrame, orderCols: Seq[
+      org.apache.spark.sql.Column],
+      weights: Seq[(org.apache.spark.sql.Column, String)]): DataFrame = {
+    require(weights.nonEmpty)
+    val k = weights.length
+    // case-insensitive (Spark's default resolution) and covering the
+    // out names too: a duplicate output column or a case-variant "PID"
     // would corrupt the frame just as silently as an exact match
-    val reserved = Set("__w", "pid", "offset")
+    val reserved = Set("pid") ++
+      weights.indices.flatMap(i => Seq(s"__w$i", s"__t$i", s"__off$i"))
     val lower = df.columns.map(_.toLowerCase)
     require(!lower.exists(reserved), s"input columns collide with " +
       s"the helper's internals: ${df.columns.mkString(",")}")
-    require(!reserved(outName.toLowerCase) &&
-      !lower.contains(outName.toLowerCase),
-      s"outName '$outName' collides with an input or internal column")
-    val rel = df.repartitionByRange(orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
-      .withColumn("__w", weight.cast("long"))
+    val outNames = weights.map(_._2)
+    require(outNames.distinct.length == k, s"duplicate outName: $outNames")
+    outNames.foreach { n =>
+      require(!reserved(n.toLowerCase) && !lower.contains(n.toLowerCase),
+        s"outName '$n' collides with an input or internal column")
+    }
+    val rel = weights.zipWithIndex.foldLeft(
+      df.repartitionByRange(orderCols: _*)
+        .sortWithinPartitions(orderCols: _*)) {
+      case (d, ((w, _), i)) => d.withColumn(s"__w$i", w.cast("long"))
+    }
+    val totals = weights.indices.map(i => sum(col(s"__w$i")).as(s"__t$i"))
     val sums = rel.groupBy(spark_partition_id().as("pid"))
-      .agg(sum(col("__w")).as("t"))
+      .agg(totals.head, totals.tail: _*)
     val owin = Window.orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = sums
-      .withColumn("offset", coalesce(sum(col("t")).over(owin), lit(0L)))
-      .select(col("pid"), col("offset"))
+    val offs = sums.select(col("pid") +: weights.indices.map(i =>
+      coalesce(sum(col(s"__t$i")).over(owin), lit(0L)).as(s"__off$i")): _*)
     val keep = df.columns
-    val out = StructType(df.schema.fields :+
-      StructField(outName, LongType, nullable = false))
+    val out = StructType(df.schema.fields ++
+      weights.map { case (_, n) => StructField(n, LongType, nullable = false) })
     rel.withColumn("pid", spark_partition_id())
       .join(broadcast(offs), "pid")
-      .select(keep.map(col) ++ Seq(col("__w"), col("offset")): _*)
+      .select(keep.map(col) ++ weights.indices.map(i => col(s"__w$i")) ++
+        weights.indices.map(i => col(s"__off$i")): _*)
       .mapPartitions { it =>
-        var run = Long.MinValue
+        val run = Array.fill(k)(Long.MinValue)
         it.map { r =>
           val n = r.length
-          val w = r.getLong(n - 2)
-          val off = r.getLong(n - 1)
-          if (run == Long.MinValue) run = off
-          val start = run
-          run += w
-          Row.fromSeq(r.toSeq.dropRight(2) :+ start)
+          val starts = new Array[Long](k)
+          var i = 0
+          while (i < k) {
+            val w = r.getLong(n - 2 * k + i)
+            val off = r.getLong(n - k + i)
+            if (run(i) == Long.MinValue) run(i) = off
+            starts(i) = run(i)
+            run(i) += w
+            i += 1
+          }
+          Row.fromSeq(r.toSeq.dropRight(2 * k) ++ starts)
         }
       }(Encoders.row(out))
   }
