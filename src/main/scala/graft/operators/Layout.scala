@@ -42,7 +42,23 @@ object Layout {
     * thereafter scans NProbe/C of the corpus.
     */
   def writeIvfPartitioned(s: SparkSession, dir: String, path: String): Unit =
-    Similarity.cellAssignments(s, dir)
+    writeIvfWith(Similarity.cellAssignments(s, dir), path)
+
+  /** The same layout under the TRAINED quantizer
+    * ([[KMeans.trainedCentroids]] — Lloyd's-refined seeds): training →
+    * layout → pruned probe as one story. Training runs once (the
+    * trainer collects its ~C-row centroid table); the write pays the
+    * same one assignment pass; every later probe partition-prunes to
+    * its NProbe cells of a BETTER-balanced quantizer (Lloyd's evens
+    * cell populations, which here evens directory sizes — the skew
+    * control for the layout itself).
+    */
+  def writeIvfTrainedPartitioned(s: SparkSession, dir: String,
+      path: String): Unit =
+    writeIvfWith(Similarity.cellAssignmentsTrained(s, dir), path)
+
+  private def writeIvfWith(assigned: DataFrame, path: String): Unit =
+    assigned
       .select(col("vec_id"), col("cv").as("embedding"),
         col("cell").as("part_cell"))
       .repartition(col("part_cell"))

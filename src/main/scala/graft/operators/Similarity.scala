@@ -245,6 +245,14 @@ object Similarity {
   def ivfTrainedTopK(s: SparkSession, dir: String): DataFrame =
     ivfTopKWith(s, dir, KMeans.trainedCentroids(s, dir))
 
+  /** Cell assignment under the TRAINED quantizer — what
+    * [[graft.operators.Layout.writeIvfTrainedPartitioned]] turns into
+    * the on-disk directory structure, making training → layout →
+    * pruned probe one story.
+    */
+  def cellAssignmentsTrained(s: SparkSession, dir: String): DataFrame =
+    cellAssignmentsWith(s, dir, KMeans.trainedCentroids(s, dir))
+
   /** Each query's [[NProbe]] nearest cells under the seed quantizer:
     * (query_id, cell, qv) — shared by the in-query IVF probe and the
     * residual IVF-PQ LUT builder ([[Pq.ivfpqTopK]]). The query set is

