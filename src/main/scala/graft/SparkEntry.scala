@@ -189,6 +189,10 @@ object SparkEntry {
     // exact-pinned by PqSpec's sequential replay + Lloyd's
     // distortion-monotonicity pin (see Pq scaladoc)
     "pq_train" -> (Pq.train _),
+    // rows-only: data-dependent merge loop with a data-dependent STOP
+    // (merge while best pair covers >= StopFrac of word occurrences);
+    // BpeSpec replays the loop + stop rule sequentially
+    "bpe_train_converged" -> (Bpe.trainConverged _),
     // rows-only: ADC over the trained codebooks; recall measured
     // next to the seed form in PqSpec
     "ann_pq_trained_topk" -> (Pq.adcTrainedTopK _),

@@ -37,6 +37,23 @@ object Bpe {
     */
   val TrainRounds = 3
 
+  /** Data-dependent stop for [[trainConverged]]: merge while the best
+    * pair still covers at least this fraction of the corpus's
+    * trainable word occurrences. A RELATIVE threshold is the
+    * scale-robust contract — an absolute count would train ~C extra
+    * rounds every time the corpus grows 10×, while the relative form
+    * converges in the same number of rounds at any scale (pair
+    * frequency distributions are scale-invariant under i.i.d. growth).
+    */
+  val StopFrac = 0.05
+
+  /** Safety cap on convergence rounds — keeps the bench bounded on an
+    * adversarial corpus whose pair distribution has a heavy flat tail
+    * (each round is a full aggregation; the cap turns "data-dependent"
+    * into "data-dependent, at most this much").
+    */
+  val MaxRounds = 12
+
   private def pairCounts(words: DataFrame): DataFrame = {
     val syms = col("syms")
     words
@@ -73,19 +90,22 @@ object Bpe {
   /** The collected merge list behind [[train]] — shared with
     * [[tokenize]], which needs the merges themselves, not the table.
     */
-  private[operators] def trainedMerges(s: SparkSession, dir: String)
-      : Seq[(Int, String, String, Long)] = {
-    // Collapse the corpus to (unique word, occurrence count) up front —
-    // the standard BPE trick. Pair counts weighted by freq are exactly
-    // the token-level counts, but the iterated segmentation state is
-    // vocabulary-sized, not corpus-sized: at 100 TB the per-round cache
-    // and fold touch ~|vocab| rows while the corpus is scanned once.
-    var words = load(s, dir, "documents")
+  /** The (unique word, occurrence count) vocabulary collapse — the
+    * standard BPE trick. Pair counts weighted by freq are exactly the
+    * token-level counts, but the iterated segmentation state is
+    * vocabulary-sized, not corpus-sized: at 100 TB the per-round cache
+    * and fold touch ~|vocab| rows while the corpus is scanned once.
+    */
+  private def vocab(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
       .select(explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(split(col("w"), "").as("syms"), col("freq"))
-      .cache()
+
+  private[operators] def trainedMerges(s: SparkSession, dir: String)
+      : Seq[(Int, String, String, Long)] = {
+    var words = vocab(s, dir).cache()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (round <- 1 to TrainRounds) {
       val top = pairCounts(words)
@@ -102,6 +122,53 @@ object Bpe {
           words.count() // materialize before releasing the parent
           prev.unpersist()
         }
+      }
+    }
+    words.unpersist()
+    merges.result()
+  }
+
+  /** Train to CONVERGENCE instead of a fixed round count — the natural
+    * contract: merge while the best pair still covers ≥ [[StopFrac]]
+    * of the trainable word occurrences, stop when the distribution
+    * flattens below it (or at the [[MaxRounds]] safety cap). Same
+    * one-collected-row-per-round orchestration as [[train]]; the stop
+    * decision reads the SAME collected argmax row, so convergence
+    * costs zero extra driver traffic — plus one 1-row total-count
+    * action up front to fix the threshold. Rows-only like `bpe_train`
+    * (the merge list is data-dependent); BpeSpec replays the loop
+    * sequentially, stop rule included.
+    */
+  def trainConverged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainedMergesConverged(s, dir)
+      .toDF("merge_rank", "left", "right", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  private[operators] def trainedMergesConverged(s: SparkSession,
+      dir: String): Seq[(Int, String, String, Long)] = {
+    var words = vocab(s, dir).cache()
+    val totalFreq = words.agg(sum(col("freq"))).head.getLong(0)
+    val minCount = math.max(2L, math.ceil(totalFreq * StopFrac).toLong)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var round = 1
+    var converged = false
+    while (!converged && round <= MaxRounds) {
+      val top = pairCounts(words)
+        .orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty || top(0).getAs[Long]("n") < minCount) converged = true
+      else {
+        val (a, b, n) = (top(0).getAs[String]("l"),
+          top(0).getAs[String]("r"), top(0).getAs[Long]("n"))
+        merges += ((round, a, b, n))
+        val prev = words
+        words = words
+          .select(applyMerge(col("syms"), a, b).as("syms"), col("freq"))
+          .cache()
+        words.count() // materialize before releasing the parent
+        prev.unpersist()
+        round += 1
       }
     }
     words.unpersist()

@@ -60,6 +60,33 @@ class BpeSpec extends SparkSpec {
     })
   }
 
+  test("converged training equals the sequential replay WITH the stop " +
+      "rule; it stops by threshold, not by the safety cap") {
+    val got = Bpe.trainConverged(spark, sf).collect()
+      .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_count")))
+    val corpus = graft.Tables.load(spark, sf, "documents")
+      .select(col("text")).collect()
+      .flatMap(r => "[a-z]+".r.findAllIn(r.getString(0)))
+      .filter(_.length >= 2)
+      .map(_.split(""))
+    val minCount = math.max(2L,
+      math.ceil(corpus.length * Bpe.StopFrac).toLong)
+    // replay far past the cap, then cut where the stop rule fires: the
+    // distributed loop must have stopped at exactly the same round
+    val full = replay(corpus.toIndexedSeq, Bpe.MaxRounds + 8)
+    val want = full.takeWhile(_._4 >= minCount).take(Bpe.MaxRounds)
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+    // the stop is data-dependent here, not the cap: the round after
+    // the last recorded one is genuinely below threshold
+    assert(got.length < Bpe.MaxRounds,
+      s"converged run hit the safety cap (${got.length} rounds)")
+    assert(got.nonEmpty && full.length > got.length &&
+      full(got.length)._4 < minCount)
+    // every recorded merge met the threshold
+    assert(got.forall(_._4 >= minCount))
+  }
+
   test("tokenize applies the full trained merge list: per-doc piece " +
       "counts equal the sequential segmentation; every doc is kept") {
     val merges = Bpe.train(spark, sf).collect()
