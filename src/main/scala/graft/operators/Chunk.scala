@@ -42,6 +42,16 @@ object Chunk {
     * docs, stride = window, single-token docs).
     */
   def chunks(docs: DataFrame, window: Int, stride: Int): DataFrame =
+    chunksCore(docs, window, stride)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** [[chunks]] WITHOUT the presentation sort — consumers that
+    * re-shuffle anyway ([[Dedup.paragraphs]] hash-aggregates the
+    * chunks immediately) start here so the plan carries no dead
+    * global range exchange.
+    */
+  private[operators] def chunksCore(docs: DataFrame, window: Int,
+      stride: Int): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"),
@@ -53,5 +63,4 @@ object Chunk {
       .select(col("doc_id"), col("chunk_id"), col("start_tok"),
         size(col("ct")).cast("long").as("n_toks"),
         concat_ws(" ", col("ct")).as("chunk_text"))
-      .orderBy(col("doc_id"), col("chunk_id"))
 }

@@ -644,7 +644,7 @@ object Dedup {
     * whole-doc copies).
     */
   def paragraphs(docs: DataFrame, parTokens: Int): DataFrame = {
-    val pars = Chunk.chunks(docs, parTokens, parTokens)
+    val pars = Chunk.chunksCore(docs, parTokens, parTokens)
       .select(col("doc_id"), col("chunk_id").as("par_id"),
         col("chunk_text").as("par_text"),
         md5(col("chunk_text")).as("h"))

@@ -81,10 +81,10 @@ object KMeans {
     * O(1) regardless of cell population, where the exact mode's
     * sorted collect is O(members). The price is addition-order
     * dependence of the last ulp (float summation is non-associative);
-    * `KMeansSpec` pins the two modes within 1e-9 per dimension and
-    * identical cell memberships on this corpus, so the trained
-    * quantizer is interchangeable — pick exact for replay-testable
-    * determinism, scale for bounded executor state.
+    * `KMeansSpec` pins the two modes within 1e-6 per dimension (after
+    * the float cast) with the same surviving cell set on this corpus,
+    * so the trained quantizer is interchangeable — pick exact for
+    * replay-testable determinism, scale for bounded executor state.
     */
   def trainedCentroidsScale(s: SparkSession, dir: String): DataFrame =
     trainedCentroidsMode(s, dir, orderFree = true)

@@ -63,31 +63,47 @@ object Pq {
     posexplode(transform(sequence(lit(0), lit(M - 1)),
       m => slice(c, m * SubDim + 1, lit(SubDim))))
 
+  /** An (id, vector) frame as subvectors: (outId, subspace, sub) —
+    * the ONE slicing point every side (corpus codes, query LUTs,
+    * codebook seeds, residuals) goes through, so the subspace
+    * geometry cannot drift between the codes and what scores them.
+    */
+  private def slicedFrame(src: DataFrame, idCol: String, vecCol: String,
+      outId: String, outVec: String,
+      carry: Seq[String] = Nil): DataFrame =
+    src.select((col(idCol) +: carry.map(col)) :+ sliced(col(vecCol)): _*)
+      .toDF((outId +: carry) ++ Seq("subspace", outVec): _*)
+      .select((col(outId) +: carry.map(col)) ++
+        Seq(col("subspace").cast("long").as("subspace"), col(outVec)): _*)
+
   /** The corpus as subvectors: (vec_id, subspace, sub) — shared by
     * encoding and codebook training.
     */
   private def subvectors(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "embeddings")
-      .select(col("vec_id"), sliced(col("embedding")))
-      .toDF("vec_id", "subspace", "sub")
-      .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
-        col("sub"))
+    slicedFrame(load(s, dir, "embeddings"), "vec_id", "embedding",
+      "vec_id", "sub")
 
-  /** The per-subspace codebook: (subspace, code, cvec_sub) — K seed
-    * vectors ordered by vec_id, code = rank − 1, each sliced into M
-    * subvectors. 128 rows total; every consumer broadcasts it.
+  /** The deterministic seed codebook over ANY (id, vector) frame:
+    * (subspace, code, cvec_sub) — the K smallest-id vectors with
+    * id % 29 == 3, code = rank − 1, each sliced into M subvectors.
+    * M·K rows total; every consumer broadcasts it. [[codebooks]]
+    * seeds from raw embeddings, [[ivfpqTopK]] from cell residuals —
+    * the same rule, one implementation.
     */
-  def codebooks(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("vec_id"))
-    load(s, dir, "embeddings")
-      .filter(col("vec_id") % 29 === 3)
-      .orderBy(col("vec_id")).limit(K)
-      .withColumn("code", (row_number().over(w) - 1).cast("long"))
-      .select(col("code"), sliced(col("embedding")))
-      .toDF("code", "subspace", "cvec_sub")
-      .select(col("subspace").cast("long").as("subspace"),
-        col("code"), col("cvec_sub"))
+  private def seedCodebook(src: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val w = Window.orderBy(col(idCol))
+    slicedFrame(
+      src.filter(col(idCol) % 29 === 3)
+        .orderBy(col(idCol)).limit(K)
+        .withColumn("__code", (row_number().over(w) - 1).cast("long")),
+      "__code", vecCol, "code", "cvec_sub")
+      .select(col("subspace"), col("code"), col("cvec_sub"))
   }
+
+  /** The per-subspace seed codebook over the raw embeddings. */
+  def codebooks(s: SparkSession, dir: String): DataFrame =
+    seedCodebook(load(s, dir, "embeddings"), "vec_id", "embedding")
 
   /** Lloyd's rounds for the trained codebook (the [[KMeans.Rounds]]
     * discipline applied per subspace).
@@ -122,7 +138,8 @@ object Pq {
   /** 100 TB training mode: plain two-phase `avg` recenters — O(1)
     * aggregation state instead of O(members) sorted collects, at the
     * price of last-ulp addition-order dependence (PqSpec pins the two
-    * modes within 1e-9 per dimension with identical final codes).
+    * modes within 1e-5 per dimension after the float cast, with the
+    * same surviving (subspace, code) set).
     */
   def trainedCodebooksScale(s: SparkSession, dir: String): DataFrame =
     trainedCodebooksMode(s, dir, orderFree = true)
@@ -235,11 +252,9 @@ object Pq {
 
   private def adcTopKWith(s: SparkSession, dir: String,
       cb: DataFrame): DataFrame = {
-    val luts = load(s, dir, "embeddings").filter(queryPred)
-      .select(col("vec_id").as("query_id"), sliced(col("embedding")))
-      .toDF("query_id", "subspace", "qsub")
-      .select(col("query_id"), col("subspace").cast("long").as("subspace"),
-        col("qsub"))
+    val luts = slicedFrame(
+      load(s, dir, "embeddings").filter(queryPred),
+      "vec_id", "embedding", "query_id", "qsub")
       .join(cb, Seq("subspace"))
       .select(col("query_id"), col("subspace"), col("code"),
         l2sq(col("qsub"), col("cvec_sub")).as("d2"))
@@ -288,41 +303,38 @@ object Pq {
   def ivfpqTopK(s: SparkSession, dir: String): DataFrame = {
     val cents = Similarity.centroids(s, dir)
       .select(col("cent_id").as("cell"), col("cvec"))
-    // residual per vector w.r.t. its assigned cell, double-exact
+    // residual per vector w.r.t. its assigned cell, double-exact.
+    // cache: the N×C assignment scoring runs ONCE — the codebook
+    // seeds, the corpus codes and (through the codebook) the LUTs all
+    // read this narrow (vec_id, cell, rv) frame, and their projections
+    // differ enough to defeat ReuseExchange (the Dedup.semantic
+    // lesson). At 100 TB the materialized form is the IVF partition
+    // layout plus stored codes; in-query, a narrow cache.
     val resid = Similarity.cellAssignments(s, dir)
       .join(broadcast(cents), "cell")
       .select(col("vec_id"), col("cell"),
         zip_with(col("cv"), col("cvec"),
           (x, y) => x.cast("double") - y.cast("double")).as("rv"))
-    // shared residual codebook: the PQ seeds' own residuals
-    val w = Window.orderBy(col("vec_id"))
-    val rcb = resid.filter(col("vec_id") % 29 === 3)
-      .orderBy(col("vec_id")).limit(K)
-      .withColumn("code", (row_number().over(w) - 1).cast("long"))
-      .select(col("code"), sliced(col("rv")))
-      .toDF("code", "subspace", "cvec_sub")
-      .select(col("subspace").cast("long").as("subspace"),
-        col("code"), col("cvec_sub"))
+      .cache()
+    // shared residual codebook: the PQ seeds' own residuals, the same
+    // seed rule as codebooks() over the residual frame
+    val rcb = seedCodebook(resid, "vec_id", "rv")
     // corpus codes: nearest residual sub-centroid, ties to smallest
-    val codes = resid
-      .select(col("vec_id"), col("cell"), sliced(col("rv")))
-      .toDF("vec_id", "cell", "subspace", "sub")
-      .select(col("vec_id"), col("cell"),
-        col("subspace").cast("long").as("subspace"), col("sub"))
+    val codes = slicedFrame(resid, "vec_id", "rv", "vec_id", "sub",
+      carry = Seq("cell"))
       .join(broadcast(rcb), Seq("subspace"))
       .withColumn("d2", l2sq(col("sub"), col("cvec_sub")))
       .groupBy(col("vec_id"), col("subspace"))
       .agg(first(col("cell")).as("cell"),
         max_by(col("code"), struct(-col("d2"), -col("code"))).as("code"))
     // per-(query, probed cell) LUT from the query's residual there
-    val luts = Similarity.queryProbes(s, dir)
-      .join(broadcast(cents), "cell")
-      .select(col("query_id"), col("cell"),
-        sliced(zip_with(col("qv"), col("cvec"),
-          (x, y) => x.cast("double") - y.cast("double"))))
-      .toDF("query_id", "cell", "subspace", "qsub")
-      .select(col("query_id"), col("cell"),
-        col("subspace").cast("long").as("subspace"), col("qsub"))
+    val luts = slicedFrame(
+      Similarity.queryProbes(s, dir)
+        .join(broadcast(cents), "cell")
+        .select(col("query_id"), col("cell"),
+          zip_with(col("qv"), col("cvec"),
+            (x, y) => x.cast("double") - y.cast("double")).as("qrv")),
+      "query_id", "qrv", "query_id", "qsub", carry = Seq("cell"))
       .join(rcb, Seq("subspace"))
       .select(col("query_id"), col("cell"), col("subspace"), col("code"),
         l2sq(col("qsub"), col("cvec_sub")).as("d2"))

@@ -47,21 +47,10 @@ object Similarity {
     * [[embedStatsScale]]: O(1) state per label via an exact decimal
     * sum of quantized norms, equally oracled.
     */
-  def embedStats(s: SparkSession, dir: String): DataFrame = {
-    val sq = aggregate(transform(col("embedding"),
-      x => x.cast("double") * x), lit(0.0), (a, x) => a + x)
-    load(s, dir, "embeddings")
-      .select(col("label"), size(col("embedding")).as("dim"),
-        sqrt(sq).as("norm"))
-      .groupBy(col("label"))
-      .agg(count(lit(1)).as("n_vecs"),
-        min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
-        round(min(col("norm")), 6).as("min_norm"),
-        round(max(col("norm")), 6).as("max_norm"),
-        round(aggregate(array_sort(collect_list(col("norm"))), lit(0.0),
-          (a, x) => a + x) / count(lit(1)), 6).as("mean_norm"))
-      .orderBy(col("label"))
-  }
+  def embedStats(s: SparkSession, dir: String): DataFrame =
+    embedStatsWith(s, dir,
+      round(aggregate(array_sort(collect_list(col("norm"))), lit(0.0),
+        (a, x) => a + x) / count(lit(1)), 6))
 
   /** The same hygiene report with O(1) aggregation state per label —
     * the form that survives a 100 TB table, where [[embedStats]]'s
@@ -82,7 +71,18 @@ object Similarity {
     * gracefully to half-ulp-of-sum precision (never wrong by more
     * than the last displayed digit's rounding).
     */
-  def embedStatsScale(s: SparkSession, dir: String): DataFrame = {
+  def embedStatsScale(s: SparkSession, dir: String): DataFrame =
+    embedStatsWith(s, dir,
+      round(sum(round(col("norm"), 6).cast("decimal(38,6)"))
+        .cast("double") / count(lit(1)), 6))
+
+  /** Shared hygiene-report scaffolding: the two modes differ ONLY in
+    * how `mean_norm` aggregates (sorted fold vs exact decimal sum) —
+    * every other column must stay identical for the "same report,
+    * O(1) state" contract between them to hold.
+    */
+  private def embedStatsWith(s: SparkSession, dir: String,
+      meanNorm: Column): DataFrame = {
     val sq = aggregate(transform(col("embedding"),
       x => x.cast("double") * x), lit(0.0), (a, x) => a + x)
     load(s, dir, "embeddings")
@@ -93,8 +93,7 @@ object Similarity {
         min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
         round(min(col("norm")), 6).as("min_norm"),
         round(max(col("norm")), 6).as("max_norm"),
-        round(sum(round(col("norm"), 6).cast("decimal(38,6)"))
-          .cast("double") / count(lit(1)), 6).as("mean_norm"))
+        meanNorm.as("mean_norm"))
       .orderBy(col("label"))
   }
 
