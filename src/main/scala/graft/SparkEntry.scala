@@ -175,6 +175,7 @@ object SparkEntry {
     "dedup_embedding_blocked" -> (Dedup.embeddingPairsBlocked _),
     "semantic_dedup" -> (Dedup.semantic _),
     "text_dedup_paragraphs" -> (Dedup.paragraphDedup _),
+    "dedup_paragraph_overlap" -> (Dedup.paragraphOverlap _),
     "rag_chunks" -> (Chunk.ragChunks _),
     // --- similarity search ---
     "embed_stats" -> (Similarity.embedStats _),
@@ -826,6 +827,21 @@ object SparkEntry {
            coalesce(string_agg(CASE WHEN rn = 1 THEN par_text END,
              ' ' ORDER BY par_id), '') AS clean_text
          FROM marked GROUP BY doc_id ORDER BY doc_id""",
+    // pair-level paragraph overlap: distinct (doc, paragraph-hash)
+    // postings self-joined on the hash, >= 2 shared aligned blocks
+    "dedup_paragraph_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+           FROM documents),
+         p AS (SELECT doc_id, unnest(range(0, len(toks), 32)) AS st, toks
+           FROM t),
+         pars AS (SELECT DISTINCT doc_id,
+             md5(array_to_string(toks[st+1:st+32], ' ')) AS h
+           FROM p)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS n_shared
+         FROM pars a JOIN pars b ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY 1, 2""",
     // replays DocStream's sequential per-bucket admission fold exactly:
     // rank docs per band-0 bucket, then a recursive CTE walks each
     // bucket in doc_id order carrying the admitted-signature list —

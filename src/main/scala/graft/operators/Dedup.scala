@@ -639,6 +639,41 @@ object Dedup {
   def paragraphDedup(s: SparkSession, dir: String): DataFrame =
     paragraphs(load(s, dir, "documents"), ParTokens)
 
+  /** Minimum shared paragraphs for [[paragraphOverlap]] — one shared
+    * block is often boilerplate; two aligned blocks is structural
+    * duplication.
+    */
+  val MinSharedPars = 2
+
+  /** Doc pairs sharing ≥ [[MinSharedPars]] aligned paragraphs — the
+    * pair-level complement of [[paragraphDedup]] (which removes the
+    * paragraphs; this reports which documents duplicate each other's
+    * STRUCTURE, the template/mirror-detection signal). Inverted index
+    * on the paragraph hash: distinct (doc, md5) postings, equi-join on
+    * the hash, count per pair — the shingle-index shape, but 32-token
+    * blocks are orders rarer than 3-token shingles so the per-key
+    * fanout is far tamer; above a boilerplate threshold the same
+    * df-cap discipline as [[dfCappedPairs]] applies.
+    */
+  def paragraphOverlap(s: SparkSession, dir: String): DataFrame =
+    paragraphOverlapPairs(load(s, dir, "documents"), ParTokens,
+      MinSharedPars)
+
+  /** Frame-parametric core of [[paragraphOverlap]]. */
+  def paragraphOverlapPairs(docs: DataFrame, parTokens: Int,
+      minShared: Int): DataFrame = {
+    val pars = Chunk.chunksCore(docs, parTokens, parTokens)
+      .select(col("doc_id"), md5(col("chunk_text")).as("h")).distinct()
+    val a = pars.toDF("id_a", "h")
+    val b = pars.toDF("id_b", "h")
+    a.join(b, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Frame-parametric core — any (`doc_id`, `text`) corpus, any
     * paragraph size (DedupSpec plants cross-doc boilerplate and
     * whole-doc copies).

@@ -270,4 +270,29 @@ class DedupSpec extends SparkSpec {
       // in-doc repeat: first kept, second cut
       (4L, 2L, 1L, "unique words")))
   }
+
+  test("paragraph overlap: pairs need >= minShared aligned blocks; " +
+      "in-doc repeats count once; misaligned copies don't match") {
+    import spark.implicits._
+    val docs = Seq(
+      // docs 1+2 share TWO aligned 2-token blocks -> a pair
+      (1L, "alpha beta gamma delta x1 y1"),
+      (2L, "alpha beta gamma delta x2 y2"),
+      // doc 3 has one of them (and one of them TWICE — distinct
+      // postings count it once) -> below minShared 2, no pair
+      (3L, "alpha beta alpha beta z3 w3"),
+      // doc 4 carries both blocks SHIFTED one token — alignment is
+      // part of the paragraph contract, so no pair with 1/2
+      (4L, "pad alpha beta gamma delta q4")).toDF("doc_id", "text")
+    val got = Dedup.paragraphOverlapPairs(docs, 2, 2).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_shared"))).toSeq
+    assert(got == Seq((1L, 2L, 2L)))
+    // at minShared 1 the boilerplate-only links appear (1-3, 2-3
+    // via "alpha beta"), still counting doc 3's repeat once
+    val loose = Dedup.paragraphOverlapPairs(docs, 2, 1).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_shared"))).toSeq
+    assert(loose == Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
 }
