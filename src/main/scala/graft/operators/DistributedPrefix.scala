@@ -24,12 +24,21 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * Invariants callers inherit (kept in ONE place on purpose — both
   * consumers used to carry private copies of this scaffolding):
   *
-  *   - NO cache on the ranged frame: the sums subtree and the probe
-  *     subtree contain the IDENTICAL exchange, so ReuseExchange
-  *     materializes the range shuffle once and both sides read its
-  *     files — same partitions (pid-consistent), no pinned storage
-  *     leaking past a lazily-returned frame. Pinned in PackSpec /
-  *     CurriculumSpec.
+  *   - The ranged frame is CACHED, so the sharing between the
+  *     per-partition-totals subtree and the output subtree is
+  *     STRUCTURAL: both scan one `InMemoryRelation`, whose batches
+  *     preserve the range partitioning and the within-partition sort.
+  *     The previous design left both subtrees as independent copies of
+  *     the same exchange and gambled on Catalyst `ReuseExchange`
+  *     pattern-matching them — which fails under a warm session's
+  *     differing AQE state, silently re-running the ENTIRE upstream
+  *     (for the capstone pipeline: the whole curate stage) a second
+  *     time. Same discipline as `Dedup.semantic`'s assignment cache;
+  *     at 100 TB the cache is the narrow (keys + weights) frame, not
+  *     the corpus text. Spark's `CacheManager` keys on the
+  *     canonicalized plan, so repeated runs of the same query reuse
+  *     one entry instead of accumulating. Pinned in PackSpec /
+  *     PipelineSpec (reuse evidence = `InMemoryTableScan`).
   *   - The broadcast pid join must stay map-side: a shuffle here
   *     would destroy the within-partition sort the phase-3 counter
   *     relies on.
@@ -84,7 +93,7 @@ object DistributedPrefix {
       df.repartitionByRange(orderCols: _*)
         .sortWithinPartitions(orderCols: _*)) {
       case (d, ((w, _), i)) => d.withColumn(s"__w$i", w.cast("long"))
-    }
+    }.cache()
     val totals = weights.indices.map(i => sum(col(s"__w$i")).as(s"__t$i"))
     val sums = rel.groupBy(spark_partition_id().as("pid"))
       .agg(totals.head, totals.tail: _*)

@@ -46,18 +46,25 @@ class PipelineSpec extends SparkSpec {
     assert(train.toSeq != train.sorted.toSeq)
   }
 
-  test("rank and pack phases share ONE range exchange (runtime reuse); " +
-      "no global-window collapse; the rebase join broadcasts") {
+  test("rank and pack phases share ONE materialized range stage " +
+      "(structural cache); no global-window collapse; the rebase join " +
+      "broadcasts") {
+    // the shared cached frame is session-global state; clear so this
+    // pin sees its own materialization, not another suite's
+    spark.catalog.clearCache()
     val df = Pipeline.manifest(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
     assert(p.contains("rangepartitioning"))
-    // the offsets subtree reads the reused range exchange instead of
-    // re-running curate + re-sorting (PackSpec's invariant, inherited
-    // through exclusiveSums)
-    assert(p.contains("ReusedExchange"),
-      s"range shuffle not shared between phases:\n$p")
+    // the offsets subtree reads the CACHED ranged frame instead of
+    // re-running curate + re-sorting. Structural reuse — both phases
+    // scan one InMemoryRelation — not optimizer-dependent
+    // ReuseExchange pattern-matching, which failed under a warm
+    // session and silently doubled the curate stage (PackSpec's
+    // invariant, inherited through exclusiveSums).
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"ranged frame not scanned by BOTH phases:\n$p")
     // only cluster-sized frames may single-partition: the P-row
     // offsets cumsum (one per fused prefix pass)
     val singles = "SinglePartition".r.findAllIn(p).length
