@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish parquet testdata
   * (see TESTDATA.md). All queries take the scale-factor directory as a
@@ -20,19 +21,33 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects outright. Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see Verify/Bench), so
-    * the column arrives as nanos-since-epoch longs; this loader restores
-    * a microsecond timestamp with exact integer division — the same
-    * ns→µs truncation DuckDB applies when it reads the file.
+  /** `events.ts` arrives differently depending on how the parquet was
+    * written, so normalization is schema-adaptive (see `restoreTs`).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
     restoreTs(load(spark, sfDir, "events"))
 
-  /** ns-long → µs-timestamp restore (works on batch and streaming DFs). */
+  /** Normalize `ts` to a session-TZ TimestampType regardless of the
+    * parquet physical type (works on batch and streaming DFs):
+    *
+    *  - TIMESTAMP(NANOS) files are rejected by Spark's reader unless
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`, in which case the
+    *    column arrives as nanos-since-epoch LONG → restore microseconds
+    *    with exact integer division (the same ns→µs truncation DuckDB
+    *    applies when it reads such a file).
+    *  - TIMESTAMP_MICROS with isAdjustedToUTC=false reads as
+    *    TIMESTAMP_NTZ → cast to TimestampType (value-identity under the
+    *    UTC session TZ) so windows/watermarks behave identically.
+    *  - Already TimestampType → pass through.
+    */
   def restoreTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   /** Session options every graft session needs: nanos handling + the
     * native-expression registry (vec_dot, minhash_sig).
