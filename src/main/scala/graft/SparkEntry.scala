@@ -198,6 +198,7 @@ object SparkEntry {
     // next to the seed form in PqSpec
     "ann_pq_trained_topk" -> (Pq.adcTrainedTopK _),
     "ann_ivfpq_topk" -> (Pq.ivfpqTopK _),
+    "ann_ivfpq_trained_topk" -> (Pq.ivfpqTrainedTopK _),
     // --- text analysis pack ---
     "text_langid" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -247,6 +248,7 @@ object SparkEntry {
           round(avg(col("k")), 6).as("k_avg"))
         .orderBy(col("event_type"))),
     "curate_pipeline" -> (Curate.pipeline _),
+    "curate_stats" -> (Curate.stats _),
     "pipeline_manifest" -> (Pipeline.manifest _),
     // --- sequence packing (distributed prefix sum; see Pack scaladoc) ---
     "pack_chunks" -> (Pack.packChunks _),
@@ -1444,6 +1446,31 @@ object SparkEntry {
          WHERE n_tokens >= 10 AND ttr >= 0.2 AND alpha_ratio >= 0.6
            AND doc_id NOT IN (SELECT doc_id FROM dropped)
          ORDER BY doc_id""",
+    // same quality + near-dup CTEs as curate_pipeline, folded to the
+    // operator's five corpus-level counters
+    "curate_stats" ->
+      """WITH q AS (
+           SELECT doc_id, len(toks) AS n_tokens,
+             round(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks),6) AS ttr,
+             round(CAST(len(regexp_replace(text,'[^a-z]','','g')) AS DOUBLE)/len(text),6) AS alpha_ratio
+           FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
+         k AS (SELECT doc_id,
+             (n_tokens >= 10 AND ttr >= 0.2 AND alpha_ratio >= 0.6) AS keep
+           FROM q),
+         sh AS (SELECT doc_id,
+           CASE WHEN len(toks)>=3 THEN list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+             for i in range(1,len(toks)-1)]) ELSE [text] END AS sh
+           FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
+         dropped AS (
+           SELECT DISTINCT b.doc_id FROM sh a, sh b
+           WHERE a.doc_id < b.doc_id
+             AND len(list_intersect(a.sh,b.sh))*1.0/len(list_distinct(a.sh||b.sh)) >= 0.5)
+         SELECT count(*) AS n_docs,
+           count(*) FILTER (WHERE keep) AS n_quality,
+           count(*) FILTER (WHERE NOT keep) AS dropped_quality,
+           count(*) FILTER (WHERE keep AND doc_id IN (SELECT doc_id FROM dropped)) AS dropped_neardup,
+           count(*) FILTER (WHERE keep AND doc_id NOT IN (SELECT doc_id FROM dropped)) AS n_curated
+         FROM k""",
     // capstone: curate (same CTEs as curate_pipeline) -> md5 split ->
     // per-split seeded shuffle rank -> per-split token prefix sum ->
     // 2048-token window span + 512-doc shard, all integer-exact

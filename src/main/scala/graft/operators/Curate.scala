@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
   *      metrics.
   *
   * Plan shape at scale: stage 1 is a narrow projection; stage 2 is the
-  * inverted-index join (shuffles on shingle hash); stage 3 is a
-  * broadcast anti join against the (tiny) dropped-id set. Nothing
-  * touches the driver.
+  * inverted-index join (shuffles on shingle hash); stage 3 is an anti
+  * join against the dropped-id set — deliberately UNHINTED: near-dup
+  * drop rates on web corpora run 10-50%, so the dropped set is
+  * corpus-proportional (billions of 8-byte ids at 100 TB — past the
+  * broadcast hard limit). AQE converts the anti join to broadcast at
+  * runtime when the set is actually small; when it isn't, the shuffled
+  * anti join on the 8-byte key is the correct shape. Nothing touches
+  * the driver.
   */
 object Curate {
 
@@ -29,7 +34,7 @@ object Curate {
     val dropped = Dedup.ngramJaccardPairs(s, dir)
       .select(col("id_b").as("doc_id")).distinct()
     quality.filter(col("keep"))
-      .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+      .join(dropped, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_tokens"), col("ttr"), col("stop_ratio"))
       .orderBy(col("doc_id"))
   }
@@ -46,7 +51,7 @@ object Curate {
       .select(col("id_b").as("doc_id")).distinct()
       .withColumn("neardup", lit(true))
     TextAnalysis.quality(s, dir)
-      .join(broadcast(dropped), Seq("doc_id"), "left")
+      .join(dropped, Seq("doc_id"), "left")
       .agg(
         count(lit(1)).as("n_docs"),
         count_if(col("keep")).as("n_quality"),

@@ -562,9 +562,45 @@ object Dedup {
       .select(col("vec_id"), col("cell"), col("cv"),
         sqrt(call_function("vec_dot", col("cv"), col("cv"))).as("nrm"))
       .cache()
-    val l = a.toDF("id_a", "cell", "v_a", "n_a")
-    val r = a.toDF("id_b", "cell", "v_b", "n_b")
-    val shadowed = l.join(r, Seq("cell"))
+    semanticCore(a, SemCellCap).orderBy(col("vec_id"))
+  }
+
+  /** Per-join-key population cap for [[semantic]]'s in-cell pair
+    * screen. A quantizer collapse — many near-identical embeddings in
+    * one cell, exactly the data SemDeDup targets — would make the
+    * cell self-join O(pop²) on a single key; cells above the cap are
+    * deterministically sub-split so no key ever carries more than
+    * ~cap² candidate work. Inert at every test SF (max observed cell
+    * population ≈ 53 at sf0.1), so the SQL oracle is unchanged;
+    * DedupSpec plants a mega-cell with a tiny cap and pins the bound.
+    */
+  val SemCellCap = 1024
+
+  /** Frame-parametric core of [[semantic]] — takes any assignment
+    * frame (`vec_id`, `cell`, `cv`, `nrm`) and the sub-split cap.
+    *
+    * Sub-split semantics, stated honestly: within an oversized cell,
+    * vectors hash (by `vec_id`) into ⌈pop/cap⌉ subcells and only
+    * same-subcell pairs are screened — a mega-cell of P near-identical
+    * vectors keeps ~⌈P/cap⌉ survivors (one per subcell) instead of
+    * exactly one, and candidate volume drops from P² to ~P·cap. The
+    * same class of documented recall trade as the cross-cluster miss:
+    * bounded work beats exact shadowing counts once a single key owns
+    * the corpus. Cells at or under the cap are bit-exact (nsub = 1).
+    */
+  private[operators] def semanticCore(a: DataFrame, cap: Int): DataFrame = {
+    // pops is one row per CELL (quantizer-sized, corpus-independent);
+    // unhinted join — AQE broadcasts it when it fits
+    val pops = a.groupBy(col("cell")).agg(count(lit(1)).as("pop"))
+    val sub = a.join(pops, Seq("cell"))
+      .withColumn("nsub",
+        ceil(col("pop").cast("double") / cap).cast("int"))
+      .withColumn("sub",
+        pmod(xxhash64(col("vec_id")), col("nsub")).cast("int"))
+      .select(col("vec_id"), col("cell"), col("sub"), col("cv"), col("nrm"))
+    val l = sub.toDF("id_a", "cell", "sub", "v_a", "n_a")
+    val r = sub.toDF("id_b", "cell", "sub", "v_b", "n_b")
+    val shadowed = l.join(r, Seq("cell", "sub"))
       .filter(col("id_a") < col("id_b"))
       .filter(call_function("vec_dot", col("v_a"), col("v_b"))
         / col("n_a") / col("n_b") >= SemCos)
@@ -574,7 +610,6 @@ object Dedup {
       .select(col("vec_id"), col("cell"),
         coalesce(col("n_shadowing"), lit(0L)).as("n_shadowing"))
       .withColumn("kept", col("n_shadowing") === 0)
-      .orderBy(col("vec_id"))
   }
 
   /** Sign-bucket (random-hyperplane) near-dup pairs for the HIGH-cos
@@ -645,6 +680,15 @@ object Dedup {
     */
   val MinSharedPars = 2
 
+  /** Paragraph-hash document-frequency cap for [[paragraphOverlap]] —
+    * a paragraph shared by more documents than this is boilerplate
+    * (nav bars, license blocks) and leaves the candidate index. Sized
+    * so the cap is inert on the synthetic corpus (every qualifying
+    * pair shares a sub-cap paragraph) while DedupSpec plants a
+    * mega-df paragraph to exercise the pruning path.
+    */
+  val MaxParDf = 50
+
   /** Doc pairs sharing ≥ [[MinSharedPars]] aligned paragraphs — the
     * pair-level complement of [[paragraphDedup]] (which removes the
     * paragraphs; this reports which documents duplicate each other's
@@ -652,25 +696,47 @@ object Dedup {
     * on the paragraph hash: distinct (doc, md5) postings, equi-join on
     * the hash, count per pair — the shingle-index shape, but 32-token
     * blocks are orders rarer than 3-token shingles so the per-key
-    * fanout is far tamer; above a boilerplate threshold the same
-    * df-cap discipline as [[dfCappedPairs]] applies.
+    * fanout is far tamer.
     */
   def paragraphOverlap(s: SparkSession, dir: String): DataFrame =
     paragraphOverlapPairs(load(s, dir, "documents"), ParTokens,
       MinSharedPars)
 
-  /** Frame-parametric core of [[paragraphOverlap]]. */
+  /** Frame-parametric core of [[paragraphOverlap]], with the SAME
+    * df-cap discipline as [[dfCappedPairs]] wired in: paragraph hashes
+    * with df > `maxDf` are dropped from candidate GENERATION — a
+    * 10⁶-duplicated boilerplate paragraph contributes nothing instead
+    * of 10¹² pair keys — and a correction join against per-doc hot
+    * sets restores their contribution to `n_shared` for every pair
+    * that was found, so counts stay exact. A pair whose EVERY shared
+    * paragraph is boilerplate is missed by design (that is the
+    * template class the cap exists to drop); DedupSpec plants one and
+    * pins both sides.
+    */
   def paragraphOverlapPairs(docs: DataFrame, parTokens: Int,
-      minShared: Int): DataFrame = {
+      minShared: Int, maxDf: Int = MaxParDf): DataFrame = {
     val pars = Chunk.chunksCore(docs, parTokens, parTokens)
       .select(col("doc_id"), md5(col("chunk_text")).as("h")).distinct()
-    val a = pars.toDF("id_a", "h")
-    val b = pars.toDF("id_b", "h")
-    a.join(b, Seq("h"))
+    val hot = pars.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("h"))
+    val cold = pars.join(hot, Seq("h"), "left_anti")
+    val hotByDoc = pars.join(hot, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("hoth"))
+    val emptyHot = array().cast("array<string>")
+    val counted = cold.toDF("h", "id_a")
+      .join(cold.toDF("h", "id_b"), Seq("h"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(count(lit(1)).as("shared_cold"))
+    counted
+      .join(hotByDoc.toDF("id_a", "hot_a"), Seq("id_a"), "left")
+      .join(hotByDoc.toDF("id_b", "hot_b"), Seq("id_b"), "left")
+      .withColumn("n_shared", col("shared_cold") +
+        size(array_intersect(coalesce(col("hot_a"), emptyHot),
+          coalesce(col("hot_b"), emptyHot))))
       .filter(col("n_shared") >= minShared)
+      .select(col("id_a"), col("id_b"), col("n_shared"))
       .orderBy(col("id_a"), col("id_b"))
   }
 

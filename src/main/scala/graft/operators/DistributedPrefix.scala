@@ -72,7 +72,21 @@ object DistributedPrefix {
     */
   private[operators] def exclusiveSums(df: DataFrame, orderCols: Seq[
       org.apache.spark.sql.Column],
-      weights: Seq[(org.apache.spark.sql.Column, String)]): DataFrame = {
+      weights: Seq[(org.apache.spark.sql.Column, String)]): DataFrame =
+    exclusiveSumsAndRel(df, orderCols, weights)._1
+
+  /** [[exclusiveSums]] plus the CACHED ranged frame it is built on
+    * (`df`'s columns + the cast weight columns `__w0..__w{k-1}`, in
+    * range-partition order). Callers needing AUXILIARY aggregates
+    * over the same total order — e.g. [[Pipeline.manifest]]'s
+    * per-split rebase offsets — aggregate this frame directly:
+    * aggregating the phase-3 OUTPUT instead would duplicate the
+    * whole offsets join + `mapPartitions` pass over the corpus
+    * (each consumer of the un-cached output re-executes it).
+    */
+  private[operators] def exclusiveSumsAndRel(df: DataFrame, orderCols: Seq[
+      org.apache.spark.sql.Column],
+      weights: Seq[(org.apache.spark.sql.Column, String)]): (DataFrame, DataFrame) = {
     require(weights.nonEmpty)
     val k = weights.length
     // case-insensitive (Spark's default resolution) and covering the
@@ -104,7 +118,7 @@ object DistributedPrefix {
     val keep = df.columns
     val out = StructType(df.schema.fields ++
       weights.map { case (_, n) => StructField(n, LongType, nullable = false) })
-    rel.withColumn("pid", spark_partition_id())
+    val result = rel.withColumn("pid", spark_partition_id())
       .join(broadcast(offs), "pid")
       .select(keep.map(col) ++ weights.indices.map(i => col(s"__w$i")) ++
         weights.indices.map(i => col(s"__off$i")): _*)
@@ -125,5 +139,6 @@ object DistributedPrefix {
           Row.fromSeq(r.toSeq.dropRight(2 * k) ++ starts)
         }
       }(Encoders.row(out))
+    (result, rel)
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The end-to-end pretraining-data capstone: curate → split → shuffle
@@ -21,7 +22,8 @@ import org.apache.spark.sql.functions._
   * Stages and their shapes:
   *   1. curate ([[Curate.pipeline]]'s plan): quality gate is a narrow
   *      projection; near-dup drops come from the inverted-index pair
-  *      join; survivors via broadcast anti-join.
+  *      join; survivors via an unhinted anti join (AQE broadcasts the
+  *      dropped set only when it actually fits).
   *   2. split ([[Sampling.splitAssign]]'s rule): pure projection —
   *      first hex char of `md5(doc_id)`.
   *   3. shuffle ([[Shuffle]]'s contract): position = rank under
@@ -49,9 +51,11 @@ object Pipeline {
     // to the columns the downstream stages need)
     val dropped = Dedup.ngramJaccardPairs(s, dir)
       .select(col("id_b").as("doc_id")).distinct()
+    // unhinted anti join: the dropped set is corpus-proportional (see
+    // Curate.pipeline's scaladoc) — AQE broadcasts it when it fits
     val curated = TextAnalysis.quality(s, dir)
       .filter(col("keep"))
-      .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+      .join(dropped, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
     // stage 2: split assignment, same rule as Sampling.splitAssign
     val hex = substring(md5(col("doc_id").cast("string")), 1, 1)
@@ -62,13 +66,24 @@ object Pipeline {
         md5(concat(lit(Seed), lit(":"), col("doc_id").cast("string"))))
     // stages 3+4 fused: both exclusive prefix sums (doc count → rank,
     // n_tokens → token offset) over the one split-major total order
-    val summed = DistributedPrefix.exclusiveSums(keyed,
+    val (summed, rel) = DistributedPrefix.exclusiveSumsAndRel(keyed,
       Seq(col("split").asc, col("h").asc, col("doc_id").asc),
       Seq((lit(1L), "gpos"), (col("n_tokens"), "gtok")))
-    // rebase global prefixes to per-split ones: the split's first row
-    // carries min(gpos)/min(gtok) = everything before it
-    val offs = summed.groupBy(col("split"))
-      .agg(min(col("gpos")).as("p0"), min(col("gtok")).as("t0"))
+    // rebase global prefixes to per-split ones. Under the split-major
+    // order a split's first row carries exactly the totals of the
+    // splits before it, so the rebase offsets are an S-row exclusive
+    // cumsum of per-split totals — aggregated from the CACHED ranged
+    // frame, NOT from `summed`: aggregating the phase-3 output would
+    // re-execute the whole offsets join + mapPartitions pass over the
+    // corpus for the second consumer (the r7 plan audit caught the
+    // old min(gpos)-over-summed form doing precisely that)
+    val sw = Window.orderBy(col("split"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = rel.groupBy(col("split"))
+      .agg(sum(col("__w0")).as("sd"), sum(col("__w1")).as("st"))
+      .select(col("split"),
+        coalesce(sum(col("sd")).over(sw), lit(0L)).as("p0"),
+        coalesce(sum(col("st")).over(sw), lit(0L)).as("t0"))
     summed.join(broadcast(offs), Seq("split"))
       .select(col("split"), col("doc_id"),
         (col("gpos") - col("p0")).as("pos"),

@@ -145,10 +145,19 @@ object Pq {
     trainedCodebooksMode(s, dir, orderFree = true)
 
   private def trainedCodebooksMode(s: SparkSession, dir: String,
-      orderFree: Boolean): DataFrame = {
+      orderFree: Boolean): DataFrame =
+    trainedCodebookFrom(s, subvectors(s, dir), codebooks(s, dir),
+      orderFree)
+
+  /** The Lloyd's loop over ANY subvector frame (`vec_id`, `subspace`,
+    * `sub`) and seed codebook — shared by the raw-embedding training
+    * above and [[ivfpqTrainedTopK]]'s residual-codebook training
+    * (same rounds, same tie-breaks, same two-phase recenters).
+    */
+  private def trainedCodebookFrom(s: SparkSession, subs: DataFrame,
+      seed: DataFrame, orderFree: Boolean): DataFrame = {
     import s.implicits._
-    val subs = subvectors(s, dir)
-    var cb = codebooks(s, dir)
+    var cb = seed
     for (_ <- 1 to Rounds) {
       val assigned = subs.join(broadcast(cb), Seq("subspace"))
         .withColumn("d2", l2sq(col("sub"), col("cvec_sub")))
@@ -300,25 +309,49 @@ object Pq {
     * touches NProbe/C of the data — this query IS the shape of a
     * billion-scale vector index on Spark.
     */
-  def ivfpqTopK(s: SparkSession, dir: String): DataFrame = {
-    val cents = Similarity.centroids(s, dir)
-      .select(col("cent_id").as("cell"), col("cvec"))
+  def ivfpqTopK(s: SparkSession, dir: String): DataFrame =
+    ivfpqTopKWith(s, dir, Similarity.centroids(s, dir), trained = false)
+
+  /** The fully TRAINED end-to-end composition — the index a production
+    * deployment would ship: coarse cells from
+    * [[KMeans.trainedCentroids]] (Lloyd's-refined seeds) and a
+    * residual codebook trained by the same per-subspace Lloyd's loop
+    * as [[trainedCodebooks]], but over the residual distribution the
+    * codes actually quantize. Rows-only (both quantizers are
+    * data-dependent trainer output); PqSpec measures its recall
+    * against [[Similarity.bruteTopK]] next to the seed composition —
+    * training must not lose recall, and the trained residual codebook
+    * must carry lower quantization distortion than the seed one.
+    */
+  def ivfpqTrainedTopK(s: SparkSession, dir: String): DataFrame =
+    ivfpqTopKWith(s, dir, KMeans.trainedCentroids(s, dir), trained = true)
+
+  private def ivfpqTopKWith(s: SparkSession, dir: String,
+      centsSrc: DataFrame, trained: Boolean): DataFrame = {
+    val cents = centsSrc.select(col("cent_id").as("cell"), col("cvec"))
     // residual per vector w.r.t. its assigned cell, double-exact.
     // cache: the N×C assignment scoring runs ONCE — the codebook
-    // seeds, the corpus codes and (through the codebook) the LUTs all
-    // read this narrow (vec_id, cell, rv) frame, and their projections
-    // differ enough to defeat ReuseExchange (the Dedup.semantic
-    // lesson). At 100 TB the materialized form is the IVF partition
-    // layout plus stored codes; in-query, a narrow cache.
-    val resid = Similarity.cellAssignments(s, dir)
+    // seeds, the residual training, the corpus codes and (through the
+    // codebook) the LUTs all read this narrow (vec_id, cell, rv)
+    // frame, and their projections differ enough to defeat
+    // ReuseExchange (the Dedup.semantic lesson). At 100 TB the
+    // materialized form is the IVF partition layout plus stored codes
+    // ([[Layout.writeIvfPqPartitioned]]); in-query, a narrow cache.
+    val resid = Similarity.cellAssignmentsWith(s, dir, centsSrc)
       .join(broadcast(cents), "cell")
       .select(col("vec_id"), col("cell"),
         zip_with(col("cv"), col("cvec"),
           (x, y) => x.cast("double") - y.cast("double")).as("rv"))
       .cache()
-    // shared residual codebook: the PQ seeds' own residuals, the same
-    // seed rule as codebooks() over the residual frame
-    val rcb = seedCodebook(resid, "vec_id", "rv")
+    // shared residual codebook: the PQ seeds' own residuals (same
+    // seed rule as codebooks(), over the residual frame) — refined by
+    // the per-subspace Lloyd's loop when trained
+    val rseed = seedCodebook(resid, "vec_id", "rv")
+    val rcb =
+      if (trained) trainedCodebookFrom(s,
+        slicedFrame(resid, "vec_id", "rv", "vec_id", "sub"), rseed,
+        orderFree = false)
+      else rseed
     // corpus codes: nearest residual sub-centroid, ties to smallest
     val codes = slicedFrame(resid, "vec_id", "rv", "vec_id", "sub",
       carry = Seq("cell"))
@@ -329,7 +362,7 @@ object Pq {
         max_by(col("code"), struct(-col("d2"), -col("code"))).as("code"))
     // per-(query, probed cell) LUT from the query's residual there
     val luts = slicedFrame(
-      Similarity.queryProbes(s, dir)
+      Similarity.queryProbesWith(s, dir, centsSrc)
         .join(broadcast(cents), "cell")
         .select(col("query_id"), col("cell"),
           zip_with(col("qv"), col("cvec"),

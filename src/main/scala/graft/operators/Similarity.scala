@@ -221,7 +221,7 @@ object Similarity {
   def cellAssignments(s: SparkSession, dir: String): DataFrame =
     cellAssignmentsWith(s, dir, centroids(s, dir))
 
-  private def cellAssignmentsWith(s: SparkSession, dir: String,
+  private[operators] def cellAssignmentsWith(s: SparkSession, dir: String,
       cents: DataFrame): DataFrame =
     scoredCells(s, dir, cents)
       .groupBy(col("vec_id"))
@@ -260,7 +260,7 @@ object Similarity {
   def queryProbes(s: SparkSession, dir: String): DataFrame =
     queryProbesWith(s, dir, centroids(s, dir))
 
-  private def queryProbesWith(s: SparkSession, dir: String,
+  private[operators] def queryProbesWith(s: SparkSession, dir: String,
       cents: DataFrame): DataFrame = {
     val pw = Window.partitionBy(col("vec_id"))
       .orderBy(col("cs").desc, col("cent_id"))

@@ -8,6 +8,29 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   val sf: String = "/root/testdata/sf0.001"
 
+  /** Every node of the EXECUTED plan, piercing AQE wrappers and
+    * materialized query stages but NOT descending into
+    * `InMemoryRelation` cached plans — so the returned set is exactly
+    * the work the query re-executes itself, with cached subtrees
+    * opaque. Plan-shape pins assert on these nodes instead of plan
+    * STRINGS: under AQE a reused stage prints as a bare reference
+    * (no repeated `InMemoryTableScan` line), so string counting
+    * undercounts reuse — the r6 pin failure mode.
+    */
+  def outerPlanNodes(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val kids = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    plan +: kids.flatMap(outerPlanNodes)
+  }
+
   /** Run `body` with a session conf temporarily overridden (restored
     * even on failure — the suite session is shared).
     */

@@ -295,4 +295,76 @@ class DedupSpec extends SparkSpec {
         r.getAs[Long]("n_shared"))).toSeq
     assert(loose == Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
   }
+
+  test("paragraph overlap df-cap: mega-df paragraphs leave the " +
+      "candidate index; found pairs keep EXACT shared counts") {
+    import spark.implicits._
+    // eight template instances built ONLY from two boilerplate blocks:
+    // without the cap, every pair of them is a candidate (28 pairs of
+    // a df-8/df-10 key — the 10^6-duplicated-nav-bar shape in
+    // miniature); two mirror docs share the hot block AND two cold
+    // ones
+    val boiler = (1L to 8L).map(i => (i, "boil plate extra junk"))
+    val mirror = Seq((100L, "boil plate cold word tail two"),
+      (101L, "boil plate cold word tail two"))
+    val docs = (boiler ++ mirror).toDF("doc_id", "text")
+    // cap 3 < df("boil plate") = 10 and df("extra junk") = 8: both
+    // leave the index, so template-only pairs are dropped by design...
+    val capped = Dedup.paragraphOverlapPairs(docs, 2, 2, maxDf = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_shared"))).toSeq
+    // ...while the mirror pair is reached via its cold blocks and the
+    // correction join restores the hot block's contribution: 3 shared
+    // blocks exactly, not the 2 cold ones the capped index saw
+    assert(capped == Seq((100L, 101L, 3L)))
+    // an above-every-df cap is inert: the 28 template pairs (2 shared
+    // blocks each) plus the mirror pair; hot/cold split invisible
+    val inert = Dedup.paragraphOverlapPairs(docs, 2, 2, maxDf = 100)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_shared"))).toSeq
+    assert(inert.length == 29)
+    assert(inert.contains((100L, 101L, 3L)))
+    assert(inert.filterNot(_ == ((100L, 101L, 3L)))
+      .forall(_._3 == 2L))
+  }
+
+  test("semantic dedup mega-cell: sub-split bounds the per-key pair " +
+      "fanout; at-or-under-cap cells are bit-exact") {
+    import spark.implicits._
+    // 40 IDENTICAL unit vectors in ONE cell — the quantizer-collapse
+    // shape SemDeDup itself creates on its target data. Exact
+    // screening is 780 pairs on a single join key.
+    val vecs = (1L to 40L).map(i =>
+      (i, 0L, Array(1.0f, 0.0f, 0.0f), 1.0))
+      .toDF("vec_id", "cell", "cv", "nrm")
+    val capped = Dedup.semanticCore(vecs, cap = 10).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("n_shadowing"),
+        r.getAs[Boolean]("kept")))
+    assert(capped.length == 40, "one verdict per vector")
+    // nsub = ceil(40/10) = 4 subcells: each subcell's min id is kept,
+    // so survivors <= 4 (vs exactly 1 unbounded) and every other
+    // vector is still shadowed within its subcell
+    val kept = capped.filter(_._3).map(_._1)
+    assert(kept.nonEmpty && kept.length <= 4,
+      s"survivor count ${kept.length} exceeds the subcell bound")
+    capped.filterNot(_._3).foreach { case (_, n, _) =>
+      assert(n >= 1L) }
+    // candidate work collapses from P^2 to ~P*cap: the shadowing-pair
+    // total (= sum of per-subcell C(p,2)) must be strictly below the
+    // unbounded 780 and below the 4-even-subcells worst-case envelope
+    val totalPairs = capped.map(_._2).sum
+    assert(totalPairs < 780L, "sub-split did not bound the fanout")
+    assert(totalPairs >= 40L - kept.length,
+      "every non-survivor needs at least one shadow")
+    // a cap >= pop is inert: bit-exact unbounded semantics (one
+    // survivor, full 780-pair shadow total)
+    val exact = Dedup.semanticCore(vecs, cap = 64).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("n_shadowing"),
+        r.getAs[Boolean]("kept")))
+    assert(exact.count(_._3) == 1)
+    assert(exact.map(_._2).sum == 780L)
+    assert(exact.filter(_._3).map(_._1).toSeq == Seq(1L))
+  }
 }

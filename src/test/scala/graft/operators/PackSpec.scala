@@ -79,23 +79,36 @@ class PackSpec extends SparkSpec {
     // materialize first: the final stage shapes are RUNTIME decisions
     // under AQE, invisible in the pre-execution plan string
     df.collect()
-    // the executed AdaptiveSparkPlan prints Final + Initial sections;
-    // assert only on what actually ran
-    val p = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
-    assert(p.contains("rangepartitioning"))
-    assert(p.contains("BroadcastHashJoin"))
-    assert(!p.contains("SortMergeJoin"))
-    // the two phases must share ONE materialized range stage: the
-    // offsets subtree and the output subtree both scan the cached
-    // ranged frame (structural reuse — InMemoryTableScan — not the
-    // optimizer-fragile ReuseExchange the first design gambled on)
-    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
-      s"ranged frame not scanned by both phases:\n$p")
+    import org.apache.spark.sql.catalyst.plans.physical.{
+      RangePartitioning, SinglePartition}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, SortMergeJoinExec}
+    val nodes = outerPlanNodes(df.queryExecution.executedPlan)
+    // THE reuse invariant: every source read goes through the cached
+    // ranged frame — a FileScan in the outer tree means the offsets
+    // or output subtree recomputed the upstream instead of sharing
+    // the one materialization
+    assert(!nodes.exists(_.isInstanceOf[FileSourceScanExec]),
+      "upstream recomputed: FileScan outside the cached ranged frame")
+    assert(nodes.exists(_.isInstanceOf[InMemoryTableScanExec]),
+      "cached ranged frame never read")
+    // the only outer range exchange is the final presentation sort;
+    // the phase-1 range partitioning lives INSIDE the cached frame
+    val ranges = nodes.collect { case s: ShuffleExchangeExec
+      if s.outputPartitioning.isInstanceOf[RangePartitioning] => s }
+    assert(ranges.size <= 1, s"second range exchange: upstream re-sorted")
+    // offsets rebase is a broadcast join, and nothing degrades to a
+    // sort-merge of the corpus
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]))
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
     // exactly one single-partition exchange is allowed — the P-row
     // offsets frame's cumsum — and none may sit under the big side's
     // mapPartitions pass
-    val singles = "SinglePartition".r.findAllIn(p).length
-    assert(singles <= 1, s"unexpected global collapse:\n$p")
+    val singles = nodes.collect { case s: ShuffleExchangeExec
+      if s.outputPartitioning == SinglePartition => s }
+    assert(singles.size <= 1, "unexpected global collapse")
   }
 }

@@ -54,23 +54,54 @@ class PipelineSpec extends SparkSpec {
     spark.catalog.clearCache()
     val df = Pipeline.manifest(spark, sf)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
-    assert(p.contains("rangepartitioning"))
-    // the offsets subtree reads the CACHED ranged frame instead of
-    // re-running curate + re-sorting. Structural reuse — both phases
-    // scan one InMemoryRelation — not optimizer-dependent
-    // ReuseExchange pattern-matching, which failed under a warm
-    // session and silently doubled the curate stage (PackSpec's
-    // invariant, inherited through exclusiveSums).
-    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
-      s"ranged frame not scanned by BOTH phases:\n$p")
-    // only cluster-sized frames may single-partition: the P-row
-    // offsets cumsum (one per fused prefix pass)
-    val singles = "SinglePartition".r.findAllIn(p).length
-    assert(singles <= 1, s"unexpected global collapse:\n$p")
+    import org.apache.spark.sql.catalyst.plans.physical.{
+      RangePartitioning, SinglePartition}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val nodes = outerPlanNodes(df.queryExecution.executedPlan)
+    // THE reuse invariant: the offsets subtree reads the CACHED
+    // ranged frame instead of re-running curate + re-sorting. A
+    // FileScan in the outer executed tree would mean some phase
+    // recomputed the corpus from source — the silent curate-doubling
+    // failure the structural cache exists to prevent. (Asserted on
+    // plan NODES, not strings: under AQE a reused stage prints as a
+    // bare reference, so counting `InMemoryTableScan` strings
+    // undercounts — the r6 pin failure.)
+    assert(!nodes.exists(_.isInstanceOf[FileSourceScanExec]),
+      "curate recomputed: FileScan outside the cached ranged frame")
+    assert(nodes.exists(_.isInstanceOf[InMemoryTableScanExec]),
+      "cached ranged frame never read")
+    // the only outer range exchange is the final (split, pos) sort;
+    // phase 1's (split, h, doc_id) range shuffle lives INSIDE the
+    // cached frame and must not reappear outside it
+    val ranges = nodes.collect { case s: ShuffleExchangeExec
+      if s.outputPartitioning.isInstanceOf[RangePartitioning] => s }
+    assert(ranges.size <= 1, "second range exchange: corpus re-sorted")
+    // only bounded frames may single-partition: the P-row partition-
+    // offsets cumsum and the S-row split-rebase cumsum. Each must sit
+    // directly above an aggregate (cluster- or split-count-sized
+    // output), never above corpus-sized data
+    val singles = nodes.collect { case s: ShuffleExchangeExec
+      if s.outputPartitioning == SinglePartition => s }
+    assert(singles.size <= 2, "unexpected global collapse:\n" +
+      singles.map(_.treeString).mkString("\n====\n"))
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+        unwrap(w.child)
+      case i: org.apache.spark.sql.execution.InputAdapter => unwrap(i.child)
+      case other => other
+    }
+    singles.foreach { s =>
+      assert(unwrap(s.child).isInstanceOf[
+        org.apache.spark.sql.execution.aggregate.HashAggregateExec],
+        s"single-partition exchange above non-aggregate:\n${s.treeString}")
+    }
     // per-split rebase is a broadcast join, not a shuffle of the corpus
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]))
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]))
   }
 }

@@ -49,10 +49,19 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2)
   }
 
-  test("curate: dropped-id set is broadcast into a left anti join") {
-    val p = physical(Curate.pipeline(spark, sf))
+  test("curate: dropped-id anti join is UNHINTED (corpus-proportional " +
+      "set must not be forced into a broadcast)") {
+    // the logical plan must carry no user broadcast hint: a forced
+    // broadcast of the dropped-id set is a driver OOM at real drop
+    // rates; AQE may still CHOOSE broadcast at toy scale, which is fine
+    val df = Curate.pipeline(spark, sf)
+    assert(!df.queryExecution.analyzed.toString.contains("UnresolvedHint") &&
+      !df.queryExecution.optimizedPlan.toString.contains("broadcast"),
+      "dropped-id set carries a forced broadcast hint")
+    val p = physical(df)
     assert(p.contains("LeftAnti"))
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
   }
 
   test("anti join stays a hash join (no cartesian/nested loop)") {

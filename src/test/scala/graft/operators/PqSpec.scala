@@ -226,4 +226,34 @@ class PqSpec extends SparkSpec {
     // pin is clearly-above-random (random@5 over ~550 is ~0.009)
     assert(ivfpq > 0.05, f"IVF-PQ recall $ivfpq%.3f below noise")
   }
+
+  test("trained end-to-end residual IVF-PQ: shape holds; recall does " +
+      "not fall below the seed composition") {
+    val rows = Pq.ivfpqTrainedTopK(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to sorted.length))
+      val ds = sorted.map(_.getAs[Double]("adc_d2"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    }
+    val exact = Similarity.bruteTopK(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    def recallOf(rs: Array[org.apache.spark.sql.Row]): Double =
+      rs.groupBy(_.getAs[Long]("query_id")).toSeq.map { case (q, g) =>
+        g.map(_.getAs[Long]("neighbor_id")).count(exact(q).contains)
+      }.sum.toDouble / (exact.size * Similarity.K)
+    val trainedR = recallOf(rows)
+    val seedR = recallOf(Pq.ivfpqTopK(spark, sf).collect())
+    info(f"trained IVF-PQ recall@${Pq.TopK} = $trainedR%.3f " +
+      f"(seed composition $seedR%.3f)")
+    // training both quantizers must not LOSE retrieval quality vs the
+    // seed composition (on this corpus Lloyd's refines in place; a
+    // regression here means the residual codebook stopped matching
+    // the trained cells' residual distribution)
+    assert(trainedR >= seedR,
+      f"trained recall $trainedR%.3f below seed $seedR%.3f")
+    assert(trainedR > 0.05, f"trained IVF-PQ recall below noise")
+  }
 }
