@@ -63,12 +63,13 @@ object Bench {
     // parses as null. Individual lines keep the detail in the log
     // while the FINAL line stays a compact (<500B) summary that always
     // survives the tail capture.
-    results.toSeq.sortBy(_._1).foreach {
+    val perQuery = results.toSeq.sortBy(_._1).map {
       case (k, Right((sec, runs))) =>
-        println(s"""{"query":"$k","sec":$sec,"runs":$runs}""")
+        s"""{"query":"$k","sec":$sec,"runs":$runs}"""
       case (k, Left(e)) =>
-        println(s"""{"query":"$k","error":"$e"}""")
+        s"""{"query":"$k","error":"$e"}"""
     }
+    perQuery.foreach(println)
     val ok = results.collect { case (_, Right((sec, _))) => sec }
     val failed = results.collect { case (k, Left(_)) => k }.toSeq.sorted
     val total = ok.sum
@@ -79,10 +80,22 @@ object Bench {
     // SPARK_GRAFT_ONLY iteration run from the official full bench.
     // Failed queries are EXCLUDED from the total (n_failed says how
     // many) so a partial failure can't masquerade as a fast clean run.
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""n_queries":${results.size},"n_failed":${failed.size},""" +
       s""""failed":$failedJson,"runs_min":2,"runs_max":$maxRuns,""" +
-      s""""filtered":${only.isDefined},"sf":"$sfDir"}""")
+      s""""filtered":${only.isDefined},"sf":"$sfDir"}"""
+    println(summary)
+    // the full breakdown ALSO lands in a sidecar file the 2KB stdout
+    // tail can't truncate (90 of 122 per-query numbers vanished from
+    // the r6 record). JSONL: per-query lines then the summary.
+    // Best-effort: a read-only cwd must not fail the bench itself.
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_SIDECAR",
+      "BENCH_QUERIES.jsonl")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
+      (perQuery :+ summary).mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] sidecar write failed: $e") }
     spark.stop()
   }
 }

@@ -646,12 +646,37 @@ object Dedup {
 
   // --- 9. paragraph-level dedup (CCNet) ------------------------------
 
-  /** Paragraph unit for [[paragraphDedup]]: non-overlapping
-    * [[ParTokens]]-token blocks (the synthetic corpus has no newlines,
-    * so fixed blocks stand in for `split(text, "\n\n")` — swap the
-    * segmenter for real corpora; everything downstream is unchanged).
+  /** Fallback paragraph size for [[segmentParagraphs]] when a document
+    * carries no blank-line breaks: non-overlapping token blocks.
     */
   val ParTokens = 32
+
+  /** Paragraph segmentation for the CCNet-family operators, per
+    * document: text containing blank-line breaks splits on `"\n\n"`
+    * (the real-corpus paragraph boundary; empty fragments from runs
+    * of blank lines are dropped, `par_id` keeps the original break
+    * index so order survives); text without breaks — including the
+    * whole synthetic corpus, whose documents are single-line — falls
+    * back to fixed [[ParTokens]]-token blocks. Both branches are
+    * narrow projections (split/posexplode, no shuffle); downstream
+    * operators see one (doc_id, par_id, par_text) contract either
+    * way.
+    */
+  private[operators] def segmentParagraphs(docs: DataFrame,
+      parTokens: Int): DataFrame = {
+    val hasBreaks = col("text").contains("\n\n")
+    val broken = docs.filter(hasBreaks)
+      .select(col("doc_id"), posexplode(split(col("text"), "\n\n")))
+      .toDF("doc_id", "par_id", "par_text")
+      .filter(length(trim(col("par_text"))) > 0)
+      .select(col("doc_id"), col("par_id").cast("long").as("par_id"),
+        col("par_text"))
+    val blocks = Chunk.chunksCore(docs.filter(!hasBreaks),
+        parTokens, parTokens)
+      .select(col("doc_id"), col("chunk_id").as("par_id"),
+        col("chunk_text").as("par_text"))
+    broken.unionByName(blocks)
+  }
 
   /** CCNet-style paragraph dedup (Wenzek et al., arXiv:1911.00359 §3:
     * dedup at paragraph granularity removes boilerplate that doc-level
@@ -715,8 +740,8 @@ object Dedup {
     */
   def paragraphOverlapPairs(docs: DataFrame, parTokens: Int,
       minShared: Int, maxDf: Int = MaxParDf): DataFrame = {
-    val pars = Chunk.chunksCore(docs, parTokens, parTokens)
-      .select(col("doc_id"), md5(col("chunk_text")).as("h")).distinct()
+    val pars = segmentParagraphs(docs, parTokens)
+      .select(col("doc_id"), md5(col("par_text")).as("h")).distinct()
     val hot = pars.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("h"))
     val cold = pars.join(hot, Seq("h"), "left_anti")
@@ -745,10 +770,8 @@ object Dedup {
     * whole-doc copies).
     */
   def paragraphs(docs: DataFrame, parTokens: Int): DataFrame = {
-    val pars = Chunk.chunksCore(docs, parTokens, parTokens)
-      .select(col("doc_id"), col("chunk_id").as("par_id"),
-        col("chunk_text").as("par_text"),
-        md5(col("chunk_text")).as("h"))
+    val pars = segmentParagraphs(docs, parTokens)
+      .withColumn("h", md5(col("par_text")))
     val keepers = pars
       .groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("par_id"))).as("first"))

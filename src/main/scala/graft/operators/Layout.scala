@@ -64,6 +64,54 @@ object Layout {
       .repartition(col("part_cell"))
       .write.partitionBy("part_cell").mode("overwrite").parquet(path)
 
+  /** The FULL on-disk IVF-PQ index: per-vector residual PQ codes —
+    * M bytes, not the 64-float vector — hive-partitioned by IVF cell,
+    * with the shared residual codebook persisted as a `.codebook`
+    * sidecar. This is [[Pq.ivfpqTopK]]'s data half made durable: the
+    * coarse quantizer is the directory structure (planning-time
+    * pruning to NProbe/C of the index) and the leaf files carry ONLY
+    * codes, so the probe's I/O shrinks twice — files skipped by cell,
+    * and ~32× fewer bytes per surviving row than the raw-vector
+    * layout ([[writeIvfPartitioned]]). At billion scale this pair of
+    * reductions is what makes the index scan-time negligible next to
+    * the ranking join; LayoutSpec measures both on the shipped corpus.
+    */
+  def writeIvfPqPartitioned(s: SparkSession, dir: String,
+      path: String): Unit = {
+    val (codes, rcb) = Pq.residualCodeArrays(s, dir)
+    codes.select(col("vec_id"), col("codes"), col("cell").as("part_cell"))
+      .repartition(col("part_cell"))
+      .write.partitionBy("part_cell").mode("overwrite").parquet(path)
+    rcb.write.mode("overwrite").parquet(s"$path.codebook")
+  }
+
+  /** Probe the persisted IVF-PQ layout: rebuild each query's
+    * per-probed-cell residual LUTs against the sidecar codebook, prune
+    * the scan to the probed cells (a LITERAL partition filter — the
+    * probed-cell set is bounded by queries × NProbe, a planning-time
+    * constant, and the one driver-side collect here is of that same
+    * bounded set), decode by joining stored codes to the broadcast
+    * LUTs, and rank. Bit-identical to the in-query [[Pq.ivfpqTopK]] —
+    * same seeds, residuals, tie-breaks and DECIMAL-exact ADC — which
+    * LayoutSpec pins row for row.
+    */
+  def ivfPqProbe(s: SparkSession, dir: String, path: String): DataFrame = {
+    val rcb = s.read.parquet(s"$path.codebook")
+    val luts = Pq.residualLuts(s, dir, rcb)
+    val probedCells = luts.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val scan = s.read.parquet(path)
+      .filter(col("part_cell").isin(probedCells: _*))
+      .select(col("vec_id").as("neighbor_id"),
+        col("part_cell").cast("long").as("cell"),
+        posexplode(col("codes")))
+      .toDF("neighbor_id", "cell", "subspace", "code")
+      .select(col("neighbor_id"), col("cell"),
+        col("subspace").cast("long").as("subspace"),
+        col("code").cast("long").as("code"))
+    Pq.adcRank(scan.join(broadcast(luts), Seq("cell", "subspace", "code")))
+  }
+
   /** Morton/Z-value of two non-negative int keys: bits interleaved so
     * that sorting by z clusters BOTH dimensions at once. Pure column
     * arithmetic — fully codegen'd, no UDF.

@@ -282,6 +282,79 @@ object Pq {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Residual-PQ artifacts for the ON-DISK IVF-PQ layout
+    * ([[Layout.writeIvfPqPartitioned]]): per-vector compact code
+    * arrays — (vec_id, cell, codes: array<tinyint>, M entries in
+    * subspace order) — plus the shared residual codebook they were
+    * coded against. Same seed quantizer, residuals and tie-breaks as
+    * [[ivfpqTopK]], so a probe over the persisted codes reproduces
+    * the in-query operator bit-for-bit.
+    */
+  private[operators] def residualCodeArrays(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val cents = Similarity.centroids(s, dir)
+      .select(col("cent_id").as("cell"), col("cvec"))
+    val resid = Similarity.cellAssignments(s, dir)
+      .join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("cv"), col("cvec"),
+          (x, y) => x.cast("double") - y.cast("double")).as("rv"))
+      .cache()
+    val rcb = seedCodebook(resid, "vec_id", "rv")
+    val codes = slicedFrame(resid, "vec_id", "rv", "vec_id", "sub",
+      carry = Seq("cell"))
+      .join(broadcast(rcb), Seq("subspace"))
+      .withColumn("d2", l2sq(col("sub"), col("cvec_sub")))
+      .groupBy(col("vec_id"), col("subspace"))
+      .agg(first(col("cell")).as("cell"),
+        max_by(col("code"), struct(-col("d2"), -col("code"))).as("code"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("cell")).as("cell"),
+        transform(
+          array_sort(collect_list(struct(col("subspace"), col("code")))),
+          e => e.getField("code").cast("byte")).as("codes"))
+    (codes, rcb)
+  }
+
+  /** Per-(query, probed cell) residual ADC LUTs against `rcb` — the
+    * query-side half shared by [[ivfpqTopK]] and the on-disk probe
+    * ([[Layout.ivfPqProbe]]): (query_id, cell, subspace, code, d2).
+    */
+  private[operators] def residualLuts(s: SparkSession, dir: String,
+      rcb: DataFrame): DataFrame = {
+    val cents = Similarity.centroids(s, dir)
+      .select(col("cent_id").as("cell"), col("cvec"))
+    slicedFrame(
+      Similarity.queryProbes(s, dir)
+        .join(broadcast(cents), "cell")
+        .select(col("query_id"), col("cell"),
+          zip_with(col("qv"), col("cvec"),
+            (x, y) => x.cast("double") - y.cast("double")).as("qrv")),
+      "query_id", "qrv", "query_id", "qsub", carry = Seq("cell"))
+      .join(rcb, Seq("subspace"))
+      .select(col("query_id"), col("cell"), col("subspace"), col("code"),
+        l2sq(col("qsub"), col("cvec_sub")).as("d2"))
+  }
+
+  /** The ADC aggregation + per-query top-k shared by every ranking
+    * path: input (query_id, neighbor_id, d2) candidate rows, output
+    * the ranked (query_id, neighbor_id, rank, adc_d2) contract.
+    */
+  private[operators] def adcRank(cands: DataFrame): DataFrame = {
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2"), col("neighbor_id"))
+    cands
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(round(col("d2"), 6).cast("decimal(38,6)"))
+        .cast("double").as("adc_d2"))
+      .withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("adc_d2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Full residual IVF-PQ top-k — the FAISS-style composition of the
     * IVF cell-probing half ([[Similarity.ivfTopK]]) and the PQ
     * compression half ([[adcTopK]]), with the piece neither has
@@ -371,18 +444,7 @@ object Pq {
       .join(rcb, Seq("subspace"))
       .select(col("query_id"), col("cell"), col("subspace"), col("code"),
         l2sq(col("qsub"), col("cvec_sub")).as("d2"))
-    val byQuery = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_d2"), col("neighbor_id"))
-    codes.toDF("neighbor_id", "subspace", "cell", "code")
-      .join(broadcast(luts), Seq("cell", "subspace", "code"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(round(col("d2"), 6).cast("decimal(38,6)"))
-        .cast("double").as("adc_d2"))
-      .withColumn("rank", row_number().over(byQuery))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        col("adc_d2"))
-      .orderBy(col("query_id"), col("rank"))
+    adcRank(codes.toDF("neighbor_id", "subspace", "cell", "code")
+      .join(broadcast(luts), Seq("cell", "subspace", "code")))
   }
 }

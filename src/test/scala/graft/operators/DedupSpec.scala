@@ -296,6 +296,37 @@ class DedupSpec extends SparkSpec {
     assert(loose == Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
   }
 
+  test("newline segmentation: blank-line docs split on \\n\\n (empty " +
+      "fragments dropped), unbroken docs fall back to token blocks, " +
+      "and dedup fires across both forms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "first paragraph here\n\nshared boilerplate block\n\nlast bit"),
+      // repeats doc 1's middle paragraph verbatim
+      (2L, "intro text\n\nshared boilerplate block"),
+      // leading/trailing blank-line runs produce empty fragments that
+      // must be dropped, leaving only the boilerplate (also a copy)
+      (3L, "\n\nshared boilerplate block\n\n\n\n"),
+      // no breaks: token-block fallback (2-token blocks)
+      (4L, "no breaks here at all")).toDF("doc_id", "text")
+    val out = Dedup.paragraphs(docs, 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_pars"),
+        r.getAs[Long]("kept_pars"), r.getAs[String]("clean_text"))).toSeq
+    assert(out == Seq(
+      (1L, 3L, 3L,
+        "first paragraph here shared boilerplate block last bit"),
+      (2L, 2L, 1L, "intro text"),
+      (3L, 1L, 0L, ""),
+      (4L, 3L, 3L, "no breaks here at all")))
+    // the overlap complement sees the same paragraph unit: each pair
+    // of the three breaks-form docs shares exactly the one
+    // boilerplate paragraph
+    val pairs = Dedup.paragraphOverlapPairs(docs, 2, 1).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_shared"))).toSeq
+    assert(pairs == Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
   test("paragraph overlap df-cap: mega-df paragraphs leave the " +
       "candidate index; found pairs keep EXACT shared counts") {
     import spark.implicits._

@@ -89,6 +89,52 @@ class LayoutSpec extends SparkSpec {
       s"probe read $touched of $totalFiles files across $cellCount cells")
   }
 
+  test("IVF-PQ layout: probe equals the in-query operator row for row, " +
+      "skips unprobed cells' files, and reads a fraction of the " +
+      "raw-vector layout's bytes") {
+    val out = Files.createTempDirectory("ivfpq_layout").toString
+    val raw = Files.createTempDirectory("ivf_raw").toString
+    Layout.writeIvfPqPartitioned(spark, sf, out)
+    Layout.writeIvfPartitioned(spark, sf, raw)
+
+    // the probe over persisted codes is bit-identical to the in-query
+    // composition: same seeds, residuals, tie-breaks, DECIMAL ADC
+    val probe = Layout.ivfPqProbe(spark, sf, out)
+    val got = probe.collect().map(_.toSeq).toSeq
+    val expect = Pq.ivfpqTopK(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got == expect)
+
+    // files skipped: the scan carries a literal partition filter and
+    // actually reads only the probed cells' files
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val codesScan = outerPlanNodes(probe.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec
+        if f.output.exists(_.name == "codes") => f }.head
+    assert(codesScan.toString.contains("PartitionFilters"),
+      codesScan.toString)
+    val filesRead = codesScan.metrics("numFiles").value
+    val totalFiles = spark.read.parquet(out).inputFiles.length
+    assert(filesRead < totalFiles,
+      s"probe read $filesRead of $totalFiles files — nothing skipped")
+
+    // bytes shrinkage: over the SAME probed cells, the codes
+    // directories are a fraction of the raw-vector directories (M
+    // bytes vs 64 floats per row; compression narrows but cannot
+    // close a 32x raw gap even at toy scale)
+    val probed = Similarity.queryProbes(spark, sf)
+      .select("cell").distinct().collect().map(_.getLong(0)).sorted
+    def cellBytes(base: String): Long = probed.map { c =>
+      val d = new java.io.File(base, s"part_cell=$c")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.length).sum
+    }.sum
+    val (pqBytes, rawBytes) = (cellBytes(out), cellBytes(raw))
+    info(s"probed-cell bytes: codes=$pqBytes raw=$rawBytes " +
+      f"(${pqBytes.toDouble / rawBytes}%.3f)")
+    assert(pqBytes * 2 < rawBytes,
+      s"codes layout $pqBytes B not meaningfully below raw $rawBytes B")
+  }
+
   test("z-order layout clusters BOTH keys (bounded per-file spread)") {
     val out = Files.createTempDirectory("zorder").toString
     val src = Tables.load(spark, sf, "lineitem")
