@@ -180,10 +180,17 @@ object Dedup {
     */
   def dfCappedPairs(docs: DataFrame, maxDf: Int): DataFrame = {
     val base = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    // cache: the postings index feeds FOUR subtrees (the hot-shingle
+    // aggregate, both cold self-join legs, the per-doc hot sets) whose
+    // projections defeat ReuseExchange — uncached, each one re-scans
+    // the corpus and re-explodes the shingles. 24 B/posting, the
+    // narrow-frame cache discipline (DistributedPrefix / semantic);
+    // long-lived sessions release via OperatorCaches.
     val inv = base
       .select(col("doc_id"), size(col("sh")).as("n"),
         explode(col("sh")).as("shingle"))
       .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("shingle"))
+      .cache()
     val hot = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("shingle"))
     val cold = inv.join(hot, Seq("shingle"), "left_anti")
@@ -657,25 +664,29 @@ object Dedup {
     * of blank lines are dropped, `par_id` keeps the original break
     * index so order survives); text without breaks — including the
     * whole synthetic corpus, whose documents are single-line — falls
-    * back to fixed [[ParTokens]]-token blocks. Both branches are
-    * narrow projections (split/posexplode, no shuffle); downstream
-    * operators see one (doc_id, par_id, par_text) contract either
-    * way.
+    * back to fixed [[ParTokens]]-token blocks (bit-identical to
+    * [[Chunk.chunksCore]]'s non-overlapping slicing, empty blocks
+    * KEPT, matching its contract). ONE narrow projection over ONE
+    * scan — the per-row `when` picks the branch, so the corpus is
+    * read once (a filter-per-branch union would scan it twice);
+    * downstream operators see one (doc_id, par_id, par_text)
+    * contract either way.
     */
   private[operators] def segmentParagraphs(docs: DataFrame,
       parTokens: Int): DataFrame = {
     val hasBreaks = col("text").contains("\n\n")
-    val broken = docs.filter(hasBreaks)
-      .select(col("doc_id"), posexplode(split(col("text"), "\n\n")))
-      .toDF("doc_id", "par_id", "par_text")
-      .filter(length(trim(col("par_text"))) > 0)
+    val toks = split(col("text"), " ")
+    val blocks = transform(
+      sequence(lit(0), size(toks) - 1, lit(parTokens)),
+      i => concat_ws(" ", slice(toks, i + 1, lit(parTokens))))
+    docs
+      .select(col("doc_id"), hasBreaks.as("nl"),
+        posexplode(when(hasBreaks, split(col("text"), "\n\n"))
+          .otherwise(blocks)))
+      .toDF("doc_id", "nl", "par_id", "par_text")
+      .filter(!col("nl") || length(trim(col("par_text"))) > 0)
       .select(col("doc_id"), col("par_id").cast("long").as("par_id"),
         col("par_text"))
-    val blocks = Chunk.chunksCore(docs.filter(!hasBreaks),
-        parTokens, parTokens)
-      .select(col("doc_id"), col("chunk_id").as("par_id"),
-        col("chunk_text").as("par_text"))
-    broken.unionByName(blocks)
   }
 
   /** CCNet-style paragraph dedup (Wenzek et al., arXiv:1911.00359 §3:
@@ -740,8 +751,12 @@ object Dedup {
     */
   def paragraphOverlapPairs(docs: DataFrame, parTokens: Int,
       minShared: Int, maxDf: Int = MaxParDf): DataFrame = {
+    // cache: the distinct (doc, hash) postings feed the hot
+    // aggregate, both cold join legs and the per-doc hot sets —
+    // uncached, each subtree re-scans and re-segments the corpus
     val pars = segmentParagraphs(docs, parTokens)
       .select(col("doc_id"), md5(col("par_text")).as("h")).distinct()
+      .cache()
     val hot = pars.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("h"))
     val cold = pars.join(hot, Seq("h"), "left_anti")
