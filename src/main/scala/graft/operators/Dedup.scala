@@ -101,11 +101,19 @@ object Dedup {
     * per (doc, shingle), the explode that makes "only docs sharing a
     * shingle ever meet" an equi-join.
     */
+  /** The 24 B/posting inverted index, CACHED: every consumer
+    * self-joins it (ngramJaccard both legs, incremental's shard and
+    * corpus sides) — uncached, each leg re-scans the corpus and
+    * re-explodes the shingles; Spark's plan-keyed CacheManager keeps
+    * one entry across all of them. Long-lived sessions release via
+    * [[OperatorCaches.release]].
+    */
   private def shingleIndex(s: SparkSession, dir: String): DataFrame =
     docShingles(s, dir)
       .select(col("doc_id"), size(col("sh")).as("n"),
         explode(col("sh")).as("shingle"))
       .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("shingle"))
+      .cache()
 
   /** All (id_a, id_b) pairs with shingle-Jaccard ≥ [[JaccardThreshold]]
     * between two inverted-index frames (`id_a/n_a/shingle` ×
