@@ -50,10 +50,13 @@ object Mix {
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         md5(col("doc_id").cast("string").cast("binary")).as("pri"))
-    // per-source weights; Σweights and corpus total as 1-row frames
+    // per-source weights; Σweights and corpus total as 1-row frames.
+    // srcs is source-count-sized — cached so its two consumers
+    // (totals, budgets) don't each re-scan the corpus to rebuild it
     val srcs = docs.groupBy(col("source"))
       .agg(sum("n_tokens").as("src_tokens"))
       .withColumn("w", weight(col("source")))
+      .cache()
     val totals = srcs.agg(sum("w").as("wsum"),
       sum("src_tokens").as("corpus_tokens"))
     // integer budget: corpus × w div (2 × wsum) — `div`, not `/`

@@ -144,11 +144,17 @@ object TextAnalysis {
   def tfidfTop(s: SparkSession, dir: String): DataFrame = {
     val terms = load(s, dir, "documents")
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    // ONE corpus scan + explode: df and N both derive from the tf
+    // aggregate (tf keys are distinct (doc, term) pairs by
+    // construction, so rows-per-term IS document frequency and
+    // distinct doc_ids match the exploded frame's); tf is cached for
+    // its three consumers. The previous form re-scanned and
+    // re-exploded the corpus for each of tf / df / N.
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = terms.distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = terms.agg(countDistinct(col("doc_id")).as("n"))
+      .cache()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col("doc_id")).as("n"))
     val score = round(col("tf") * log(col("n").cast("double") / col("df")), 6)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
@@ -423,13 +429,20 @@ object TextAnalysis {
     val t = toks(col("text"))
     val d = load(s, dir, "documents")
     val toksOf = d.select(col("doc_id"), explode(t).as("w"))
+    // vocabulary size = the unigram table's row count (one row per
+    // distinct word) — no second corpus scan + countDistinct pass;
+    // uni is vocab-sized, cached for its two consumers
     val uni = toksOf.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = toksOf.agg(countDistinct(col("w")).as("v"))
+      .cache()
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    // the bigram postings feed the count table AND the scoring join —
+    // cached so the corpus is scanned/exploded once, not per consumer
     val pairs = d.filter(size(t) >= 2)
       .select(col("doc_id"), explode(zip_with(
         slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .cache()
     val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val lp = log((col("c12") + 1).cast("double") / (col("c1") + col("v")))
     pairs
