@@ -18,8 +18,23 @@ object Tables {
     // even in sessions not built from `sessionConfs` (idempotent)
     GraftExtensions.ensure(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "embeddings") normalizeEmbedding(df) else df
   }
+
+  /** `embeddings.embedding` must be `array<float>` — the typed collect
+    * paths (KMeans / Pq codebook locals) decode `Array[Float]`. The
+    * same physical-type-drift lesson as `restoreTs`: a regenerated
+    * corpus delivering `array<double>` is cast once here, branching on
+    * the ACTUAL schema (a float→float cast never enters the plan).
+    */
+  private def normalizeEmbedding(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "embedding").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _)) =>
+        df.withColumn("embedding", col("embedding").cast("array<float>"))
+      case _ => df
+    }
 
   /** `events.ts` arrives differently depending on how the parquet was
     * written, so normalization is schema-adaptive (see `restoreTs`).
