@@ -154,9 +154,14 @@ object Pq {
     * above and [[ivfpqTrainedTopK]]'s residual-codebook training
     * (same rounds, same tie-breaks, same two-phase recenters).
     */
-  private def trainedCodebookFrom(s: SparkSession, subs: DataFrame,
+  private def trainedCodebookFrom(s: SparkSession, subs0: DataFrame,
       seed: DataFrame, orderFree: Boolean): DataFrame = {
     import s.implicits._
+    // every Lloyd's round re-reads the subvector frame — cached, the
+    // corpus is scanned and sliced once instead of once per round
+    // (and the plan-keyed entry is shared with any consumer deriving
+    // the same frame). Long-lived sessions: OperatorCaches.release.
+    val subs = subs0.cache()
     var cb = seed
     for (_ <- 1 to Rounds) {
       val assigned = subs.join(broadcast(cb), Seq("subspace"))
