@@ -89,8 +89,11 @@ object Bench {
     // tail can't truncate (90 of 122 per-query numbers vanished from
     // the r6 record). JSONL: per-query lines then the summary.
     // Best-effort: a read-only cwd must not fail the bench itself.
+    // a SPARK_GRAFT_ONLY iteration run must not clobber the committed
+    // full-bench record: filtered runs default to a .filtered sidecar
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_SIDECAR",
-      "BENCH_QUERIES.jsonl")
+      if (only.isDefined) "BENCH_QUERIES.filtered.jsonl"
+      else "BENCH_QUERIES.jsonl")
     try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
       (perQuery :+ summary).mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))

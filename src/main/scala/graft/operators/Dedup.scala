@@ -97,11 +97,9 @@ object Dedup {
   }
 
   /** The per-shingle inverted index both Jaccard joins build on:
-    * (doc_id, shingle-set size, 8-byte xxhash64 shingle key) — one row
-    * per (doc, shingle), the explode that makes "only docs sharing a
-    * shingle ever meet" an equi-join.
-    */
-  /** The 24 B/posting inverted index, CACHED: every consumer
+    * (doc_id, shingle-set size, 8-byte xxhash64 shingle key) — one
+    * 24 B row per (doc, shingle), the explode that makes "only docs
+    * sharing a shingle ever meet" an equi-join. CACHED: every consumer
     * self-joins it (ngramJaccard both legs, incremental's shard and
     * corpus sides) — uncached, each leg re-scans the corpus and
     * re-explodes the shingles; Spark's plan-keyed CacheManager keeps

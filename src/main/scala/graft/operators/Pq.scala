@@ -297,6 +297,11 @@ object Pq {
     */
   private[operators] def residualCodeArrays(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
+    // codes persist as signed bytes; past 127 the cast would wrap
+    // negative and the probe's long-cast would silently miss every LUT
+    // row for the wrapped codes — fail loudly if K ever drifts
+    require(K <= 127,
+      s"K=$K exceeds the signed-byte code range of the on-disk layout")
     val cents = Similarity.centroids(s, dir)
       .select(col("cent_id").as("cell"), col("cvec"))
     val resid = Similarity.cellAssignments(s, dir)

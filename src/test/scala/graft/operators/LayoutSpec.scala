@@ -110,8 +110,8 @@ class LayoutSpec extends SparkSpec {
     val codesScan = outerPlanNodes(probe.queryExecution.executedPlan)
       .collect { case f: FileSourceScanExec
         if f.output.exists(_.name == "codes") => f }.head
-    assert(codesScan.toString.contains("PartitionFilters"),
-      codesScan.toString)
+    assert(codesScan.partitionFilters.nonEmpty,
+      s"codes scan carries no partition filter: $codesScan")
     val filesRead = codesScan.metrics("numFiles").value
     val totalFiles = spark.read.parquet(out).inputFiles.length
     assert(filesRead < totalFiles,
