@@ -77,27 +77,58 @@ object Layout {
     * the ranking join; LayoutSpec measures both on the shipped corpus.
     */
   def writeIvfPqPartitioned(s: SparkSession, dir: String,
-      path: String): Unit = {
-    val (codes, rcb) = Pq.residualCodeArrays(s, dir)
+      path: String): Unit =
+    writeIvfPqWith(s, path, Similarity.centroids(s, dir), trained = false,
+      dir)
+
+  /** The on-disk index under the fully TRAINED quantizer pair —
+    * Lloyd's-refined coarse cells ([[KMeans.trainedCentroids]]) and
+    * the residual codebook trained on the distribution the codes
+    * actually quantize — i.e. [[Pq.ivfpqTrainedTopK]] made durable.
+    * This is the artifact form of "train once, probe forever": BOTH
+    * training loops (coarse k-means and per-subspace residual
+    * Lloyd's) run here, at write time, and their outputs persist as
+    * the `.centroids` / `.codebook` sidecars next to the coded
+    * corpus, so [[ivfPqProbe]] serves queries with zero training
+    * compute — at 100 TB the training cost amortizes over every probe
+    * instead of being paid per query (the in-query trained operator
+    * exists for self-contained verification, not for serving).
+    */
+  def writeIvfPqTrainedPartitioned(s: SparkSession, dir: String,
+      path: String): Unit =
+    writeIvfPqWith(s, path, KMeans.trainedCentroids(s, dir),
+      trained = true, dir)
+
+  private def writeIvfPqWith(s: SparkSession, path: String,
+      centsSrc: DataFrame, trained: Boolean, dir: String): Unit = {
+    val (codes, rcb) = Pq.residualCodeArraysWith(s, dir, centsSrc, trained)
     codes.select(col("vec_id"), col("codes"), col("cell").as("part_cell"))
       .repartition(col("part_cell"))
       .write.partitionBy("part_cell").mode("overwrite").parquet(path)
     rcb.write.mode("overwrite").parquet(s"$path.codebook")
+    // the coarse quantizer is part of the index: persisting it makes
+    // the probe self-sufficient (queries route against the sidecar,
+    // whether the centroids were seed-derived or trainer output)
+    centsSrc.write.mode("overwrite").parquet(s"$path.centroids")
   }
 
-  /** Probe the persisted IVF-PQ layout: rebuild each query's
-    * per-probed-cell residual LUTs against the sidecar codebook, prune
-    * the scan to the probed cells (a LITERAL partition filter — the
-    * probed-cell set is bounded by queries × NProbe, a planning-time
-    * constant, and the one driver-side collect here is of that same
-    * bounded set), decode by joining stored codes to the broadcast
-    * LUTs, and rank. Bit-identical to the in-query [[Pq.ivfpqTopK]] —
-    * same seeds, residuals, tie-breaks and DECIMAL-exact ADC — which
-    * LayoutSpec pins row for row.
+  /** Probe the persisted IVF-PQ layout: route each query against the
+    * `.centroids` sidecar, rebuild its per-probed-cell residual LUTs
+    * against the `.codebook` sidecar, prune the scan to the probed
+    * cells (a LITERAL partition filter — the probed-cell set is
+    * bounded by queries × NProbe, a planning-time constant, and the
+    * one driver-side collect here is of that same bounded set), decode
+    * by joining stored codes to the broadcast LUTs, and rank. The
+    * probe is QUANTIZER-AGNOSTIC — everything quantizer-shaped comes
+    * from the sidecars, nothing is re-derived or re-trained — so the
+    * same code serves both layouts, bit-identical to the matching
+    * in-query operator ([[Pq.ivfpqTopK]] / [[Pq.ivfpqTrainedTopK]]),
+    * which LayoutSpec pins row for row.
     */
   def ivfPqProbe(s: SparkSession, dir: String, path: String): DataFrame = {
     val rcb = s.read.parquet(s"$path.codebook")
-    val luts = Pq.residualLuts(s, dir, rcb)
+    val cents = s.read.parquet(s"$path.centroids")
+    val luts = Pq.residualLutsWith(s, dir, rcb, cents)
     val probedCells = luts.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     val scan = s.read.parquet(path)

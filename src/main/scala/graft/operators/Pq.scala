@@ -288,29 +288,36 @@ object Pq {
   }
 
   /** Residual-PQ artifacts for the ON-DISK IVF-PQ layout
-    * ([[Layout.writeIvfPqPartitioned]]): per-vector compact code
-    * arrays — (vec_id, cell, codes: array<tinyint>, M entries in
-    * subspace order) — plus the shared residual codebook they were
-    * coded against. Same seed quantizer, residuals and tie-breaks as
-    * [[ivfpqTopK]], so a probe over the persisted codes reproduces
-    * the in-query operator bit-for-bit.
+    * ([[Layout.writeIvfPqPartitioned]] seed form,
+    * [[Layout.writeIvfPqTrainedPartitioned]] trained form): per-vector
+    * compact code arrays — (vec_id, cell, codes: array<tinyint>, M
+    * entries in subspace order) — plus the shared residual codebook
+    * they were coded against. Same quantizer, residuals and tie-breaks
+    * as the matching in-query operator ([[ivfpqTopK]] /
+    * [[ivfpqTrainedTopK]]), so a probe over the persisted codes
+    * reproduces it bit-for-bit.
     */
-  private[operators] def residualCodeArrays(s: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
+  private[operators] def residualCodeArraysWith(s: SparkSession,
+      dir: String, centsSrc: DataFrame,
+      trained: Boolean): (DataFrame, DataFrame) = {
     // codes persist as signed bytes; past 127 the cast would wrap
     // negative and the probe's long-cast would silently miss every LUT
     // row for the wrapped codes — fail loudly if K ever drifts
     require(K <= 127,
       s"K=$K exceeds the signed-byte code range of the on-disk layout")
-    val cents = Similarity.centroids(s, dir)
-      .select(col("cent_id").as("cell"), col("cvec"))
-    val resid = Similarity.cellAssignments(s, dir)
+    val cents = centsSrc.select(col("cent_id").as("cell"), col("cvec"))
+    val resid = Similarity.cellAssignmentsWith(s, dir, centsSrc)
       .join(broadcast(cents), "cell")
       .select(col("vec_id"), col("cell"),
         zip_with(col("cv"), col("cvec"),
           (x, y) => x.cast("double") - y.cast("double")).as("rv"))
       .cache()
-    val rcb = seedCodebook(resid, "vec_id", "rv")
+    val rseed = seedCodebook(resid, "vec_id", "rv")
+    val rcb =
+      if (trained) trainedCodebookFrom(s,
+        slicedFrame(resid, "vec_id", "rv", "vec_id", "sub"), rseed,
+        orderFree = false)
+      else rseed
     val codes = slicedFrame(resid, "vec_id", "rv", "vec_id", "sub",
       carry = Seq("cell"))
       .join(broadcast(rcb), Seq("subspace"))
@@ -326,16 +333,17 @@ object Pq {
     (codes, rcb)
   }
 
-  /** Per-(query, probed cell) residual ADC LUTs against `rcb` — the
-    * query-side half shared by [[ivfpqTopK]] and the on-disk probe
-    * ([[Layout.ivfPqProbe]]): (query_id, cell, subspace, code, d2).
+  /** Per-(query, probed cell) residual ADC LUTs against `rcb` under
+    * the given coarse quantizer — the query-side half of the on-disk
+    * probe ([[Layout.ivfPqProbe]]): (query_id, cell, subspace, code,
+    * d2). Both `rcb` and `centsSrc` come from the layout's sidecars
+    * there, so the probe re-derives NOTHING about the quantizer.
     */
-  private[operators] def residualLuts(s: SparkSession, dir: String,
-      rcb: DataFrame): DataFrame = {
-    val cents = Similarity.centroids(s, dir)
-      .select(col("cent_id").as("cell"), col("cvec"))
+  private[operators] def residualLutsWith(s: SparkSession, dir: String,
+      rcb: DataFrame, centsSrc: DataFrame): DataFrame = {
+    val cents = centsSrc.select(col("cent_id").as("cell"), col("cvec"))
     slicedFrame(
-      Similarity.queryProbes(s, dir)
+      Similarity.queryProbesWith(s, dir, centsSrc)
         .join(broadcast(cents), "cell")
         .select(col("query_id"), col("cell"),
           zip_with(col("qv"), col("cvec"),

@@ -135,6 +135,47 @@ class LayoutSpec extends SparkSpec {
       s"codes layout $pqBytes B not meaningfully below raw $rawBytes B")
   }
 
+  test("trained IVF-PQ layout: probe equals the in-query TRAINED operator " +
+      "row for row with ZERO training in the probe plan") {
+    val out = Files.createTempDirectory("ivfpq_trained_layout").toString
+    // write time pays BOTH training loops (coarse k-means + residual
+    // Lloyd's); the quantizer pair persists as the sidecars
+    Layout.writeIvfPqTrainedPartitioned(spark, sf, out)
+
+    val probe = Layout.ivfPqProbe(spark, sf, out)
+    val got = probe.collect().map(_.toSeq).toSeq
+    val expect = Pq.ivfpqTrainedTopK(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got == expect)
+
+    // the artifact claim: the probe derives NOTHING quantizer-shaped —
+    // trained output enters the in-query plan as collected
+    // LocalRelations, so a probe plan free of them provably read its
+    // quantizer from the sidecars instead of re-training
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val locals = probe.queryExecution.optimizedPlan
+      .collect { case l: LocalRelation => l }
+    assert(locals.isEmpty,
+      s"probe plan embeds collected (trained) relations: $locals")
+    val trainedLocals = Pq.ivfpqTrainedTopK(spark, sf)
+      .queryExecution.optimizedPlan
+      .collect { case l: LocalRelation => l }
+    assert(trainedLocals.nonEmpty,
+      "sanity: the in-query trained operator should embed its trained " +
+        "quantizer as a LocalRelation")
+
+    // and the same planning-time pruning as the seed layout
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val codesScan = outerPlanNodes(probe.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec
+        if f.output.exists(_.name == "codes") => f }.head
+    assert(codesScan.partitionFilters.nonEmpty,
+      s"codes scan carries no partition filter: $codesScan")
+    val filesRead = codesScan.metrics("numFiles").value
+    val totalFiles = spark.read.parquet(out).inputFiles.length
+    assert(filesRead < totalFiles,
+      s"probe read $filesRead of $totalFiles files — nothing skipped")
+  }
+
   test("z-order layout clusters BOTH keys (bounded per-file spread)") {
     val out = Files.createTempDirectory("zorder").toString
     val src = Tables.load(spark, sf, "lineitem")
