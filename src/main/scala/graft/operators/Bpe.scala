@@ -87,9 +87,6 @@ object Bpe {
       .orderBy(col("merge_rank"))
   }
 
-  /** The collected merge list behind [[train]] — shared with
-    * [[tokenize]], which needs the merges themselves, not the table.
-    */
   /** The (unique word, occurrence count) vocabulary collapse — the
     * standard BPE trick. Pair counts weighted by freq are exactly the
     * token-level counts, but the iterated segmentation state is
@@ -103,7 +100,20 @@ object Bpe {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(split(col("w"), "").as("syms"), col("freq"))
 
+  /** The collected merge list behind [[train]] — shared with
+    * [[tokenize]], which needs the merges themselves, not the table.
+    */
   private[operators] def trainedMerges(s: SparkSession, dir: String)
+      : Seq[(Int, String, String, Long)] =
+    // session-memoized like the k-means/PQ trainers: the merge list is
+    // deterministic per immutable dir (ties break on (count, l, r)),
+    // so the round loop runs once per process and tokenize/train
+    // consumers replay the collected rows
+    OperatorCaches.trainedMemo(s"bpe|$dir|$TrainRounds") {
+      trainedMergesLoop(s, dir)
+    }
+
+  private def trainedMergesLoop(s: SparkSession, dir: String)
       : Seq[(Int, String, String, Long)] = {
     var words = vocab(s, dir).cache()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -147,6 +157,12 @@ object Bpe {
   }
 
   private[operators] def trainedMergesConverged(s: SparkSession,
+      dir: String): Seq[(Int, String, String, Long)] =
+    OperatorCaches.trainedMemo(s"bpeconv|$dir|$StopFrac|$MaxRounds") {
+      trainedMergesConvergedLoop(s, dir)
+    }
+
+  private def trainedMergesConvergedLoop(s: SparkSession,
       dir: String): Seq[(Int, String, String, Long)] = {
     var words = vocab(s, dir).cache()
     val totalFreq = words.agg(sum(col("freq"))).head.getLong(0)

@@ -92,25 +92,31 @@ object KMeans {
   private def trainedCentroidsMode(s: SparkSession, dir: String,
       orderFree: Boolean): DataFrame = {
     import s.implicits._
-    val corpus = load(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-    var cents = Similarity.centroids(s, dir) // (cent_id, cvec) seeds
-    for (_ <- 1 to Rounds) {
-      val dims = assign(corpus, cents)
-        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
-      val mean =
-        if (orderFree) avg(col("x").cast("double"))
-        else aggregate(array_sort(collect_list(col("x").cast("double"))),
-          lit(0.0), (a, b) => a + b) / count(lit(1))
-      val means = dims.groupBy(col("cell"), col("d")).agg(mean.as("m"))
-      cents = means.groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
-        .select(col("cell").as("cent_id"),
-          transform(col("dm"), e => e.getField("m").cast("float"))
-            .as("cvec"))
+    // session-memoized: the collected quantizer (~corpus/37 rows) is
+    // deterministic per (immutable dir, mode), so the 3-round corpus
+    // training runs once per process however many trained consumers
+    // (IVF probe, residual coder, layout writer) ask for it
+    val rows = OperatorCaches.trainedMemo(s"kmeans|$dir|$orderFree") {
+      val corpus = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      var cents = Similarity.centroids(s, dir) // (cent_id, cvec) seeds
+      for (_ <- 1 to Rounds) {
+        val dims = assign(corpus, cents)
+          .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        val mean =
+          if (orderFree) avg(col("x").cast("double"))
+          else aggregate(array_sort(collect_list(col("x").cast("double"))),
+            lit(0.0), (a, b) => a + b) / count(lit(1))
+        val means = dims.groupBy(col("cell"), col("d")).agg(mean.as("m"))
+        cents = means.groupBy(col("cell"))
+          .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+          .select(col("cell").as("cent_id"),
+            transform(col("dm"), e => e.getField("m").cast("float"))
+              .as("cvec"))
+      }
+      cents.as[(Long, Array[Float])].collect().toSeq
     }
-    cents.as[(Long, Array[Float])].collect().toSeq
-      .toDF("cent_id", "cvec")
+    rows.toDF("cent_id", "cvec")
   }
 
   def train(s: SparkSession, dir: String): DataFrame = {

@@ -147,45 +147,51 @@ object Pq {
   private def trainedCodebooksMode(s: SparkSession, dir: String,
       orderFree: Boolean): DataFrame =
     trainedCodebookFrom(s, subvectors(s, dir), codebooks(s, dir),
-      orderFree)
+      orderFree, memoKey = s"pqcb|$dir|$orderFree")
 
   /** The Lloyd's loop over ANY subvector frame (`vec_id`, `subspace`,
     * `sub`) and seed codebook — shared by the raw-embedding training
     * above and [[ivfpqTrainedTopK]]'s residual-codebook training
     * (same rounds, same tie-breaks, same two-phase recenters).
+    * `memoKey` names the (dir, distribution, mode) this codebook is a
+    * deterministic function of: the collected M·K-row result is
+    * session-memoized under it ([[OperatorCaches.trainedMemo]]), so
+    * training runs once per process per distribution.
     */
   private def trainedCodebookFrom(s: SparkSession, subs0: DataFrame,
-      seed: DataFrame, orderFree: Boolean): DataFrame = {
+      seed: DataFrame, orderFree: Boolean, memoKey: String): DataFrame = {
     import s.implicits._
-    // every Lloyd's round re-reads the subvector frame — cached, the
-    // corpus is scanned and sliced once instead of once per round
-    // (and the plan-keyed entry is shared with any consumer deriving
-    // the same frame). Long-lived sessions: OperatorCaches.release.
-    val subs = subs0.cache()
-    var cb = seed
-    for (_ <- 1 to Rounds) {
-      val assigned = subs.join(broadcast(cb), Seq("subspace"))
-        .withColumn("d2", l2sq(col("sub"), col("cvec_sub")))
-        .groupBy(col("vec_id"), col("subspace"))
-        .agg(max_by(col("code"), struct(-col("d2"), -col("code")))
-          .as("code"), first(col("sub")).as("sub"))
-      val dims = assigned.select(col("subspace"), col("code"),
-        posexplode(col("sub")).as(Seq("d", "x")))
-      val mean =
-        if (orderFree) avg(col("x").cast("double"))
-        else aggregate(array_sort(collect_list(col("x").cast("double"))),
-          lit(0.0), (a, b) => a + b) / count(lit(1))
-      val means = dims.groupBy(col("subspace"), col("code"), col("d"))
-        .agg(mean.as("m"))
-      cb = means.groupBy(col("subspace"), col("code"))
-        .agg(array_sort(collect_list(struct(col("d"), col("m"))))
-          .as("dm"))
-        .select(col("subspace"), col("code"),
-          transform(col("dm"), e => e.getField("m").cast("float"))
-            .as("cvec_sub"))
+    val rows = OperatorCaches.trainedMemo(memoKey) {
+      // every Lloyd's round re-reads the subvector frame — cached, the
+      // corpus is scanned and sliced once instead of once per round
+      // (and the plan-keyed entry is shared with any consumer deriving
+      // the same frame). Long-lived sessions: OperatorCaches.release.
+      val subs = subs0.cache()
+      var cb = seed
+      for (_ <- 1 to Rounds) {
+        val assigned = subs.join(broadcast(cb), Seq("subspace"))
+          .withColumn("d2", l2sq(col("sub"), col("cvec_sub")))
+          .groupBy(col("vec_id"), col("subspace"))
+          .agg(max_by(col("code"), struct(-col("d2"), -col("code")))
+            .as("code"), first(col("sub")).as("sub"))
+        val dims = assigned.select(col("subspace"), col("code"),
+          posexplode(col("sub")).as(Seq("d", "x")))
+        val mean =
+          if (orderFree) avg(col("x").cast("double"))
+          else aggregate(array_sort(collect_list(col("x").cast("double"))),
+            lit(0.0), (a, b) => a + b) / count(lit(1))
+        val means = dims.groupBy(col("subspace"), col("code"), col("d"))
+          .agg(mean.as("m"))
+        cb = means.groupBy(col("subspace"), col("code"))
+          .agg(array_sort(collect_list(struct(col("d"), col("m"))))
+            .as("dm"))
+          .select(col("subspace"), col("code"),
+            transform(col("dm"), e => e.getField("m").cast("float"))
+              .as("cvec_sub"))
+      }
+      cb.as[(Long, Long, Array[Float])].collect().toSeq
     }
-    cb.as[(Long, Long, Array[Float])].collect().toSeq
-      .toDF("subspace", "code", "cvec_sub")
+    rows.toDF("subspace", "code", "cvec_sub")
   }
 
   /** PQ encoding of the corpus: (vec_id, subspace, code) — nearest
@@ -316,7 +322,11 @@ object Pq {
     val rcb =
       if (trained) trainedCodebookFrom(s,
         slicedFrame(resid, "vec_id", "rv", "vec_id", "sub"), rseed,
-        orderFree = false)
+        // trained ⇒ centsSrc is KMeans.trainedCentroids(dir), so the
+        // residual distribution — and its codebook — is a function of
+        // dir alone: the layout writer and the in-query operator share
+        // one memo entry
+        orderFree = false, memoKey = s"pqrescb|$dir")
       else rseed
     val codes = slicedFrame(resid, "vec_id", "rv", "vec_id", "sub",
       carry = Seq("cell"))
@@ -441,7 +451,11 @@ object Pq {
     val rcb =
       if (trained) trainedCodebookFrom(s,
         slicedFrame(resid, "vec_id", "rv", "vec_id", "sub"), rseed,
-        orderFree = false)
+        // trained ⇒ centsSrc is KMeans.trainedCentroids(dir), so the
+        // residual distribution — and its codebook — is a function of
+        // dir alone: the layout writer and the in-query operator share
+        // one memo entry
+        orderFree = false, memoKey = s"pqrescb|$dir")
       else rseed
     // corpus codes: nearest residual sub-centroid, ties to smallest
     val codes = slicedFrame(resid, "vec_id", "rv", "vec_id", "sub",
