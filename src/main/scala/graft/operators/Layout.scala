@@ -112,6 +112,35 @@ object Layout {
     centsSrc.write.mode("overwrite").parquet(s"$path.centroids")
   }
 
+  /** Append a shard of NEW vectors to an existing IVF-PQ layout under
+    * its FROZEN quantizer — index maintenance, the operation a growing
+    * corpus runs daily while retraining stays an occasional deliberate
+    * rebuild. The shard is routed and residual-coded entirely against
+    * the layout's own `.centroids`/`.codebook` sidecars
+    * ([[Pq.encodeAgainst]]) — one shard-linear corpus-×-broadcast pass,
+    * nothing about the existing index read or rewritten — and the new
+    * code rows land in their cells' partition directories via a
+    * parquet append. [[ivfPqProbe]] picks the additions up unchanged:
+    * probes after an append rank old and new vectors together, as if
+    * the index had been written whole (LayoutSpec pins exactly that,
+    * plus correct cell placement and untouched sidecars).
+    *
+    * The standard caveat travels with the operation: appended vectors
+    * are coded by a quantizer trained before they arrived, so heavy
+    * drift degrades recall until a rebuild — at which point
+    * [[writeIvfPqTrainedPartitioned]] over the grown corpus IS the
+    * rebuild.
+    */
+  def appendToIvfPq(s: SparkSession, path: String,
+      shard: DataFrame): Unit = {
+    val rcb = s.read.parquet(s"$path.codebook")
+    val cents = s.read.parquet(s"$path.centroids")
+    Pq.encodeAgainst(s, shard, cents, rcb)
+      .select(col("vec_id"), col("codes"), col("cell").as("part_cell"))
+      .repartition(col("part_cell"))
+      .write.partitionBy("part_cell").mode("append").parquet(path)
+  }
+
   /** Probe the persisted IVF-PQ layout: route each query against the
     * `.centroids` sidecar, rebuild its per-probed-cell residual LUTs
     * against the `.codebook` sidecar, prune the scan to the probed

@@ -328,7 +328,16 @@ object Pq {
         // one memo entry
         orderFree = false, memoKey = s"pqrescb|$dir")
       else rseed
-    val codes = slicedFrame(resid, "vec_id", "rv", "vec_id", "sub",
+    (codeArraysFrom(resid, rcb), rcb)
+  }
+
+  /** The encoding tail shared by the layout writers and
+    * [[encodeAgainst]]: nearest residual sub-centroid per subspace
+    * (ties to the smallest code), collapsed to one M-byte code array
+    * per vector in subspace order.
+    */
+  private def codeArraysFrom(resid: DataFrame, rcb: DataFrame): DataFrame =
+    slicedFrame(resid, "vec_id", "rv", "vec_id", "sub",
       carry = Seq("cell"))
       .join(broadcast(rcb), Seq("subspace"))
       .withColumn("d2", l2sq(col("sub"), col("cvec_sub")))
@@ -340,7 +349,28 @@ object Pq {
         transform(
           array_sort(collect_list(struct(col("subspace"), col("code")))),
           e => e.getField("code").cast("byte")).as("codes"))
-    (codes, rcb)
+
+  /** Encode an arbitrary (vec_id, embedding) frame against a FROZEN
+    * quantizer pair — no seed derivation, no training: cell
+    * assignment, residual and codes all come from the given
+    * centroids/codebook, which [[Layout.appendToIvfPq]] reads from an
+    * existing index's sidecars. This is how the index GROWS at
+    * 100 TB: new shards are coded by a corpus-×-broadcast(quantizer)
+    * pass — shard-linear, nothing global recomputed — and the
+    * quantizer stays frozen until a deliberate retrain rebuilds the
+    * layout.
+    */
+  private[operators] def encodeAgainst(s: SparkSession, shard: DataFrame,
+      centsSrc: DataFrame, rcb: DataFrame): DataFrame = {
+    require(K <= 127,
+      s"K=$K exceeds the signed-byte code range of the on-disk layout")
+    val cents = centsSrc.select(col("cent_id").as("cell"), col("cvec"))
+    val resid = Similarity.assignmentsOf(shard, centsSrc)
+      .join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("cv"), col("cvec"),
+          (x, y) => x.cast("double") - y.cast("double")).as("rv"))
+    codeArraysFrom(resid, rcb)
   }
 
   /** Per-(query, probed cell) residual ADC LUTs against `rcb` under

@@ -228,6 +228,19 @@ object Similarity {
       .agg(max_by(col("cent_id"), struct(col("cs"), -col("cent_id")))
         .as("cell"), first(col("embedding")).as("cv"))
 
+  /** The same argmax-cosine assignment over an ARBITRARY
+    * (vec_id, embedding) frame — the routing half
+    * [[graft.operators.Pq.encodeAgainst]] runs for a new shard
+    * against a frozen (possibly sidecar-loaded) quantizer.
+    */
+  private[operators] def assignmentsOf(vecs: DataFrame,
+      cents: DataFrame): DataFrame =
+    vecs.join(broadcast(cents))
+      .withColumn("cs", Dedup.cosine(col("embedding"), col("cvec")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("cs"), -col("cent_id")))
+        .as("cell"), first(col("embedding")).as("cv"))
+
   def ivfTopK(s: SparkSession, dir: String): DataFrame =
     ivfTopKWith(s, dir, centroids(s, dir))
 

@@ -176,6 +176,50 @@ class LayoutSpec extends SparkSpec {
       s"probe read $filesRead of $totalFiles files — nothing skipped")
   }
 
+  test("IVF-PQ append: a new shard is coded by the frozen sidecar " +
+      "quantizer, the stored index equals a written-whole one, and " +
+      "appended vectors surface in probes") {
+    val out = Files.createTempDirectory("ivfpq_append").toString
+    Layout.writeIvfPqPartitioned(spark, sf, out)
+
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val shard = emb.filter(col("vec_id") % 3 === 1)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    Layout.appendToIvfPq(spark, out, shard)
+
+    // the index invariant: after the append, the stored (vec_id, cell,
+    // codes) row set is EXACTLY what encoding corpus∪shard against the
+    // same frozen quantizer yields — and ivfPqProbe is a pure function
+    // of the stored rows + sidecars, so every probe over the appended
+    // index is the written-whole probe
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("cell"),
+        r.getAs[scala.collection.Seq[Byte]]("codes").toList)).toSet
+    val stored = codeSet(spark.read.parquet(out)
+      .select(col("vec_id"), col("part_cell").cast("long").as("cell"),
+        col("codes")))
+    val whole = codeSet(Pq.encodeAgainst(spark, emb.union(shard),
+      spark.read.parquet(s"$out.centroids"),
+      spark.read.parquet(s"$out.codebook")))
+    assert(stored == whole)
+    assert(stored.size == emb.count() + shard.count()) // nothing lost
+
+    // visibility: exact copies of the query vectors (fresh ids) must
+    // enter their own queries' top-k — appended rows compete with the
+    // original corpus in the ADC ranking, they don't just sit on disk
+    val copies = emb.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding"))
+    Layout.appendToIvfPq(spark, out, copies)
+    val probed = Layout.ivfPqProbe(spark, sf, out).collect()
+    val queries = probed.map(_.getAs[Long]("query_id")).distinct
+    val hits = probed.count(r =>
+      r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id") + 3000000L)
+    assert(hits == queries.length,
+      s"only $hits of ${queries.length} planted query copies surfaced")
+  }
+
   test("z-order layout clusters BOTH keys (bounded per-file spread)") {
     val out = Files.createTempDirectory("zorder").toString
     val src = Tables.load(spark, sf, "lineitem")
