@@ -394,18 +394,25 @@ object Pq {
         l2sq(col("qsub"), col("cvec_sub")).as("d2"))
   }
 
-  /** The ADC aggregation + per-query top-k shared by every ranking
-    * path: input (query_id, neighbor_id, d2) candidate rows, output
-    * the ranked (query_id, neighbor_id, rank, adc_d2) contract.
+  /** The ADC aggregation shared by every ranking path: input
+    * (query_id, neighbor_id, d2) candidate rows, output one
+    * (query_id, neighbor_id, adc_d2) score per candidate pair
+    * (self-pairs dropped; DECIMAL-exact 6-decimal sum).
     */
-  private[operators] def adcRank(cands: DataFrame): DataFrame = {
-    val byQuery = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_d2"), col("neighbor_id"))
+  private def adcScores(cands: DataFrame): DataFrame =
     cands
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(round(col("d2"), 6).cast("decimal(38,6)"))
         .cast("double").as("adc_d2"))
+
+  /** [[adcScores]] + per-query top-k — the ranked
+    * (query_id, neighbor_id, rank, adc_d2) contract.
+    */
+  private[operators] def adcRank(cands: DataFrame): DataFrame = {
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2"), col("neighbor_id"))
+    adcScores(cands)
       .withColumn("rank", row_number().over(byQuery))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -458,6 +465,14 @@ object Pq {
     ivfpqTopKWith(s, dir, KMeans.trainedCentroids(s, dir), trained = true)
 
   private def ivfpqTopKWith(s: SparkSession, dir: String,
+      centsSrc: DataFrame, trained: Boolean): DataFrame =
+    adcRank(ivfpqCandidates(s, dir, centsSrc, trained))
+
+  /** The (query_id, neighbor_id, …, d2) candidate join behind
+    * [[ivfpqTopK]], before scoring/ranking — shared with the refined
+    * probe, which shortlists by ADC and re-ranks exactly.
+    */
+  private def ivfpqCandidates(s: SparkSession, dir: String,
       centsSrc: DataFrame, trained: Boolean): DataFrame = {
     val cents = centsSrc.select(col("cent_id").as("cell"), col("cvec"))
     // residual per vector w.r.t. its assigned cell, double-exact.
@@ -506,7 +521,55 @@ object Pq {
       .join(rcb, Seq("subspace"))
       .select(col("query_id"), col("cell"), col("subspace"), col("code"),
         l2sq(col("qsub"), col("cvec_sub")).as("d2"))
-    adcRank(codes.toDF("neighbor_id", "subspace", "cell", "code")
-      .join(broadcast(luts), Seq("cell", "subspace", "code")))
+    codes.toDF("neighbor_id", "subspace", "cell", "code")
+      .join(broadcast(luts), Seq("cell", "subspace", "code"))
+  }
+
+  /** Shortlist size for the exact re-rank: how many ADC candidates per
+    * query get their true cosine computed (4× the delivered top-k —
+    * the standard refinement head-room).
+    */
+  val ShortR = 20
+
+  /** Two-stage refined IVF-PQ search — the production serving shape
+    * (Jégou et al., TPAMI 2011 §V-C): stage 1 scores candidates from
+    * CODES ONLY (the cheap ADC scan over probed cells) and keeps a
+    * [[ShortR]]-deep shortlist per query; stage 2 fetches the RAW
+    * vectors for just those q×[[ShortR]] rows and re-ranks by exact
+    * cosine. ADC's quantization error decides only what enters the
+    * shortlist; the delivered ordering is exact — recall can only
+    * improve over [[ivfpqTopK]] (PqSpec pins ≥).
+    *
+    * Scale shape: stage 1 is [[ivfpqTopK]]'s equi-join unchanged
+    * (codes, never raw vectors); the shortlist is queries × ShortR —
+    * a planning-time constant like the probe set — so stage 2
+    * BROADCASTS it against the embeddings table and the exact math
+    * touches ShortR rows per query, not the corpus. On the persisted
+    * index this is the probe that reads the codes layout for stage 1
+    * and point-reads the raw-vector layout for stage 2.
+    */
+  def ivfpqRefinedTopK(s: SparkSession, dir: String): DataFrame = {
+    val byAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2"), col("neighbor_id"))
+    val shortlist = adcScores(
+      ivfpqCandidates(s, dir, Similarity.centroids(s, dir),
+        trained = false))
+      .withColumn("r", row_number().over(byAdc))
+      .filter(col("r") <= ShortR)
+      .select(col("query_id"), col("neighbor_id"))
+    val emb = load(s, dir, "embeddings")
+    val byCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .join(broadcast(shortlist
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv")), "query_id")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Dedup.cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(byCos))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
   }
 }

@@ -227,6 +227,33 @@ class PqSpec extends SparkSpec {
     assert(ivfpq > 0.05, f"IVF-PQ recall $ivfpq%.3f below noise")
   }
 
+  test("refined IVF-PQ: exact re-rank of the ADC shortlist delivers " +
+      "cosine order and at-least-unrefined recall") {
+    val refined = Pq.ivfpqRefinedTopK(spark, sf).collect()
+    refined.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to sorted.length))
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    val exact = Similarity.bruteTopK(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.groupBy(_.getAs[Long]("query_id")).toSeq.map { case (q, rs) =>
+        rs.map(_.getAs[Long]("neighbor_id")).count(exact(q).contains)
+      }.sum.toDouble / (exact.size * Similarity.K)
+    val r = recallOf(refined)
+    val base = recallOf(Pq.ivfpqTopK(spark, sf).collect())
+    info(f"refined recall@${Pq.TopK} = $r%.3f vs unrefined $base%.3f")
+    // deterministic dominance, not a tendency: any true top-k member
+    // that reached the ShortR shortlist is top-k by exact cosine
+    // within it, and the unrefined top-k is a shortlist subset
+    assert(r >= base,
+      f"refined recall $r%.3f fell below unrefined $base%.3f")
+  }
+
   test("trained end-to-end residual IVF-PQ: shape holds; recall does " +
       "not fall below the seed composition") {
     val rows = Pq.ivfpqTrainedTopK(spark, sf).collect()
