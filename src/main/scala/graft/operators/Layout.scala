@@ -160,8 +160,20 @@ object Layout {
     val luts = Pq.residualLutsWith(s, dir, rcb, cents)
     val probedCells = luts.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val scan = s.read.parquet(path)
+    val stored = s.read.parquet(path)
       .filter(col("part_cell").isin(probedCells: _*))
+    // tombstoned vectors leave results immediately (the anti-join runs
+    // BEFORE the M-row code explode, and only over the probed cells'
+    // rows); physical removal waits for [[compactIvfPq]]. Unhinted:
+    // the tombstone set starts tiny (AQE broadcasts it) but is
+    // unbounded until a compaction, so a forced broadcast would be
+    // the same driver-OOM trap as the curation anti-join.
+    val live =
+      if (exists(s, s"$path.tombstones"))
+        stored.join(s.read.parquet(s"$path.tombstones")
+          .select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+      else stored
+    val scan = live
       .select(col("vec_id").as("neighbor_id"),
         col("part_cell").cast("long").as("cell"),
         posexplode(col("codes")))
@@ -170,6 +182,55 @@ object Layout {
         col("subspace").cast("long").as("subspace"),
         col("code").cast("long").as("code"))
     Pq.adcRank(scan.join(broadcast(luts), Seq("cell", "subspace", "code")))
+  }
+
+  /** Mark vectors deleted — the third index-maintenance verb next to
+    * append and rebuild. Deletes are TOMBSTONES: the ids land in a
+    * `.tombstones` sidecar (appended, so deletes compose) and every
+    * probe anti-joins them out; nothing rewrites the coded corpus on
+    * the delete path, which at 100 TB is the difference between an
+    * O(deleted) metadata write and an O(index) rewrite per delete
+    * batch. Deleting an absent id is a no-op by construction.
+    */
+  def deleteFromIvfPq(s: SparkSession, path: String,
+      ids: DataFrame): Unit =
+    ids.select(col("vec_id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$path.tombstones")
+
+  /** Fold the tombstones in and squash the small files appends leave:
+    * rewrite each cell's directory from its live rows (one file per
+    * cell — `repartition` on the partition key), swap the rewritten
+    * tree in, drop the tombstone sidecar. Probes before and after a
+    * compaction are identical (LayoutSpec pins it) — compaction is
+    * pure physical hygiene, run when the tombstone set or the
+    * per-cell file count has grown past taste.
+    */
+  def compactIvfPq(s: SparkSession, path: String): Unit = {
+    val stored = s.read.parquet(path)
+      .select(col("vec_id"), col("codes"),
+        col("part_cell").cast("long").as("part_cell"))
+    val live =
+      if (exists(s, s"$path.tombstones"))
+        stored.join(s.read.parquet(s"$path.tombstones")
+          .select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+      else stored
+    // materialize into a sibling tree, then swap — overwriting the
+    // directory a lazy plan is still reading from would race the scan
+    val tmp = s"$path.compacting"
+    live.repartition(col("part_cell"))
+      .write.partitionBy("part_cell").mode("overwrite").parquet(tmp)
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path.tombstones"), true)
+  }
+
+  private def exists(s: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
   }
 
   /** Morton/Z-value of two non-negative int keys: bits interleaved so

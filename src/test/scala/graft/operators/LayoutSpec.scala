@@ -220,6 +220,57 @@ class LayoutSpec extends SparkSpec {
       s"only $hits of ${queries.length} planted query copies surfaced")
   }
 
+  test("IVF-PQ delete + compact: tombstoned vectors leave probes at " +
+      "once, survivors promote in order, compaction changes nothing " +
+      "but the physical layout") {
+    val out = Files.createTempDirectory("ivfpq_lifecycle").toString
+    Layout.writeIvfPqPartitioned(spark, sf, out)
+    val corpusN = spark.read.parquet(out).count()
+    val before = Layout.ivfPqProbe(spark, sf, out).collect()
+
+    // victims: every query's rank-1 neighbor — deletion must promote
+    // the survivors without re-ordering them
+    val victims = before.filter(_.getAs[Int]("rank") == 1)
+      .map(_.getAs[Long]("neighbor_id")).distinct
+    import spark.implicits._
+    Layout.deleteFromIvfPq(spark, out, victims.toSeq.toDF("vec_id"))
+
+    val afterDel = Layout.ivfPqProbe(spark, sf, out).collect()
+    val victimSet = victims.toSet
+    assert(!afterDel.exists(r => victimSet(r.getAs[Long]("neighbor_id"))))
+    // top-k stays full (candidates deeper than the old top-k fill in)
+    assert(afterDel.length == before.length)
+    // promotion is ORDER-PRESERVING: the new ranking per query starts
+    // with the old one's surviving prefix — deeper entrants can only
+    // append after it (they scored worse than every old top-k row)
+    afterDel.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val survivors = before.filter(_.getAs[Long]("query_id") == q)
+        .sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Long]("neighbor_id")).filterNot(victimSet)
+      val got = rs.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Long]("neighbor_id"))
+      assert(got.startsWith(survivors),
+        s"query $q: survivors $survivors not a prefix of $got")
+    }
+
+    // compaction folds tombstones in physically; every probe result is
+    // bit-identical before/after, the sidecar is gone, the rows are
+    // actually removed, and each cell dir squashes to one file
+    Layout.compactIvfPq(spark, out)
+    val afterComp = Layout.ivfPqProbe(spark, sf, out).collect()
+    assert(afterComp.map(_.toSeq).toSeq == afterDel.map(_.toSeq).toSeq)
+    assert(!new java.io.File(s"$out.tombstones").exists())
+    assert(spark.read.parquet(out).count() == corpusN - victims.length)
+    val cellDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("part_cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"${d.getName} holds ${files.length} files after compaction")
+    }
+  }
+
   test("z-order layout clusters BOTH keys (bounded per-file spread)") {
     val out = Files.createTempDirectory("zorder").toString
     val src = Tables.load(spark, sf, "lineitem")
