@@ -184,6 +184,8 @@ object SparkEntry {
     "ann_blocked_topk" -> (Similarity.bruteTopKBlocked _),
     "ann_lsh_topk" -> (Similarity.lshTopK _),
     "ann_ivf_topk" -> (Similarity.ivfTopK _),
+    // predicate-constrained search: rank among qualifying vectors only
+    "ann_ivf_filtered_topk" -> (Similarity.ivfFilteredTopK _),
     "pq_codes" -> (Pq.codes _),
     "ann_pq_adc_topk" -> (Pq.adcTopK _),
     // rows-only: per-subspace Lloyd's output is data-dependent;
@@ -1163,6 +1165,40 @@ object SparkEntry {
            JOIN n q ON q.vec_id = p.query_id
            JOIN n v ON v.vec_id = a.vec_id
          WHERE a.vec_id != p.query_id)
+         SELECT query_id, neighbor_id, rank, round(cos,6) AS cos FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS rank FROM cand)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    // the ivf pipeline with the label predicate PRE-filtering the
+    // candidate side (queries route on the unfiltered quantizer)
+    "ann_ivf_filtered_topk" ->
+      """WITH n AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
+         FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
+           FROM n WHERE vec_id % 37 = 5),
+         sc AS (SELECT v.vec_id, c.cent_id,
+           list_reduce(list_transform(list_zip(v.embedding,c.cvec),
+             x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
+             /v.nrm/c.cnrm AS cs
+         FROM n v, cent c),
+         assign AS (SELECT vec_id, cent_id AS cell FROM (
+           SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cent_id) AS r FROM sc) WHERE r = 1),
+         probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM (
+           SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cent_id) AS r FROM sc WHERE vec_id % 100 = 0)
+           WHERE r <= 2),
+         cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+           list_reduce(list_transform(list_zip(q.embedding,v.embedding),
+             x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
+             /q.nrm/v.nrm AS cos
+         FROM probes p JOIN assign a ON a.cell = p.cell
+           JOIN n q ON q.vec_id = p.query_id
+           JOIN n v ON v.vec_id = a.vec_id
+           JOIN embeddings e ON e.vec_id = a.vec_id
+         WHERE a.vec_id != p.query_id AND e.label % 3 = 0)
          SELECT query_id, neighbor_id, rank, round(cos,6) AS cos FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cos DESC, neighbor_id) AS rank FROM cand)

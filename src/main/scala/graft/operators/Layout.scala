@@ -154,7 +154,24 @@ object Layout {
     * in-query operator ([[Pq.ivfpqTopK]] / [[Pq.ivfpqTrainedTopK]]),
     * which LayoutSpec pins row for row.
     */
-  def ivfPqProbe(s: SparkSession, dir: String, path: String): DataFrame = {
+  def ivfPqProbe(s: SparkSession, dir: String, path: String): DataFrame =
+    Pq.adcRank(probeCandidates(s, dir, path))
+
+  /** The on-disk serving form of the two-stage refined search
+    * ([[Pq.ivfpqRefinedTopK]]): the ADC shortlist comes from the
+    * STORED codes (pruned, tombstone-filtered — this scan never
+    * touches a raw vector) and only the shortlist's queries×ShortR
+    * rows point-read the embeddings table for the exact re-rank.
+    * Quantizer-agnostic like [[ivfPqProbe]], and tombstones compose:
+    * a deleted vector can't reach the shortlist, so the re-rank
+    * never resurrects it.
+    */
+  def ivfPqProbeRefined(s: SparkSession, dir: String,
+      path: String): DataFrame =
+    Pq.refineRank(s, dir, Pq.adcScoresOf(probeCandidates(s, dir, path)))
+
+  private def probeCandidates(s: SparkSession, dir: String,
+      path: String): DataFrame = {
     val rcb = s.read.parquet(s"$path.codebook")
     val cents = s.read.parquet(s"$path.centroids")
     val luts = Pq.residualLutsWith(s, dir, rcb, cents)
@@ -181,7 +198,7 @@ object Layout {
       .select(col("neighbor_id"), col("cell"),
         col("subspace").cast("long").as("subspace"),
         col("code").cast("long").as("code"))
-    Pq.adcRank(scan.join(broadcast(luts), Seq("cell", "subspace", "code")))
+    scan.join(broadcast(luts), Seq("cell", "subspace", "code"))
   }
 
   /** Mark vectors deleted — the third index-maintenance verb next to

@@ -548,12 +548,27 @@ object Pq {
     * index this is the probe that reads the codes layout for stage 1
     * and point-reads the raw-vector layout for stage 2.
     */
-  def ivfpqRefinedTopK(s: SparkSession, dir: String): DataFrame = {
+  def ivfpqRefinedTopK(s: SparkSession, dir: String): DataFrame =
+    refineRank(s, dir, adcScores(
+      ivfpqCandidates(s, dir, Similarity.centroids(s, dir),
+        trained = false)))
+
+  /** [[adcScores]] for callers outside this object (the on-disk
+    * refined probe builds its candidate join from stored codes).
+    */
+  private[operators] def adcScoresOf(cands: DataFrame): DataFrame =
+    adcScores(cands)
+
+  /** The refinement tail shared by [[ivfpqRefinedTopK]] and
+    * [[Layout.ivfPqProbeRefined]]: ShortR-deep ADC shortlist from the
+    * given scores, exact-cosine re-rank of just those rows against
+    * the raw embeddings.
+    */
+  private[operators] def refineRank(s: SparkSession, dir: String,
+      scores: DataFrame): DataFrame = {
     val byAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_d2"), col("neighbor_id"))
-    val shortlist = adcScores(
-      ivfpqCandidates(s, dir, Similarity.centroids(s, dir),
-        trained = false))
+    val shortlist = scores
       .withColumn("r", row_number().over(byAdc))
       .filter(col("r") <= ShortR)
       .select(col("query_id"), col("neighbor_id"))

@@ -284,9 +284,15 @@ object Similarity {
   }
 
   private def ivfTopKWith(s: SparkSession, dir: String,
-      cents: DataFrame): DataFrame = {
-    val assigned = cellAssignmentsWith(s, dir, cents)
-    val probes = queryProbesWith(s, dir, cents)
+      cents: DataFrame): DataFrame =
+    ivfRankOf(cellAssignmentsWith(s, dir, cents),
+      queryProbesWith(s, dir, cents))
+
+  /** The probe join + exact rank over ANY assigned candidate set —
+    * shared by the plain, trained and FILTERED IVF searches.
+    */
+  private def ivfRankOf(assigned: DataFrame,
+      probes: DataFrame): DataFrame = {
     // exact rank within probed cells only
     val global = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -298,6 +304,28 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cos"), 6).as("cos"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** FILTERED ANN — predicate-constrained vector search ("nearest
+    * neighbors among vectors with label ≡ 0 (mod 3)"), the standard
+    * production requirement a plain index can't serve well. This is
+    * PRE-filtering: the predicate lands on the candidate scan before
+    * assignment joins anything, so ranking happens among QUALIFYING
+    * vectors only and every query gets its full k whenever the probed
+    * cells hold k matches — post-filtering (rank first, filter after)
+    * silently under-fills k by however many top-ranked rows the
+    * predicate rejects. Quantizer and probe routing stay those of the
+    * UNFILTERED corpus (the index is built once, queried under many
+    * filters). At 100 TB the label predicate is a parquet pushed
+    * filter on the vector scan — candidates shrink at I/O time, and
+    * the probe join's build side shrinks with selectivity.
+    */
+  def ivfFilteredTopK(s: SparkSession, dir: String): DataFrame = {
+    val cents = centroids(s, dir)
+    val assigned = assignmentsOf(
+      corpus(s, dir).filter(col("label") % 3 === 0)
+        .select(col("vec_id"), col("embedding")), cents)
+    ivfRankOf(assigned, queryProbesWith(s, dir, cents))
   }
 
   /** LSH-bucketed top-k: candidates = corpus vectors sharing any

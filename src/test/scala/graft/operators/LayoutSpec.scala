@@ -271,6 +271,27 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("refined on-disk probe: equals the in-query two-stage search " +
+      "row for row; tombstones cannot be resurrected by the re-rank") {
+    val out = Files.createTempDirectory("ivfpq_refined").toString
+    Layout.writeIvfPqPartitioned(spark, sf, out)
+
+    val refined = Layout.ivfPqProbeRefined(spark, sf, out).collect()
+    val expect = Pq.ivfpqRefinedTopK(spark, sf).collect()
+    assert(refined.map(_.toSeq).toSeq == expect.map(_.toSeq).toSeq)
+
+    // the shortlist comes from stored codes, so a deleted vector can't
+    // reach the exact re-rank at all
+    val victims = refined.filter(_.getAs[Int]("rank") == 1)
+      .map(_.getAs[Long]("neighbor_id")).distinct
+    import spark.implicits._
+    Layout.deleteFromIvfPq(spark, out, victims.toSeq.toDF("vec_id"))
+    val after = Layout.ivfPqProbeRefined(spark, sf, out).collect()
+    val victimSet = victims.toSet
+    assert(!after.exists(r => victimSet(r.getAs[Long]("neighbor_id"))))
+    assert(after.length == refined.length) // k stays full
+  }
+
   test("z-order layout clusters BOTH keys (bounded per-file spread)") {
     val out = Files.createTempDirectory("zorder").toString
     val src = Tables.load(spark, sf, "lineitem")

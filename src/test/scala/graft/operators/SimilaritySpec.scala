@@ -117,6 +117,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.05, f"recall $recall%.3f below floor")
   }
 
+  test("filtered search: every neighbor satisfies the predicate, ranks " +
+      "stay dense, and ranking is PRE-filter (deep candidates promote)") {
+    val rows = Similarity.ivfFilteredTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val labels = graft.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("label").longValue).toMap
+    rows.foreach { r =>
+      assert(labels(r.getAs[Long]("neighbor_id")) % 3 == 0,
+        s"neighbor ${r.getAs[Long]("neighbor_id")} fails the predicate")
+    }
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq ==
+        (1 to rs.length))
+    }
+    // pre-filter, not post-filter: post-filtering the unfiltered top-k
+    // could only ever SHRINK it — some filtered result must come from
+    // beyond the unfiltered top-k (promoted from deeper in the cells)
+    val unfiltered = Similarity.ivfTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    assert(rows.exists(r => !unfiltered(
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))),
+      "filtered results are a subset of the unfiltered top-k — " +
+        "that is post-filtering behavior")
+  }
+
   test("trained-centroid IVF keeps the probe contract and does not " +
       "degrade recall vs the seed quantizer") {
     val brute = Similarity.bruteTopK(spark, sf).collect()
