@@ -1198,7 +1198,7 @@ object SparkEntry {
            JOIN n q ON q.vec_id = p.query_id
            JOIN n v ON v.vec_id = a.vec_id
            JOIN embeddings e ON e.vec_id = a.vec_id
-         WHERE a.vec_id != p.query_id AND e.label % 3 = 0)
+         WHERE a.vec_id != p.query_id AND e.label >= 6)
          SELECT query_id, neighbor_id, rank, round(cos,6) AS cos FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cos DESC, neighbor_id) AS rank FROM cand)

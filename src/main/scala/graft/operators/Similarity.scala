@@ -307,7 +307,7 @@ object Similarity {
   }
 
   /** FILTERED ANN — predicate-constrained vector search ("nearest
-    * neighbors among vectors with label ≡ 0 (mod 3)"), the standard
+    * neighbors among vectors with label ≥ 6"), the standard
     * production requirement a plain index can't serve well. This is
     * PRE-filtering: the predicate lands on the candidate scan before
     * assignment joins anything, so ranking happens among QUALIFYING
@@ -316,14 +316,17 @@ object Similarity {
     * silently under-fills k by however many top-ranked rows the
     * predicate rejects. Quantizer and probe routing stay those of the
     * UNFILTERED corpus (the index is built once, queried under many
-    * filters). At 100 TB the label predicate is a parquet pushed
-    * filter on the vector scan — candidates shrink at I/O time, and
-    * the probe join's build side shrinks with selectivity.
+    * filters). The predicate is deliberately RANGE-SHAPED so it
+    * reaches the parquet reader as a pushed filter (PlanSpec pins
+    * `GreaterThanOrEqual(label,…)` in the scan) — candidates shrink
+    * at row-group-skip time, and the probe join's build side shrinks
+    * with selectivity. An expression predicate (modulo, UDF) would
+    * still prune columns but evaluate post-read.
     */
   def ivfFilteredTopK(s: SparkSession, dir: String): DataFrame = {
     val cents = centroids(s, dir)
     val assigned = assignmentsOf(
-      corpus(s, dir).filter(col("label") % 3 === 0)
+      corpus(s, dir).filter(col("label") >= 6)
         .select(col("vec_id"), col("embedding")), cents)
     ivfRankOf(assigned, queryProbesWith(s, dir, cents))
   }

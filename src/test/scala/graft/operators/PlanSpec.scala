@@ -85,6 +85,13 @@ class PlanSpec extends SparkSpec {
       p.contains("IsNotNull(l_quantity)"))
   }
 
+  test("filtered ANN: the label predicate reaches the parquet reader " +
+      "(range-shaped, so candidates shrink at row-group-skip time)") {
+    val p = physical(Similarity.ivfFilteredTopK(spark, sf))
+    assert(p.contains("GreaterThanOrEqual(label,6)"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
   test("minhash LSH: bucket self-join is an equi-join on (band, bucket)") {
     val p = physical(Dedup.minhashLsh(spark, sf))
     assert(!p.contains("CartesianProduct"))

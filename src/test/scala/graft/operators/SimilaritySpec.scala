@@ -125,7 +125,7 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id", "label").collect()
       .map(r => r.getLong(0) -> r.getAs[Number]("label").longValue).toMap
     rows.foreach { r =>
-      assert(labels(r.getAs[Long]("neighbor_id")) % 3 == 0,
+      assert(labels(r.getAs[Long]("neighbor_id")) >= 6,
         s"neighbor ${r.getAs[Long]("neighbor_id")} fails the predicate")
     }
     rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
