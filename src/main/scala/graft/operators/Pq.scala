@@ -360,7 +360,7 @@ object Pq {
     * quantizer stays frozen until a deliberate retrain rebuilds the
     * layout.
     */
-  private[operators] def encodeAgainst(s: SparkSession, shard: DataFrame,
+  private[graft] def encodeAgainst(s: SparkSession, shard: DataFrame,
       centsSrc: DataFrame, rcb: DataFrame): DataFrame = {
     require(K <= 127,
       s"K=$K exceeds the signed-byte code range of the on-disk layout")
