@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Chunk, Curate, Curriculum, Dedup, KMeans, Mix, Multimodal, Pack, Pii, Pipeline, Pq, QastQueries, Relational, Sampling, Shuffle, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Bpe, Chunk, Curate, Curriculum, Dedup, KMeans, Mix, Multimodal, Pack, Pii, Pipeline, Pq, QastQueries, Relational, Sampling, Shuffle, Similarity, Skew, Sq, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -187,6 +187,9 @@ object SparkEntry {
     // predicate-constrained search: rank among qualifying vectors only
     "ann_ivf_filtered_topk" -> (Similarity.ivfFilteredTopK _),
     "pq_codes" -> (Pq.codes _),
+    // SQ8 scalar quantization: per-dim 8-bit grid, both hash-oracled
+    "sq_codes" -> (Sq.codes _),
+    "ann_sq8_topk" -> (Sq.sqTopK _),
     "ann_pq_adc_topk" -> (Pq.adcTopK _),
     // rows-only: per-subspace Lloyd's output is data-dependent;
     // exact-pinned by PqSpec's sequential replay + Lloyd's
@@ -926,6 +929,60 @@ object SparkEntry {
          FROM v GROUP BY label ORDER BY label""",
     "ann_brute_topk" -> annExactOracle,
     "ann_blocked_topk" -> annExactOracle,
+    // SQ8: per-dimension [min,max] grid, floor-bucketed 8-bit codes
+    // (floor, not round — half-way ties are engine-dependent)
+    "sq_codes" ->
+      """WITH dims AS (SELECT e.vec_id, CAST(u.d AS BIGINT) AS d,
+             CAST(e.embedding[u.d + 1] AS DOUBLE) AS x
+           FROM embeddings e, unnest(range(0, 64)) AS u(d)),
+         st AS (SELECT d, min(x) AS dmin, max(x) AS dmax
+           FROM dims GROUP BY d),
+         co AS (SELECT v.vec_id, v.d,
+             CASE WHEN s.dmax = s.dmin THEN 0
+               ELSE LEAST(255, CAST(floor(
+                 ((v.x - s.dmin)/(s.dmax - s.dmin))*256) AS BIGINT))
+             END AS code
+           FROM dims v JOIN st s ON s.d = v.d)
+         SELECT vec_id, list(code ORDER BY d) AS codes
+         FROM co GROUP BY vec_id ORDER BY vec_id""",
+    // SQ8 compressed-domain search: exact queries vs the midpoint-
+    // reconstructed corpus (deq cast to REAL so both engines land the
+    // identical float), cosine, top-5
+    "ann_sq8_topk" ->
+      """WITH dims AS (SELECT e.vec_id, CAST(u.d AS BIGINT) AS d,
+             CAST(e.embedding[u.d + 1] AS DOUBLE) AS x
+           FROM embeddings e, unnest(range(0, 64)) AS u(d)),
+         st AS (SELECT d, min(x) AS dmin, max(x) AS dmax
+           FROM dims GROUP BY d),
+         co AS (SELECT v.vec_id, v.d,
+             CASE WHEN s.dmax = s.dmin THEN 0
+               ELSE LEAST(255, CAST(floor(
+                 ((v.x - s.dmin)/(s.dmax - s.dmin))*256) AS BIGINT))
+             END AS code
+           FROM dims v JOIN st s ON s.d = v.d),
+         deq AS (SELECT c.vec_id, list(
+             CAST(s.dmin + ((c.code + 0.5)*(s.dmax - s.dmin))/256
+               AS REAL) ORDER BY c.d) AS dv
+           FROM co c JOIN st s ON s.d = c.d GROUP BY c.vec_id),
+         dn AS (SELECT vec_id, dv,
+             sqrt(list_reduce(list_transform(dv,
+               x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q))
+               AS dnrm
+           FROM deq),
+         qn AS (SELECT vec_id, embedding,
+             sqrt(list_reduce(list_transform(embedding,
+               x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q))
+               AS qnrm
+           FROM embeddings WHERE vec_id % 100 = 0),
+         cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_transform(list_zip(q.embedding, c.dv),
+               x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),
+               (p2,q2)->p2+q2)/q.qnrm/c.dnrm AS cos
+           FROM qn q, dn c WHERE c.vec_id != q.vec_id)
+         SELECT query_id, neighbor_id, rank, round(cos,6) AS cos FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS rank FROM cand)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     // PQ encoding: 16 smallest-id seed vectors (vec_id % 29 = 3) make
     // the per-subspace codebook; nearest sub-centroid by squared L2
     // (left-to-right fold), ties to the smallest code
