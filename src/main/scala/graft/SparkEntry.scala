@@ -190,6 +190,7 @@ object SparkEntry {
     // SQ8 scalar quantization: per-dim 8-bit grid, both hash-oracled
     "sq_codes" -> (Sq.codes _),
     "ann_sq8_topk" -> (Sq.sqTopK _),
+    "ann_ivfsq_topk" -> (Sq.ivfSqTopK _),
     "ann_pq_adc_topk" -> (Pq.adcTopK _),
     // rows-only: per-subspace Lloyd's output is data-dependent;
     // exact-pinned by PqSpec's sequential replay + Lloyd's
@@ -979,6 +980,58 @@ object SparkEntry {
                x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),
                (p2,q2)->p2+q2)/q.qnrm/c.dnrm AS cos
            FROM qn q, dn c WHERE c.vec_id != q.vec_id)
+         SELECT query_id, neighbor_id, rank, round(cos,6) AS cos FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS rank FROM cand)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    // IVF-SQ8: seed-quantizer cell probing + SQ8-reconstructed ranking
+    "ann_ivfsq_topk" ->
+      """WITH n AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
+         FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
+           FROM n WHERE vec_id % 37 = 5),
+         sc AS (SELECT v.vec_id, c.cent_id,
+           list_reduce(list_transform(list_zip(v.embedding,c.cvec),
+             x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
+             /v.nrm/c.cnrm AS cs
+         FROM n v, cent c),
+         assign AS (SELECT vec_id, cent_id AS cell FROM (
+           SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cent_id) AS r FROM sc) WHERE r = 1),
+         probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM (
+           SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cent_id) AS r FROM sc WHERE vec_id % 100 = 0)
+           WHERE r <= 2),
+         dims AS (SELECT e.vec_id, CAST(u.d AS BIGINT) AS d,
+             CAST(e.embedding[u.d + 1] AS DOUBLE) AS x
+           FROM embeddings e, unnest(range(0, 64)) AS u(d)),
+         st AS (SELECT d, min(x) AS dmin, max(x) AS dmax
+           FROM dims GROUP BY d),
+         co AS (SELECT v.vec_id, v.d,
+             CASE WHEN s.dmax = s.dmin THEN 0
+               ELSE LEAST(255, CAST(floor(
+                 ((v.x - s.dmin)/(s.dmax - s.dmin))*256) AS BIGINT))
+             END AS code
+           FROM dims v JOIN st s ON s.d = v.d),
+         deq AS (SELECT c.vec_id, list(
+             CAST(s.dmin + ((c.code + 0.5)*(s.dmax - s.dmin))/256
+               AS REAL) ORDER BY c.d) AS dv
+           FROM co c JOIN st s ON s.d = c.d GROUP BY c.vec_id),
+         dn AS (SELECT vec_id, dv,
+             sqrt(list_reduce(list_transform(dv,
+               x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q))
+               AS dnrm
+           FROM deq),
+         cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_reduce(list_transform(list_zip(q.embedding, c.dv),
+               x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),
+               (p2,q2)->p2+q2)/q.nrm/c.dnrm AS cos
+           FROM probes p JOIN assign a ON a.cell = p.cell
+             JOIN n q ON q.vec_id = p.query_id
+             JOIN dn c ON c.vec_id = a.vec_id
+           WHERE a.vec_id != p.query_id)
          SELECT query_id, neighbor_id, rank, round(cos,6) AS cos FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cos DESC, neighbor_id) AS rank FROM cand)

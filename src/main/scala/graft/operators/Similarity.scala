@@ -291,7 +291,7 @@ object Similarity {
   /** The probe join + exact rank over ANY assigned candidate set —
     * shared by the plain, trained and FILTERED IVF searches.
     */
-  private def ivfRankOf(assigned: DataFrame,
+  private[operators] def ivfRankOf(assigned: DataFrame,
       probes: DataFrame): DataFrame = {
     // exact rank within probed cells only
     val global = Window.partitionBy(col("query_id"))

@@ -101,6 +101,28 @@ object Sq {
     * distances stay near-exact, and the oracle proves the pipeline,
     * while SqSpec measures the recall the grid error actually costs.
     */
+  /** IVF-SQ8 — the FAISS `IVFSQ` composition, completing the
+    * compression × probing matrix this engine now spans (IVF-Flat,
+    * IVF-PQ, flat-ADC, flat-SQ8, IVF-SQ8): coarse cells prune the
+    * candidate set to the query's NProbe cells ([[Similarity]]'s seed
+    * quantizer and probe routing, unchanged), and ranking runs on the
+    * midpoint-reconstructed SQ8 corpus instead of raw vectors — the
+    * scan cost drops 4× next to IVF-Flat while recall stays at the
+    * cell-probing bound (grid error is far below neighbor
+    * separation; `ann_sq8_topk` measures 0.96 recall for the
+    * compression alone). Deterministic end to end, hash-oracled
+    * (`ann_ivfsq_topk`).
+    */
+  def ivfSqTopK(s: SparkSession, dir: String): DataFrame = {
+    val cents = Similarity.centroids(s, dir)
+    val assigned = Similarity.cellAssignmentsWith(s, dir, cents)
+      .select(col("vec_id"), col("cell"))
+      .join(dequantized(s, dir), "vec_id")
+      .select(col("vec_id"), col("cell"), col("dv").as("cv"))
+    Similarity.ivfRankOf(assigned,
+      Similarity.queryProbesWith(s, dir, cents))
+  }
+
   def sqTopK(s: SparkSession, dir: String): DataFrame = {
     val q = load(s, dir, "embeddings")
       .filter(col("vec_id") % 100 === 0)

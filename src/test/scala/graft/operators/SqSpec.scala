@@ -42,6 +42,23 @@ class SqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-SQ8: compression does not meaningfully move the " +
+      "cell-probing recall bound") {
+    val brute = Similarity.bruteTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet match { case p => (brute & p).size.toDouble / brute.size }
+    val ivfsq = recallOf(Sq.ivfSqTopK(spark, sf).collect())
+    val ivf = recallOf(Similarity.ivfTopK(spark, sf).collect())
+    info(f"IVF-SQ8 recall@${Similarity.K} = $ivfsq%.3f vs IVF-Flat $ivf%.3f")
+    // the bound is the probe's (NProbe/C); grid error may flip only
+    // borderline pairs
+    assert(ivfsq >= ivf - 0.05,
+      f"IVF-SQ8 recall $ivfsq%.3f fell below IVF-Flat $ivf%.3f - 0.05")
+  }
+
   test("compressed-domain search: recall vs exact search is high " +
       "(grid error is tiny next to neighbor separation)") {
     val brute = Similarity.bruteTopK(spark, sf).collect()
