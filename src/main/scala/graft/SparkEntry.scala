@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Chunk, Curate, Curriculum, Dedup, KMeans, Mix, Multimodal, Pack, Pii, Pipeline, Pq, QastQueries, Relational, Sampling, Shuffle, Similarity, Skew, Sq, Temporal, TextAnalysis}
+import graft.operators.{Bpe, Chunk, Curate, Curriculum, Dedup, KMeans, Mix, Multimodal, Pack, Pii, Pipeline, Pq, QastQueries, Relational, Retrieval, Sampling, Shuffle, Similarity, Skew, Sq, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -209,6 +209,8 @@ object SparkEntry {
     "ann_ivfpq_refined_topk" -> (Pq.ivfpqRefinedTopK _),
     // --- text analysis pack ---
     "text_langid" -> (TextAnalysis.langId _),
+    // BM25 ranked retrieval over derived query terms (RAG lexical half)
+    "bm25_topk" -> (Retrieval.bm25Top _),
     "text_quality" -> (TextAnalysis.quality _),
     "text_tokens" -> (TextAnalysis.tokenStats _),
     "text_token_totals" -> (TextAnalysis.tokenTotals _),
@@ -1359,6 +1361,48 @@ object SparkEntry {
          k AS (SELECT doc_id, list_sort(list_transform(sh, x -> md5(x)))[1:8] AS h FROM sh)
          SELECT doc_id, unnest(range(0, len(h))) AS pos, unnest(h) AS hash
          FROM k ORDER BY doc_id, pos""",
+    "bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1,2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+         st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+         dfreq AS (SELECT term, count(*) AS df, sum(tf) AS cf
+           FROM tf GROUP BY term),
+         qt AS (SELECT term, df FROM dfreq
+           ORDER BY df, term LIMIT 5),
+         scored AS (SELECT q.term, t.doc_id,
+             ln(1.0 + (st.n - q.df + 0.5)/(q.df + 0.5))
+               * ((t.tf*2.2)/(t.tf + 1.2*(0.25 + 0.75*(d.dl
+                 /(CAST(st.sumdl AS DOUBLE)/st.n))))) AS score
+           FROM tf t JOIN qt q ON q.term = t.term
+             JOIN dl d ON d.doc_id = t.doc_id, st)
+         SELECT term, doc_id, rank, round(score, 6) AS score FROM (
+           SELECT term, doc_id, score, row_number() OVER (
+             PARTITION BY term ORDER BY score DESC, doc_id) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY term, rank""",
+    "bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1,2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+         st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+         dfreq AS (SELECT term, count(*) AS df, sum(tf) AS cf
+           FROM tf GROUP BY term),
+         qt AS (SELECT term, df FROM dfreq
+           ORDER BY df, term LIMIT 5),
+         scored AS (SELECT q.term, t.doc_id,
+             ln(1.0 + (st.n - q.df + 0.5)/(q.df + 0.5))
+               * ((t.tf*2.2)/(t.tf + 1.2*(0.25 + 0.75*(d.dl
+                 /(CAST(st.sumdl AS DOUBLE)/st.n))))) AS score
+           FROM tf t JOIN qt q ON q.term = t.term
+             JOIN dl d ON d.doc_id = t.doc_id, st)
+         SELECT term, doc_id, rank, round(score, 6) AS score FROM (
+           SELECT term, doc_id, score, row_number() OVER (
+             PARTITION BY term ORDER BY score DESC, doc_id) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY term, rank""",
     "text_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
            FROM documents),
