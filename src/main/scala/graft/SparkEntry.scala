@@ -211,6 +211,8 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.langId _),
     // BM25 ranked retrieval over derived query terms (RAG lexical half)
     "bm25_topk" -> (Retrieval.bm25Top _),
+    // lexical Jaccard + semantic cosine fused by reciprocal ranks
+    "hybrid_topk" -> (Retrieval.hybridTopK _),
     "text_quality" -> (TextAnalysis.quality _),
     "text_tokens" -> (TextAnalysis.tokenStats _),
     "text_token_totals" -> (TextAnalysis.tokenTotals _),
@@ -1361,6 +1363,51 @@ object SparkEntry {
          k AS (SELECT doc_id, list_sort(list_transform(sh, x -> md5(x)))[1:8] AS h FROM sh)
          SELECT doc_id, unnest(range(0, len(h))) AS pos, unnest(h) AS hash
          FROM k ORDER BY doc_id, pos""",
+    // hybrid retrieval: shingle-Jaccard lexical top-10 and exact-cosine
+    // semantic top-5 per query doc, fused by RRF (rank arithmetic only
+    // — reciprocals of small ints, exact on both engines)
+    "hybrid_topk" ->
+      """WITH sh AS (SELECT doc_id,
+           CASE WHEN len(toks)>=3 THEN list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+             for i in range(1,len(toks)-1)]) ELSE [text] END AS sh
+         FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
+         cand AS (SELECT a.doc_id AS query_id, b.doc_id AS doc_id,
+             len(list_intersect(a.sh,b.sh))*1.0
+               /(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) AS jaccard
+           FROM sh a, sh b
+           WHERE a.doc_id % 100 = 0 AND b.doc_id != a.doc_id
+             AND len(list_intersect(a.sh,b.sh)) > 0),
+         lex AS (SELECT query_id, doc_id, lex_rank FROM (
+             SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY jaccard DESC, doc_id)
+               AS lex_rank FROM cand)
+           WHERE lex_rank <= 10),
+         n AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
+         FROM embeddings),
+         sc AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+             list_reduce(list_transform(list_zip(q.embedding,c.embedding),
+               x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p,q2)->p+q2)
+               /q.nrm/c.nrm AS cos
+           FROM n q, n c
+           WHERE q.vec_id % 100 = 0 AND c.vec_id != q.vec_id),
+         sem AS (SELECT query_id, doc_id, sem_rank FROM (
+             SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, doc_id)
+               AS sem_rank FROM sc)
+           WHERE sem_rank <= 5),
+         f AS (SELECT coalesce(l.query_id, s.query_id) AS query_id,
+             coalesce(l.doc_id, s.doc_id) AS doc_id,
+             coalesce(1.0/(60 + l.lex_rank), 0)
+               + coalesce(1.0/(60 + s.sem_rank), 0) AS rrf
+           FROM lex l FULL OUTER JOIN sem s
+             ON s.query_id = l.query_id AND s.doc_id = l.doc_id)
+         SELECT query_id, doc_id, rank, round(rrf, 6) AS rrf FROM (
+           SELECT query_id, doc_id, rrf, row_number() OVER (
+             PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+           FROM f)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     "bm25_topk" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
            FROM documents),
@@ -1382,6 +1429,51 @@ object SparkEntry {
              PARTITION BY term ORDER BY score DESC, doc_id) AS rank
            FROM scored)
          WHERE rank <= 10 ORDER BY term, rank""",
+    // hybrid retrieval: shingle-Jaccard lexical top-10 and exact-cosine
+    // semantic top-5 per query doc, fused by RRF (rank arithmetic only
+    // — reciprocals of small ints, exact on both engines)
+    "hybrid_topk" ->
+      """WITH sh AS (SELECT doc_id,
+           CASE WHEN len(toks)>=3 THEN list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+             for i in range(1,len(toks)-1)]) ELSE [text] END AS sh
+         FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
+         cand AS (SELECT a.doc_id AS query_id, b.doc_id AS doc_id,
+             len(list_intersect(a.sh,b.sh))*1.0
+               /(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) AS jaccard
+           FROM sh a, sh b
+           WHERE a.doc_id % 100 = 0 AND b.doc_id != a.doc_id
+             AND len(list_intersect(a.sh,b.sh)) > 0),
+         lex AS (SELECT query_id, doc_id, lex_rank FROM (
+             SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY jaccard DESC, doc_id)
+               AS lex_rank FROM cand)
+           WHERE lex_rank <= 10),
+         n AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
+         FROM embeddings),
+         sc AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+             list_reduce(list_transform(list_zip(q.embedding,c.embedding),
+               x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p,q2)->p+q2)
+               /q.nrm/c.nrm AS cos
+           FROM n q, n c
+           WHERE q.vec_id % 100 = 0 AND c.vec_id != q.vec_id),
+         sem AS (SELECT query_id, doc_id, sem_rank FROM (
+             SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, doc_id)
+               AS sem_rank FROM sc)
+           WHERE sem_rank <= 5),
+         f AS (SELECT coalesce(l.query_id, s.query_id) AS query_id,
+             coalesce(l.doc_id, s.doc_id) AS doc_id,
+             coalesce(1.0/(60 + l.lex_rank), 0)
+               + coalesce(1.0/(60 + s.sem_rank), 0) AS rrf
+           FROM lex l FULL OUTER JOIN sem s
+             ON s.query_id = l.query_id AND s.doc_id = l.doc_id)
+         SELECT query_id, doc_id, rank, round(rrf, 6) AS rrf FROM (
+           SELECT query_id, doc_id, rrf, row_number() OVER (
+             PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+           FROM f)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     "bm25_topk" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
            FROM documents),

@@ -45,6 +45,72 @@ object Retrieval {
   /** Documents returned per query term. */
   val TopDocs = 10
 
+  /** Reciprocal-rank-fusion constant (the standard 60 from Cormack/
+    * Clarke/Buettcher — large enough that head ranks don't dominate).
+    */
+  val RrfC = 60
+
+  /** Lexical candidates per query before fusion. */
+  val LexTop = 10
+
+  /** Fused results per query. */
+  val HybridTop = 5
+
+  /** HYBRID retrieval — the full RAG serving shape: for each query
+    * document (ids ≡ 0 mod 100, the same workload as the ANN family;
+    * `doc_id` and `vec_id` are 1:1), fuse a LEXICAL ranking (3-gram
+    * shingle Jaccard over the inverted index — only documents sharing
+    * a shingle are candidates, the [[Dedup]] equi-join shape) with
+    * the SEMANTIC ranking ([[Similarity.bruteTopK]] cosine) by
+    * reciprocal rank fusion: rrf(d) = Σ_lists 1/([[RrfC]] + rank_d).
+    * RRF is the production default for lexical+vector fusion because
+    * it needs no score calibration between incomparable scales —
+    * ranks only — which also makes it EXACT arithmetic here
+    * (reciprocals of small integers, summed in a fixed order), so the
+    * whole hybrid pipeline hash-oracles in DuckDB (`hybrid_topk`).
+    *
+    * Scale shape: the lexical side is the inverted-index equi-join
+    * (bipartite: query docs × posting lists, shard-linear like
+    * [[Dedup.incremental]]); the semantic side is any ANN operator —
+    * brute here for oracle exactness, the IVF-PQ probe at scale; the
+    * fusion is a full outer join on (query, doc) of two
+    * queries×top-k frames — planning-time-constant size, broadcast.
+    */
+  def hybridTopK(s: SparkSession, dir: String): DataFrame = {
+    val sem = Similarity.bruteTopK(s, dir)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("sem_rank"))
+    val inv = load(s, dir, "documents")
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("shingle"))
+    val lexRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("jaccard").desc, col("doc_id"))
+    val lex = inv.filter(col("doc_id") % 100 === 0)
+      .toDF("query_id", "n_q", "shingle")
+      .join(inv.toDF("doc_id", "n_d", "shingle"), Seq("shingle"))
+      .filter(col("query_id") =!= col("doc_id"))
+      .groupBy(col("query_id"), col("doc_id"), col("n_q"), col("n_d"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("n_q") + col("n_d") - col("shared")))
+      .withColumn("lex_rank", row_number().over(lexRank))
+      .filter(col("lex_rank") <= LexTop)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    val fusedRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfC) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfC) + col("sem_rank")), lit(0.0)))
+      .withColumn("rank", row_number().over(fusedRank))
+      .filter(col("rank") <= HybridTop)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def bm25Top(s: SparkSession, dir: String): DataFrame = {
     val terms = load(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))

@@ -8,6 +8,67 @@ import graft.SparkSpec
   */
 class RetrievalSpec extends SparkSpec {
 
+  test("hybrid RRF: k fused rows per query, rrf within bounds and " +
+      "non-increasing; dual-list members outrank single-list tails") {
+    val rows = Retrieval.hybridTopK(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (_, rs) =>
+      assert(rs.length == Retrieval.HybridTop)
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length))
+      val fs = sorted.map(_.getAs[Double]("rrf"))
+      assert(fs.zip(fs.tail).forall { case (a, b) => a >= b })
+      // one list contributes at most 1/(C+1); two at most 2/(C+1)
+      fs.foreach { f =>
+        assert(f > 0 && f <= 2.0 / (Retrieval.RrfC + 1) + 1e-9)
+      }
+    }
+    // sequential replay: rebuild both lists and the fusion in plain
+    // Scala and compare exactly (text and embeddings are independent
+    // in this corpus, so the lists rarely overlap — the replay proves
+    // the fusion regardless)
+    def shinglesOf(text: String): Set[String] = {
+      val t = text.split(" ")
+      if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSet
+      else Set(text)
+    }
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        shinglesOf(r.getAs[String]("text"))).toMap
+    val semRanks = Similarity.bruteTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Int]("rank")).toMap
+    val queries = docs.keys.filter(_ % 100 == 0).toSeq.sorted
+    val want = queries.flatMap { q =>
+      val qs = docs(q)
+      val lex = docs.toSeq.collect { case (d, s2) if d != q =>
+        val inter = (qs & s2).size
+        (d, inter.toDouble / (qs.size + s2.size - inter))
+      }.filter(_._2 > 0)
+        .sortBy { case (d, j) => (-j, d) }.take(Retrieval.LexTop)
+        .zipWithIndex.map { case ((d, _), i) => d -> (i + 1) }.toMap
+      val fused = (lex.keySet ++
+        semRanks.collect { case ((`q`, d), _) => d }).toSeq.map { d =>
+        val rrf = lex.get(d).map(r => 1.0 / (Retrieval.RrfC + r))
+          .getOrElse(0.0) +
+          semRanks.get((q, d)).map(r => 1.0 / (Retrieval.RrfC + r))
+            .getOrElse(0.0)
+        (d, rrf)
+      }.sortBy { case (d, f) => (-f, d) }.take(Retrieval.HybridTop)
+      fused.zipWithIndex.map { case ((d, f), i) =>
+        (q, d, i + 1, BigDecimal(f)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    val got = rows.sortBy(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank")))
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rank"), r.getAs[Double]("rrf"))).toSeq
+    assert(got == want)
+  }
+
   test("bm25: derived query terms are the rarest; per-term rankings " +
       "are dense with positive non-increasing scores") {
     val rows = Retrieval.bm25Top(spark, sf).collect()
