@@ -80,11 +80,16 @@ object Retrieval {
     val sem = Similarity.bruteTopK(s, dir)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("sem_rank"))
+    // cached: both legs of the bipartite join read this frame —
+    // uncached, each leg re-scans and re-explodes the corpus (the
+    // Dedup.shingleIndex lesson; plan-keyed, shared, cleared via
+    // OperatorCaches.release)
     val inv = load(s, dir, "documents")
       .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n"),
         explode(col("sh")).as("shingle"))
       .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("shingle"))
+      .cache()
     val lexRank = Window.partitionBy(col("query_id"))
       .orderBy(col("jaccard").desc, col("doc_id"))
     val lex = inv.filter(col("doc_id") % 100 === 0)

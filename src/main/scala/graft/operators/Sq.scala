@@ -42,11 +42,15 @@ object Sq {
     */
   private[operators] def dimStats(s: SparkSession,
       dir: String): DataFrame =
+    // cached: 64 rows, but every consumer (codes, dequantize — twice
+    // per dequantized plan) otherwise pays its own corpus scan to
+    // re-derive the grid; plan-keyed, shared across the SQ queries
     load(s, dir, "embeddings")
       .select(posexplode(col("embedding")).as(Seq("d", "x")))
       .groupBy(col("d").cast("long").as("d"))
       .agg(min(col("x").cast("double")).as("dmin"),
         max(col("x").cast("double")).as("dmax"))
+      .cache()
 
   /** Per-(vector, dimension) codes, pre-collapse: (vec_id, d, code)
     * with code = clamp(floor((x − dmin)/(dmax − dmin) · 256), 0, 255).
@@ -93,14 +97,6 @@ object Sq {
         array_sort(collect_list(struct(col("d"), col("xq")))),
         e => e.getField("xq")).as("dv"))
 
-  /** Compressed-domain search: exact queries against the midpoint-
-    * reconstructed corpus, ranked by cosine with the same two-stage
-    * window as [[Similarity.bruteTopK]]. Asymmetric like ADC — the
-    * query never quantizes — and hash-oracled end to end
-    * (`ann_sq8_topk`): SQ8's whole value is that compressed-domain
-    * distances stay near-exact, and the oracle proves the pipeline,
-    * while SqSpec measures the recall the grid error actually costs.
-    */
   /** IVF-SQ8 — the FAISS `IVFSQ` composition, completing the
     * compression × probing matrix this engine now spans (IVF-Flat,
     * IVF-PQ, flat-ADC, flat-SQ8, IVF-SQ8): coarse cells prune the
@@ -123,6 +119,14 @@ object Sq {
       Similarity.queryProbesWith(s, dir, cents))
   }
 
+  /** Compressed-domain search: exact queries against the midpoint-
+    * reconstructed corpus, ranked by cosine with the same two-stage
+    * window as [[Similarity.bruteTopK]]. Asymmetric like ADC — the
+    * query never quantizes — and hash-oracled end to end
+    * (`ann_sq8_topk`): SQ8's whole value is that compressed-domain
+    * distances stay near-exact, and the oracle proves the pipeline,
+    * while SqSpec measures the recall the grid error actually costs.
+    */
   def sqTopK(s: SparkSession, dir: String): DataFrame = {
     val q = load(s, dir, "embeddings")
       .filter(col("vec_id") % 100 === 0)

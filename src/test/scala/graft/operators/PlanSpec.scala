@@ -92,6 +92,26 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
+  test("bm25: posting-probe shape — query terms reach tf as a " +
+      "broadcast hash join, nothing cartesian") {
+    val p = physical(Retrieval.bm25Top(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop join is the 1-row stats broadcast
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      "BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1)
+  }
+
+  test("hybrid: lexical candidates meet on the shingle equi-join " +
+      "(never all-pairs); no cartesian product anywhere") {
+    val p = physical(Retrieval.hybridTopK(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    // the semantic side's broadcast(queries) x corpus nested loop is
+    // the intended bruteTopK shape; the lexical side must stay a hash
+    // join on the shingle key
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
   test("minhash LSH: bucket self-join is an equi-join on (band, bucket)") {
     val p = physical(Dedup.minhashLsh(spark, sf))
     assert(!p.contains("CartesianProduct"))
