@@ -186,6 +186,8 @@ object SparkEntry {
     "ann_ivf_topk" -> (Similarity.ivfTopK _),
     // predicate-constrained search: rank among qualifying vectors only
     "ann_ivf_filtered_topk" -> (Similarity.ivfFilteredTopK _),
+    // index health: cell population balance (the retrain trigger)
+    "ivf_index_stats" -> (Similarity.ivfIndexStats _),
     "pq_codes" -> (Pq.codes _),
     // SQ8 scalar quantization: per-dim 8-bit grid, both hash-oracled
     "sq_codes" -> (Sq.codes _),
@@ -1283,6 +1285,31 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cos DESC, neighbor_id) AS rank FROM cand)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // cell population balance under the seed quantizer; imbalance =
+    // max population / mean population (probe cost and directory skew
+    // are linear in it)
+    "ivf_index_stats" ->
+      """WITH n AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
+         FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
+           FROM n WHERE vec_id % 37 = 5),
+         sc AS (SELECT v.vec_id, c.cent_id,
+           list_reduce(list_transform(list_zip(v.embedding,c.cvec),
+             x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
+             /v.nrm/c.cnrm AS cs
+         FROM n v, cent c),
+         assign AS (SELECT vec_id, cent_id AS cell FROM (
+           SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cent_id) AS r FROM sc) WHERE r = 1),
+         pops AS (SELECT cell, count(*) AS pop FROM assign GROUP BY cell)
+         SELECT count(*) AS n_cells, CAST(sum(pop) AS BIGINT) AS n_vectors,
+           min(pop) AS min_pop, max(pop) AS max_pop,
+           round(CAST(sum(pop) AS DOUBLE)/count(*), 6) AS avg_pop,
+           round(max(pop)/(CAST(sum(pop) AS DOUBLE)/count(*)), 6)
+             AS imbalance
+         FROM pops""",
     // the ivf pipeline with the label predicate PRE-filtering the
     // candidate side (queries route on the unfiltered quantizer)
     "ann_ivf_filtered_topk" ->

@@ -306,6 +306,30 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Index-health report — the numbers an operator watches on a
+    * production IVF index (and the trigger for a retrain-rebuild):
+    * cell count, corpus size, population min/max/mean and the
+    * imbalance factor max/mean. Imbalance is THE scale metric for an
+    * IVF layout — probe cost and directory skew are both linear in
+    * it, and Lloyd's training exists to push it toward 1 (the
+    * trained-layout spec shows exactly that effect on directory
+    * sizes). One assignment pass + two tiny aggregations;
+    * hash-oracled (`ivf_index_stats`).
+    */
+  def ivfIndexStats(s: SparkSession, dir: String): DataFrame = {
+    val pops = cellAssignments(s, dir)
+      .groupBy(col("cell")).agg(count(lit(1)).as("pop"))
+    val avg = col("n_vectors").cast("double") / col("n_cells")
+    pops.agg(
+      count(lit(1)).as("n_cells"),
+      sum(col("pop")).as("n_vectors"),
+      min(col("pop")).as("min_pop"),
+      max(col("pop")).as("max_pop"))
+      .select(col("n_cells"), col("n_vectors"), col("min_pop"),
+        col("max_pop"), round(avg, 6).as("avg_pop"),
+        round(col("max_pop") / avg, 6).as("imbalance"))
+  }
+
   /** FILTERED ANN — predicate-constrained vector search ("nearest
     * neighbors among vectors with label ≥ 6"), the standard
     * production requirement a plain index can't serve well. This is
