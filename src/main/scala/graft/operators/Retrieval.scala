@@ -129,6 +129,17 @@ object Retrieval {
     val qterms = dfreq
       .orderBy(col("df"), col("term")).limit(NumQueryTerms)
       .select(col("term"), col("df"))
+    scoreAndRank(tf.join(broadcast(qterms), "term").join(dl, "doc_id"),
+      stats)
+  }
+
+  /** The BM25 scoring + per-term ranking tail shared by the in-query
+    * operator and the on-disk probe: input posting rows carrying
+    * (term, doc_id, tf, dl, df) plus the 1-row (n, sumdl) corpus
+    * stats; output the ranked (term, doc_id, rank, score) contract.
+    */
+  private def scoreAndRank(postings: DataFrame,
+      stats: DataFrame): DataFrame = {
     val avgdl = col("sumdl").cast("double") / col("n")
     val idf = log(lit(1.0) +
       (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
@@ -136,8 +147,7 @@ object Retrieval {
       (col("tf") + lit(K1) * (lit(0.25) + lit(B) * (col("dl") / avgdl))))
     val w = Window.partitionBy(col("term"))
       .orderBy(col("score").desc, col("doc_id"))
-    tf.join(broadcast(qterms), "term")
-      .join(dl, "doc_id")
+    postings
       .crossJoin(broadcast(stats))
       .withColumn("score", score)
       .withColumn("rank", row_number().over(w))
@@ -145,5 +155,66 @@ object Retrieval {
       .select(col("term"), col("doc_id"), col("rank"),
         round(col("score"), 6).as("score"))
       .orderBy(col("term"), col("rank"))
+  }
+
+  /** Term-hash buckets in the on-disk index — the partition count a
+    * probe prunes against.
+    */
+  val IndexBuckets = 64
+
+  /** The ON-DISK inverted index — the lexical analog of the IVF-PQ
+    * layout's artifact story ([[Layout.writeIvfPqPartitioned]]): at
+    * 100 TB nobody rebuilds postings per query. One corpus pass
+    * writes posting rows (term, doc_id, tf, dl — length denormalized
+    * in, the Lucene norms trick, so probes never join a doc table)
+    * hive-partitioned by a term-hash bucket, with the lexicon
+    * (term, df — the per-term statistics) and the 1-row corpus
+    * constants as sidecars. A probe for any term set prunes to its
+    * terms' buckets at PLANNING time — ≤ |terms|/[[IndexBuckets]] of
+    * the postings are ever read — and scores from stored rows +
+    * sidecars with ZERO corpus access.
+    */
+  def writeBm25Index(s: SparkSession, dir: String, path: String): Unit = {
+    val tf = load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, "doc_id")
+      .withColumn("part_bucket",
+        pmod(xxhash64(col("term")), lit(IndexBuckets.toLong)))
+      .repartition(col("part_bucket"))
+      .write.partitionBy("part_bucket").mode("overwrite").parquet(path)
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path.lexicon")
+    dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+      .write.mode("overwrite").parquet(s"$path.stats")
+  }
+
+  /** Probe the persisted index for `terms` (or, when empty, the same
+    * derived rarest-[[NumQueryTerms]] workload as [[bm25Top]], read
+    * from the lexicon sidecar — no corpus access either way). The
+    * scan partition-prunes to the query terms' buckets (a literal
+    * filter over the bounded bucket set, like the IVF probe's cell
+    * pruning) and the scoring tail is shared with the in-query
+    * operator, so results are row-identical to [[bm25Top]]
+    * (RetrievalSpec pins it).
+    */
+  def bm25Probe(s: SparkSession, path: String,
+      terms: Seq[String] = Nil): DataFrame = {
+    val lexicon = s.read.parquet(s"$path.lexicon")
+    val qterms = (if (terms.nonEmpty) lexicon.filter(col("term").isin(terms: _*))
+      else lexicon.orderBy(col("df"), col("term")).limit(NumQueryTerms))
+      .select(col("term"), col("df"))
+    val buckets = qterms
+      .select(pmod(xxhash64(col("term")), lit(IndexBuckets.toLong))
+        .as("b")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val postings = s.read.parquet(path)
+      .filter(col("part_bucket").isin(buckets: _*))
+      .join(broadcast(qterms), "term")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
+    scoreAndRank(postings, s.read.parquet(s"$path.stats"))
   }
 }

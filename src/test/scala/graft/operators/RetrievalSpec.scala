@@ -8,6 +8,36 @@ import graft.SparkSpec
   */
 class RetrievalSpec extends SparkSpec {
 
+  test("on-disk inverted index: probe equals the in-query operator " +
+      "row for row and prunes to the query terms' buckets") {
+    val out = java.nio.file.Files.createTempDirectory("bm25_idx").toString
+    Retrieval.writeBm25Index(spark, sf, out)
+
+    val probe = Retrieval.bm25Probe(spark, out)
+    val got = probe.collect().map(_.toSeq).toSeq
+    val want = Retrieval.bm25Top(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got == want)
+
+    // planning-time pruning: the postings scan reads only the query
+    // terms' buckets' files
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scan = outerPlanNodes(probe.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec
+        if f.output.exists(_.name == "tf") => f }.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"postings scan carries no partition filter: $scan")
+    val filesRead = scan.metrics("numFiles").value
+    val totalFiles = spark.read.parquet(out).inputFiles.length
+    assert(filesRead < totalFiles,
+      s"probe read $filesRead of $totalFiles files — nothing pruned")
+
+    // explicit-terms probing agrees with the derived-workload ranking
+    val term = want.head.head.asInstanceOf[String]
+    val one = Retrieval.bm25Probe(spark, out, Seq(term))
+      .collect().map(_.toSeq).toSeq
+    assert(one == want.filter(_.head == term))
+  }
+
   test("hybrid RRF: k fused rows per query, rrf within bounds and " +
       "non-increasing; dual-list members outrank single-list tails") {
     val rows = Retrieval.hybridTopK(spark, sf).collect()
