@@ -20,6 +20,12 @@ class EmptyInputSpec extends SparkSpec {
       StructField("n_chars", LongType)))
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
       schema).write.parquet(s"$dir/documents.parquet")
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      embSchema).write.parquet(s"$dir/embeddings.parquet")
     dir
   }
 
@@ -41,7 +47,14 @@ class EmptyInputSpec extends SparkSpec {
       "dedup_exact" -> (() => Dedup.exact(spark, emptyDir).count()),
       "quality" -> (() => TextAnalysis.quality(spark, emptyDir).count()),
       "langid" -> (() => TextAnalysis.langId(spark, emptyDir).count()),
-      "fingerprint" -> (() => TextAnalysis.fingerprint(spark, emptyDir).count()))
+      "fingerprint" -> (() => TextAnalysis.fingerprint(spark, emptyDir).count()),
+      "bm25" -> (() => Retrieval.bm25Top(spark, emptyDir).count()),
+      "hybrid" -> (() => Retrieval.hybridTopK(spark, emptyDir).count()),
+      "sq_codes" -> (() => Sq.codes(spark, emptyDir).count()),
+      "sq_topk" -> (() => Sq.sqTopK(spark, emptyDir).count()),
+      "ivfsq_topk" -> (() => Sq.ivfSqTopK(spark, emptyDir).count()),
+      "ivf_filtered" -> (() =>
+        Similarity.ivfFilteredTopK(spark, emptyDir).count()))
     ops.foreach { case (name, run) =>
       val n = try run() catch {
         case e: Throwable => fail(s"$name threw on empty input: $e")
