@@ -192,6 +192,59 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$path.stats")
   }
 
+  /** Append a batch of NEW documents to an existing index — the
+    * harder sibling of [[Layout.appendToIvfPq]]: the vector index's
+    * quantizer is frozen, but BM25's statistics are NOT — df, N and
+    * Σdl all shift with every batch, and a probe scoring new postings
+    * against stale statistics is silently wrong. The saving structure
+    * is that all three DECOMPOSE EXACTLY over disjoint document sets
+    * (df adds per term, N and Σdl add), so the append is: one batch
+    * pass writes its posting rows into the bucket directories, the
+    * lexicon merges by full-outer term join (df_old + df_batch), and
+    * the 1-row stats add — each sidecar rewritten via a sibling-swap
+    * (materialize first, never overwrite what a lazy plan still
+    * reads). Probes after any append sequence are row-identical to an
+    * index written whole over the union (RetrievalSpec pins it);
+    * batch doc_ids are assumed new, as with the vector shards.
+    */
+  def appendBm25Batch(s: SparkSession, path: String,
+      docs: DataFrame): Unit = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, "doc_id")
+      .withColumn("part_bucket",
+        pmod(xxhash64(col("term")), lit(IndexBuckets.toLong)))
+      .repartition(col("part_bucket"))
+      .write.partitionBy("part_bucket").mode("append").parquet(path)
+    val conf = s.sparkContext.hadoopConfiguration
+    def swapIn(sidecar: String, merged: DataFrame): Unit = {
+      val tmp = s"$sidecar.merging"
+      merged.write.mode("overwrite").parquet(tmp)
+      val p = new org.apache.hadoop.fs.Path(sidecar)
+      val fs = p.getFileSystem(conf)
+      fs.delete(p, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    }
+    swapIn(s"$path.lexicon",
+      s.read.parquet(s"$path.lexicon").withColumnRenamed("df", "df_old")
+        .join(tf.groupBy(col("term")).agg(count(lit(1)).as("df_new")),
+          Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df_old"), lit(0L)) +
+            coalesce(col("df_new"), lit(0L))).as("df")))
+    swapIn(s"$path.stats",
+      s.read.parquet(s"$path.stats")
+        .crossJoin(dl.agg(count(lit(1)).as("n_new"),
+          coalesce(sum(col("dl")), lit(0L)).as("sumdl_new")))
+        .select((col("n") + col("n_new")).as("n"),
+          (col("sumdl") + col("sumdl_new")).as("sumdl")))
+    tf.unpersist()
+  }
+
   /** Probe the persisted index for `terms` (or, when empty, the same
     * derived rarest-[[NumQueryTerms]] workload as [[bm25Top]], read
     * from the lexicon sidecar — no corpus access either way). The

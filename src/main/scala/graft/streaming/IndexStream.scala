@@ -62,4 +62,39 @@ object IndexStream {
       }
       .start()
   }
+
+  /** The text-index sibling of [[ingestBatch]]: apply one micro-batch
+    * of (doc_id, text) rows to a persisted BM25 index
+    * ([[graft.operators.Retrieval.appendBm25Batch]] — postings append
+    * plus the EXACT df/N/Σdl statistics merge), exactly once per
+    * `batchId` via the same commit markers.
+    */
+  private[streaming] def ingestBm25Batch(path: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(s"$path.ingested/$batchId")
+    val fs = marker.getFileSystem(conf)
+    if (!fs.exists(marker)) {
+      graft.operators.Retrieval.appendBm25Batch(s, path, batch)
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+    }
+  }
+
+  /** Start ingesting a streaming (doc_id, text) frame into the BM25
+    * index at `path`. Same contract as [[ingest]]: probes see new
+    * documents — scored against EXACTLY updated corpus statistics —
+    * one trigger after arrival.
+    */
+  def ingestBm25(docs: DataFrame, path: String): StreamingQuery = {
+    require(docs.isStreaming, "ingestBm25 expects a streaming frame")
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBm25Batch(path, batch, batchId)
+      }
+      .start()
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.{SparkSpec, Tables}
-import graft.operators.{Layout, Pq}
+import graft.operators.{Layout, Pq, Retrieval}
 
 /** Streaming index ingest: micro-batched vectors enter the on-disk
   * IVF-PQ index under the frozen quantizer, the final index equals a
@@ -64,5 +64,56 @@ class IndexStreamSpec extends SparkSpec {
       .select((col("vec_id") + 6000000L).as("vec_id"), col("embedding"))
     IndexStream.ingestBatch(out, extra, batchId = 99L)
     assert(spark.read.parquet(out).count() == before + extra.count())
+  }
+
+  test("streamed BM25 batches update postings AND statistics exactly: " +
+      "probes equal an index written whole over the union") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val seedDocs = docs.filter(col("doc_id") % 3 === 0)
+    val batches = Seq(1L, 2L).map(r =>
+      docs.filter(col("doc_id") % 3 === r))
+
+    // seed index over a third of the corpus, stream the rest in two
+    // batches; df/N/sumdl must end EXACTLY at the whole-corpus values
+    val grow = Files.createTempDirectory("bm25_grow").toString
+    val whole = Files.createTempDirectory("bm25_whole").toString
+    writeIndexFrom(seedDocs, grow)
+    Retrieval.writeBm25Index(spark, sf, whole)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = IndexStream.ingestBm25(
+      mem.toDF().toDF("doc_id", "text"), grow)
+    try {
+      batches.foreach { b =>
+        mem.addData(b.as[(Long, String)].collect().toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val got = Retrieval.bm25Probe(spark, grow).collect().map(_.toSeq).toSeq
+    val want = Retrieval.bm25Probe(spark, whole).collect()
+      .map(_.toSeq).toSeq
+    assert(got == want)
+    // the statistics themselves merged exactly, not just the ranking
+    def oneRow(p: String) = spark.read.parquet(p).collect().head.toSeq
+    assert(oneRow(s"$grow.stats") == oneRow(s"$whole.stats"))
+
+    // replaying a committed batch id must not double-count statistics
+    val statsBefore = oneRow(s"$grow.stats")
+    IndexStream.ingestBm25Batch(grow, batches.head, batchId = 0L)
+    assert(oneRow(s"$grow.stats") == statsBefore,
+      "replayed batch mutated the corpus statistics")
+  }
+
+  /** Build a BM25 index from an explicit doc frame (the writer reads
+    * from a dir; the seed here is a corpus subset).
+    */
+  private def writeIndexFrom(docs: org.apache.spark.sql.DataFrame,
+      path: String): Unit = {
+    val dir = Files.createTempDirectory("bm25_seed_corpus").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    Retrieval.writeBm25Index(spark, dir, path)
   }
 }
