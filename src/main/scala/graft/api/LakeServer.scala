@@ -11,7 +11,9 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import scala.jdk.CollectionConverters._
 import scala.util.Try
 
+import graft.SparkEntry
 import graft.engine.{ExtractError, Lake}
+import graft.operators.OperatorCaches
 import graft.store.DatasetMeta
 
 /** HTTP adapter exposing the reference's 10-endpoint API over a `Lake`
@@ -32,6 +34,17 @@ import graft.store.DatasetMeta
   *   POST /extract/{cid}  → [row objects]      ("malformed query"/"failed query")
   *   anything else        → 404 {"error":"unsupported"}
   *
+  * Beyond the reference surface, the engine's whole analytic inventory
+  * (every named `SparkEntry.queries` entry) is served too:
+  *
+  *   GET  /query          → sorted [names]
+  *   POST /query/{name}   → [row objects]; body = optional
+  *                          {"sf_dir": "..."} overriding the server's
+  *                          default scale-factor directory. Unknown
+  *                          name → 404; non-JSON body → "malformed
+  *                          query"; a query that throws → "failed
+  *                          query" (same contract as /extract).
+  *
   * Query results stream through `toJSON.toLocalIterator` — rows travel
   * driver→client in chunks without materializing the result set,
   * preserving the reference's lazy-streaming property over
@@ -42,7 +55,8 @@ import graft.store.DatasetMeta
   * production deployment would front this with any async server — the
   * contract lives here, not in the transport.
   */
-final class LakeServer(lake: Lake, port: Int) {
+final class LakeServer(lake: Lake, port: Int,
+    sfDir: String = LakeServer.defaultSfDir) {
   LakeServer.noDelay // must be forced before HttpServer.create below
 
   private val mapper = new ObjectMapper()
@@ -79,6 +93,8 @@ final class LakeServer(lake: Lake, port: Int) {
       case ("POST", "update" :: Nil) => postUpdate(ex)
       case ("POST", "find" :: Nil) => postFind(ex)
       case ("POST", "extract" :: cid :: Nil) => postExtract(ex, cid)
+      case ("GET", "query" :: Nil) => getQueryNames(ex)
+      case ("POST", "query" :: name :: Nil) => postQuery(ex, name)
       case ("GET", "dir" :: cid :: Nil) => getDir(ex, cid)
       case ("GET", "file" :: cid :: Nil) => getFile(ex, cid)
       case ("GET", "schema" :: cid :: Nil) => getSchema(ex, cid)
@@ -216,6 +232,47 @@ final class LakeServer(lake: Lake, port: Int) {
     }
   }
 
+  private def getQueryNames(ex: HttpExchange): Unit = {
+    val arr = mapper.createArrayNode()
+    SparkEntry.queries.keys.toSeq.sorted.foreach(arr.add)
+    send(ex, 200, "application/json", mapper.writeValueAsBytes(arr))
+  }
+
+  /** The analytic surface over HTTP: run a named `SparkEntry` query and
+    * stream its rows. Results travel through the same lazy
+    * `toJSON.toLocalIterator` path as `/extract` — a long result set
+    * never materializes on the driver. Operator-internal caches (plus
+    * memoized trainer outputs) are released after every request so a
+    * long-lived `Serve` process doesn't pin executor memory across
+    * request bursts; within ONE request multi-consumer frames still
+    * share their single materialization.
+    */
+  private def postQuery(ex: HttpExchange, name: String): Unit =
+    SparkEntry.queries.get(name) match {
+      case None => sendError(ex, "unknown query", 404)
+      case Some(fn) =>
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
+        val dir: Either[String, String] =
+          if (body.isEmpty) Right(sfDir)
+          else Try(mapper.readTree(body)).toOption match {
+            case Some(node) if node.isObject =>
+              Right(Option(node.get("sf_dir")).map(_.asText).getOrElse(sfDir))
+            case _ => Left("malformed query")
+          }
+        dir match {
+          case Left(err) => sendError(ex, err)
+          case Right(d) =>
+            try {
+              val df = fn(lake.spark, d)
+              streamJsonArray(ex, df.toJSON.toLocalIterator().asScala)
+            } catch {
+              case scala.util.control.NonFatal(t) =>
+                System.err.println(s"[lake-server] query $name: $t")
+                sendError(ex, "failed query")
+            } finally OperatorCaches.release(lake.spark)
+        }
+    }
+
   private def getDir(ex: HttpExchange, cid: String): Unit =
     if (!lake.store.isDir(cid)) sendError(ex, "not a directory")
     else {
@@ -300,6 +357,13 @@ object LakeServer {
   private[api] val noDelay: Unit =
     System.setProperty("sun.net.httpserver.nodelay", "true")
 
-  def start(lake: Lake, port: Int = 0): LakeServer =
-    new LakeServer(lake, port).start()
+  /** Default scale-factor dir for `/query` when the request body names
+    * none: env override first, else the smallest test corpus.
+    */
+  def defaultSfDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+  def start(lake: Lake, port: Int = 0,
+      sfDir: String = defaultSfDir): LakeServer =
+    new LakeServer(lake, port, sfDir).start()
 }

@@ -8,6 +8,8 @@ import java.nio.file.Files
 
 import com.fasterxml.jackson.databind.ObjectMapper
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.BeforeAndAfterAll
 
 import graft.SparkSpec
@@ -19,7 +21,7 @@ import graft.engine.Lake
 class LakeServerSpec extends SparkSpec with BeforeAndAfterAll {
 
   private lazy val lake = new Lake(spark, Files.createTempDirectory("srv"))
-  private lazy val server = LakeServer.start(lake)
+  private lazy val server = LakeServer.start(lake, sfDir = sf)
   private lazy val base = s"http://localhost:${server.boundPort}"
   private val client = HttpClient.newHttpClient()
   private val mapper = new ObjectMapper()
@@ -171,6 +173,48 @@ class LakeServerSpec extends SparkSpec with BeforeAndAfterAll {
       json(bad).get("error").asText == "malformed query")
     val plain = addFile(interjection, "text/plain")
     val fail = post(s"/extract/$plain", """["&"]""".getBytes)
+    assert(fail.statusCode == 400 &&
+      json(fail).get("error").asText == "failed query")
+  }
+
+  test("GET /query lists the analytic inventory sorted") {
+    val r = get("/query")
+    assert(r.statusCode == 200)
+    val names = json(r).elements.asScala.map(_.asText).toSeq
+    assert(names.contains("q1_agg") && names.contains("dedup_exact"))
+    assert(names == names.sorted)
+    assert(names.size == graft.SparkEntry.queries.size)
+  }
+
+  test("POST /query/{name}: analytic queries stream over HTTP") {
+    // empty body → server default sf dir (constructed with sf0.001)
+    val q1 = post("/query/q1_agg", Array.emptyByteArray)
+    assert(q1.statusCode == 200)
+    val rows = json(q1)
+    assert(rows.isArray && rows.size > 0)
+    val fields = rows.get(0).properties.asScala.map(_.getKey).toSet
+    assert(fields.contains("l_returnflag") && fields.contains("sum_qty"))
+
+    // explicit sf_dir override in the body
+    val scalar = post("/query/scalar_functions",
+      s"""{"sf_dir":"$sf"}""".getBytes("UTF-8"))
+    assert(scalar.statusCode == 200 && json(scalar).size > 0)
+
+    // rows match running the same query in-process
+    val direct = graft.SparkEntry.queries("q1_agg")(spark, sf)
+    assert(rows.size == direct.count())
+  }
+
+  test("POST /query: unknown name 404; malformed body rejected") {
+    val unknown = post("/query/no_such_query", Array.emptyByteArray)
+    assert(unknown.statusCode == 404 &&
+      json(unknown).get("error").asText == "unknown query")
+    val bad = post("/query/q1_agg", "{not json".getBytes("UTF-8"))
+    assert(bad.statusCode == 400 &&
+      json(bad).get("error").asText == "malformed query")
+    // a query that throws at run time → failed query, same as /extract
+    val fail = post("/query/q1_agg",
+      """{"sf_dir":"/nonexistent/dir"}""".getBytes("UTF-8"))
     assert(fail.statusCode == 400 &&
       json(fail).get("error").asText == "failed query")
   }
