@@ -1,6 +1,33 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+
+  /** Fingerprint of a query's EXECUTED physical plan (AQE-final once
+    * the action ran), canonicalized so run-varying tokens — expression
+    * ids, plan/stage ids, object addresses, temp paths, UUIDs — hash
+    * identically across runs. Purpose: instant noise-vs-regression
+    * adjudication in the bench record. A timing swing whose `plan_sha`
+    * is unchanged is host noise BY CONSTRUCTION (same plan, same data);
+    * a changed `plan_sha` marks a genuine plan change to investigate.
+    * (The r6 354s record and r7's 6x per-query swings each cost a
+    * manual plan-diff session to adjudicate; this closes that loop.)
+    */
+  def planSha(df: DataFrame): String = {
+    val norm = df.queryExecution.executedPlan.toString
+      .replaceAll("#\\d+", "#")                  // exprIds
+      .replaceAll("plan_id=\\d+", "plan_id=")
+      .replaceAll("\\bid=#?\\d+", "id=")         // stage/exchange ids
+      .replaceAll("@[0-9a-fA-F]+", "@")          // object addresses
+      .replaceAll("\\$\\$Lambda\\$\\d+", "\\$\\$Lambda\\$") // JVM lambda counter
+      .replaceAll("0x[0-9a-fA-F]+", "0x")        // lambda/class addresses
+      .replaceAll("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-" +
+        "[0-9a-f]{12}", "_uuid_")
+      .replaceAll("/tmp/[^\\s,\\)\\]]+", "/tmp/_") // per-run temp dirs
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map(b => f"$b%02x").mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -11,6 +38,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // render plan node metadata (DataFilters/Location) untruncated:
+      // the default 100-char cut lands at a point that shifts with
+      // exprId digit width, which would make `planSha` differ between
+      // identical plans (render-only conf; no execution effect)
+      .config("spark.sql.maxMetadataStringLength", "100000")
     Tables.sessionConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -28,17 +60,22 @@ object Bench {
     // per query: Right(best seconds, runs taken) or Left(error class).
     // Failures surface by NAME in the final line — a broken query must
     // never hide inside the total as a silent sentinel.
-    val results: Map[String, Either[String, (Double, Int)]] =
+    val results: Map[String, Either[String, (Double, Int, String)]] =
       selected.map { case (name, fn) =>
         var err: String = null
+        var lastDf: DataFrame = null
         def once(): Double = {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() }
+          try { val df = fn(spark, sfDir); df.count(); lastDf = df }
           catch { case t: Throwable => err = t.getClass.getSimpleName; return -1 }
           (System.nanoTime() - t0) / 1e9
         }
         val (a, b) = (once(), once())
-        val best: Either[String, (Double, Int)] =
+        // fingerprint from the last executed frame — best-effort, a
+        // fingerprinting failure must never fail the bench
+        def sha: String =
+          try planSha(lastDf) catch { case _: Throwable => "" }
+        val best: Either[String, (Double, Int, String)] =
           if (a < 0 || b < 0) Left(err)
           else {
             val m = math.min(a, b)
@@ -46,8 +83,8 @@ object Bench {
               val c = once()
               // a transient third-run failure must not discard two good
               // measurements — keep their minimum
-              if (c < 0) Right((m, 3)) else Right((math.min(m, c), 3))
-            } else Right((m, 2))
+              if (c < 0) Right((m, 3, sha)) else Right((math.min(m, c), 3, sha))
+            } else Right((m, 2, sha))
           }
         // drop frames the operator cached internally before the next
         // query: CacheManager entries are plan-keyed and never auto-
@@ -64,16 +101,16 @@ object Bench {
     // while the FINAL line stays a compact (<500B) summary that always
     // survives the tail capture.
     val perQuery = results.toSeq.sortBy(_._1).map {
-      case (k, Right((sec, runs))) =>
-        s"""{"query":"$k","sec":$sec,"runs":$runs}"""
+      case (k, Right((sec, runs, sha))) =>
+        s"""{"query":"$k","sec":$sec,"runs":$runs,"plan_sha":"$sha"}"""
       case (k, Left(e)) =>
         s"""{"query":"$k","error":"$e"}"""
     }
     perQuery.foreach(println)
-    val ok = results.collect { case (_, Right((sec, _))) => sec }
+    val ok = results.collect { case (_, Right((sec, _, _))) => sec }
     val failed = results.collect { case (k, Left(_)) => k }.toSeq.sorted
     val total = ok.sum
-    val maxRuns = results.collect { case (_, Right((_, r))) => r }
+    val maxRuns = results.collect { case (_, Right((_, r, _))) => r }
       .foldLeft(2)(math.max)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // n_queries + filtered let a consumer distinguish a partial
