@@ -209,6 +209,11 @@ object SparkEntry {
     "ann_ivfpq_trained_topk" -> (Pq.ivfpqTrainedTopK _),
     // two-stage serving shape: ADC shortlist, exact cosine re-rank
     "ann_ivfpq_refined_topk" -> (Pq.ivfpqRefinedTopK _),
+    // rows-only: ADC under the learned OPQ rotation (Ge et al., CVPR
+    // 2013) — trained output with no SQL form; OpqSpec pins rotation
+    // orthogonality, the monotone distortion trace vs plain trained
+    // PQ, and measures recall next to the unrotated ADC forms
+    "ann_opq_topk" -> (graft.operators.Opq.adcOpqTopK _),
     // --- text analysis pack ---
     "text_langid" -> (TextAnalysis.langId _),
     // BM25 ranked retrieval over derived query terms (RAG lexical half)

@@ -50,7 +50,7 @@ object Pq {
     * left-to-right in double — bit-identical to the oracle's
     * `list_reduce(list_zip(...))` fold.
     */
-  private def l2sq(a: Column, b: Column): Column =
+  private[operators] def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b,
       (x, y) => (x.cast("double") - y.cast("double"))
         * (x.cast("double") - y.cast("double"))),
@@ -68,7 +68,7 @@ object Pq {
     * codebook seeds, residuals) goes through, so the subspace
     * geometry cannot drift between the codes and what scores them.
     */
-  private def slicedFrame(src: DataFrame, idCol: String, vecCol: String,
+  private[operators] def slicedFrame(src: DataFrame, idCol: String, vecCol: String,
       outId: String, outVec: String,
       carry: Seq[String] = Nil): DataFrame =
     src.select((col(idCol) +: carry.map(col)) :+ sliced(col(vecCol)): _*)
@@ -90,7 +90,7 @@ object Pq {
     * seeds from raw embeddings, [[ivfpqTopK]] from cell residuals —
     * the same rule, one implementation.
     */
-  private def seedCodebook(src: DataFrame, idCol: String,
+  private[operators] def seedCodebook(src: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
     val w = Window.orderBy(col(idCol))
     slicedFrame(
@@ -158,7 +158,7 @@ object Pq {
     * session-memoized under it ([[OperatorCaches.trainedMemo]]), so
     * training runs once per process per distribution.
     */
-  private def trainedCodebookFrom(s: SparkSession, subs0: DataFrame,
+  private[operators] def trainedCodebookFrom(s: SparkSession, subs0: DataFrame,
       seed: DataFrame, orderFree: Boolean, memoKey: String): DataFrame = {
     import s.implicits._
     val rows = OperatorCaches.trainedMemo(memoKey) {

@@ -68,11 +68,14 @@ class IndexStreamSpec extends SparkSpec {
 
   test("streamed BM25 batches update postings AND statistics exactly: " +
       "probes equal an index written whole over the union") {
-    val docs = Tables.load(spark, sf, "documents")
-      .select(col("doc_id"), col("text"))
-    val seedDocs = docs.filter(col("doc_id") % 3 === 0)
+    val full = Tables.load(spark, sf, "documents")
+    // the seed keeps the FULL canonical schema — the planted corpus
+    // round-trips through Tables.load's conformance check exactly like
+    // the real table; streamed batches carry only (doc_id, text)
+    val seedDocs = full.filter(col("doc_id") % 3 === 0)
     val batches = Seq(1L, 2L).map(r =>
-      docs.filter(col("doc_id") % 3 === r))
+      full.select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 3 === r))
 
     // seed index over a third of the corpus, stream the rest in two
     // batches; df/N/sumdl must end EXACTLY at the whole-corpus values
