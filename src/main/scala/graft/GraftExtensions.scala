@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 
 import graft.functions.{LshBuckets, MinHashSig, Shingles3, SimHash64, VecDot}
 
@@ -75,5 +75,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "lsh_buckets(vec) takes 1 argument")
         LshBuckets(args.head)
+      }),
+    // Spark's own runtime-filter membership expression, exposed as a
+    // callable function so operators can apply an EXPLICIT bloom
+    // prefilter (operators/Bloom.scala) with the same codegen path
+    // InjectRuntimeFilter uses. args: (serialized filter bytes, long
+    // key) — keys must have been put raw (stat.bloomFilter does).
+    (new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "bloom_might_contain(filter, key) takes 2 arguments")
+        BloomFilterMightContain(args.head, args(1))
       }))
 }

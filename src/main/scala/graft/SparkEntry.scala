@@ -88,6 +88,10 @@ object SparkEntry {
     "rollup_orders" -> (Relational.rollupOrders _),
     "except_priorities" -> (Relational.exceptPriorities _),
     "semi_join" -> (Relational.semiJoinCustomers _),
+    // bloom-prefiltered join: fact rows drop pre-shuffle via Spark's
+    // native might-contain expression; exact join removes the false
+    // positives so the plain-join oracle hash-matches
+    "bloom_join" -> (graft.operators.Bloom.bloomJoin _),
     "intersect_customers" -> (Relational.intersectCustomers _),
     "cube_orders" -> (Relational.cubeOrders _),
     "outer_join_nations" -> (Relational.outerJoinNations _),
@@ -677,6 +681,14 @@ object SparkEntry {
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
            AND o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1996)
          ORDER BY c_custkey""",
+    // the oracle is the PLAIN join: the Bloom prefilter must be
+    // semantically invisible (no false negatives + exact join after)
+    "bloom_join" ->
+      """SELECT s_suppkey, s_name, count(*) AS n_items,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         WHERE s_acctbal > 4000
+         GROUP BY 1,2 ORDER BY 1""",
     "intersect_customers" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate)=1995
          INTERSECT

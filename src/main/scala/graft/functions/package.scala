@@ -31,4 +31,10 @@ package object functions {
 
   /** KMV approximate distinct count (typed Aggregator). */
   def kmvDistinct(c: Column, k: Int = 256): Column = KMVDistinct(c, k)
+
+  /** Membership test against a serialized Bloom filter (Spark's
+    * native runtime-filter expression; see operators/Bloom.scala).
+    */
+  def bloomMightContain(filter: Column, key: Column): Column =
+    call_function("bloom_might_contain", filter, key)
 }
