@@ -259,6 +259,10 @@ object SparkEntry {
     "mix_sources" -> (Mix.mixSources _),
     "mix_audit" -> (Mix.mixAudit _),
     "mix_arrival" -> (Mix.mixArrival _),
+    // temperature sampling over language pools (p ∝ n^½, XLM-R
+    // style) and the repetition manifest its budgets imply
+    "mix_temperature" -> (Mix.mixTemperature _),
+    "mix_upsample" -> (Mix.mixUpsample _),
     // open-map JSON access (the reference's `extra`/props pattern,
     // SURVEY.md §1.1): typed extraction from a JSON string column
     "events_props_json" -> ((s, dir) =>
@@ -1815,6 +1819,57 @@ object SparkEntry {
            min(budget) AS budget,
            round(CAST(sum(n_tokens) AS DOUBLE) / min(budget), 6) AS fill_ratio
          FROM c WHERE cum_before < budget GROUP BY source ORDER BY source""",
+    // α = ½ via sqrt (correctly-rounded on both engines; a general
+    // pow is not); wsum as exact DECIMAL of 6-decimal weights
+    "mix_temperature" ->
+      """WITH d AS (SELECT lang,
+           CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+         FROM documents),
+         p AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS pool_tokens,
+           round(sqrt(CAST(sum(n_tokens) AS DOUBLE)), 6) AS w
+         FROM d GROUP BY lang),
+         t AS (SELECT CAST(sum(CAST(w AS DECIMAL(38,6))) AS DECIMAL(38,6))
+             AS wsum,
+           CAST(sum(pool_tokens) AS BIGINT) AS corpus_tokens FROM p),
+         b AS (SELECT lang, pool_tokens,
+           round(CAST(pool_tokens AS DOUBLE) / corpus_tokens, 6)
+             AS nat_share,
+           round(w / CAST(wsum AS DOUBLE), 6) AS sample_p,
+           CAST(floor(CAST(corpus_tokens AS DOUBLE) * 2
+             * (w / CAST(wsum AS DOUBLE))) AS BIGINT) AS budget
+         FROM p, t)
+         SELECT lang, pool_tokens, nat_share, sample_p, budget,
+           round(CAST(budget AS DOUBLE) / pool_tokens, 6) AS epochs
+         FROM b ORDER BY lang""",
+    "mix_upsample" ->
+      """WITH d AS (SELECT doc_id, lang,
+           CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS pri FROM documents),
+         p AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS pool_tokens,
+           round(sqrt(CAST(sum(n_tokens) AS DOUBLE)), 6) AS w
+         FROM d GROUP BY lang),
+         t AS (SELECT CAST(sum(CAST(w AS DECIMAL(38,6))) AS DECIMAL(38,6))
+             AS wsum,
+           CAST(sum(pool_tokens) AS BIGINT) AS corpus_tokens FROM p),
+         b AS (SELECT lang, pool_tokens,
+           CAST(floor(CAST(corpus_tokens AS DOUBLE) * 2
+             * (w / CAST(wsum AS DOUBLE))) AS BIGINT) AS budget
+         FROM p, t),
+         c AS (SELECT d.doc_id, d.lang, d.n_tokens,
+           b.budget, b.pool_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (PARTITION BY d.lang
+             ORDER BY pri, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum_before
+         FROM d JOIN b USING (lang)),
+         e AS (SELECT doc_id, lang, n_tokens,
+           budget // pool_tokens + CASE WHEN cum_before
+             < budget % pool_tokens THEN 1 ELSE 0 END AS n_copies
+         FROM c)
+         SELECT doc_id, lang, n_tokens,
+           CAST(n_copies AS BIGINT) AS n_copies,
+           unnest(range(n_copies)) AS epoch
+         FROM e WHERE n_copies >= 1 ORDER BY doc_id, epoch""",
     "contamination_check" ->
       """WITH sh AS (SELECT doc_id,
            CASE WHEN len(toks)>=3 THEN list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]

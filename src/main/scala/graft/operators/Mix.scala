@@ -108,6 +108,90 @@ object Mix {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-based mixture weights over LANGUAGE pools — the
+    * multilingual rebalancing scheme of XLM-R (Conneau et al., 2020)
+    * and the Gopher/PaLM data recipes: sampling probability
+    * p_i ∝ n_i^α with α = ½ lifts low-resource pools above their
+    * natural share and damps the dominant one (on this corpus: en
+    * falls 0.43 → 0.30, each ~0.14 pool rises to ~0.17) without the
+    * degenerate extremes of α = 0 (uniform) or α = 1 (natural).
+    *
+    * Every number is cross-engine exact: α = ½ is computed via
+    * `sqrt` (correctly-rounded IEEE on both engines — a general
+    * `pow` is NOT, which is why the exponent is fixed), the weight
+    * normalizer sums 6-decimal-quantized weights as DECIMAL
+    * (order-free), and the budget is one double multiply + floor of
+    * the take (2× corpus tokens — a data-constrained regime, so the
+    * upsampling path is exercised: rare pools run > 2 epochs, the
+    * dominant one ~1.4, cf. Muennighoff et al. 2023 on multi-epoch
+    * training under data constraints).
+    *
+    * Scale shape: one map-side-combinable aggregation to pool sizes
+    * (5-row frame), one 1-row normalizer, broadcast back — the corpus
+    * is scanned once.
+    */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame =
+    tempBudgets(s, dir)
+      .select(col("lang"), col("pool_tokens"), col("nat_share"),
+        col("sample_p"), col("budget"),
+        round(col("budget").cast("double") / col("pool_tokens"), 6)
+          .as("epochs"))
+      .orderBy(col("lang"))
+
+  /** Per-language temperature budgets (shared by [[mixTemperature]]
+    * and [[mixUpsample]]): (lang, pool_tokens, nat_share, sample_p,
+    * budget). The pools frame is language-count-sized; every
+    * consumer broadcasts it.
+    */
+  private def tempBudgets(s: SparkSession, dir: String): DataFrame = {
+    val pools = load(s, dir, "documents")
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(sum("n_tokens").as("pool_tokens"))
+      .withColumn("w", round(sqrt(col("pool_tokens").cast("double")), 6))
+      .cache()
+    val totals = pools.agg(
+      sum(col("w").cast("decimal(38,6)")).as("wsum"),
+      sum("pool_tokens").as("corpus_tokens"))
+    pools.crossJoin(broadcast(totals))
+      .select(col("lang"), col("pool_tokens"),
+        round(col("pool_tokens").cast("double") / col("corpus_tokens"), 6)
+          .as("nat_share"),
+        round(col("w") / col("wsum").cast("double"), 6).as("sample_p"),
+        floor(col("corpus_tokens").cast("double") * lit(2)
+          * (col("w") / col("wsum").cast("double"))).as("budget"))
+  }
+
+  /** The upsampled training manifest [[mixTemperature]]'s budgets
+    * imply: each document of pool i appears `budget_i div n_i` times
+    * in full, plus once more for the md5-priority prefix filling the
+    * remainder (same deterministic priority and keep-the-boundary-doc
+    * rule as [[mixSources]]) — the repetition list a data-constrained
+    * run feeds the loader, with `epoch` numbering the copies. The
+    * explode is by n_copies (≤ ⌈max epochs⌉, a small constant), so
+    * output scales as epochs × corpus, never combinatorially.
+    */
+  def mixUpsample(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string").cast("binary")).as("pri"))
+    val byPri = Window.partitionBy(col("lang"))
+      .orderBy(col("pri"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(broadcast(tempBudgets(s, dir)), "lang")
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(byPri), lit(0L)))
+      .withColumn("n_copies", expr("budget div pool_tokens") +
+        when(col("cum_before") < col("budget") % col("pool_tokens"), 1L)
+          .otherwise(0L))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_copies"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
   /** The mixture audit: realized vs requested share per source — what
     * a pipeline logs to confirm the mix landed (admitted tokens per
     * source, its budget, and the fill ratio). The ratio is one double

@@ -51,4 +51,55 @@ class MixSpec extends SparkSpec {
     val b = Mix.mixSources(spark, sf).collect().map(_.getAs[Long]("doc_id"))
     assert(a.sameElements(b))
   }
+
+  test("temperature: α = ½ pulls sampling shares toward uniform — " +
+      "rare pools lift above natural share, the dominant one damps") {
+    val rows = Mix.mixTemperature(spark, sf).collect()
+    assert(rows.length > 1, "needs multiple language pools")
+    val uniform = 1.0 / rows.length
+    rows.foreach { r =>
+      val nat = r.getAs[Double]("nat_share")
+      val p = r.getAs[Double]("sample_p")
+      // p sits strictly between natural and uniform (α ∈ (0,1)),
+      // up to the 6-decimal display rounding
+      if (nat < uniform)
+        assert(p >= nat - 1e-6 && p <= uniform + 1e-6,
+          s"${r.getAs[String]("lang")}: p=$p not in [$nat, $uniform]")
+      else
+        assert(p <= nat + 1e-6 && p >= uniform - 1e-6,
+          s"${r.getAs[String]("lang")}: p=$p not in [$uniform, $nat]")
+    }
+    // probabilities normalize; budgets account the 2× take up to one
+    // floor per pool
+    val psum = rows.map(_.getAs[Double]("sample_p")).sum
+    assert(math.abs(psum - 1.0) < 1e-4, s"Σp = $psum")
+    val corpus = rows.map(_.getAs[Long]("pool_tokens")).sum
+    val budgets = rows.map(_.getAs[Long]("budget")).sum
+    assert(budgets <= 2 * corpus && budgets >= 2 * corpus - rows.length)
+  }
+
+  test("upsample manifest: per-pool admitted tokens land within one " +
+      "doc of the budget, and copies are densely numbered") {
+    val budgets = Mix.mixTemperature(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("budget")).toMap
+    val rows = Mix.mixUpsample(spark, sf).collect()
+    // epoch numbering per doc is 0..n_copies-1, no gaps
+    rows.groupBy(r => r.getAs[Long]("doc_id")).foreach { case (_, g) =>
+      val copies = g.head.getAs[Long]("n_copies")
+      assert(g.map(_.getAs[Long]("epoch")).sorted.toSeq ==
+        (0L until copies).toSeq)
+    }
+    // the manifest totals the budget to within one boundary doc per
+    // pool (the kept crossing doc can overshoot by its own length)
+    val maxDoc = rows.map(_.getAs[Long]("n_tokens")).max
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, g) =>
+      val toks = g.map(_.getAs[Long]("n_tokens")).sum
+      val b = budgets(lang)
+      assert(toks >= b && toks <= b + maxDoc,
+        s"$lang: manifest $toks vs budget $b")
+      // data-constrained take (2× corpus): every pool actually repeats
+      assert(g.exists(_.getAs[Long]("epoch") >= 1),
+        s"$lang never upsampled under the 2× take")
+    }
+  }
 }
