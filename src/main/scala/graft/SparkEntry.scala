@@ -80,6 +80,9 @@ object SparkEntry {
     "percentiles_qty" -> (Relational.percentilesQty _),
     "asof_join" -> (Temporal.asOfJoin _),
     "range_join_bands" -> (Temporal.rangeJoinBands _),
+    // trailing z-score anomaly flags over the daily series (exact
+    // integer window sums → bit-identical variance both engines)
+    "events_anomaly" -> (Temporal.eventsAnomaly _),
     "sample_stratified" -> (Sampling.stratified _),
     "sample_quota" -> (Sampling.quotaSample _),
     "dedup_clusters" -> (Dedup.clusters _),
@@ -108,6 +111,9 @@ object SparkEntry {
     "approx_distinct_hll" -> (graft.operators.Approx.hllDistinct _),
     "approx_quantiles" -> (graft.operators.Approx.approxQuantiles _),
     "approx_heavy_hitters" -> (graft.operators.Approx.heavyHitters _),
+    // rows-only: the sketch-merge audit (per-shard HLL sketches
+    // union-merged vs one-pass vs exact); ApproxSpec pins the merge
+    "approx_hll_merge" -> (graft.operators.Approx.hllMergeAudit _),
     "approx_distinct_kmv" -> ((s, dir) => Tables.load(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(graft.functions.KMVDistinct(col("l_orderkey"), 256).as("est_orders"))
@@ -225,6 +231,9 @@ object SparkEntry {
     // lexical Jaccard + semantic cosine fused by reciprocal ranks
     "hybrid_topk" -> (Retrieval.hybridTopK _),
     "text_quality" -> (TextAnalysis.quality _),
+    // one-pass threshold sweep of the quality knob (kept docs/tokens
+    // per candidate alpha-ratio cutoff)
+    "quality_sweep" -> (TextAnalysis.qualitySweep _),
     "text_tokens" -> (TextAnalysis.tokenStats _),
     "text_token_totals" -> (TextAnalysis.tokenTotals _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
@@ -1390,6 +1399,26 @@ object SparkEntry {
              round(CAST(len(list_filter(toks, w -> w IN ('the','of','and','to','in','is','on','for','with','by','at','from'))) AS DOUBLE)/len(toks),6) AS stop_ratio
            FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents))
          ORDER BY doc_id""",
+    // grid thr = i/10 is one IEEE division on both engines; signals
+    // reuse text_quality's rounded forms
+    "quality_sweep" ->
+      """WITH q AS (SELECT doc_id,
+           CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+           round(CAST(len(regexp_replace(text,'[^a-z]','','g')) AS DOUBLE)
+             / len(text), 6) AS alpha_ratio
+         FROM documents),
+         t AS (SELECT count(*) AS tot_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM q),
+         g AS (SELECT CAST(i AS DOUBLE) / 10 AS thr
+           FROM range(10) AS r(i)),
+         k AS (SELECT thr, count(*) AS n_docs_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
+         FROM q JOIN g ON alpha_ratio >= thr GROUP BY thr)
+         SELECT thr, n_docs_kept, n_tokens_kept,
+           round(CAST(n_docs_kept AS DOUBLE) / tot_docs, 6) AS doc_frac,
+           round(CAST(n_tokens_kept AS DOUBLE) / tot_tokens, 6)
+             AS token_frac
+         FROM k, t ORDER BY thr""",
     "text_tokens" ->
       """SELECT doc_id, len(string_split(text,' ')) AS n_ws_tokens,
            len(regexp_extract_all(text,'[a-z]+')) AS n_words,
@@ -2054,6 +2083,27 @@ object SparkEntry {
            count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // variance from exact integer window sums: (n·Σx² − (Σx)²)/(n(n−1))
+    // — one double division, so z-scores are bit-identical
+    "events_anomaly" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           count(*) AS n_events FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, day, n_events,
+           count(*) OVER win AS n_win,
+           sum(n_events) OVER win AS s1,
+           sum(n_events*n_events) OVER win AS s2
+         FROM d WINDOW win AS (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, day, n_events,
+           round(CAST(s1 AS DOUBLE) / n_win, 6) AS trailing_mean,
+           round((CAST(n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / n_win)
+             / sqrt(CAST(n_win*s2 - s1*s1 AS DOUBLE)
+               / (n_win*(n_win-1))), 6) AS z_score,
+           abs((CAST(n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / n_win)
+             / sqrt(CAST(n_win*s2 - s1*s1 AS DOUBLE)
+               / (n_win*(n_win-1)))) > 2 AS anomaly
+         FROM w WHERE n_win >= 3 AND n_win*s2 - s1*s1 > 0
+         ORDER BY event_type, day""",
     "events_sessions" ->
       """SELECT user_id, min(ts) AS session_start, count(*) AS n_events
          FROM (

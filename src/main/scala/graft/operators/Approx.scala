@@ -43,6 +43,36 @@ object Approx {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** The MERGEABILITY contract of distributed sketches, made explicit
+    * and measured — the property every 100 TB sketch aggregation
+    * rests on (map-side partials merge into the same answer as a
+    * single pass): per-source DataSketches HLL sketches are built
+    * independently (as shards would), union-merged, and the merged
+    * estimate is compared against the one-pass sketch AND the exact
+    * distinct count. One output row; ApproxSpec pins merged ≡ direct
+    * (register-exact under a shared lgConfigK) and both within the
+    * sketch's error envelope of exact. At 100 TB the per-source
+    * sketches are per-PARTITION partials that never reshuffle raw
+    * ids; the union is a tiny final merge.
+    */
+  def hllMergeAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").cache()
+    val direct = docs.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(doc_id, 14))")
+        .as("est_direct"),
+      countDistinct(col("doc_id")).as("exact_distinct"))
+    val merged = docs.groupBy(col("source"))
+      .agg(expr("hll_sketch_agg(doc_id, 14)").as("sk"))
+      .agg(count(lit(1)).as("n_shards"),
+        // second arg = allowDifferentLgConfigK: all shards share
+        // lgk 14, so strict mode documents the register-exact merge
+        expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+          .as("est_merged"))
+    direct.crossJoin(broadcast(merged))
+      .select(col("exact_distinct"), col("n_shards"),
+        col("est_direct"), col("est_merged"))
+  }
+
   /** Heavy hitters: estimated top-20 corpus tokens via Spark's
     * `approx_top_k` sketch — bounded state per partition and a single
     * merge, vs the exact path's full (token, count) shuffle. With the

@@ -87,4 +87,49 @@ object Temporal {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("cohort_wk"), col("weeks_since"))
   }
+
+  /** Statistical anomaly flagging over the daily event series — the
+    * monitoring query an operations pipeline runs on ingest volume:
+    * each (event_type, day) count is z-scored against its trailing
+    * window of the 7 PRECEDING OBSERVATIONS (ROWS, not calendar days
+    * — gap days don't shrink the baseline), and |z| > 2 flags the
+    * day. Needs ≥ 3 baseline points and non-degenerate variance.
+    *
+    * Cross-engine exactness despite being a variance computation: the
+    * window aggregates are exact integer sums (count, Σ, Σ²), the
+    * sample variance is the integer identity (n·Σ² − Σ²ᵢ)∕(n(n−1)) —
+    * ONE double division of two exact integers — and mean/z each add
+    * one correctly-rounded IEEE op, so the z-scores are bit-identical
+    * on both engines and the query hash-oracles (`events_anomaly`).
+    *
+    * Scale shape: one map-side-combinable daily aggregation (output
+    * is days × types — tiny relative to events), then a partitioned
+    * window over it. No shuffle touches raw events twice.
+    */
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("n_events")).over(w))
+      .withColumn("s2", sum(col("n_events") * col("n_events")).over(w))
+      .filter(col("n_win") >= 3)
+      .filter(col("n_win") * col("s2") - col("s1") * col("s1") > 0)
+      .withColumn("mean", col("s1").cast("double") / col("n_win"))
+      .withColumn("variance",
+        (col("n_win") * col("s2") - col("s1") * col("s1")).cast("double")
+          / (col("n_win") * (col("n_win") - 1)))
+      .withColumn("z",
+        (col("n_events").cast("double") - col("mean"))
+          / sqrt(col("variance")))
+      .select(col("event_type"), col("day"), col("n_events"),
+        round(col("mean"), 6).as("trailing_mean"),
+        round(col("z"), 6).as("z_score"),
+        (abs(col("z")) > 2).as("anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

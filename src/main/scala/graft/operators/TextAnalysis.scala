@@ -89,6 +89,43 @@ object TextAnalysis {
         col("n_tokens") >= 10 && col("ttr") >= 0.2 && col("alpha_ratio") >= 0.6)
   }
 
+  /** Threshold-sweep audit for the quality knob — the curve a curator
+    * reads BEFORE choosing a cutoff: for each candidate alpha-ratio
+    * threshold (0.0 … 0.9), the documents and tokens that survive and
+    * their corpus fractions. Tuning a filter by re-running the
+    * pipeline per threshold scans the corpus T times; this computes
+    * the whole curve in ONE pass — each doc fans out to the
+    * thresholds it passes (a ×T row explode of three narrow columns,
+    * map-side combined down to T rows before the shuffle).
+    *
+    * Cross-engine exactness: the signals reuse [[qualityRows]]'s
+    * rounded forms, the grid is i/10 evaluated as one IEEE division
+    * on both engines, and the fractions are single divisions of
+    * exact counts.
+    */
+  def qualitySweep(s: SparkSession, dir: String): DataFrame = {
+    val q = qualityRows(load(s, dir, "documents"))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("alpha_ratio"))
+      .cache()
+    val tot = q.agg(count(lit(1)).as("tot_docs"),
+      sum("n_tokens").as("tot_tokens"))
+    q.select(col("alpha_ratio"), col("n_tokens"),
+        explode(sequence(lit(0), lit(9))).as("i"))
+      .withColumn("thr", col("i").cast("double") / 10.0)
+      .filter(col("alpha_ratio") >= col("thr"))
+      .groupBy(col("thr"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum("n_tokens").as("n_tokens_kept"))
+      .crossJoin(broadcast(tot))
+      .select(col("thr"), col("n_docs_kept"), col("n_tokens_kept"),
+        round(col("n_docs_kept").cast("double") / col("tot_docs"), 6)
+          .as("doc_frac"),
+        round(col("n_tokens_kept").cast("double") / col("tot_tokens"), 6)
+          .as("token_frac"))
+      .orderBy(col("thr"))
+  }
+
   // --- 3. token counting ----------------------------------------------
 
   /** Whitespace tokens plus a BPE-ish subword estimate: word tokens via

@@ -69,4 +69,19 @@ class ApproxSpec extends SparkSpec {
     val absent = (1000000L until 1010000L).count(bloom.mightContain)
     assert(absent <= 10000 * 0.06, s"fpp too high: $absent/10000")
   }
+
+  test("HLL merge audit: per-shard sketches union to the one-pass " +
+      "answer; both inside the sketch's error envelope of exact") {
+    val r = Approx.hllMergeAudit(spark, sf).collect().head
+    val exact = r.getAs[Long]("exact_distinct").toDouble
+    val direct = r.getAs[Long]("est_direct").toDouble
+    val merged = r.getAs[Long]("est_merged").toDouble
+    assert(r.getAs[Long]("n_shards") > 1, "needs real shards to merge")
+    // the mergeability contract: a union of independently built
+    // shard sketches (same lgk) estimates what one pass estimates
+    assert(merged == direct,
+      s"union-merged $merged != one-pass $direct")
+    assert(math.abs(direct - exact) / exact < 0.05,
+      s"estimate $direct vs exact $exact")
+  }
 }

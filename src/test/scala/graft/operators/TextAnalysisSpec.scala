@@ -218,4 +218,21 @@ class TextAnalysisSpec extends SparkSpec {
       }
     }
   }
+
+  test("quality sweep: monotone non-increasing in the threshold; " +
+      "thr=0 keeps the whole corpus") {
+    val rows = TextAnalysis.qualitySweep(spark, sf).collect()
+      .map(r => (r.getAs[Double]("thr"), r.getAs[Long]("n_docs_kept"),
+        r.getAs[Long]("n_tokens_kept"), r.getAs[Double]("doc_frac")))
+      .sortBy(_._1)
+    assert(rows.head._1 == 0.0 && rows.head._4 == 1.0,
+      "thr=0 must keep every doc")
+    rows.sliding(2).foreach {
+      case Array((ta, da, ka, _), (tb, db, kb, _)) =>
+        assert(tb > ta)
+        assert(db <= da && kb <= ka,
+          s"kept counts climbed from thr=$ta to $tb")
+      case _ =>
+    }
+  }
 }
