@@ -114,6 +114,10 @@ object SparkEntry {
     // rows-only: the sketch-merge audit (per-shard HLL sketches
     // union-merged vs one-pass vs exact); ApproxSpec pins the merge
     "approx_hll_merge" -> (graft.operators.Approx.hllMergeAudit _),
+    // rows-only: CMS frequency audit over the exact top-20 tokens
+    // (never undercounts, ε·N overcount, shard-merge ≡ direct —
+    // ApproxSpec pins all three)
+    "approx_cms_freq" -> (graft.operators.Approx.cmsFreqAudit _),
     "approx_distinct_kmv" -> ((s, dir) => Tables.load(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(graft.functions.KMVDistinct(col("l_orderkey"), 256).as("est_orders"))
@@ -234,6 +238,10 @@ object SparkEntry {
     // one-pass threshold sweep of the quality knob (kept docs/tokens
     // per candidate alpha-ratio cutoff)
     "quality_sweep" -> (TextAnalysis.qualitySweep _),
+    // corpus drift: pairwise Jensen-Shannon divergence between the
+    // sources' unigram distributions + per-source Shannon entropy
+    "drift_js_divergence" -> (graft.operators.Drift.sourceTokenJsd _),
+    "drift_entropy" -> (graft.operators.Drift.sourceEntropy _),
     "text_tokens" -> (TextAnalysis.tokenStats _),
     "text_token_totals" -> (TextAnalysis.tokenTotals _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
@@ -255,6 +263,12 @@ object SparkEntry {
     "curriculum_order" -> (Curriculum.order _),
     "corpus_shuffle" -> (Shuffle.permute _),
     "split_manifest" -> (Sampling.splitAudit _),
+    // split keyed by near-dup CLUSTER representative: near-twins can
+    // never straddle train/val — the contamination-safe holdout
+    "split_leakage_safe" -> (Sampling.leakageSafeSplit _),
+    // how many near-dup pairs the NAIVE split lets straddle each
+    // boundary — the leakage the cluster-keyed split removes
+    "split_contamination" -> (Sampling.splitContamination _),
     // rows-only: 3 unrolled rounds of sorted-fold means have no
     // readable SQL form; exact-pinned by KMeansSpec's sequential
     // replay (see KMeans scaladoc)
@@ -1399,6 +1413,46 @@ object SparkEntry {
              round(CAST(len(list_filter(toks, w -> w IN ('the','of','and','to','in','is','on','for','with','by','at','from'))) AS DOUBLE)/len(toks),6) AS stop_ratio
            FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents))
          ORDER BY doc_id""",
+    // per-pair token union via FULL OUTER join on (pair, token);
+    // log2 written as ln/ln 2 in both engines; the vocab-sized sum's
+    // FP accumulation error (~1e-12) is six orders below the 6-decimal
+    // rounding grain
+    "drift_js_divergence" ->
+      """WITH c AS (SELECT source, tok, count(*) AS n FROM
+           (SELECT source, unnest(string_split(text,' ')) AS tok FROM documents)
+           WHERE tok <> '' GROUP BY 1, 2),
+         t AS (SELECT source, sum(n) AS tot FROM c GROUP BY 1),
+         p AS (SELECT c.source, tok,
+             CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+           FROM c JOIN t USING (source)),
+         pr AS (SELECT a.source AS sa, b.source AS sb
+           FROM t a, t b WHERE a.source < b.source),
+         l AS (SELECT sa, sb, tok, p FROM pr JOIN p ON p.source = pr.sa),
+         r AS (SELECT sa, sb, tok, p AS q FROM pr JOIN p ON p.source = pr.sb),
+         u AS (SELECT coalesce(l.sa, r.sa) AS sa, coalesce(l.sb, r.sb) AS sb,
+             coalesce(l.p, 0) AS p, coalesce(r.q, 0) AS q
+           FROM l FULL JOIN r
+             ON l.sa = r.sa AND l.sb = r.sb AND l.tok = r.tok)
+         SELECT sa, sb, count(*) AS n_union_vocab,
+           round(sum(
+             CASE WHEN p > 0 THEN p * (ln(2*p/(p+q))/ln(2)) ELSE 0 END / 2 +
+             CASE WHEN q > 0 THEN q * (ln(2*q/(p+q))/ln(2)) ELSE 0 END / 2),
+             6) AS jsd_bits
+         FROM u GROUP BY 1, 2 ORDER BY 1, 2""",
+    "drift_entropy" ->
+      """WITH c AS (SELECT source, tok, count(*) AS n FROM
+           (SELECT source, unnest(string_split(text,' ')) AS tok FROM documents)
+           WHERE tok <> '' GROUP BY 1, 2),
+         t AS (SELECT source, sum(n) AS tot FROM c GROUP BY 1),
+         p AS (SELECT c.source, tok,
+             CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+           FROM c JOIN t USING (source)),
+         e AS (SELECT source, count(*) AS vocab,
+             round(-sum(p * (ln(p)/ln(2))), 6) AS entropy_bits
+           FROM p GROUP BY 1)
+         SELECT e.source, CAST(t.tot AS BIGINT) AS n_tokens, vocab,
+           entropy_bits
+         FROM e JOIN t ON e.source = t.source ORDER BY 1""",
     // grid thr = i/10 is one IEEE division on both engines; signals
     // reuse text_quality's rounded forms
     "quality_sweep" ->
@@ -1741,6 +1795,52 @@ object SparkEntry {
          SELECT doc_id, mean_lp, CAST(rank AS BIGINT) AS rank,
            CAST((rank - 1) * 10 // n AS BIGINT) AS decile
          FROM r ORDER BY doc_id""",
+    // same J >= 0.5 pairs as dedup_clusters; each side's split is the
+    // naive md5-CASE, pair canonicalized with least/greatest
+    "split_contamination" ->
+      """WITH sh AS (SELECT doc_id,
+           CASE WHEN len(toks)>=3 THEN list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+             for i in range(1,len(toks)-1)]) ELSE [text] END AS sh
+         FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a, sh b
+           WHERE a.doc_id < b.doc_id
+             AND len(list_intersect(a.sh,b.sh))*1.0/len(list_distinct(a.sh||b.sh)) >= 0.5),
+         sp AS (SELECT doc_id, CASE
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'e' THEN 'val'
+             ELSE 'test' END AS split FROM documents)
+         SELECT least(sa.split, sb.split) AS split_a,
+           greatest(sa.split, sb.split) AS split_b,
+           count(*) AS n_pairs
+         FROM pairs JOIN sp sa ON pairs.id_a = sa.doc_id
+           JOIN sp sb ON pairs.id_b = sb.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the dedup_clusters recursive CTE gives the representative; the
+    // split is the same md5-CASE applied to the REP, not the doc id
+    "split_leakage_safe" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id,
+           CASE WHEN len(toks)>=3 THEN list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+             for i in range(1,len(toks)-1)]) ELSE [text] END AS sh
+         FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a, sh b
+           WHERE a.doc_id < b.doc_id
+             AND len(list_intersect(a.sh,b.sh))*1.0/len(list_distinct(a.sh||b.sh)) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach AS (SELECT src AS id, src AS lbl FROM edges
+           UNION SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         cl AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id)
+         SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS rep,
+           CASE
+             WHEN substr(md5(CAST(coalesce(cl.cluster, d.doc_id) AS VARCHAR)), 1, 1) < 'e'
+               THEN 'train'
+             WHEN substr(md5(CAST(coalesce(cl.cluster, d.doc_id) AS VARCHAR)), 1, 1) = 'e'
+               THEN 'val'
+             ELSE 'test' END AS split
+         FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+         ORDER BY d.doc_id""",
     // universe-hash split membership is a pure function of the key:
     // the same CASE over the md5 first hex digit on both engines
     "split_manifest" ->

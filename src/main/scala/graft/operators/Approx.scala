@@ -73,6 +73,49 @@ object Approx {
         col("est_direct"), col("est_merged"))
   }
 
+  /** Count-min-sketch frequency audit: for the EXACT top-20 corpus
+    * tokens, the exact count next to two sketch estimates — one from a
+    * single-pass sketch, one from per-source sketches merged (as
+    * shard partials would be at 100 TB). The classic CMS guarantees
+    * are what the spec pins: never an undercount (every counter the
+    * item hashes to saw all its increments), overcount bounded by
+    * ε·N w.h.p., and counter-exact mergeability under a shared
+    * (depth, width, seed) — the merged estimate EQUALS the direct one
+    * because corresponding counters simply add.
+    *
+    * Scale shape: two map-side-combinable sketch aggregations (state
+    * is the fixed ε×δ counter array, ~112 KB each, independent of
+    * corpus size) plus the exact top-k's (token, count) aggregation.
+    * Driver work is bounded: |sources| sketches merged + 20 probes.
+    * Rows-only — sketch internals are engine-specific, like the rest
+    * of the sketch family.
+    */
+  def cmsFreqAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val (eps, conf, seed) = (0.001, 0.99, 42)
+    val toks = load(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .cache() // three consumers: exact top-k, direct sketch, shards
+    val topExact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok")).limit(20).collect()
+    val agg = s"count_min_sketch(tok, ${eps}d, ${conf}d, $seed)"
+    val direct = CountMinSketch.readFrom(
+      toks.agg(expr(agg).as("sk")).head.getAs[Array[Byte]]("sk"))
+    val merged = toks.groupBy(col("source")).agg(expr(agg).as("sk"))
+      .collect().map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]]("sk")))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    toks.unpersist()
+    val rows = topExact.toSeq.map { r =>
+      val t = r.getAs[String]("tok")
+      (t, r.getAs[Long]("n_exact"),
+        direct.estimateCount(t), merged.estimateCount(t))
+    }
+    import s.implicits._
+    rows.toDF("tok", "n_exact", "est_direct", "est_merged")
+      .orderBy(col("n_exact").desc, col("tok"))
+  }
+
   /** Heavy hitters: estimated top-20 corpus tokens via Spark's
     * `approx_top_k` sketch — bounded state per partition and a single
     * merge, vs the exact path's full (token, count) shuffle. With the

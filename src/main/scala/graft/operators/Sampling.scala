@@ -103,4 +103,68 @@ object Sampling {
         col("o_custkey"))
       .orderBy(col("o_orderpriority"), col("rn"))
   }
+
+  /** The leakage problem `splitAssign` has and this fixes: hashing the
+    * DOC id sends near-duplicate documents to independent splits, so a
+    * model evaluated on `val` has effectively seen its near-twins in
+    * `train` — the contamination that inflates held-out metrics (the
+    * published dedup pipelines split AFTER clustering for exactly this
+    * reason). Here the split is a pure function of the near-dup
+    * CLUSTER representative (min doc_id of the J ≥ 0.5 component;
+    * singletons represent themselves), so an entire cluster moves as
+    * one unit and near-twins can never straddle a split boundary —
+    * while keeping every universe-hash property (reproducible, stable
+    * under corpus growth, no RNG).
+    *
+    * Scale shape: the cluster labels come from the Hash-to-Min CC
+    * loop (all equi-joins); the join-back to docs is an equi-join on
+    * doc_id against the only-docs-with-edges label frame (≪ corpus);
+    * the split CASE is the same narrow codegen projection as
+    * `splitAssign`. Nothing new shuffles the corpus.
+    */
+  def leakageSafeSplitFrom(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val rep = docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster"), col("doc_id")))
+    rep.select(col("doc_id"), col("rep"),
+      when(substring(md5(col("rep").cast("string")), 1, 1) < "e", "train")
+        .when(substring(md5(col("rep").cast("string")), 1, 1) === "e", "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Per-doc leakage-safe manifest over the corpus (oracled as
+    * `split_leakage_safe`).
+    */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame =
+    leakageSafeSplitFrom(
+      load(s, dir, "documents").select(col("doc_id")),
+      Dedup.clusters(s, dir))
+      .orderBy(col("doc_id"))
+
+  /** The contamination MEASUREMENT the leakage-safe split removes:
+    * how many near-dup pairs (J ≥ 0.5) the naive doc-id split lets
+    * straddle each split boundary. (train,val) and (train,test) rows
+    * here are exactly the pairs that inflate held-out metrics;
+    * same-split rows are harmless. Both split columns come from the
+    * NAIVE assignment on purpose — run next to `split_leakage_safe`
+    * (where every cross-split count is zero by construction) to see
+    * what switching buys.
+    *
+    * Scale: the pair frame is the shingle-index equi-join (already
+    * bucketed, never all-pairs); the two split lookups are narrow
+    * md5 projections joined by doc id; output is ≤ 6 rows.
+    */
+  def splitContamination(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(s, dir)
+      .select(col("id_a"), col("id_b"))
+    val splits = splitAssign(s, dir).select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.toDF("doc_id", "split_of_a"), col("id_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(splits.toDF("doc_id", "split_of_b"), col("id_b") === col("doc_id"))
+      .select(least(col("split_of_a"), col("split_of_b")).as("split_a"),
+        greatest(col("split_of_a"), col("split_of_b")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
 }

@@ -70,6 +70,30 @@ class ApproxSpec extends SparkSpec {
     assert(absent <= 10000 * 0.06, s"fpp too high: $absent/10000")
   }
 
+  test("CMS frequency audit: never undercounts, overcount within the " +
+      "ε·N envelope, shard-merge counter-exact vs the one-pass sketch") {
+    val rows = Approx.cmsFreqAudit(spark, sf).collect()
+    assert(rows.length == 20)
+    val n = Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0).count()
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact")
+      val direct = r.getAs[Long]("est_direct")
+      val merged = r.getAs[Long]("est_merged")
+      // CMS one-sided error: counters only ever over-count
+      assert(direct >= exact, s"CMS undercounted: $r")
+      // ε = 0.001, 2× slack for the per-query δ across 20 probes
+      assert(direct <= exact + (2 * 0.001 * n).toLong + 1,
+        s"overcount above the ε·N envelope (N=$n): $r")
+      // merge under shared (depth,width,seed) adds counters exactly
+      assert(merged == direct, s"shard-merge drifted from one-pass: $r")
+    }
+    // top-20 is exact and descending
+    val counts = rows.map(_.getAs[Long]("n_exact"))
+    assert(counts.sameElements(counts.sortBy(-_)))
+  }
+
   test("HLL merge audit: per-shard sketches union to the one-pass " +
       "answer; both inside the sketch's error envelope of exact") {
     val r = Approx.hllMergeAudit(spark, sf).collect().head

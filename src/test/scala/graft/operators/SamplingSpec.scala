@@ -56,6 +56,66 @@ class SamplingSpec extends SparkSpec {
     assert(audit == bySplit)
   }
 
+  test("leakage-safe split: clusters are split-pure; the naive split " +
+      "would straddle the planted near-dup chain") {
+    import spark.implicits._
+    // planted cluster {1,3} picked so the NAIVE doc-id split separates
+    // its members: md5("1") starts 'c' (train), md5("3") starts 'e'
+    // (val) — the exact contamination the cluster-keyed split prevents
+    val docs = Seq(1L, 3L, 7L, 20L).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (3L, 1L)).toDF("doc_id", "cluster")
+    val safe = Sampling.leakageSafeSplitFrom(docs, clusters).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rep"), r.getAs[String]("split"))).toMap
+    // cluster members share the REP's split…
+    assert(safe(1L) == safe(3L), s"cluster must be split-pure: $safe")
+    assert(safe(1L)._1 == 1L)
+    // …and the naive per-doc split would have separated them
+    val naive = Sampling.splitAssign(spark, sf)
+    val naiveSplit = (id: Long) =>
+      spark.sql(s"SELECT CASE WHEN substr(md5('$id'),1,1) < 'e' THEN 'train' " +
+        s"WHEN substr(md5('$id'),1,1) = 'e' THEN 'val' ELSE 'test' END")
+        .head.getString(0)
+    assert(naiveSplit(1L) != naiveSplit(3L),
+      "planted ids must straddle under the naive split for this test to bite")
+    // singletons (no cluster row) represent themselves
+    assert(safe(7L)._1 == 7L && safe(20L)._1 == 20L)
+    assert(safe(7L)._2 == naiveSplit(7L))
+    // corpus-level: every real near-dup cluster is split-pure
+    val corpus = Sampling.leakageSafeSplit(spark, sf)
+    val impure = corpus.groupBy(col("rep"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(impure == 0, s"$impure clusters straddle a split boundary")
+    assert(naive.count() == corpus.count())
+  }
+
+  test("split contamination: accounts for every near-dup pair; " +
+      "cluster-keyed split has zero cross-split pairs by construction") {
+    val rows = Sampling.splitContamination(spark, sf).collect()
+    val total = Dedup.ngramJaccardPairs(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == total,
+      "every pair lands in exactly one (split_a, split_b) cell")
+    rows.foreach { r =>
+      assert(r.getAs[String]("split_a") <= r.getAs[String]("split_b"),
+        s"pair cell not canonicalized: $r")
+      assert(Set("train", "val", "test")(r.getAs[String]("split_a")))
+    }
+    // the safe split's version of the same measurement is all-diagonal:
+    // join pairs against the CLUSTER-keyed assignment instead
+    val safe = Sampling.leakageSafeSplit(spark, sf)
+      .select(col("doc_id"), col("split"))
+    val pairs = Dedup.ngramJaccardPairs(spark, sf)
+      .select(col("id_a"), col("id_b"))
+    val cross = pairs
+      .join(safe.toDF("doc_id", "s_a"), col("id_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(safe.toDF("doc_id", "s_b"), col("id_b") === col("doc_id"))
+      .filter(col("s_a") =!= col("s_b")).count()
+    assert(cross == 0,
+      s"$cross near-dup pairs straddle a split under the SAFE assignment")
+  }
+
   test("universe filter is deterministic and rate-monotone") {
     val keys = Tables.load(spark, sf, "orders").select(col("o_orderkey"))
     def n(sixteenths: Int): Long = keys
