@@ -86,6 +86,8 @@ object SparkEntry {
     "sample_stratified" -> (Sampling.stratified _),
     "sample_quota" -> (Sampling.quotaSample _),
     "dedup_clusters" -> (Dedup.clusters _),
+    // the dedup report's headline: n_clusters per component size
+    "dedup_cluster_sizes" -> (Dedup.clusterSizes _),
     "anti_join" -> (Relational.antiJoinCustomers _),
     "distinct_segments" -> (Relational.distinctSegments _),
     "rollup_orders" -> (Relational.rollupOrders _),
@@ -242,6 +244,9 @@ object SparkEntry {
     // sources' unigram distributions + per-source Shannon entropy
     "drift_js_divergence" -> (graft.operators.Drift.sourceTokenJsd _),
     "drift_entropy" -> (graft.operators.Drift.sourceEntropy _),
+    // one-pass ANALYZE-style numeric profile; variance from exact
+    // integer-scaled sums keeps a stddev computation hash-oracled
+    "profile_numeric" -> (graft.operators.Profile.profileNumeric _),
     "text_tokens" -> (TextAnalysis.tokenStats _),
     "text_token_totals" -> (TextAnalysis.tokenTotals _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
@@ -517,6 +522,23 @@ object SparkEntry {
                ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
            FROM orders) t
          WHERE rn <= 25 ORDER BY o_orderpriority, rn""",
+    "dedup_cluster_sizes" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id,
+           CASE WHEN len(toks)>=3 THEN list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+             for i in range(1,len(toks)-1)]) ELSE [text] END AS sh
+         FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a, sh b
+           WHERE a.doc_id < b.doc_id
+             AND len(list_intersect(a.sh,b.sh))*1.0/len(list_distinct(a.sh||b.sh)) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach AS (SELECT src AS id, src AS lbl FROM edges
+           UNION SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+         sz AS (SELECT cluster, count(*) AS cluster_size FROM cl GROUP BY 1)
+         SELECT cluster_size, count(*) AS n_clusters
+         FROM sz GROUP BY 1 ORDER BY 1""",
     "dedup_clusters" ->
       """WITH RECURSIVE sh AS (SELECT doc_id,
            CASE WHEN len(toks)>=3 THEN list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
@@ -1413,6 +1435,54 @@ object SparkEntry {
              round(CAST(len(list_filter(toks, w -> w IN ('the','of','and','to','in','is','on','for','with','by','at','from'))) AS DOUBLE)/len(toks),6) AS stop_ratio
            FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents))
          ORDER BY doc_id""",
+    // ×10^4 integer scaling makes every sum exact (HUGEINT there,
+    // scale-0 DECIMAL here); mean/stddev are the same short chain of
+    // correctly-rounded IEEE ops on both engines
+    "profile_numeric" ->
+      """WITH s AS (SELECT count(*) AS n,
+           count(DISTINCT l_quantity) AS nd_q,
+           min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+           sum(CAST(round(l_quantity*10000) AS HUGEINT)) AS sx_q,
+           sum(CAST(round(l_quantity*10000) AS HUGEINT)
+             * CAST(round(l_quantity*10000) AS HUGEINT)) AS sxx_q,
+           count(DISTINCT l_extendedprice) AS nd_e,
+           min(l_extendedprice) AS min_e, max(l_extendedprice) AS max_e,
+           sum(CAST(round(l_extendedprice*10000) AS HUGEINT)) AS sx_e,
+           sum(CAST(round(l_extendedprice*10000) AS HUGEINT)
+             * CAST(round(l_extendedprice*10000) AS HUGEINT)) AS sxx_e,
+           count(DISTINCT l_discount) AS nd_d,
+           min(l_discount) AS min_d, max(l_discount) AS max_d,
+           sum(CAST(round(l_discount*10000) AS HUGEINT)) AS sx_d,
+           sum(CAST(round(l_discount*10000) AS HUGEINT)
+             * CAST(round(l_discount*10000) AS HUGEINT)) AS sxx_d,
+           count(DISTINCT l_tax) AS nd_t,
+           min(l_tax) AS min_t, max(l_tax) AS max_t,
+           sum(CAST(round(l_tax*10000) AS HUGEINT)) AS sx_t,
+           sum(CAST(round(l_tax*10000) AS HUGEINT)
+             * CAST(round(l_tax*10000) AS HUGEINT)) AS sxx_t
+         FROM lineitem)
+         SELECT * FROM (
+           SELECT 'l_quantity' AS col_name, n, nd_q AS n_distinct,
+             min_q AS min_val, max_q AS max_val,
+             round(CAST(sx_q AS DOUBLE)/n/10000.0, 6) AS mean,
+             round(sqrt(CAST(n*sxx_q - sx_q*sx_q AS DOUBLE)
+               /(n*(n-1))/100000000.0), 6) AS stddev FROM s
+           UNION ALL
+           SELECT 'l_extendedprice', n, nd_e, min_e, max_e,
+             round(CAST(sx_e AS DOUBLE)/n/10000.0, 6),
+             round(sqrt(CAST(n*sxx_e - sx_e*sx_e AS DOUBLE)
+               /(n*(n-1))/100000000.0), 6) FROM s
+           UNION ALL
+           SELECT 'l_discount', n, nd_d, min_d, max_d,
+             round(CAST(sx_d AS DOUBLE)/n/10000.0, 6),
+             round(sqrt(CAST(n*sxx_d - sx_d*sx_d AS DOUBLE)
+               /(n*(n-1))/100000000.0), 6) FROM s
+           UNION ALL
+           SELECT 'l_tax', n, nd_t, min_t, max_t,
+             round(CAST(sx_t AS DOUBLE)/n/10000.0, 6),
+             round(sqrt(CAST(n*sxx_t - sx_t*sx_t AS DOUBLE)
+               /(n*(n-1))/100000000.0), 6) FROM s)
+         ORDER BY col_name""",
     // per-pair token union via FULL OUTER join on (pair, token);
     // log2 written as ln/ln 2 in both engines; the vocab-sized sum's
     // FP accumulation error (~1e-12) is six orders below the 6-decimal

@@ -455,6 +455,18 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Cluster-size histogram over [[clusters]] — the "how much dup
+    * mass" summary a dedup report leads with: n_clusters of each
+    * size ≥ 2 (docs with no near-dup edge never enter the component
+    * graph). Two tiny aggregations over the label frame; the removable
+    * count is Σ (size − 1)·n_clusters.
+    */
+  def clusterSizes(s: SparkSession, dir: String): DataFrame =
+    clusters(s, dir)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
   def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
     val e = load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),

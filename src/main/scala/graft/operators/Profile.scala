@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+
+/** Column profiling — the `ANALYZE TABLE` a pipeline runs before
+  * trusting a new dataset: per-column row count, distinct count,
+  * min/max, mean and sample standard deviation, in ONE corpus pass.
+  *
+  * Cross-engine exactness for a VARIANCE profile (the reason this is
+  * hash-oracled where engines' built-in `stddev` disagrees in final
+  * bits): every value is scaled to an integer (×10⁴ covers the
+  * table's ≤ 4 fractional digits) and summed as scale-0 DECIMAL —
+  * exact in both engines — so n·Σx² − (Σx)² is an exact integer.
+  * Mean and stddev then each take the SAME short chain of
+  * correctly-rounded IEEE ops (one cast, two divisions, sqrt) on
+  * both engines, and 6-decimal rounding closes the gap.
+  *
+  * Scale shape: one aggregation, map-side combinable. The four
+  * `count(DISTINCT)`s are the only cost to watch — Spark plans them
+  * as one Expand (×5 rows) feeding partial aggregates, still one
+  * shuffle of (column, value) pairs; the sketch family
+  * (`approx_distinct_hll`) is the 100 TB relaxation when exactness
+  * isn't required.
+  */
+object Profile {
+
+  private val Cols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** x scaled to an exact scale-0 decimal: all profiled columns carry
+    * ≤ 4 fractional digits, so round(x·10⁴) is an unambiguous
+    * integer (the product lands within 1e-6 of it).
+    */
+  private def vint(c: String): Column =
+    round(col(c) * 10000, 0).cast("decimal(38,0)")
+
+  def profileNumeric(s: SparkSession, dir: String): DataFrame = {
+    val aggs = count(lit(1)).as("n") +: Cols.flatMap { c =>
+      Seq(
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"),
+        sum(vint(c)).as(s"sx_$c"),
+        sum(vint(c) * vint(c)).as(s"sxx_$c"))
+    }
+    val a = load(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+    // one row per column out of the single aggregate row: an inline'd
+    // struct array, so the aggregation runs once (not once per column)
+    val rows = Cols.map { c =>
+      val n = col("n")
+      val sx = col(s"sx_$c")
+      val sxx = col(s"sxx_$c")
+      struct(
+        lit(c).as("col_name"), n.as("n"),
+        col(s"nd_$c").as("n_distinct"),
+        col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"),
+        round(sx.cast("double") / n / lit(10000.0), 6).as("mean"),
+        round(sqrt((n * sxx - sx * sx).cast("double")
+          / (n * (n - lit(1))) / lit(100000000.0)), 6).as("stddev"))
+    }
+    a.select(inline(array(rows: _*))).orderBy(col("col_name"))
+  }
+}

@@ -164,6 +164,18 @@ class DedupSpec extends SparkSpec {
     assert(got.values.toSet.subsetOf(got.keySet))
   }
 
+  test("cluster-size histogram accounts for every clustered doc; " +
+      "all components have size >= 2") {
+    val labelled = Dedup.clusters(spark, sf).count()
+    val hist = Dedup.clusterSizes(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster_size") -> r.getAs[Long]("n_clusters"))
+    assert(hist.nonEmpty)
+    assert(hist.forall(_._1 >= 2),
+      s"components are >= 2 docs by construction: ${hist.toSeq}")
+    assert(hist.map { case (sz, k) => sz * k }.sum == labelled,
+      "sum(size * n_clusters) must equal the labelled-doc count")
+  }
+
   test("semantic dedup equals the in-cell restriction of the exact " +
       "pair screen; cross-cluster pairs are the documented miss") {
     val out = Dedup.semantic(spark, sf).collect()
