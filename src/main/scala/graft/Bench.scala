@@ -2,18 +2,31 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
 
-  /** Fingerprint of a query's EXECUTED physical plan (AQE-final once
-    * the action ran), canonicalized so run-varying tokens — expression
-    * ids, plan/stage ids, object addresses, temp paths, UUIDs — hash
-    * identically across runs. Purpose: instant noise-vs-regression
-    * adjudication in the bench record. A timing swing whose `plan_sha`
-    * is unchanged is host noise BY CONSTRUCTION (same plan, same data);
+  /** Fingerprint of a query's EXECUTED physical plan (AQE-final),
+    * canonicalized so run-varying tokens — expression ids, plan/stage
+    * ids, object addresses, temp paths, UUIDs — hash identically
+    * across runs. Purpose: instant noise-vs-regression adjudication
+    * in the bench record. A timing swing whose `plan_sha` is
+    * unchanged is host noise BY CONSTRUCTION (same plan, same data);
     * a changed `plan_sha` marks a genuine plan change to investigate.
     * (The r6 354s record and r7's 6x per-query swings each cost a
     * manual plan-diff session to adjudicate; this closes that loop.)
+    *
+    * The frame MUST have had its OWN plan executed before hashing:
+    * `df.count()` executes a DERIVED aggregate plan and leaves the
+    * frame itself at `isFinalPlan=false`, where the printed join
+    * strategy comes from cached-relation size ESTIMATES — observed
+    * flipping BHJ↔SMJ run-to-run when an estimate hovered at the
+    * broadcast threshold, which made fingerprints spuriously drift.
+    * The bench finalizes each frame with one untimed
+    * `toRdd.foreachPartition` pass before hashing.
     */
-  def planSha(df: DataFrame): String = {
-    val norm = df.queryExecution.executedPlan.toString
+  /** The canonicalized executed-plan text [[planSha]] hashes — exposed
+    * so a fingerprint mismatch can be diffed directly
+    * (SPARK_GRAFT_DUMP_PLANS=dir writes one file per query).
+    */
+  def planNorm(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
       .replaceAll("#\\d+", "#")                  // exprIds
       .replaceAll("plan_id=\\d+", "plan_id=")
       .replaceAll("\\bid=#?\\d+", "id=")         // stage/exchange ids
@@ -23,8 +36,10 @@ object Bench {
       .replaceAll("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-" +
         "[0-9a-f]{12}", "_uuid_")
       .replaceAll("/tmp/[^\\s,\\)\\]]+", "/tmp/_") // per-run temp dirs
+
+  def planSha(df: DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest(planNorm(df).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(6).map(b => f"$b%02x").mkString
   }
 
@@ -73,8 +88,24 @@ object Bench {
         val (a, b) = (once(), once())
         // fingerprint from the last executed frame — best-effort, a
         // fingerprinting failure must never fail the bench
+        // one untimed pass over the frame's OWN plan so AQE finalizes
+        // it (see planSha doc), then hash; a fingerprinting failure
+        // must never fail the bench
         def sha: String =
-          try planSha(lastDf) catch { case _: Throwable => "" }
+          try {
+            lastDf.queryExecution.toRdd.foreachPartition(_ => ())
+            // fingerprint-debug hook: dump the exact canonicalized
+            // text the sha hashes, one file per query, for diffing
+            sys.env.get("SPARK_GRAFT_DUMP_PLANS").foreach { d =>
+              java.nio.file.Files.createDirectories(
+                java.nio.file.Paths.get(d))
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(d, s"$name.txt"),
+                planNorm(lastDf)
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+            planSha(lastDf)
+          } catch { case _: Throwable => "" }
         val best: Either[String, (Double, Int, String)] =
           if (a < 0 || b < 0) Left(err)
           else {
