@@ -85,6 +85,9 @@ object SparkEntry {
     "events_anomaly" -> (Temporal.eventsAnomaly _),
     "sample_stratified" -> (Sampling.stratified _),
     "sample_quota" -> (Sampling.quotaSample _),
+    // Efraimidis-Spirakis weighted sample: md5-derived uniforms,
+    // inclusion probability proportional to n_chars, no RNG
+    "sample_weighted" -> (Sampling.weightedSample _),
     "dedup_clusters" -> (Dedup.clusters _),
     // the dedup report's headline: n_clusters per component size
     "dedup_cluster_sizes" -> (Dedup.clusterSizes _),
@@ -248,6 +251,12 @@ object SparkEntry {
     // integer-scaled sums keeps a stddev computation hash-oracled
     "profile_numeric" -> (graft.operators.Profile.profileNumeric _),
     "text_tokens" -> (TextAnalysis.tokenStats _),
+    // token-mass coverage of the top-V vocabulary for a V grid —
+    // the tokenizer-design curve, exact integer masses
+    "vocab_coverage" -> (TextAnalysis.vocabCoverage _),
+    // span-level benchmark contamination: the window positions a
+    // surgical decontamination pass would cut
+    "contamination_spans" -> (TextAnalysis.contaminationSpans _),
     "text_token_totals" -> (TextAnalysis.tokenTotals _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_tfidf" -> (TextAnalysis.tfidfTop _),
@@ -1911,6 +1920,38 @@ object SparkEntry {
              ELSE 'test' END AS split
          FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
          ORDER BY d.doc_id""",
+    // u = first 13 md5 hex digits / 2^52 (exact power-of-2 division,
+    // bit-identical); key = -ln(u)/w selects the same set barring
+    // ulp-level key collisions; output columns are exact integers
+    "sample_weighted" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+           -ln(list_sum([ (strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+               * power(16, 13-i) for i in range(1,14) ])
+             / 4503599627370496.0) / n_chars AS es_key
+         FROM documents),
+         r AS (SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY es_key, doc_id) AS rank
+           FROM k)
+         SELECT CAST(rank AS INT) AS rank, doc_id, n_chars
+         FROM r WHERE rank <= 50 ORDER BY rank""",
+    // rank ties broken by token text so the top-V set is identical;
+    // coverage is one division of exact integer masses
+    "vocab_coverage" ->
+      """WITH c AS (SELECT tok, count(*) AS n FROM
+           (SELECT unnest(string_split(text,' ')) AS tok FROM documents)
+           WHERE tok <> '' GROUP BY 1),
+         r AS (SELECT tok, n,
+             row_number() OVER (ORDER BY n DESC, tok) AS rnk
+           FROM c),
+         g AS (SELECT unnest([256, 1024, 4096, 16384, 65536])
+           AS vocab_size)
+         SELECT vocab_size,
+           CAST(sum(CASE WHEN rnk <= vocab_size THEN n ELSE 0 END)
+             AS BIGINT) AS n_covered,
+           round(CAST(sum(CASE WHEN rnk <= vocab_size THEN n ELSE 0 END)
+               AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS coverage
+         FROM r, g GROUP BY 1 ORDER BY 1""",
     // universe-hash split membership is a pure function of the key:
     // the same CASE over the md5 first hex digit on both engines
     "split_manifest" ->
@@ -2069,6 +2110,22 @@ object SparkEntry {
            CAST(n_copies AS BIGINT) AS n_copies,
            unnest(range(n_copies)) AS epoch
          FROM e WHERE n_copies >= 1 ORDER BY doc_id, epoch""",
+    // POSITIONAL windows (no list_distinct): pos zips with the window
+    // list on both engines; probe is a semi-join on the distinct
+    // benchmark set
+    "contamination_spans" ->
+      """WITH w AS (SELECT doc_id,
+           CASE WHEN len(toks)>=3 THEN [toks[i]||' '||toks[i+1]||' '||toks[i+2]
+             for i in range(1,len(toks)-1)] ELSE [text] END AS w
+         FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
+         p AS (SELECT doc_id, unnest(range(0, len(w))) AS pos,
+             unnest(w) AS win FROM w),
+         b AS (SELECT DISTINCT win FROM p WHERE doc_id % 100 = 0)
+         SELECT doc_id AS train_id, count(*) AS n_cont_windows,
+           CAST(min(pos) AS INT) AS first_pos,
+           CAST(max(pos) AS INT) AS last_pos
+         FROM p WHERE doc_id % 100 <> 0 AND win IN (SELECT win FROM b)
+         GROUP BY 1 ORDER BY 1""",
     "contamination_check" ->
       """WITH sh AS (SELECT doc_id,
            CASE WHEN len(toks)>=3 THEN list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]

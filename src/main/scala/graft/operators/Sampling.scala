@@ -140,6 +140,39 @@ object Sampling {
       Dedup.clusters(s, dir))
       .orderBy(col("doc_id"))
 
+  /** Deterministic weighted sampling without replacement (Efraimidis–
+    * Spirakis 2006): each row draws u from ITS OWN md5 (the first 13
+    * hex digits over 2⁵², an exact power-of-two division, so u is
+    * bit-identical on any engine) and the k rows with the smallest
+    * key = −ln(u)/w win — inclusion probability ∝ weight, here
+    * n_chars, the "sample long documents proportionally more" knob a
+    * curator uses for importance-weighted eval sets. Same universe-
+    * hash virtues as the unweighted samplers: reproducible, stable
+    * under re-partitioning, no RNG state.
+    *
+    * ln is ~1-ulp across engines, which can only flip the SELECTED
+    * set if two keys collide to within that ulp (astronomically
+    * unlikely over md5 draws); the OUTPUT columns are exact integers,
+    * so the query hash-oracles. Plan: narrow projection +
+    * TakeOrderedAndProject (partial per-partition top-k, no global
+    * sort).
+    */
+  val WeightedK = 50
+
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+      16, 10).cast("long").cast("double") / lit(4503599627370496.0) // 2^52
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("es_key", -log(u) / col("n_chars"))
+      .orderBy(col("es_key"), col("doc_id"))
+      .limit(WeightedK)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("es_key"), col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("n_chars"))
+  }
+
   /** The contamination MEASUREMENT the leakage-safe split removes:
     * how many near-dup pairs (J ≥ 0.5) the naive doc-id split lets
     * straddle each split boundary. (train,val) and (train,test) rows

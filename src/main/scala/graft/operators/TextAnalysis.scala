@@ -126,6 +126,45 @@ object TextAnalysis {
       .orderBy(col("thr"))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-design dial: for each
+    * candidate vocabulary size V (256 … 64k, the top-V tokens by
+    * corpus frequency), the fraction of total token MASS those V
+    * types cover. Read before fixing a vocab size: the V where the
+    * curve flattens is where more vocabulary stops buying coverage.
+    *
+    * Exactness: counts and cumulative masses are exact integers; the
+    * coverage is ONE division per grid point. Rank ties broken by
+    * token text so the top-V set is engine-identical.
+    *
+    * Scale shape: the corpus collapses to a vocab-sized (token, n)
+    * aggregate (map-side combinable) before anything else; the rank
+    * assignment is a window over that VOCAB-sized frame (≪ corpus —
+    * the single-partition window is over type counts, never rows),
+    * and the grid evaluation is a conditional aggregation over
+    * vocab × 6 rows.
+    */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val counts = load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val ranked = counts.withColumn("rnk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("tok"))))
+    import s.implicits._
+    val grid = Seq(256, 1024, 4096, 16384, 65536).toDF("vocab_size")
+    ranked
+      .crossJoin(broadcast(grid))
+      .groupBy(col("vocab_size"))
+      .agg(sum(col("n")).as("n_total"),
+        sum(when(col("rnk") <= col("vocab_size"), col("n"))
+          .otherwise(lit(0L))).as("n_covered"))
+      .select(col("vocab_size"), col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_total"), 6)
+          .as("coverage"))
+      .orderBy(col("vocab_size"))
+  }
+
   // --- 3. token counting ----------------------------------------------
 
   /** Whitespace tokens plus a BPE-ish subword estimate: word tokens via
@@ -291,6 +330,40 @@ object TextAnalysis {
         round(col("n_shared").cast("double") / col("bench_sh"), 6)
           .as("overlap_frac"))
       .orderBy(col("train_id"), col("bench_id"))
+  }
+
+  /** Span-level contamination: WHERE the benchmark overlap sits inside
+    * each training document — the positions a surgical decontamination
+    * pass would cut (dropping whole docs for one leaked sentence, as
+    * the doc-level [[contamination]] verdict would force, wastes the
+    * rest of the document). Every positional 3-token window of a
+    * training doc is probed against the distinct benchmark shingle
+    * set; output is the contaminated window count and the first/last
+    * hit position per affected doc.
+    *
+    * Scale shape: the probe is a LEFT SEMI equi-join against the
+    * benchmark set (benchmark-sized, broadcast — eval suites are tiny
+    * next to a training corpus), then one per-doc aggregation. The
+    * positional explode is the only corpus-sized intermediate and it
+    * never shuffles raw text — only (doc, pos, 24B hashable window).
+    */
+  def contaminationSpans(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val wins = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3), i =>
+        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3))))
+      .otherwise(array(col("text")))
+    val p = load(s, dir, "documents")
+      .select(col("doc_id"), posexplode(wins).as(Seq("pos", "win")))
+    val bench = p.filter(col("doc_id") % 100 === 0)
+      .select(col("win")).distinct()
+    p.filter(col("doc_id") % 100 =!= 0)
+      .join(broadcast(bench), Seq("win"), "left_semi")
+      .groupBy(col("doc_id").as("train_id"))
+      .agg(count(lit(1)).as("n_cont_windows"),
+        min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"))
+      .orderBy(col("train_id"))
   }
 
   // --- 8. corpus-wide boilerplate ------------------------------------

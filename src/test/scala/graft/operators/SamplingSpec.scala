@@ -116,6 +116,26 @@ class SamplingSpec extends SparkSpec {
       s"$cross near-dup pairs straddle a split under the SAFE assignment")
   }
 
+  test("weighted sample: exactly k, rerun-identical, and selection " +
+      "skews toward heavy documents") {
+    val got = Sampling.weightedSample(spark, sf).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_chars")))
+    assert(got.length == Sampling.WeightedK)
+    assert(got.map(_._1).toSeq == (1 to Sampling.WeightedK))
+    val again = Sampling.weightedSample(spark, sf).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_chars")))
+    assert(got.sameElements(again), "pure function of the corpus")
+    // inclusion probability ∝ n_chars: the sampled mean must exceed
+    // the corpus mean (a size-biased sample overweights heavy docs)
+    val corpusMean = Tables.load(spark, sf, "documents")
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    val sampleMean = got.map(_._3).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"size-biased sample mean $sampleMean <= corpus mean $corpusMean")
+  }
+
   test("universe filter is deterministic and rate-monotone") {
     val keys = Tables.load(spark, sf, "orders").select(col("o_orderkey"))
     def n(sixteenths: Int): Long = keys

@@ -219,6 +219,48 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("contamination spans: positions well-formed; every doc-level " +
+      "detection reappears at span level") {
+    val spans = TextAnalysis.contaminationSpans(spark, sf).collect()
+    assert(spans.nonEmpty, "corpus plants doc_id % 100 == 0 benchmark docs")
+    spans.foreach { r =>
+      assert(r.getAs[Long]("n_cont_windows") >= 1)
+      val (f, l) = (r.getAs[Int]("first_pos"), r.getAs[Int]("last_pos"))
+      assert(f >= 0 && f <= l, s"span bounds out of order: $r")
+    }
+    // doc-level contamination needs >= 2 shared DISTINCT shingles, so
+    // each flagged doc has >= 2 contaminated windows here — a strict
+    // subset of the span-level view (which starts at 1 window)
+    val docLevel = TextAnalysis.contamination(spark, sf).collect()
+      .map(_.getAs[Long]("train_id")).toSet
+    val spanIds = spans.map(_.getAs[Long]("train_id")).toSet
+    assert(docLevel.subsetOf(spanIds),
+      s"doc-level hits missing at span level: ${docLevel -- spanIds}")
+    spans.filter(r => docLevel(r.getAs[Long]("train_id"))).foreach { r =>
+      assert(r.getAs[Long]("n_cont_windows") >= 2)
+    }
+  }
+
+  test("vocab coverage: monotone nondecreasing in V, bounded by 1, " +
+      "saturating once V exceeds the corpus vocabulary") {
+    val rows = TextAnalysis.vocabCoverage(spark, sf).collect()
+      .map(r => (r.getAs[Int]("vocab_size"), r.getAs[Long]("n_covered"),
+        r.getAs[Double]("coverage"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(256, 1024, 4096, 16384, 65536))
+    rows.sliding(2).foreach {
+      case Array((_, ca, va), (_, cb, vb)) =>
+        assert(cb >= ca && vb >= va, s"coverage must grow with V: ${rows.toSeq}")
+      case _ =>
+    }
+    assert(rows.forall(r => r._3 > 0.0 && r._3 <= 1.0))
+    val vocab = graft.Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0).distinct().count()
+    rows.filter(_._1 >= vocab).foreach { r =>
+      assert(r._3 == 1.0, s"V=${r._1} >= vocab=$vocab must cover all: $r")
+    }
+  }
+
   test("quality sweep: monotone non-increasing in the threshold; " +
       "thr=0 keeps the whole corpus") {
     val rows = TextAnalysis.qualitySweep(spark, sf).collect()
