@@ -25,8 +25,13 @@ object Bench {
     * so a fingerprint mismatch can be diffed directly
     * (SPARK_GRAFT_DUMP_PLANS=dir writes one file per query).
     */
-  def planNorm(df: DataFrame): String =
-    df.queryExecution.executedPlan.toString
+  // grouping-key lists print in AttributeSet order, which follows
+  // exprIds and therefore session history — sort the list (the key
+  // SET is the semantic content)
+  private val keysRe = "keys=\\[([^\\]]*)\\]".r
+
+  def planNorm(df: DataFrame): String = {
+    val base = df.queryExecution.executedPlan.toString
       .replaceAll("#\\d+", "#")                  // exprIds
       .replaceAll("plan_id=\\d+", "plan_id=")
       .replaceAll("\\bid=#?\\d+", "id=")         // stage/exchange ids
@@ -36,6 +41,32 @@ object Bench {
       .replaceAll("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-" +
         "[0-9a-f]{12}", "_uuid_")
       .replaceAll("/tmp/[^\\s,\\)\\]]+", "/tmp/_") // per-run temp dirs
+      // lambda variable names embed a JVM-GLOBAL counter (lambda
+      // x_7 vs lambda x_684 depending on how many lambdas the
+      // session built before this query) — the one order-dependent
+      // token exprId stripping misses; same for common-subexpression
+      // aliases (_common_expr_9)
+      .replaceAll("\\blambda ([A-Za-z]+)_\\d+", "lambda $1_")
+      .replaceAll("_common_expr_\\d+", "_common_expr_")
+      // AQE materializes stages in completion order, so stage numbers
+      // race; count(DISTINCT) Expand gid assignments permute with
+      // exprId history
+      .replaceAll("(Shuffle|Broadcast|TableCache|Result)QueryStage \\d+",
+        "$1QueryStage")
+      .replaceAll("gid# = \\d+", "gid# = ")
+      // codegen stage numbering follows AQE assembly order
+      .replaceAll("\\*\\(\\d+\\)", "*(")
+    val keysSorted = keysRe.replaceAllIn(base,
+      m => java.util.regex.Matcher.quoteReplacement(
+        "keys=[" + m.group(1).split(", ").sorted.mkString(", ") + "]"))
+    // hashpartitioning attribute lists print in AttributeSet order too
+    hashPartRe.replaceAllIn(keysSorted,
+      m => java.util.regex.Matcher.quoteReplacement(
+        "hashpartitioning(" +
+          m.group(1).split(", ").sorted.mkString(", ") + ")"))
+  }
+
+  private val hashPartRe = "hashpartitioning\\(([^)]*)\\)".r
 
   def planSha(df: DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("MD5")

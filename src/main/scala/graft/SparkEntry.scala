@@ -88,6 +88,9 @@ object SparkEntry {
     // Efraimidis-Spirakis weighted sample: md5-derived uniforms,
     // inclusion probability proportional to n_chars, no RNG
     "sample_weighted" -> (Sampling.weightedSample _),
+    // grouped variant: exactly k per language, weighted by n_chars,
+    // top-k-per-group plan (WindowGroupLimit, no global sort)
+    "sample_weighted_quota" -> (Sampling.weightedQuota _),
     "dedup_clusters" -> (Dedup.clusters _),
     // the dedup report's headline: n_clusters per component size
     "dedup_cluster_sizes" -> (Dedup.clusterSizes _),
@@ -257,6 +260,9 @@ object SparkEntry {
     // span-level benchmark contamination: the window positions a
     // surgical decontamination pass would cut
     "contamination_spans" -> (TextAnalysis.contaminationSpans _),
+    // snapshot reconciliation: added/removed/changed/unchanged per
+    // doc from one full-outer signature join
+    "snapshot_diff" -> (graft.operators.Snapshot.snapshotDiff _),
     "text_token_totals" -> (TextAnalysis.tokenTotals _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_tfidf" -> (TextAnalysis.tfidfTop _),
@@ -1935,6 +1941,19 @@ object SparkEntry {
            FROM k)
          SELECT CAST(rank AS INT) AS rank, doc_id, n_chars
          FROM r WHERE rank <= 50 ORDER BY rank""",
+    "sample_weighted_quota" ->
+      """WITH k AS (SELECT lang, doc_id, n_chars,
+           -ln(list_sum([ (strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+               * power(16, 13-i) for i in range(1,14) ])
+             / 4503599627370496.0) / n_chars AS es_key
+         FROM documents),
+         r AS (SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY es_key, doc_id) AS rank
+           FROM k)
+         SELECT lang, CAST(rank AS INT) AS rank, doc_id, n_chars
+         FROM r WHERE rank <= 10 ORDER BY lang, rank""",
     // rank ties broken by token text so the top-V set is identical;
     // coverage is one division of exact integer masses
     "vocab_coverage" ->
@@ -2110,6 +2129,22 @@ object SparkEntry {
            CAST(n_copies AS BIGINT) AS n_copies,
            unnest(range(n_copies)) AS epoch
          FROM e WHERE n_copies >= 1 ORDER BY doc_id, epoch""",
+    // both snapshots derive deterministically from the same table;
+    // content equality via md5 signatures on both engines
+    "snapshot_diff" ->
+      """WITH p AS (SELECT doc_id,
+           md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [v1]'
+             ELSE text END) AS sig
+         FROM documents WHERE doc_id % 7 <> 0),
+         c AS (SELECT doc_id, md5(text) AS sig
+           FROM documents WHERE doc_id % 13 <> 0)
+         SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+           CASE WHEN p.sig IS NULL THEN 'added'
+             WHEN c.sig IS NULL THEN 'removed'
+             WHEN p.sig <> c.sig THEN 'changed'
+             ELSE 'unchanged' END AS status
+         FROM p FULL JOIN c ON p.doc_id = c.doc_id
+         ORDER BY 1""",
     // POSITIONAL windows (no list_distinct): pos zips with the window
     // list on both engines; probe is a semi-join on the distinct
     // benchmark set

@@ -173,6 +173,30 @@ object Sampling {
       .select(col("rank"), col("doc_id"), col("n_chars"))
   }
 
+  /** Per-stratum weighted quota: [[weightedSample]]'s selection rule
+    * applied within each language — exactly k docs per lang, chosen
+    * with probability ∝ n_chars. The grouped form matters at scale
+    * because its plan is the top-k-per-group shape (partial
+    * WindowGroupLimit inside each scan partition BEFORE the single
+    * hash shuffle on lang), not a global sort — the same shape
+    * `sample_quota` pins.
+    */
+  val WeightedGroupK = 10
+
+  def weightedQuota(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+      16, 10).cast("long").cast("double") / lit(4503599627370496.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("es_key"), col("doc_id"))
+    load(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        (-log(u) / col("n_chars")).as("es_key"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= WeightedGroupK)
+      .select(col("lang"), col("rank"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** The contamination MEASUREMENT the leakage-safe split removes:
     * how many near-dup pairs (J ≥ 0.5) the naive doc-id split lets
     * straddle each split boundary. (train,val) and (train,test) rows

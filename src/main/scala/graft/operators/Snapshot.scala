@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+
+/** Snapshot reconciliation — the diff a pipeline computes when a new
+  * corpus drop lands next to the previous one: which documents were
+  * added, removed, changed, or untouched. Everything downstream keys
+  * off this (incremental dedup screens only added/changed docs,
+  * embeddings recompute only the changed set, the index appends the
+  * delta instead of rebuilding).
+  *
+  * Scale shape: each snapshot collapses to a narrow (doc_id,
+  * content-signature) projection at the scan — raw text never
+  * shuffles — and the diff is ONE full-outer equi-join on the doc id
+  * plus a four-way CASE. Content equality via md5 signature, the
+  * same engine-portable hash the samplers use.
+  */
+object Snapshot {
+
+  /** The diff core over two (doc_id, sig) frames. */
+  def diffFrom(prev: DataFrame, curr: DataFrame): DataFrame =
+    prev.toDF("doc_id", "sig_prev")
+      .join(curr.toDF("doc_id", "sig_curr"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("sig_prev").isNull, "added")
+          .when(col("sig_curr").isNull, "removed")
+          .when(col("sig_prev") =!= col("sig_curr"), "changed")
+          .otherwise("unchanged").as("status"))
+
+  /** Corpus-level query (oracled as `snapshot_diff`): the "previous"
+    * snapshot is derived deterministically from the same table so the
+    * oracle can reproduce it — doc_id % 7 == 0 docs are new arrivals
+    * (absent before), % 11 == 0 docs carried different content, and
+    * the current drop lost doc_id % 13 == 0 docs. All four statuses
+    * are exercised.
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val prev = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" [v1]")))
+          .otherwise(col("text"))).as("sig"))
+    val curr = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("sig"))
+    diffFrom(prev, curr).orderBy(col("doc_id"))
+  }
+}

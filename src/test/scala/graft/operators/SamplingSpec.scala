@@ -136,6 +136,23 @@ class SamplingSpec extends SparkSpec {
       s"size-biased sample mean $sampleMean <= corpus mean $corpusMean")
   }
 
+  test("weighted quota: exactly k per language, plan is " +
+      "top-k-per-group (WindowGroupLimit), no global sort") {
+    val df = Sampling.weightedQuota(spark, sf)
+    val got = df.collect()
+    val perLang = got.groupBy(_.getAs[String]("lang"))
+    perLang.foreach { case (lang, rows) =>
+      assert(rows.length <= Sampling.WeightedGroupK)
+      assert(rows.map(_.getAs[Int]("rank")).sorted
+        .sameElements(1 to rows.length), s"dense ranks per $lang")
+    }
+    val plan = df.queryExecution.executedPlan
+    df.count()
+    assert(outerPlanNodes(df.queryExecution.executedPlan)
+      .exists(_.getClass.getSimpleName.contains("WindowGroupLimit")),
+      s"expected the partial top-k-per-group shape:\n$plan")
+  }
+
   test("universe filter is deterministic and rate-monotone") {
     val keys = Tables.load(spark, sf, "orders").select(col("o_orderkey"))
     def n(sixteenths: Int): Long = keys
