@@ -257,6 +257,11 @@ object SparkEntry {
     // token-mass coverage of the top-V vocabulary for a V grid —
     // the tokenizer-design curve, exact integer masses
     "vocab_coverage" -> (TextAnalysis.vocabCoverage _),
+    // heuristic-classifier audit: confusion matrix vs the labeled
+    // lang column, exact counts + row fractions
+    "langid_confusion" -> (TextAnalysis.langidConfusion _),
+    // collocations: PMI of the top bigrams from exact counts
+    "text_bigram_pmi" -> (TextAnalysis.bigramPmi _),
     // span-level benchmark contamination: the window positions a
     // surgical decontamination pass would cut
     "contamination_spans" -> (TextAnalysis.contaminationSpans _),
@@ -1425,6 +1430,44 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cos DESC, neighbor_id) AS rank FROM cand)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // same prediction CASE as text_langid, joined back to the label
+    "langid_confusion" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         p AS (SELECT doc_id,
+           CASE WHEN len(list_filter(toks, w -> w IN ('der','die','und','das','von','zu','mit','den','auf','ist','im','ein')))
+                   > greatest(len(list_filter(toks, w -> w IN ('the','of','and','to','in','is','on','for','with','by','at','from'))),
+                              len(list_filter(toks, w -> w IN ('el','la','de','que','y','en','un','por','con','los','del','las'))), 0) THEN 'de'
+                WHEN len(list_filter(toks, w -> w IN ('el','la','de','que','y','en','un','por','con','los','del','las')))
+                   > greatest(len(list_filter(toks, w -> w IN ('the','of','and','to','in','is','on','for','with','by','at','from'))), 0) THEN 'es'
+                WHEN len(list_filter(toks, w -> w IN ('the','of','and','to','in','is','on','for','with','by','at','from'))) > 0 THEN 'en'
+                ELSE 'und' END AS pred_lang
+           FROM t),
+         c AS (SELECT d.lang, p.pred_lang, count(*) AS n
+           FROM documents d JOIN p ON d.doc_id = p.doc_id
+           GROUP BY 1, 2),
+         tt AS (SELECT lang, sum(n) AS tot FROM c GROUP BY 1)
+         SELECT c.lang, c.pred_lang, c.n,
+           round(CAST(c.n AS DOUBLE) / tt.tot, 6) AS frac
+         FROM c JOIN tt ON c.lang = tt.lang
+         ORDER BY c.lang, c.pred_lang""",
+    // pmi = ln(n_xy*N / (n_x*n_y)): exact integer products cast to
+    // double (all far under 2^53), one division, one ln
+    "text_bigram_pmi" ->
+      """WITH tk AS (SELECT string_split(text,' ') AS toks FROM documents),
+         bi AS (SELECT x, y, count(*) AS n_xy FROM (
+             SELECT unnest([toks[i] for i in range(1, len(toks))]) AS x,
+               unnest([toks[i+1] for i in range(1, len(toks))]) AS y
+             FROM tk WHERE len(toks) >= 2)
+           GROUP BY 1, 2),
+         un AS (SELECT w, count(*) AS n FROM
+           (SELECT unnest(toks) AS w FROM tk) GROUP BY 1),
+         t AS (SELECT sum(n) AS big_n FROM un)
+         SELECT bi.x || ' ' || bi.y AS bigram, n_xy, ux.n AS n_x,
+           uy.n AS n_y,
+           round(ln(CAST(n_xy * big_n AS DOUBLE)
+             / CAST(ux.n * uy.n AS DOUBLE)), 6) AS pmi
+         FROM bi JOIN un ux ON bi.x = ux.w JOIN un uy ON bi.y = uy.w, t
+         ORDER BY n_xy DESC, bigram LIMIT 50""",
     "text_langid" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
          SELECT doc_id,

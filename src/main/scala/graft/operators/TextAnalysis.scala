@@ -54,6 +54,68 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-ID audit: the heuristic classifier's confusion matrix
+    * against the corpus's labeled `lang` column — (true lang,
+    * predicted lang, n, row fraction). The audit every heuristic
+    * filter needs before it gates a corpus: per-language recall sits
+    * on the diagonal, and systematic confusions (e.g. short docs
+    * falling to 'und') are visible as off-diagonal mass. Exact
+    * counts + one division per cell — hash-oracled.
+    *
+    * Scale: the classifier is a narrow codegen projection; the join
+    * back to labels is on the doc id; the matrix is |langs|² rows.
+    */
+  def langidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val pred = langId(s, dir).select(col("doc_id"), col("pred_lang"))
+    val truth = load(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val cells = truth.join(pred, "doc_id")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("lang")).agg(sum(col("n")).as("tot"))
+    cells.join(totals, "lang")
+      .select(col("lang"), col("pred_lang"), col("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("frac"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  /** Collocation extraction: PMI of the top-50 corpus bigrams —
+    * pmi = ln(n_xy·N ∕ (n_x·n_y)), positive when the pair co-occurs
+    * more than independence predicts (a fixed phrase), ~0 for chance
+    * neighbors. All counts exact integers; both products stay far
+    * under 2⁵³ so the cast is exact and the single division + ln is
+    * the same op chain on both engines — hash-oracled.
+    *
+    * Scale: positional pair explode → map-side-combinable bigram
+    * counts (vocab²-bounded but Zipf-tiny in practice), two
+    * vocab-sized equi-joins for the marginals, top-50 via partial
+    * TakeOrdered.
+    */
+  def bigramPmi(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2), i =>
+        struct(element_at(toks, i + 1).as("x"),
+          element_at(toks, i + 2).as("y"))))
+      .otherwise(array())
+    val docs = load(s, dir, "documents")
+    val bi = docs.select(explode(pairs).as("p"))
+      .select(col("p.x"), col("p.y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+    val uni = docs.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val total = uni.agg(sum(col("n")).as("big_n"))
+    bi
+      .join(uni.select(col("w").as("x"), col("n").as("n_x")), "x")
+      .join(uni.select(col("w").as("y"), col("n").as("n_y")), "y")
+      .crossJoin(broadcast(total))
+      .select(concat_ws(" ", col("x"), col("y")).as("bigram"),
+        col("n_xy"), col("n_x"), col("n_y"),
+        round(log((col("n_xy") * col("big_n")).cast("double")
+          / (col("n_x") * col("n_y")).cast("double")), 6).as("pmi"))
+      .orderBy(col("n_xy").desc, col("bigram"))
+      .limit(50)
+  }
+
   // --- 2. quality scoring ---------------------------------------------
 
   /** Per-document quality signals: length, token count, mean token

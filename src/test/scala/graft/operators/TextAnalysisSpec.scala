@@ -241,6 +241,45 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("langid confusion: counts account for every doc, row fractions " +
+      "sum to 1, and the en row is diagonal-dominant") {
+    val rows = TextAnalysis.langidConfusion(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("pred_lang"),
+        r.getAs[Long]("n"), r.getAs[Double]("frac")))
+    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_._3).sum == nDocs, "every doc lands in one cell")
+    assert(rows.forall(r => Set("en", "es", "de", "und")(r._2)),
+      "predictions limited to profiled languages + und")
+    rows.groupBy(_._1).foreach { case (lang, cells) =>
+      val s = cells.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"row $lang fracs sum to $s")
+    }
+    // the heuristic must at least recognize its own primary language:
+    // the (en, en) cell dominates the en row (the synthetic corpus's
+    // non-en labels carry English-ish text — which is exactly what
+    // this audit exists to expose; no diagonal pin for them)
+    val enRow = rows.filter(_._1 == "en")
+    assert(enRow.maxBy(_._3)._2 == "en", s"en row not diagonal: ${enRow.toSeq}")
+  }
+
+  test("bigram PMI: counts consistent, ordering stable, and the pmi " +
+      "value is exactly the stated formula") {
+    val rows = TextAnalysis.bigramPmi(spark, sf).collect()
+    assert(rows.length == 50)
+    val counts = rows.map(_.getAs[Long]("n_xy"))
+    assert(counts.sameElements(counts.sortBy(-_)))
+    val bigN = graft.Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w")).count()
+    rows.foreach { r =>
+      val (nxy, nx, ny) = (r.getAs[Long]("n_xy"), r.getAs[Long]("n_x"),
+        r.getAs[Long]("n_y"))
+      assert(nxy <= math.min(nx, ny), s"pair count above marginals: $r")
+      val want = math.log((nxy * bigN).toDouble / (nx * ny).toDouble)
+      assert(math.abs(r.getAs[Double]("pmi") - want) < 1e-6,
+        s"pmi drifted from ln(n_xy*N/(n_x*n_y)): $r vs $want")
+    }
+  }
+
   test("vocab coverage: monotone nondecreasing in V, bounded by 1, " +
       "saturating once V exceeds the corpus vocabulary") {
     val rows = TextAnalysis.vocabCoverage(spark, sf).collect()
