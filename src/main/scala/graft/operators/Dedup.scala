@@ -429,7 +429,11 @@ object Dedup {
     // convergence metric (sum of labels) is carried between rounds so
     // each round costs exactly ONE action; it is strictly decreasing
     // until the fixpoint because labels only ever shrink to the min
-    var prevSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+    // coalesce: sum over an EMPTY label frame is NULL (zero near-dup
+    // pairs — the empty-shard case), and the loop must converge
+    // immediately instead of throwing on the null row
+    var prevSum = labels.agg(coalesce(sum(col("lbl")), lit(0L)))
+      .head.getLong(0)
     var converged = false
     while (!converged) {
       val next = labels
@@ -438,7 +442,8 @@ object Dedup {
         .union(labels.select(col("id"), col("lbl")))
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
         .cache()
-      val curSum = next.agg(sum(col("lbl"))).head.getLong(0)
+      val curSum = next.agg(coalesce(sum(col("lbl")), lit(0L)))
+        .head.getLong(0)
       labels.unpersist()
       labels = next
       converged = curSum == prevSum

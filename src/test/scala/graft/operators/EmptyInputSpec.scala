@@ -54,7 +54,30 @@ class EmptyInputSpec extends SparkSpec {
       "sq_topk" -> (() => Sq.sqTopK(spark, emptyDir).count()),
       "ivfsq_topk" -> (() => Sq.ivfSqTopK(spark, emptyDir).count()),
       "ivf_filtered" -> (() =>
-        Similarity.ivfFilteredTopK(spark, emptyDir).count()))
+        Similarity.ivfFilteredTopK(spark, emptyDir).count()),
+      "drift_jsd" -> (() => Drift.sourceTokenJsd(spark, emptyDir).count()),
+      "drift_entropy" -> (() => Drift.sourceEntropy(spark, emptyDir).count()),
+      "weighted_sample" -> (() =>
+        Sampling.weightedSample(spark, emptyDir).count()),
+      "weighted_quota" -> (() =>
+        Sampling.weightedQuota(spark, emptyDir).count()),
+      "split_leakage_safe" -> (() =>
+        Sampling.leakageSafeSplit(spark, emptyDir).count()),
+      "split_contamination" -> (() =>
+        Sampling.splitContamination(spark, emptyDir).count()),
+      "snapshot_diff" -> (() =>
+        Snapshot.snapshotDiff(spark, emptyDir).count()),
+      "langid_confusion" -> (() =>
+        TextAnalysis.langidConfusion(spark, emptyDir).count()),
+      "bigram_pmi" -> (() => TextAnalysis.bigramPmi(spark, emptyDir).count()),
+      "contamination_spans" -> (() =>
+        TextAnalysis.contaminationSpans(spark, emptyDir).count()),
+      "quality_sweep" -> (() =>
+        TextAnalysis.qualitySweep(spark, emptyDir).count()),
+      "dedup_cluster_sizes" -> (() =>
+        Dedup.clusterSizes(spark, emptyDir).count()),
+      "vocab_coverage" -> (() =>
+        TextAnalysis.vocabCoverage(spark, emptyDir).count()))
     ops.foreach { case (name, run) =>
       val n = try run() catch {
         case e: Throwable => fail(s"$name threw on empty input: $e")
