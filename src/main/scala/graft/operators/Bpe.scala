@@ -165,7 +165,10 @@ object Bpe {
   private def trainedMergesConvergedLoop(s: SparkSession,
       dir: String): Seq[(Int, String, String, Long)] = {
     var words = vocab(s, dir).cache()
-    val totalFreq = words.agg(sum(col("freq"))).head.getLong(0)
+    // coalesce: an empty vocabulary (empty shard) must train zero
+    // merges, not throw on the NULL sum
+    val totalFreq = words.agg(coalesce(sum(col("freq")), lit(0L)))
+      .head.getLong(0)
     val minCount = math.max(2L, math.ceil(totalFreq * StopFrac).toLong)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var round = 1

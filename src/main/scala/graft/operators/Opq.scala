@@ -126,8 +126,8 @@ object Opq {
         // total distortion, DECIMAL-exact (order-free ⇒ the trace is
         // run-stable and the monotonicity pin is meaningful)
         dist += assigned
-          .agg(sum(round(col("d2"), 6).cast("decimal(38,6)"))
-            .cast("double")).head().getDouble(0)
+          .agg(coalesce(sum(round(col("d2"), 6).cast("decimal(38,6)"))
+            .cast("double"), lit(0.0))).head().getDouble(0)
         if (t < Iters) {
           // ŷ per vector: sub-centroids concatenated in subspace order
           val yhat = assigned.groupBy(col("vec_id"))
