@@ -250,6 +250,11 @@ object SparkEntry {
     // sources' unigram distributions + per-source Shannon entropy
     "drift_js_divergence" -> (graft.operators.Drift.sourceTokenJsd _),
     "drift_entropy" -> (graft.operators.Drift.sourceEntropy _),
+    // numeric-feature drift: max CDF gap (KS) on doc length per pair
+    "drift_ks_length" -> (graft.operators.Drift.lengthKs _),
+    // order-aware novelty: fraction of a doc's shingles FIRST seen
+    // in that doc — the admission-value signal
+    "text_novelty" -> (TextAnalysis.novelty _),
     // one-pass ANALYZE-style numeric profile; variance from exact
     // integer-scaled sums keeps a stddev computation hash-oracled
     "profile_numeric" -> (graft.operators.Profile.profileNumeric _),
@@ -1541,6 +1546,53 @@ object SparkEntry {
              round(sqrt(CAST(n*sxx_t - sx_t*sx_t AS DOUBLE)
                /(n*(n-1))/100000000.0), 6) FROM s)
          ORDER BY col_name""",
+    // CDF points are exact-integer divisions; step functions align by
+    // FULL OUTER join on (pair, value) + IGNORE NULLS forward fill;
+    // only the MAX gap is emitted
+    "drift_ks_length" ->
+      """WITH c AS (SELECT source, n_chars, count(*) AS c
+           FROM documents GROUP BY 1, 2),
+         t AS (SELECT source, sum(c) AS tot FROM c GROUP BY 1),
+         f AS (SELECT c.source, n_chars,
+             CAST(sum(c.c) OVER (PARTITION BY c.source ORDER BY n_chars
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST(tot AS DOUBLE) AS cdf
+           FROM c JOIN t USING (source)),
+         pr AS (SELECT a.source AS sa, b.source AS sb
+           FROM t a, t b WHERE a.source < b.source),
+         l AS (SELECT sa, sb, n_chars, cdf AS cdf_a
+           FROM pr JOIN f ON f.source = pr.sa),
+         r AS (SELECT sa, sb, n_chars, cdf AS cdf_b
+           FROM pr JOIN f ON f.source = pr.sb),
+         u AS (SELECT coalesce(l.sa, r.sa) AS sa,
+             coalesce(l.sb, r.sb) AS sb,
+             coalesce(l.n_chars, r.n_chars) AS n_chars, cdf_a, cdf_b
+           FROM l FULL JOIN r
+             ON l.sa = r.sa AND l.sb = r.sb AND l.n_chars = r.n_chars),
+         w AS (SELECT sa, sb,
+             coalesce(last_value(cdf_a IGNORE NULLS) OVER win, 0) AS fa,
+             coalesce(last_value(cdf_b IGNORE NULLS) OVER win, 0) AS fb
+           FROM u WINDOW win AS (PARTITION BY sa, sb ORDER BY n_chars
+             ROWS UNBOUNDED PRECEDING))
+         SELECT sa, sb, count(*) AS n_points,
+           round(max(abs(fa - fb)), 6) AS ks
+         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
+    // min(doc_id) per shingle = first corpus occurrence; novelty is
+    // the per-doc share of shingles it introduced
+    "text_novelty" ->
+      """WITH sh AS (SELECT doc_id,
+           CASE WHEN len(toks)>=3 THEN list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+             for i in range(1,len(toks)-1)]) ELSE [text] END AS sh
+         FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
+         p AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         fs AS (SELECT s, min(doc_id) AS first_doc FROM p GROUP BY 1)
+         SELECT p.doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN fs.first_doc = p.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN fs.first_doc = p.doc_id THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*), 6) AS novelty_frac
+         FROM p JOIN fs ON p.s = fs.s
+         GROUP BY 1 ORDER BY 1""",
     // per-pair token union via FULL OUTER join on (pair, token);
     // log2 written as ln/ln 2 in both engines; the vocab-sized sum's
     // FP accumulation error (~1e-12) is six orders below the 6-decimal

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.load
@@ -117,6 +118,55 @@ object Drift {
     counts.crossJoin(broadcast(tot))
       .select(col("tok"),
         (col("n").cast("double") / col("tot").cast("double")).as("p"))
+  }
+
+  /** Kolmogorov–Smirnov drift on a NUMERIC feature (document length):
+    * for each source pair, the max absolute CDF gap over doc-length
+    * distributions — the companion to [[sourceTokenJsd]] for
+    * numeric-feature drift (a source whose length distribution walks
+    * is re-chunked or truncated even when its vocabulary holds).
+    *
+    * Exactness: each CDF point is one division of exact integers;
+    * the step functions align by a FULL OUTER equi-join on (pair,
+    * value) with window forward-fill, and only the MAX gap is
+    * emitted (ulp-level ties in the max can't change the value).
+    *
+    * Scale shape: the corpus collapses to (source, length, n) counts
+    * first; everything after runs on that value-sized frame with
+    * per-pair windows. For continuous features at 100 TB, quantize
+    * the feature into bins first — the shape is unchanged.
+    */
+  def lengthKs(s: SparkSession, dir: String): DataFrame = {
+    val counts = load(s, dir, "documents")
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+      .cache()
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+    val wCdf = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+    val cdf = counts
+      .withColumn("cum", sum(col("c")).over(wCdf))
+      .join(totals, "source")
+      .select(col("source"), col("n_chars"),
+        (col("cum").cast("double") / col("tot").cast("double")).as("cdf"))
+    val pairs = totals.select(col("source").as("sa"))
+      .crossJoin(totals.select(col("source").as("sb")))
+      .filter(col("sa") < col("sb"))
+    val left = cdf.join(broadcast(pairs), col("source") === col("sa"))
+      .select(col("sa"), col("sb"), col("n_chars"), col("cdf").as("cdf_a"))
+    val right = cdf.join(broadcast(pairs), col("source") === col("sb"))
+      .select(col("sa"), col("sb"), col("n_chars"), col("cdf").as("cdf_b"))
+    val wFill = Window.partitionBy(col("sa"), col("sb"))
+      .orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.join(right, Seq("sa", "sb", "n_chars"), "full_outer")
+      .withColumn("fa", coalesce(
+        last(col("cdf_a"), ignoreNulls = true).over(wFill), lit(0.0)))
+      .withColumn("fb", coalesce(
+        last(col("cdf_b"), ignoreNulls = true).over(wFill), lit(0.0)))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_points"),
+        round(max(abs(col("fa") - col("fb"))), 6).as("ks"))
+      .orderBy(col("sa"), col("sb"))
   }
 
   /** Per-source Shannon entropy of the unigram distribution (bits) —

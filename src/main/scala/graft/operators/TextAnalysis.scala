@@ -428,6 +428,36 @@ object TextAnalysis {
       .orderBy(col("train_id"))
   }
 
+  /** Novelty scoring: what fraction of each document's distinct
+    * 3-token shingles appear FIRST in that document (corpus order =
+    * doc_id order) — the complement of boilerplate: a crawler's
+    * value-of-new-data signal, near 1 for genuinely new material,
+    * near 0 for reshuffles of already-seen text. The inverse view of
+    * [[dupNgrams]] (which asks "seen anywhere else"); novelty asks
+    * "seen EARLIER", so it is order-aware and usable as an
+    * incremental admission score.
+    *
+    * Scale shape: the inverted-index pattern — distinct (doc,
+    * shingle) explode, min(doc_id) per shingle (map-side
+    * combinable), one equi-join back, one per-doc aggregation.
+    * Ratios are exact integer divisions. Hash-oracled.
+    */
+  def novelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = load(s, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
+    val firstSeen = sh.groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6)
+          .as("novelty_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- 8. corpus-wide boilerplate ------------------------------------
 
   /** Duplicated-shingle fraction — the CCNet-style boilerplate signal

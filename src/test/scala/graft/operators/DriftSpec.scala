@@ -36,6 +36,33 @@ class DriftSpec extends SparkSpec {
     assert(jsd(("a", "c")) < jsd(("a", "d")))
   }
 
+  test("KS on length: identical distributions gap 0; disjoint supports " +
+      "gap 1; planted shift lands between; corpus pairs in [0,1]") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ks").toString
+    import spark.implicits._
+    // a ≡ b on lengths {3,7}; c shifts half the mass to 11; d fully
+    // above everyone (lengths {20,30})
+    Seq(
+      (1L, "t", "en", "a", 3L), (2L, "t", "en", "a", 7L),
+      (3L, "t", "en", "b", 3L), (4L, "t", "en", "b", 7L),
+      (5L, "t", "en", "c", 3L), (6L, "t", "en", "c", 11L),
+      (7L, "t", "en", "d", 20L), (8L, "t", "en", "d", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val ks = Drift.lengthKs(spark, dir).collect()
+      .map(r => (r.getAs[String]("sa"), r.getAs[String]("sb")) ->
+        r.getAs[Double]("ks")).toMap
+    assert(ks(("a", "b")) == 0.0, s"identical length CDFs: $ks")
+    assert(ks(("a", "d")) == 1.0, s"disjoint supports: $ks")
+    assert(ks(("a", "c")) == 0.5, s"half the mass moved: $ks")
+    val corpus = Drift.lengthKs(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val k = r.getAs[Double]("ks")
+      assert(k >= 0.0 && k <= 1.0, s"KS out of range: $r")
+    }
+  }
+
   test("corpus: every pair's JSD in [0,1]; entropy in [0, log2 vocab]; " +
       "uniform planted source attains the entropy bound") {
     val pairs = Drift.sourceTokenJsd(spark, sf).collect()

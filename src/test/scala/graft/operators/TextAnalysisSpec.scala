@@ -241,6 +241,36 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("novelty: first doc scores 1, a verbatim copy scores 0, and " +
+      "novel-shingle credit sums to the corpus vocabulary") {
+    val rows = TextAnalysis.novelty(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty_frac"))).toMap
+    // the corpus-order head introduced everything it contains
+    val firstDoc = rows.keys.min
+    assert(rows(firstDoc)._3 == 1.0, s"doc $firstDoc: ${rows(firstDoc)}")
+    rows.values.foreach { case (n, nov, f) =>
+      assert(nov >= 0 && nov <= n && f >= 0.0 && f <= 1.0)
+    }
+    // every distinct corpus shingle is credited to exactly one doc
+    val vocab = graft.Tables.load(spark, sf, "documents")
+      .select(explode(Dedup.shingles(col("text"))).as("sh"))
+      .distinct().count()
+    assert(rows.values.map(_._2).sum == vocab,
+      "sum of novel counts must equal the distinct shingle vocabulary")
+    // a planted verbatim copy of an earlier doc introduces nothing
+    val dir = java.nio.file.Files.createTempDirectory("graft-nov").toString
+    import spark.implicits._
+    Seq((1L, "a b c d e", "en", "s", 9L), (2L, "a b c d e", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val copy = TextAnalysis.novelty(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("novelty_frac"))
+      .toMap
+    assert(copy(1L) == 1.0 && copy(2L) == 0.0, s"copy must score 0: $copy")
+  }
+
   test("langid confusion: counts account for every doc, row fractions " +
       "sum to 1, and the en row is diagonal-dominant") {
     val rows = TextAnalysis.langidConfusion(spark, sf).collect()
