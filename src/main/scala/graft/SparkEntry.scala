@@ -273,6 +273,8 @@ object SparkEntry {
     // snapshot reconciliation: added/removed/changed/unchanged per
     // doc from one full-outer signature join
     "snapshot_diff" -> (graft.operators.Snapshot.snapshotDiff _),
+    // syndication matrix: exact-content overlap between source pairs
+    "source_overlap" -> (graft.operators.Snapshot.sourceOverlap _),
     "text_token_totals" -> (TextAnalysis.tokenTotals _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_tfidf" -> (TextAnalysis.tfidfTop _),
@@ -2224,6 +2226,21 @@ object SparkEntry {
            CAST(n_copies AS BIGINT) AS n_copies,
            unnest(range(n_copies)) AS epoch
          FROM e WHERE n_copies >= 1 ORDER BY doc_id, epoch""",
+    // pair generator is a self-equi-join on the content signature;
+    // containment = n_shared / min(|A|, |B|), exact integers
+    "source_overlap" ->
+      """WITH s AS (SELECT DISTINCT md5(text) AS sig, source
+           FROM documents),
+         sz AS (SELECT source, count(*) AS n FROM s GROUP BY 1),
+         sh AS (SELECT a.source AS sa, b.source AS sb, count(*) AS n_shared
+           FROM s a JOIN s b ON a.sig = b.sig AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT sa, sb, n_shared,
+           round(CAST(n_shared AS DOUBLE) / least(za.n, zb.n), 6)
+             AS containment
+         FROM sh JOIN sz za ON sh.sa = za.source
+           JOIN sz zb ON sh.sb = zb.source
+         ORDER BY sa, sb""",
     // both snapshots derive deterministically from the same table;
     // content equality via md5 signatures on both engines
     "snapshot_diff" ->

@@ -30,6 +30,41 @@ object Snapshot {
           .when(col("sig_prev") =!= col("sig_curr"), "changed")
           .otherwise("unchanged").as("status"))
 
+  /** Syndication matrix: for each source pair, how many distinct
+    * document CONTENTS (md5 of text) appear in both — the
+    * "who republishes whom" view that decides which source to keep
+    * as canonical when cross-source exact duplicates collapse.
+    * Per-pair counts of shared signatures plus each pair's overlap
+    * fraction of the smaller source's distinct contents
+    * (containment — robust when sources differ wildly in size).
+    *
+    * Scale shape: docs collapse to distinct (signature, source)
+    * pairs at the scan; the pair generator is a self-equi-join ON
+    * THE SIGNATURE (only sources sharing a content ever meet —
+    * never sources × sources × docs); fractions are exact-integer
+    * divisions. Hash-oracled.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sigs = load(s, dir, "documents")
+      .select(md5(col("text")).as("sig"), col("source"))
+      .distinct()
+      .cache()
+    val sizes = sigs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct"))
+    val shared = sigs.toDF("sig", "sa")
+      .join(sigs.toDF("sig", "sb"), "sig")
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.toDF("sa", "na"), "sa")
+      .join(sizes.toDF("sb", "nb"), "sb")
+      .select(col("sa"), col("sb"), col("n_shared"),
+        round(col("n_shared").cast("double")
+          / least(col("na"), col("nb")), 6).as("containment"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
   /** Corpus-level query (oracled as `snapshot_diff`): the "previous"
     * snapshot is derived deterministically from the same table so the
     * oracle can reproduce it — doc_id % 7 == 0 docs are new arrivals

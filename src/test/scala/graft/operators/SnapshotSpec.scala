@@ -19,6 +19,31 @@ class SnapshotSpec extends SparkSpec {
       3L -> "changed", 4L -> "added"))
   }
 
+  test("source overlap: planted syndication counted once per content, " +
+      "containment normalizes by the smaller source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ovl").toString
+    // source a: contents {X, Y, Z}; b republishes X twice and Y once
+    // (distinct contents shared = 2); c is disjoint
+    Seq(
+      (1L, "X text", "en", "a", 6L), (2L, "Y text", "en", "a", 6L),
+      (3L, "Z text", "en", "a", 6L),
+      (4L, "X text", "en", "b", 6L), (5L, "X text", "en", "b", 6L),
+      (6L, "Y text", "en", "b", 6L),
+      (7L, "W text", "en", "c", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Snapshot.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getAs[String]("sa"), r.getAs[String]("sb")) ->
+        (r.getAs[Long]("n_shared"), r.getAs[Double]("containment"))).toMap
+    // only the (a, b) pair shares content; duplicate republications
+    // of X collapse to ONE shared signature
+    assert(got.keySet == Set(("a", "b")), s"unexpected pairs: $got")
+    assert(got(("a", "b"))._1 == 2L, s"X and Y shared once each: $got")
+    // containment: 2 shared of min(|a|=3, |b|=2 distinct contents) = 1.0
+    assert(got(("a", "b"))._2 == 1.0,
+      s"b's distinct contents are fully contained in a: $got")
+  }
+
   test("corpus diff: statuses partition the id universe and follow " +
       "the planted modular rules") {
     val rows = Snapshot.snapshotDiff(spark, sf).collect()
