@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 object Bench {
 
   /** Fingerprint of a query's EXECUTED physical plan (AQE-final),
@@ -30,8 +32,19 @@ object Bench {
   // SET is the semantic content)
   private val keysRe = "keys=\\[([^\\]]*)\\]".r
 
+  /** The frame's AQE-final physical plan, unwrapped: hashing
+    * `a.executedPlan` instead of the whole AdaptiveSparkPlanExec drops
+    * the duplicated `== Initial Plan ==` section — compile-time
+    * estimate text that only adds drift surface, never signal.
+    */
+  private def canonicalPlan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
   def planNorm(df: DataFrame): String = {
-    val base = df.queryExecution.executedPlan.toString
+    val base = canonicalPlan(df).toString
       .replaceAll("#\\d+", "#")                  // exprIds
       .replaceAll("plan_id=\\d+", "plan_id=")
       .replaceAll("\\bid=#?\\d+", "id=")         // stage/exchange ids
@@ -58,15 +71,162 @@ object Bench {
       .replaceAll("\\*\\(\\d+\\)", "*(")
     val keysSorted = keysRe.replaceAllIn(base,
       m => java.util.regex.Matcher.quoteReplacement(
-        "keys=[" + m.group(1).split(", ").sorted.mkString(", ") + "]"))
-    // hashpartitioning attribute lists print in AttributeSet order too
-    hashPartRe.replaceAllIn(keysSorted,
-      m => java.util.regex.Matcher.quoteReplacement(
-        "hashpartitioning(" +
-          m.group(1).split(", ").sorted.mkString(", ") + ")"))
+        "keys=[" + splitTopLevel(m.group(1)).sorted.mkString(", ") + "]"))
+    // hashpartitioning attribute lists print in AttributeSet order too;
+    // paren-depth-aware extraction — a `([^)]*)` regex stops at the
+    // first ')' of nested calls like knownfloatingpointnormalized(x#)
+    // and leaves the tail unsorted (spurious drift)
+    canonExpand(sortBracketLists(
+      sortCallArgs(keysSorted, "hashpartitioning"), "output=["))
   }
 
-  private val hashPartRe = "hashpartitioning\\(([^)]*)\\)".r
+  /** Sort the top-level elements of every `<marker>...]` bracket list.
+    * Aggregate `output=[...]` lists print group columns in a
+    * planning-history order that PERMUTES for multi-distinct
+    * aggregates (each count(DISTINCT) group's position races with
+    * exprId assignment order) — the element multiset is the semantic
+    * content, so the canonical form sorts it.
+    */
+  private def sortBracketLists(text: String, marker: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < text.length) {
+      val at = text.indexOf(marker, i)
+      if (at < 0) { sb.append(text.substring(i)); i = text.length }
+      else {
+        sb.append(text.substring(i, at)).append(marker)
+        var j = at + marker.length
+        var depth = 1
+        while (j < text.length && depth > 0) {
+          val c = text.charAt(j)
+          if (c == '[' || c == '(') depth += 1
+          else if (c == ']' || c == ')') depth -= 1
+          j += 1
+        }
+        if (depth == 0) {
+          sb.append(splitTopLevel(text.substring(at + marker.length, j - 1))
+            .sorted.mkString(", ")).append(']')
+          i = j
+        } else { sb.append(text.substring(at + marker.length)); i = text.length }
+      }
+    }
+    sb.toString
+  }
+
+  /** Canonicalize `Expand [[...], [...]], [out...]` blocks: the
+    * multi-distinct Expand's projection lists and output attributes
+    * are ordered by the same racing planning history as aggregate
+    * `output=` lists. Bare integer literals inside projections are the
+    * gid values (which renumber with the permutation) — replaced with
+    * a placeholder — then each projection's entries and the projection
+    * list itself are sorted, as is the trailing output list.
+    */
+  private def canonExpand(text: String): String = {
+    val tok = "Expand [["
+    val sb = new StringBuilder
+    var i = 0
+    while (i < text.length) {
+      val at = text.indexOf(tok, i)
+      if (at < 0) { sb.append(text.substring(i)); i = text.length }
+      else {
+        sb.append(text.substring(i, at)).append("Expand [")
+        // scan the outer projections list (starts after "Expand [")
+        var j = at + "Expand [".length
+        var depth = 1
+        while (j < text.length && depth > 0) {
+          val c = text.charAt(j)
+          if (c == '[' || c == '(') depth += 1
+          else if (c == ']' || c == ')') depth -= 1
+          j += 1
+        }
+        if (depth == 0) {
+          val projections = splitTopLevel(
+            text.substring(at + "Expand [".length, j - 1)).map { p =>
+            val inner = p.stripPrefix("[").stripSuffix("]")
+            "[" + splitTopLevel(inner)
+              .map(e => if (e.matches("\\d+")) "_gid_" else e)
+              .sorted.mkString(", ") + "]"
+          }
+          sb.append(projections.sorted.mkString(", ")).append(']')
+          i = j
+          // the trailing `, [output...]` list permutes with the same
+          // history — sort it too
+          if (text.startsWith(", [", i)) {
+            var k = i + 3
+            var d2 = 1
+            while (k < text.length && d2 > 0) {
+              val c = text.charAt(k)
+              if (c == '[' || c == '(') d2 += 1
+              else if (c == ']' || c == ')') d2 -= 1
+              k += 1
+            }
+            if (d2 == 0) {
+              sb.append(", [").append(splitTopLevel(
+                text.substring(i + 3, k - 1)).sorted.mkString(", "))
+                .append(']')
+              i = k
+            }
+          }
+        } else { sb.append(text.substring(at + "Expand [".length)); i = text.length }
+      }
+    }
+    sb.toString
+  }
+
+  /** Split an argument list at TOP-LEVEL commas only (paren/bracket
+    * depth aware), so nested calls stay intact as single tokens.
+    */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(' || c == '[') { depth += 1; cur.append(c) }
+      else if (c == ')' || c == ']') { depth -= 1; cur.append(c) }
+      else if (c == ',' && depth == 0) {
+        out += cur.toString.trim; cur.clear()
+      } else cur.append(c)
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.toString.trim
+    out.toSeq
+  }
+
+  /** Rewrite every `name(<args>)` call in `text` with its top-level
+    * arguments sorted — balanced-paren scan, not a regex, so argument
+    * lists containing nested function calls are captured whole.
+    */
+  private def sortCallArgs(text: String, name: String): String = {
+    val tok = name + "("
+    val sb = new StringBuilder
+    var i = 0
+    while (i < text.length) {
+      val at = text.indexOf(tok, i)
+      if (at < 0) { sb.append(text.substring(i)); i = text.length }
+      else {
+        sb.append(text.substring(i, at))
+        var j = at + tok.length
+        var depth = 1
+        while (j < text.length && depth > 0) {
+          val c = text.charAt(j)
+          if (c == '(') depth += 1 else if (c == ')') depth -= 1
+          j += 1
+        }
+        if (depth == 0) {
+          val args = text.substring(at + tok.length, j - 1)
+          sb.append(tok)
+            .append(splitTopLevel(args).sorted.mkString(", "))
+            .append(')')
+          i = j
+        } else { // unbalanced (truncated render) — leave untouched
+          sb.append(text.substring(at)); i = text.length
+        }
+      }
+    }
+    sb.toString
+  }
 
   def planSha(df: DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -84,6 +244,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // AQE's empty-relation propagation (eliding a join whose side
+      // materialized empty) fires only if its replan cycle beats the
+      // result-stage launch — a scheduler RACE, observed bistable on
+      // dedup_paragraph_overlap (boilerplate set empty by design), and
+      // the ONE AQE rewrite whose plan-text outcome is timing- rather
+      // than data-determined. Excluded for the bench session so
+      // plan_sha is deterministic; the rewrite only fires on empty
+      // sides, where its runtime effect is microseconds
+      .config("spark.sql.adaptive.optimizer.excludedRules",
+        "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")
       // render plan node metadata (DataFilters/Location) untruncated:
       // the default 100-char cut lands at a point that shifts with
       // exprId digit width, which would make `planSha` differ between

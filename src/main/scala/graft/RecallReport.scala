@@ -45,30 +45,48 @@ object RecallReport {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def pairs(name: String): Map[Long, Set[Long]] =
-      SparkEntry.queries(name)(spark, sfDir)
-        .select("query_id", "neighbor_id").collect()
-        .groupBy(_.getLong(0))
-        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def audit(dir: String, corpus: String): Unit = {
+      def pairs(name: String): Map[Long, Set[Long]] =
+        SparkEntry.queries(name)(spark, dir)
+          .select("query_id", "neighbor_id").collect()
+          .groupBy(_.getLong(0))
+          .view.mapValues(_.map(_.getLong(1)).toSet).toMap
 
-    val exact = pairs("ann_brute_topk")
-    val denom = exact.valuesIterator.map(_.size).sum.toDouble
-    val lines = variants.map { name =>
-      val t0 = System.nanoTime()
-      val got = pairs(name)
-      val sec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      val hits = got.iterator.map { case (q, ns) =>
-        exact.get(q).fold(0)(e => ns.count(e)) }.sum
-      val recall = hits / denom
-      val line = f"""{"query":"$name","recall_at_k":$recall%.4f,""" +
-        f""""n_queries":${exact.size},"sec":$sec%.2f}"""
-      println(line)
-      name -> recall
+      val exact = pairs("ann_brute_topk")
+      val denom = exact.valuesIterator.map(_.size).sum.toDouble
+      val lines = variants.map { name =>
+        val t0 = System.nanoTime()
+        val got = pairs(name)
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        val hits = got.iterator.map { case (q, ns) =>
+          exact.get(q).fold(0)(e => ns.count(e)) }.sum
+        val recall = hits / denom
+        val line = f"""{"query":"$name","corpus":"$corpus",""" +
+          f""""recall_at_k":$recall%.4f,""" +
+          f""""n_queries":${exact.size},"sec":$sec%.2f}"""
+        println(line)
+        name -> recall
+      }
+      val summary = lines.map { case (n, r) => f""""$n":$r%.4f""" }
+        .mkString("{\"metric\":\"recall\",\"corpus\":\"" + corpus +
+          "\",\"sf\":\"" + dir + "\",", ",", "}")
+      println(summary)
     }
-    val summary = lines.map { case (n, r) => f""""$n":$r%.4f""" }
-      .mkString("{\"metric\":\"recall\",\"sf\":\"" + sfDir + "\",", ",", "}")
-    println(summary)
+
+    // corpus 1: the driver's near-orthogonal table — the coarse
+    // quantizer's worst case (recall bounded by cell-probing luck)
+    audit(sfDir, "orthogonal")
+
+    // corpus 2: planted clusters — the shape real embedding spaces
+    // have, where TRAINED quantizers should (and measurably do) beat
+    // their sampled-member seeds. nClusters matches the seed
+    // quantizer's cell count (one id ≡ 5 mod 37 per 37 ids) so both
+    // quantizers field the same C and the delta is quality, not size.
+    val planted = java.nio.file.Files
+      .createTempDirectory("graft-planted").toString
+    ClusteredCorpus.write(spark, planted, 20000, 20000 / 37, 64, 0.5)
+    audit(planted, "clustered")
     spark.stop()
   }
 }

@@ -130,6 +130,16 @@ object SparkEntry {
       .groupBy(col("l_returnflag"))
       .agg(graft.functions.KMVDistinct(col("l_orderkey"), 256).as("est_orders"))
       .orderBy(col("l_returnflag"))),
+    // the md5-domain KMV: same bounded mergeable sketch, but the hash
+    // domain (md5 13-hex as an int over 2^52) and the two-IEEE-op
+    // estimate are engine-reproducible, so this SKETCH query
+    // hash-oracles — DuckDB replays distinct -> k-th-min exactly
+    "approx_distinct_kmv_md5" -> ((s, dir) => Tables
+      .load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(graft.functions.KMVDistinct
+        .md5Sketch(col("l_orderkey"), 256).as("est_orders"))
+      .orderBy(col("l_returnflag"))),
     // the cid connector end-to-end, oracle-verified: distributed write
     // of every document into a fresh CAS (content-addressing dedups
     // identical texts), then a connector read-back — counts and byte
@@ -211,8 +221,10 @@ object SparkEntry {
     // index health: cell population balance (the retrain trigger)
     "ivf_index_stats" -> (Similarity.ivfIndexStats _),
     "pq_codes" -> (Pq.codes _),
-    // SQ8 scalar quantization: per-dim 8-bit grid, both hash-oracled
-    "sq_codes" -> (Sq.codes _),
+    // SQ8 scalar quantization: per-dim 8-bit grid, both hash-oracled.
+    // Exploded (vec_id, d, code) scalar rows — array columns break the
+    // driver's pandas row sort (r8: unhashable ndarray)
+    "sq_codes" -> (Sq.codesRows _),
     "ann_sq8_topk" -> (Sq.sqTopK _),
     "ann_ivfsq_topk" -> (Sq.ivfSqTopK _),
     "ann_pq_adc_topk" -> (Pq.adcTopK _),
@@ -240,6 +252,14 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.langId _),
     // BM25 ranked retrieval over derived query terms (RAG lexical half)
     "bm25_topk" -> (Retrieval.bm25Top _),
+    // multi-term BM25: disjunctive (OR) sum-of-contributions ranking
+    // with match counts, and conjunctive (AND) posting-intersection
+    // ranking; per-doc sums add in sorted order so both hash-oracle
+    "bm25_multiterm" -> (Retrieval.bm25MultiTop _),
+    "bm25_multiterm_and" -> (Retrieval.bm25MultiAndTop _),
+    // phrase (proximity) retrieval: positional bigram postings via
+    // narrow zip_with, BM25 over phrase tf/df
+    "bm25_phrase" -> (Retrieval.bm25PhraseTop _),
     // lexical Jaccard + semantic cosine fused by reciprocal ranks
     "hybrid_topk" -> (Retrieval.hybridTopK _),
     "text_quality" -> (TextAnalysis.quality _),
@@ -258,6 +278,12 @@ object SparkEntry {
     // one-pass ANALYZE-style numeric profile; variance from exact
     // integer-scaled sums keeps a stddev computation hash-oracled
     "profile_numeric" -> (graft.operators.Profile.profileNumeric _),
+    // rows-only by design: the Expand-free 100 TB profile replaces the
+    // exact multi-distinct with engine-specific HLL++ sketches;
+    // ProfileSpec pins nd within rsd of exact and all other columns
+    // equal to the hash-oracled exact profile
+    "profile_numeric_scale" ->
+      (graft.operators.Profile.profileNumericScale _),
     "text_tokens" -> (TextAnalysis.tokenStats _),
     // token-mass coverage of the top-V vocabulary for a V grid —
     // the tokenizer-design curve, exact integer masses
@@ -1036,15 +1062,14 @@ object SparkEntry {
              CAST(e.embedding[u.d + 1] AS DOUBLE) AS x
            FROM embeddings e, unnest(range(0, 64)) AS u(d)),
          st AS (SELECT d, min(x) AS dmin, max(x) AS dmax
-           FROM dims GROUP BY d),
-         co AS (SELECT v.vec_id, v.d,
+           FROM dims GROUP BY d)
+         SELECT v.vec_id, v.d,
              CASE WHEN s.dmax = s.dmin THEN 0
                ELSE LEAST(255, CAST(floor(
                  ((v.x - s.dmin)/(s.dmax - s.dmin))*256) AS BIGINT))
              END AS code
-           FROM dims v JOIN st s ON s.d = v.d)
-         SELECT vec_id, list(code ORDER BY d) AS codes
-         FROM co GROUP BY vec_id ORDER BY vec_id""",
+           FROM dims v JOIN st s ON s.d = v.d
+           ORDER BY v.vec_id, v.d""",
     // SQ8 compressed-domain search: exact queries vs the midpoint-
     // reconstructed corpus (deq cast to REAL so both engines land the
     // identical float), cosine, top-5
@@ -1742,6 +1767,88 @@ object SparkEntry {
              PARTITION BY term ORDER BY score DESC, doc_id) AS rank
            FROM scored)
          WHERE rank <= 10 ORDER BY term, rank""",
+    // multi-term OR: 4 queries x 3 rarest terms; per-doc score is the
+    // SORTED sum of matched term contributions (bit-identical across
+    // engines: ln parity + ordered FP adds), ranked unrounded
+    "bm25_multiterm" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1,2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+         st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         qt AS (SELECT ((qrank - 1) // 3) + 1 AS query_id, term, df FROM (
+             SELECT term, df, row_number() OVER (ORDER BY df, term) AS qrank
+             FROM dfreq ORDER BY df, term LIMIT 12)),
+         scored AS (SELECT q.query_id, t.doc_id,
+             ln(1.0 + (st.n - q.df + 0.5)/(q.df + 0.5))
+               * ((t.tf*2.2)/(t.tf + 1.2*(0.25 + 0.75*(d.dl
+                 /(CAST(st.sumdl AS DOUBLE)/st.n))))) AS tscore
+           FROM tf t JOIN qt q ON q.term = t.term
+             JOIN dl d ON d.doc_id = t.doc_id, st),
+         g AS (SELECT query_id, doc_id, count(*) AS n_matched,
+             list_reduce(list_sort(list(tscore)), (a, b) -> a + b) AS score
+           FROM scored GROUP BY query_id, doc_id)
+         SELECT query_id, doc_id, rank, n_matched,
+           round(score, 6) AS score FROM (
+           SELECT query_id, doc_id, n_matched, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM g)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // multi-term AND: 2 queries x 3 most COMMON terms; only documents
+    // matching every term qualify (posting intersection), same
+    // sorted-sum scoring
+    "bm25_multiterm_and" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1,2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+         st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         qt AS (SELECT ((qrank - 1) // 3) + 1 AS query_id, term, df FROM (
+             SELECT term, df,
+               row_number() OVER (ORDER BY df DESC, term) AS qrank
+             FROM dfreq ORDER BY df DESC, term LIMIT 6)),
+         scored AS (SELECT q.query_id, t.doc_id,
+             ln(1.0 + (st.n - q.df + 0.5)/(q.df + 0.5))
+               * ((t.tf*2.2)/(t.tf + 1.2*(0.25 + 0.75*(d.dl
+                 /(CAST(st.sumdl AS DOUBLE)/st.n))))) AS tscore
+           FROM tf t JOIN qt q ON q.term = t.term
+             JOIN dl d ON d.doc_id = t.doc_id, st),
+         g AS (SELECT query_id, doc_id, count(*) AS n_matched,
+             list_reduce(list_sort(list(tscore)), (a, b) -> a + b) AS score
+           FROM scored GROUP BY query_id, doc_id
+           HAVING count(*) = 3)
+         SELECT query_id, doc_id, rank, round(score, 6) AS score FROM (
+           SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM g)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // phrase retrieval: adjacent-bigram postings, BM25 over phrase
+    // tf/df with the unigram document length
+    "bm25_phrase" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks
+           FROM documents),
+         big AS (SELECT doc_id, len(toks) AS dl,
+             unnest([toks[i]||' '||toks[i+1] for i in range(1,len(toks))])
+               AS phrase
+           FROM d WHERE len(toks) >= 2),
+         ptf AS (SELECT doc_id, dl, phrase, count(*) AS tf
+           FROM big GROUP BY 1,2,3),
+         st AS (SELECT count(*) AS n, sum(len(toks)) AS sumdl FROM d),
+         pdf AS (SELECT phrase, count(*) AS df FROM ptf GROUP BY phrase),
+         qp AS (SELECT phrase, df FROM pdf
+           ORDER BY df DESC, phrase LIMIT 3),
+         scored AS (SELECT p.phrase, p.doc_id,
+             ln(1.0 + (st.n - q.df + 0.5)/(q.df + 0.5))
+               * ((p.tf*2.2)/(p.tf + 1.2*(0.25 + 0.75*(p.dl
+                 /(CAST(st.sumdl AS DOUBLE)/st.n))))) AS score
+           FROM ptf p JOIN qp q ON q.phrase = p.phrase, st)
+         SELECT phrase, doc_id, rank, round(score, 6) AS score FROM (
+           SELECT phrase, doc_id, score, row_number() OVER (
+             PARTITION BY phrase ORDER BY score DESC, doc_id) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY phrase, rank""",
     // hybrid retrieval: shingle-Jaccard lexical top-10 and exact-cosine
     // semantic top-5 per query doc, fused by RRF (rank arithmetic only
     // — reciprocals of small ints, exact on both engines)
@@ -2025,13 +2132,16 @@ object SparkEntry {
          ORDER BY d.doc_id""",
     // u = first 13 md5 hex digits / 2^52 (exact power-of-2 division,
     // bit-identical); key = -ln(u)/w selects the same set barring
-    // ulp-level key collisions; output columns are exact integers
+    // ulp-level key collisions; output columns are exact integers.
+    // greatest(u, 5e-324) clamps the u=0 corner (all-zero md5 prefix)
+    // where Spark log(0)=NULL sorts first but DuckDB -ln(0)=+inf
+    // sorts last — identical clamp in Sampling.weightedSample
     "sample_weighted" ->
       """WITH k AS (SELECT doc_id, n_chars,
-           -ln(list_sum([ (strpos('0123456789abcdef',
+           -ln(greatest(list_sum([ (strpos('0123456789abcdef',
                  substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
                * power(16, 13-i) for i in range(1,14) ])
-             / 4503599627370496.0) / n_chars AS es_key
+             / 4503599627370496.0, 5e-324)) / n_chars AS es_key
          FROM documents),
          r AS (SELECT doc_id, n_chars,
              row_number() OVER (ORDER BY es_key, doc_id) AS rank
@@ -2040,10 +2150,10 @@ object SparkEntry {
          FROM r WHERE rank <= 50 ORDER BY rank""",
     "sample_weighted_quota" ->
       """WITH k AS (SELECT lang, doc_id, n_chars,
-           -ln(list_sum([ (strpos('0123456789abcdef',
+           -ln(greatest(list_sum([ (strpos('0123456789abcdef',
                  substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
                * power(16, 13-i) for i in range(1,14) ])
-             / 4503599627370496.0) / n_chars AS es_key
+             / 4503599627370496.0, 5e-324)) / n_chars AS es_key
          FROM documents),
          r AS (SELECT lang, doc_id, n_chars,
              row_number() OVER (PARTITION BY lang
@@ -2051,6 +2161,25 @@ object SparkEntry {
            FROM k)
          SELECT lang, CAST(rank AS INT) AS rank, doc_id, n_chars
          FROM r WHERE rank <= 10 ORDER BY lang, rank""",
+    // md5-domain KMV sketch: k-th smallest distinct md5-52bit hash,
+    // estimate = (k-1)/(h_k/2^52) — below k distinct hashes the count
+    // is exact. Bit-identical replay of the Spark Aggregator
+    "approx_distinct_kmv_md5" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag,
+           list_sum([ (strpos('0123456789abcdef',
+               substr(md5(CAST(l_orderkey AS VARCHAR)), i, 1)) - 1)
+             * power(16, 13-i) for i in range(1,14) ]) AS h
+         FROM lineitem),
+         r AS (SELECT l_returnflag, h,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY h)
+               AS rk,
+             count(*) OVER (PARTITION BY l_returnflag) AS nh
+           FROM h)
+         SELECT l_returnflag,
+           CASE WHEN nh < 256 THEN CAST(nh AS DOUBLE)
+                ELSE 255.0 / (h / 4503599627370496.0) END AS est_orders
+         FROM r WHERE rk = LEAST(nh, 256)
+         ORDER BY l_returnflag""",
     // rank ties broken by token text so the top-V set is identical;
     // coverage is one division of exact integer masses
     "vocab_coverage" ->

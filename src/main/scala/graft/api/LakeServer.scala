@@ -242,11 +242,18 @@ final class LakeServer(lake: Lake, port: Int,
     * stream its rows. Results travel through the same lazy
     * `toJSON.toLocalIterator` path as `/extract` — a long result set
     * never materializes on the driver. Operator-internal caches (plus
-    * memoized trainer outputs) are released after every request so a
-    * long-lived `Serve` process doesn't pin executor memory across
-    * request bursts; within ONE request multi-consumer frames still
-    * share their single materialization.
+    * memoized trainer outputs) are released when the LAST in-flight
+    * query finishes — a refcount, not per-request: the server runs a
+    * fixed thread pool, and a per-request release would let one
+    * request's cleanup clear the trained memo mid-flight of a
+    * concurrent one, degenerating a burst of trained-index queries to
+    * one retraining per request. Idle means released, so a long-lived
+    * `Serve` process still pins no executor memory between bursts;
+    * within a burst multi-consumer frames share one materialization.
     */
+  private val queriesInFlight =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def postQuery(ex: HttpExchange, name: String): Unit =
     SparkEntry.queries.get(name) match {
       case None => sendError(ex, "unknown query", 404)
@@ -262,6 +269,7 @@ final class LakeServer(lake: Lake, port: Int,
         dir match {
           case Left(err) => sendError(ex, err)
           case Right(d) =>
+            queriesInFlight.incrementAndGet()
             try {
               val df = fn(lake.spark, d)
               streamJsonArray(ex, df.toJSON.toLocalIterator().asScala)
@@ -269,7 +277,10 @@ final class LakeServer(lake: Lake, port: Int,
               case scala.util.control.NonFatal(t) =>
                 System.err.println(s"[lake-server] query $name: $t")
                 sendError(ex, "failed query")
-            } finally OperatorCaches.release(lake.spark)
+            } finally {
+              if (queriesInFlight.decrementAndGet() == 0)
+                OperatorCaches.release(lake.spark)
+            }
         }
     }
 

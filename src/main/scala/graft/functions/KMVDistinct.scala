@@ -24,45 +24,47 @@ object KMVDistinct {
   /** Sorted ascending, distinct, at most k entries. */
   case class Buf(var hashes: Array[Long])
 
+  private def reduceInto(b: Buf, h: Long, k: Int): Buf = {
+    val idx = java.util.Arrays.binarySearch(b.hashes, h)
+    if (idx >= 0) b // already present
+    else {
+      val ins = -idx - 1
+      if (b.hashes.length < k) {
+        val out = new Array[Long](b.hashes.length + 1)
+        System.arraycopy(b.hashes, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(b.hashes, ins, out, ins + 1,
+          b.hashes.length - ins)
+        b.hashes = out
+      } else if (ins < k) {
+        // drop current max, shift, insert
+        System.arraycopy(b.hashes, ins, b.hashes, ins + 1, k - ins - 1)
+        b.hashes(ins) = h
+      }
+      b
+    }
+  }
+
+  private def mergeInto(a: Buf, b: Buf, k: Int): Buf = {
+    val out = new Array[Long](math.min(k, a.hashes.length + b.hashes.length))
+    var (i, j, o) = (0, 0, 0)
+    var last = 0L; var haveLast = false
+    while (o < out.length && (i < a.hashes.length || j < b.hashes.length)) {
+      val takeA = j >= b.hashes.length ||
+        (i < a.hashes.length && a.hashes(i) <= b.hashes(j))
+      val v = if (takeA) { val x = a.hashes(i); i += 1; x }
+              else { val x = b.hashes(j); j += 1; x }
+      if (!haveLast || v != last) { out(o) = v; o += 1; last = v; haveLast = true }
+    }
+    a.hashes = if (o == out.length) out else out.take(o)
+    a
+  }
+
   def aggregator(k: Int): Aggregator[Long, Buf, Double] =
     new Aggregator[Long, Buf, Double] {
       def zero: Buf = Buf(Array.emptyLongArray)
-
-      def reduce(b: Buf, h: Long): Buf = {
-        val idx = java.util.Arrays.binarySearch(b.hashes, h)
-        if (idx >= 0) b // already present
-        else {
-          val ins = -idx - 1
-          if (b.hashes.length < k) {
-            val out = new Array[Long](b.hashes.length + 1)
-            System.arraycopy(b.hashes, 0, out, 0, ins)
-            out(ins) = h
-            System.arraycopy(b.hashes, ins, out, ins + 1,
-              b.hashes.length - ins)
-            b.hashes = out
-          } else if (ins < k) {
-            // drop current max, shift, insert
-            System.arraycopy(b.hashes, ins, b.hashes, ins + 1, k - ins - 1)
-            b.hashes(ins) = h
-          }
-          b
-        }
-      }
-
-      def merge(a: Buf, b: Buf): Buf = {
-        val out = new Array[Long](math.min(k, a.hashes.length + b.hashes.length))
-        var (i, j, o) = (0, 0, 0)
-        var last = 0L; var haveLast = false
-        while (o < out.length && (i < a.hashes.length || j < b.hashes.length)) {
-          val takeA = j >= b.hashes.length ||
-            (i < a.hashes.length && a.hashes(i) <= b.hashes(j))
-          val v = if (takeA) { val x = a.hashes(i); i += 1; x }
-                  else { val x = b.hashes(j); j += 1; x }
-          if (!haveLast || v != last) { out(o) = v; o += 1; last = v; haveLast = true }
-        }
-        a.hashes = if (o == out.length) out else out.take(o)
-        a
-      }
+      def reduce(b: Buf, h: Long): Buf = reduceInto(b, h, k)
+      def merge(a: Buf, b: Buf): Buf = mergeInto(a, b, k)
 
       def finish(b: Buf): Double =
         if (b.hashes.length < k) b.hashes.length.toDouble
@@ -76,9 +78,43 @@ object KMVDistinct {
       def outputEncoder: Encoder[Double] = Encoders.scalaDouble
     }
 
+  /** The md5-domain sibling: hashes are the first 13 hex digits of
+    * md5(value) as an integer in [0, 2⁵²) — the same cross-engine
+    * determinism key the weighted samplers use — and the estimate is
+    * (k−1)/(h_k/2⁵²), two correctly-rounded IEEE ops on an exactly-
+    * representable integer. Same bounded-state mergeable sketch as
+    * [[aggregator]], but the OUTPUT is bit-identical to a DuckDB
+    * replay (distinct → order → k-th min over the same md5 ints), so
+    * the sketch query itself hash-oracles — the only sketch in the
+    * family with an exact SQL oracle rather than an accuracy pin.
+    */
+  def aggregator52(k: Int): Aggregator[Long, Buf, Double] =
+    new Aggregator[Long, Buf, Double] {
+      def zero: Buf = Buf(Array.emptyLongArray)
+      def reduce(b: Buf, h: Long): Buf = reduceInto(b, h, k)
+      def merge(a: Buf, b: Buf): Buf = mergeInto(a, b, k)
+
+      def finish(b: Buf): Double =
+        if (b.hashes.length < k) b.hashes.length.toDouble
+        else (k - 1).toDouble / (b.hashes(k - 1).toDouble /
+          4503599627370496.0) // 2^52
+
+      def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+      def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+
   /** Column form: approximate distinct count of `c` with sketch size k.
     * Usable in any groupBy: `df.groupBy(g).agg(KMVDistinct(col, 256))`.
     */
   def apply(c: Column, k: Int = 256): Column =
     udaf(aggregator(k), Encoders.scalaLong).apply(xxhash64(c))
+
+  /** Column form of the oracle-able md5-domain sketch
+    * ([[aggregator52]]). */
+  def md5Sketch(c: Column, k: Int = 256): Column = {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    udaf(aggregator52(k), Encoders.scalaLong)
+      .apply(conv(substring(md5(c.cast("string")), 1, 13), 16, 10)
+        .cast("long"))
+  }
 }

@@ -46,8 +46,18 @@ object OperatorCaches {
     * tiny DataFrame per use. Synchronized + reentrant (a trainer may
     * memo-read its own coarse quantizer); [[release]] clears it.
     */
+  /** Count of memo MISSES (actual trainer runs) since process start —
+    * observability for the serve-path release policy: a spec (or an
+    * operator dashboard) asserts a concurrent query burst trained
+    * once, not once per request.
+    */
+  private[graft] val trainerRuns =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   private[operators] def trainedMemo[T <: AnyRef](key: String)(
       compute: => T): T = trained.synchronized {
-    trained.getOrElseUpdate(key, compute).asInstanceOf[T]
+    trained.getOrElseUpdate(key, {
+      trainerRuns.incrementAndGet(); compute
+    }).asInstanceOf[T]
   }
 }

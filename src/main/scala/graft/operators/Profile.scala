@@ -21,9 +21,16 @@ import graft.Tables.load
   * Scale shape: one aggregation, map-side combinable. The four
   * `count(DISTINCT)`s are the only cost to watch — Spark plans them
   * as one Expand (×5 rows) feeding partial aggregates, still one
-  * shuffle of (column, value) pairs; the sketch family
-  * (`approx_distinct_hll`) is the 100 TB relaxation when exactness
-  * isn't required.
+  * shuffle of (column, value) pairs; [[profileNumericScale]] is the
+  * 100 TB relaxation when exactness isn't required.
+  *
+  * Row-count bound of the exact identity: n·Σx² − (Σx)² on
+  * decimal(38,0) with micro-unit values ≈ 1e9 overflows 38 digits
+  * near ~1e10 rows, where non-ANSI Spark yields NULL (loud, never
+  * silently wrong — overflow on scale-0 decimal nulls, it does not
+  * round). Beyond that, profile per-partition/per-day and combine
+  * moments, or accept double-precision stddev; the exact form is the
+  * ORACLE-GRADE profile, sized for audit slices, not the full lake.
   */
 object Profile {
 
@@ -56,6 +63,46 @@ object Profile {
       struct(
         lit(c).as("col_name"), n.as("n"),
         col(s"nd_$c").as("n_distinct"),
+        col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"),
+        round(sx.cast("double") / n / lit(10000.0), 6).as("mean"),
+        round(sqrt((n * sxx - sx * sx).cast("double")
+          / (n * (n - lit(1))) / lit(100000000.0)), 6).as("stddev"))
+    }
+    a.select(inline(array(rows: _*))).orderBy(col("col_name"))
+  }
+
+  /** The 100 TB form of [[profileNumeric]]: identical exact moments
+    * (count/min/max/mean/stddev from the same scale-0 decimal sums)
+    * but `approx_count_distinct` (HLL++, rsd 1%) in place of the four
+    * exact `count(DISTINCT)`s. The exact form's only scale cost is
+    * the ×5 Expand the multi-distinct planning requires — every input
+    * row is replicated once per distinct column before the shuffle;
+    * the sketch form aggregates each column into O(1)-state HLL
+    * registers instead, so the plan is ONE pass with NO Expand
+    * (ProfileSpec pins the node's absence) and the shuffle carries a
+    * single combined row per partition. The nd column is
+    * engine-specific sketch output, so the query is rows-only by
+    * design; ProfileSpec pins it within the configured error of the
+    * exact counts, and every other column is pinned equal to the
+    * hash-oracled exact profile.
+    */
+  def profileNumericScale(s: SparkSession, dir: String): DataFrame = {
+    val aggs = count(lit(1)).as("n") +: Cols.flatMap { c =>
+      Seq(
+        approx_count_distinct(col(c), 0.01).as(s"nd_$c"),
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"),
+        sum(vint(c)).as(s"sx_$c"),
+        sum(vint(c) * vint(c)).as(s"sxx_$c"))
+    }
+    val a = load(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+    val rows = Cols.map { c =>
+      val n = col("n")
+      val sx = col(s"sx_$c")
+      val sxx = col(s"sxx_$c")
+      struct(
+        lit(c).as("col_name"), n.as("n"),
+        col(s"nd_$c").as("n_distinct_approx"),
         col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"),
         round(sx.cast("double") / n / lit(10000.0), 6).as("mean"),
         round(sqrt((n * sxx - sx * sx).cast("double")

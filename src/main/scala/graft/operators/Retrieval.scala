@@ -116,21 +116,190 @@ object Retrieval {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  def bm25Top(s: SparkSession, dir: String): DataFrame = {
-    val terms = load(s, dir, "documents")
+  /** The shared in-query index frames: cached per-(doc, term) tf,
+    * per-doc lengths, 1-row corpus stats, per-term document
+    * frequencies. One corpus scan feeds all four (tf is the cached
+    * root); every consumer then joins a broadcast query-term table
+    * against it, so scoring work scales with the query terms' posting
+    * lists, never the corpus.
+    */
+  private def corpusIndex(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tf = load(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .cache()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    (tf, dl, stats, dfreq)
+  }
+
+  def bm25Top(s: SparkSession, dir: String): DataFrame = {
+    val (tf, dl, stats, dfreq) = corpusIndex(s, dir)
     val qterms = dfreq
       .orderBy(col("df"), col("term")).limit(NumQueryTerms)
       .select(col("term"), col("df"))
     scoreAndRank(tf.join(broadcast(qterms), "term").join(dl, "doc_id"),
       stats)
+  }
+
+  /** Terms per multi-term query. */
+  val MultiTermLen = 3
+
+  /** Multi-term disjunctive (OR) queries. */
+  val NumMultiQueries = 4
+
+  /** Multi-term conjunctive (AND) queries. */
+  val NumAndQueries = 2
+
+  /** Phrase queries per run. */
+  val NumPhraseQueries = 3
+
+  /** Per-(term, doc) BM25 score column over posting rows that carry
+    * (tf, dl, df) and the broadcast 1-row (n, sumdl) stats — the same
+    * expression [[scoreAndRank]] ranks by, exposed for the multi-term
+    * aggregating consumers.
+    */
+  private def bm25Score: org.apache.spark.sql.Column = {
+    val avgdl = col("sumdl").cast("double") / col("n")
+    log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      ((col("tf") * lit(2.2)) /
+        (col("tf") + lit(K1) * (lit(0.25) + lit(B) * (col("dl") / avgdl))))
+  }
+
+  /** Multi-term DISJUNCTIVE (OR) retrieval — the standard BM25 query
+    * form: [[NumMultiQueries]] queries of [[MultiTermLen]] terms each,
+    * derived from the 12 rarest terms in (df, term) order (query 1 =
+    * ranks 1–3, …), scored per document as the SUM of the matched
+    * terms' BM25 contributions, with the match count alongside (the
+    * coordination signal a ranker may boost by). The per-document sum
+    * adds its ≤ [[MultiTermLen]] term scores in SORTED order, so the
+    * float result is bit-identical cross-engine and the query
+    * hash-oracles (`bm25_multiterm`).
+    *
+    * Scale shape: identical to [[bm25Top]] — one broadcast of the
+    * 12-term query table against the cached postings; the per-query
+    * aggregation groups only the matched posting rows, then a
+    * queries-sized top-[[TopDocs]] window. Nothing corpus × queries.
+    */
+  def bm25MultiTop(s: SparkSession, dir: String): DataFrame = {
+    val (tf, dl, stats, dfreq) = corpusIndex(s, dir)
+    val qrank = Window.orderBy(col("df"), col("term"))
+    val qterms = dfreq
+      .orderBy(col("df"), col("term"))
+      .limit(NumMultiQueries * MultiTermLen)
+      .withColumn("qrank", row_number().over(qrank))
+      .withColumn("query_id",
+        ((col("qrank") - 1) / MultiTermLen).cast("long") + 1)
+      .select(col("query_id"), col("term"), col("df"))
+    val scored = tf.join(broadcast(qterms), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore", bm25Score)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"),
+        aggregate(array_sort(collect_list(col("tscore"))), lit(0.0),
+          (a, x) => a + x).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopDocs)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("n_matched"), round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Multi-term CONJUNCTIVE (AND) retrieval — posting-intersection
+    * semantics: only documents matching EVERY query term qualify,
+    * ranked by the same sorted-sum BM25 score. AND queries are built
+    * from the [[NumAndQueries]]×[[MultiTermLen]] most COMMON terms
+    * (df desc, ties by term): for conjunctions the selectivity comes
+    * from the intersection itself, and common terms are the case
+    * where the intersection is non-trivially large. Hash-oracled
+    * (`bm25_multiterm_and`).
+    *
+    * Scale shape: the intersection is the per-(query, doc) count
+    * filter on the SAME grouped frame as the OR form — no extra join;
+    * at index-serving scale this is the posting-list intersection
+    * done as one aggregation over the probed rows.
+    */
+  def bm25MultiAndTop(s: SparkSession, dir: String): DataFrame = {
+    val (tf, dl, stats, dfreq) = corpusIndex(s, dir)
+    val qrank = Window.orderBy(col("df").desc, col("term"))
+    val qterms = dfreq
+      .orderBy(col("df").desc, col("term"))
+      .limit(NumAndQueries * MultiTermLen)
+      .withColumn("qrank", row_number().over(qrank))
+      .withColumn("query_id",
+        ((col("qrank") - 1) / MultiTermLen).cast("long") + 1)
+      .select(col("query_id"), col("term"), col("df"))
+    val scored = tf.join(broadcast(qterms), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore", bm25Score)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"),
+        aggregate(array_sort(collect_list(col("tscore"))), lit(0.0),
+          (a, x) => a + x).as("score"))
+      .filter(col("n_matched") === MultiTermLen)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopDocs)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** PHRASE retrieval — the proximity form: a phrase matches only
+    * where its tokens are ADJACENT, so phrase tf comes from a
+    * positional bigram pass, not the unigram postings. Bigrams are
+    * built narrowly with `zip_with` over the token array (no
+    * positional self-join); the workload is the [[NumPhraseQueries]]
+    * most frequent bigram phrases (df desc, ties by phrase — common
+    * phrases give the non-trivial ranked lists), scored by the
+    * standard BM25 formula with phrase tf/df and the UNIGRAM document
+    * length (the Lucene convention). Hash-oracled (`bm25_phrase`).
+    *
+    * Scale shape: one narrow corpus pass explodes bigrams (2× token
+    * volume), map-side-combined into per-(doc, phrase) counts; phrase
+    * stats and scoring then mirror the unigram plan — broadcast query
+    * phrases against cached bigram postings. At 100 TB a real engine
+    * stores positions in the postings; the bigram index IS that
+    * structure specialized to window = 1.
+    */
+  def bm25PhraseTop(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (x, y) => concat_ws(" ", x, y))
+    val ptf = load(s, dir, "documents")
+      .select(col("doc_id"), size(toks).as("dl"),
+        explode(bigrams).as("phrase"))
+      .groupBy(col("doc_id"), col("dl"), col("phrase"))
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    val stats = load(s, dir, "documents")
+      .agg(count(lit(1)).as("n"),
+        sum(size(split(col("text"), " "))).as("sumdl"))
+    val pdf = ptf.groupBy(col("phrase")).agg(count(lit(1)).as("df"))
+    val qphrases = pdf
+      .orderBy(col("df").desc, col("phrase")).limit(NumPhraseQueries)
+    val w = Window.partitionBy(col("phrase"))
+      .orderBy(col("score").desc, col("doc_id"))
+    ptf.join(broadcast(qphrases), "phrase")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", bm25Score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopDocs)
+      .select(col("phrase"), col("doc_id"), col("rank"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("phrase"), col("rank"))
   }
 
   /** The BM25 scoring + per-term ranking tail shared by the in-query

@@ -153,15 +153,27 @@ object Sampling {
     * ln is ~1-ulp across engines, which can only flip the SELECTED
     * set if two keys collide to within that ulp (astronomically
     * unlikely over md5 draws); the OUTPUT columns are exact integers,
-    * so the query hash-oracles. Plan: narrow projection +
-    * TakeOrderedAndProject (partial per-partition top-k, no global
-    * sort).
+    * so the query hash-oracles. u is clamped to the smallest positive
+    * double before the log: an all-zero 13-hex md5 prefix (~2e-16 per
+    * doc) would give u=0, where Spark's log(0) is NULL (sorts FIRST
+    * ascending → wrongly selected at rank 1) while DuckDB's -ln(0)/w
+    * is +inf (sorts last) — the clamp makes both engines rank such a
+    * doc by the same astronomically-large finite key. Plan: narrow
+    * projection + TakeOrderedAndProject (partial per-partition top-k,
+    * no global sort).
     */
   val WeightedK = 50
 
+  /** Smallest positive double — the u=0 clamp floor; 5e-324 parses to
+    * the identical denormal in DuckDB's oracle SQL.
+    */
+  private val UFloor = java.lang.Double.MIN_VALUE
+
   def weightedSample(s: SparkSession, dir: String): DataFrame = {
-    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
-      16, 10).cast("long").cast("double") / lit(4503599627370496.0) // 2^52
+    val u = greatest(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+        16, 10).cast("long").cast("double") / lit(4503599627370496.0), // 2^52
+      lit(UFloor))
     load(s, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
       .withColumn("es_key", -log(u) / col("n_chars"))
@@ -184,8 +196,10 @@ object Sampling {
   val WeightedGroupK = 10
 
   def weightedQuota(s: SparkSession, dir: String): DataFrame = {
-    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
-      16, 10).cast("long").cast("double") / lit(4503599627370496.0)
+    val u = greatest(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+        16, 10).cast("long").cast("double") / lit(4503599627370496.0),
+      lit(UFloor))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("es_key"), col("doc_id"))
     load(s, dir, "documents")

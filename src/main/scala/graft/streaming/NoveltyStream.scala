@@ -44,6 +44,10 @@ object NoveltyStream {
     */
   final class Seen(val capacity: Long, val fpp: Double) {
     private[streaming] val bloom = BloomFilter.create(capacity, fpp)
+    // replay guard (see measure): highest batchId already folded into
+    // the filter, plus its emitted result for idempotent re-emission
+    private[streaming] var lastMerged: Long = -1L
+    private[streaming] var lastResult: BatchNovelty = _
     private[streaming] def bytes: Array[Byte] = {
       val bos = new ByteArrayOutputStream()
       bloom.writeTo(bos)
@@ -57,6 +61,14 @@ object NoveltyStream {
     */
   private[graft] def measure(batch: DataFrame, seen: Seen,
       batchId: Long): BatchNovelty = {
+    // foreachBatch is at-least-once: a batch replayed after a sink
+    // failure would probe state that already contains its OWN
+    // shingles and report noveltyFrac 0 for the same batchId. The
+    // pre-merge count is unrecoverable from the filter, so the state
+    // remembers the last merged batchId and re-emits its cached
+    // result instead of re-measuring (exactly-once emission per id).
+    if (batchId <= seen.lastMerged && seen.lastResult != null)
+      return seen.lastResult.copy(batchId = batchId)
     val keys = batch
       .select(explode(Dedup.shingles(col("text"))).as("sh"))
       .select(xxhash64(col("sh")).as("h"))
@@ -73,8 +85,11 @@ object NoveltyStream {
         seen.bloom.mergeInPlace(
           keys.stat.bloomFilter("h", seen.capacity, seen.fpp))
       }
-      BatchNovelty(batchId, n, novel,
+      val r = BatchNovelty(batchId, n, novel,
         if (n == 0) 0.0 else math.round(novel.toDouble / n * 1e6) / 1e6)
+      seen.lastMerged = batchId
+      seen.lastResult = r
+      r
     } finally keys.unpersist()
   }
 

@@ -218,4 +218,31 @@ class LakeServerSpec extends SparkSpec with BeforeAndAfterAll {
     assert(fail.statusCode == 400 &&
       json(fail).get("error").asText == "failed query")
   }
+
+  test("concurrent trained-index queries train ONCE: cache release is " +
+      "refcounted to idle, not per-request") {
+    import graft.operators.OperatorCaches
+    // clean slate: no memoized trainers, counter at a known base
+    OperatorCaches.release(spark)
+    val base0 = OperatorCaches.trainerRuns.get()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    try {
+      val futures = (1 to 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            barrier.await() // both requests genuinely in flight together
+            post("/query/ann_ivf_trained_topk", Array.emptyByteArray)
+              .statusCode
+          }
+        })
+      }
+      assert(futures.map(_.get()).forall(_ == 200))
+      // with per-request release, the first finisher's cleanup clears
+      // the memo while the second is mid-flight and it retrains; the
+      // refcount defers release to idle, so the burst trains once
+      assert(OperatorCaches.trainerRuns.get() - base0 == 1,
+        s"burst of 2 trained ${OperatorCaches.trainerRuns.get() - base0}x")
+    } finally pool.shutdown()
+  }
 }

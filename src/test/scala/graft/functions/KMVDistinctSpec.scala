@@ -41,4 +41,21 @@ class KMVDistinctSpec extends SparkSpec {
       assert(math.abs(est - exact) / exact < 0.15)
     }
   }
+
+  test("md5-domain sketch: same contracts (exact below k, bounded " +
+      "error, partition-order independence) in the oracle-able domain") {
+    val below = li.agg(
+      KMVDistinct.md5Sketch(col("l_returnflag"), 256).as("est"),
+      countDistinct(col("l_returnflag")).as("exact")).head()
+    assert(below.getDouble(0) == below.getLong(1).toDouble)
+    def run(parts: Int) = li.repartition(parts)
+      .agg(KMVDistinct.md5Sketch(col("l_orderkey"), 256).as("est"),
+        countDistinct(col("l_orderkey")).as("exact")).head()
+    val a = run(3)
+    val b = run(13)
+    assert(a.getDouble(0) == b.getDouble(0))
+    val (est, exact) = (a.getDouble(0), a.getLong(1).toDouble)
+    assert(math.abs(est - exact) / exact < 0.15,
+      f"md5-KMV err ${math.abs(est - exact) / exact}%.3f out of bounds")
+  }
 }

@@ -49,6 +49,13 @@ class EmptyInputSpec extends SparkSpec {
       "langid" -> (() => TextAnalysis.langId(spark, emptyDir).count()),
       "fingerprint" -> (() => TextAnalysis.fingerprint(spark, emptyDir).count()),
       "bm25" -> (() => Retrieval.bm25Top(spark, emptyDir).count()),
+      "bm25_multiterm" -> (() =>
+        Retrieval.bm25MultiTop(spark, emptyDir).count()),
+      "bm25_multiterm_and" -> (() =>
+        Retrieval.bm25MultiAndTop(spark, emptyDir).count()),
+      "bm25_phrase" -> (() =>
+        Retrieval.bm25PhraseTop(spark, emptyDir).count()),
+      "sq_codes_rows" -> (() => Sq.codesRows(spark, emptyDir).count()),
       "hybrid" -> (() => Retrieval.hybridTopK(spark, emptyDir).count()),
       "sq_codes" -> (() => Sq.codes(spark, emptyDir).count()),
       "sq_topk" -> (() => Sq.sqTopK(spark, emptyDir).count()),

@@ -102,6 +102,19 @@ class PlanSpec extends SparkSpec {
       "BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1)
   }
 
+  test("bm25 multi-term + phrase: scoring still touches only " +
+      "query-term postings (broadcast probe), nothing cartesian") {
+    Seq(Retrieval.bm25MultiTop(spark, sf),
+        Retrieval.bm25MultiAndTop(spark, sf),
+        Retrieval.bm25PhraseTop(spark, sf)).foreach { df =>
+      val p = physical(df)
+      assert(p.contains("BroadcastHashJoin"), p.take(2000))
+      assert(!p.contains("CartesianProduct"))
+      // only the 1-row stats broadcast may be a nested loop
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1)
+    }
+  }
+
   test("hybrid: lexical candidates meet on the shingle equi-join " +
       "(never all-pairs); no cartesian product anywhere") {
     val p = physical(Retrieval.hybridTopK(spark, sf))

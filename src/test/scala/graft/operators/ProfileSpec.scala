@@ -34,4 +34,30 @@ class ProfileSpec extends SparkSpec {
     }
     li.unpersist()
   }
+
+  test("scale profile: no Expand in the plan, exact columns equal the " +
+      "oracle-grade profile, approx nd within sketch error of exact") {
+    val scaled = Profile.profileNumericScale(spark, sf)
+    // the whole point of the sketch form: the multi-distinct x5 row
+    // replication is gone
+    scaled.count()
+    assert(!scaled.queryExecution.executedPlan.toString.contains("Expand"),
+      "scale profile must not plan a multi-distinct Expand")
+    val exact = Profile.profileNumeric(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    scaled.collect().foreach { r =>
+      val e = exact(r.getAs[String]("col_name"))
+      assert(r.getAs[Long]("n") == e.getAs[Long]("n"))
+      assert(r.getAs[Double]("min_val") == e.getAs[Double]("min_val"))
+      assert(r.getAs[Double]("max_val") == e.getAs[Double]("max_val"))
+      assert(r.getAs[Double]("mean") == e.getAs[Double]("mean"))
+      assert(r.getAs[Double]("stddev") == e.getAs[Double]("stddev"))
+      val nd = e.getAs[Long]("n_distinct").toDouble
+      val approx = r.getAs[Long]("n_distinct_approx").toDouble
+      // rsd 0.01 => 5 sigma of slack; HLL++ at these cardinalities is
+      // far tighter in practice
+      assert(math.abs(approx - nd) <= math.max(5.0, 0.05 * nd),
+        s"approx nd $approx too far from exact $nd for $r")
+    }
+  }
 }

@@ -125,4 +125,60 @@ class RetrievalSpec extends SparkSpec {
     assert(byTerm.keySet == want,
       s"query terms ${byTerm.keySet} != rarest $want")
   }
+
+  test("multi-term AND: every returned document contains ALL terms of " +
+      "its query; OR rankings are dense with bounded match counts") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").toSet).toMap
+    // reconstruct the derived AND queries: 6 most common terms in
+    // (df desc, term) order, 3 per query
+    val dfOf = docs.values.toSeq.flatMap(_.toSeq)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val andTerms = dfOf.toSeq.sortBy { case (t, d) => (-d, t) }
+      .take(Retrieval.NumAndQueries * Retrieval.MultiTermLen).map(_._1)
+    val queryTerms = andTerms.grouped(Retrieval.MultiTermLen).toSeq
+    val andRows = Retrieval.bm25MultiAndTop(spark, sf).collect()
+    assert(andRows.nonEmpty, "AND over common terms must be non-trivial")
+    andRows.foreach { r =>
+      val q = r.getAs[Long]("query_id").toInt
+      val terms = queryTerms(q - 1)
+      val docTerms = docs(r.getAs[Long]("doc_id"))
+      assert(terms.forall(docTerms.contains),
+        s"doc ${r.getAs[Long]("doc_id")} misses a term of query $q: $terms")
+    }
+    val orRows = Retrieval.bm25MultiTop(spark, sf).collect()
+    val byQ = orRows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == Retrieval.NumMultiQueries)
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length))
+      assert(rs.forall { r =>
+        val m = r.getAs[Long]("n_matched")
+        m >= 1 && m <= Retrieval.MultiTermLen
+      })
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("phrase retrieval: every returned document contains its query " +
+      "phrase as ADJACENT tokens (not merely both terms)") {
+    val text = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = Retrieval.bm25PhraseTop(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("phrase")).distinct.length ==
+      Retrieval.NumPhraseQueries)
+    rows.foreach { r =>
+      val phrase = r.getAs[String]("phrase").split(" ")
+      val toks = text(r.getAs[Long]("doc_id")).split(" ")
+      val adjacent = toks.sliding(2).exists(w =>
+        w.length == 2 && w(0) == phrase(0) && w(1) == phrase(1))
+      assert(adjacent,
+        s"doc ${r.getAs[Long]("doc_id")} lacks adjacent '$phrase'")
+    }
+  }
 }

@@ -92,6 +92,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, f"recall $recall%.3f below floor")
   }
 
+  test("planted clusters: the TRAINED quantizer beats the sampled-" +
+      "member seed decisively (the corpus real embeddings look like)") {
+    // the driver's near-orthogonal table can only pin trained >= seed
+    // (SURVEY 13.19); this corpus makes the training payoff itself
+    // measurable: tight Gaussian clusters whose MEMBERS are noisy
+    // centroids but whose MEANS (Lloyd's fixed point) are clean ones
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-planted-spec").toString
+    graft.ClusteredCorpus.write(spark, dir, 3700, 100, 16, 0.5)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteTopK(spark, dir))
+    val seed = pairs(Similarity.ivfTopK(spark, dir))
+    val trained = pairs(Similarity.ivfTrainedTopK(spark, dir))
+    val rs = (brute & seed).size.toDouble / brute.size
+    val rt = (brute & trained).size.toDouble / brute.size
+    info(f"planted-cluster IVF recall: seed $rs%.3f -> trained $rt%.3f")
+    assert(rt >= rs + 0.05,
+      f"training must lift recall decisively on clustered data: " +
+        f"seed $rs%.3f trained $rt%.3f")
+    assert(rt >= 0.5, f"trained recall $rt%.3f too low on easy corpus")
+  }
+
   test("IVF top-k: exact within probed cells, measured recall vs brute") {
     val brute = Similarity.bruteTopK(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))

@@ -53,4 +53,23 @@ class NoveltyStreamSpec extends SparkSpec {
       assert(replay.nNovel == 0 && replay.noveltyFrac == 0.0)
     } finally q.stop()
   }
+
+  test("at-least-once replay of an already-merged batchId re-emits the " +
+      "original result instead of re-measuring against its own shingles") {
+    val seen = new NoveltyStream.Seen(1L << 20, 0.01)
+    val batch = Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val first = NoveltyStream.measure(batch, seen, 0L)
+    assert(first.noveltyFrac == 1.0 && first.nNovel == 3)
+    // foreachBatch retry: same batchId arrives again after the merge.
+    // Without the guard the state already contains the batch's own
+    // shingles and the re-measurement reports 0 — the guard re-emits
+    // the cached pre-merge result
+    val retried = NoveltyStream.measure(batch, seen, 0L)
+    assert(retried == first,
+      s"replayed batch must reproduce its original emission: $retried")
+    // the NEXT batchId still measures against the merged state
+    val next = NoveltyStream.measure(batch, seen, 1L)
+    assert(next.nNovel == 0 && next.noveltyFrac == 0.0)
+  }
 }
