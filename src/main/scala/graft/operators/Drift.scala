@@ -63,7 +63,13 @@ object Drift {
   def sourceTokenJsd(s: SparkSession, dir: String): DataFrame = {
     val (probs, totals) = sourceProbs(s, dir)
     val pairs = totals.select(col("source").as("sa"))
-      .crossJoin(totals.select(col("source").as("sb")))
+      // broadcast pinned on the right factor: both factors are the
+      // same tiny distinct-sources frame, so without the hint AQE
+      // picks the nested-loop build side from byte-level noise
+      // between two near-equal runtime stats — a BuildLeft/BuildRight
+      // coin flip that executes identically but flips the bench's
+      // plan fingerprint
+      .crossJoin(broadcast(totals.select(col("source").as("sb"))))
       .filter(col("sa") < col("sb"))
     val left = probs.join(broadcast(pairs), col("source") === col("sa"))
       .select(col("sa"), col("sb"), col("tok"), col("p"))
@@ -149,7 +155,13 @@ object Drift {
       .select(col("source"), col("n_chars"),
         (col("cum").cast("double") / col("tot").cast("double")).as("cdf"))
     val pairs = totals.select(col("source").as("sa"))
-      .crossJoin(totals.select(col("source").as("sb")))
+      // broadcast pinned on the right factor: both factors are the
+      // same tiny distinct-sources frame, so without the hint AQE
+      // picks the nested-loop build side from byte-level noise
+      // between two near-equal runtime stats — a BuildLeft/BuildRight
+      // coin flip that executes identically but flips the bench's
+      // plan fingerprint
+      .crossJoin(broadcast(totals.select(col("source").as("sb"))))
       .filter(col("sa") < col("sb"))
     val left = cdf.join(broadcast(pairs), col("source") === col("sa"))
       .select(col("sa"), col("sb"), col("n_chars"), col("cdf").as("cdf_a"))

@@ -201,6 +201,53 @@ object Layout {
     scan.join(broadcast(luts), Seq("cell", "subspace", "code"))
   }
 
+  /** The IVF-SQ8 artifact — [[Sq.ivfSqTopK]] made durable, filling
+    * the last cell of the compression × artifact matrix (IVF-Flat and
+    * IVF-PQ already persist): coded rows (vec_id, codes — 64 bytes,
+    * 4× under raw float32) hive-partitioned by coarse cell, with the
+    * 64-row quantization grid and the coarse centroids as sidecars.
+    * Unlike PQ there is no trained codebook — the grid IS the whole
+    * quantizer (one min/max aggregation), which is exactly why SQ8 is
+    * the first compression tier real deployments reach for; the
+    * artifact makes its probes pay zero quantizer compute AND zero
+    * corpus access.
+    */
+  def writeIvfSq(s: SparkSession, dir: String, path: String): Unit = {
+    val cents = Similarity.centroids(s, dir)
+    val assigned = Similarity.cellAssignmentsWith(s, dir, cents)
+      .select(col("vec_id"), col("cell").as("part_cell"))
+    Sq.codes(s, dir).join(assigned, "vec_id")
+      .select(col("vec_id"), col("codes"), col("part_cell"))
+      .repartition(col("part_cell"))
+      .write.partitionBy("part_cell").mode("overwrite").parquet(path)
+    Sq.dimStats(s, dir).write.mode("overwrite").parquet(s"$path.grid")
+    cents.write.mode("overwrite").parquet(s"$path.centroids")
+  }
+
+  /** Serve IVF-SQ8 queries from the persisted artifact: route against
+    * the `.centroids` sidecar, prune the scan to the probed cells'
+    * directories at planning time, reconstruct midpoints from the
+    * `.grid` sidecar, rank exactly — row-identical to the in-query
+    * [[Sq.ivfSqTopK]] (LayoutSpec pins it, plus the files-skipped
+    * pruning and the 4× byte shrinkage over the raw-vector layout).
+    */
+  def ivfSqProbe(s: SparkSession, dir: String, path: String): DataFrame = {
+    val cents = s.read.parquet(s"$path.centroids")
+    val probes = Similarity.queryProbesWith(s, dir, cents)
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val stored = s.read.parquet(path)
+      .filter(col("part_cell").isin(cells: _*))
+    val dv = Sq.dequantizeAgainst(
+      stored.select(col("vec_id"), col("codes")),
+      s.read.parquet(s"$path.grid"))
+    val assigned = stored
+      .select(col("vec_id"), col("part_cell").cast("long").as("cell"))
+      .join(dv, "vec_id")
+      .select(col("vec_id"), col("cell"), col("dv").as("cv"))
+    Similarity.ivfRankOf(assigned, probes)
+  }
+
   /** Mark vectors deleted — the third index-maintenance verb next to
     * append and rebuild. Deletes are TOMBSTONES: the ids land in a
     * `.tombstones` sidecar (appended, so deletes compose) and every

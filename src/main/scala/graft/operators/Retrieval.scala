@@ -199,18 +199,36 @@ object Retrieval {
     val scored = tf.join(broadcast(qterms), "term").join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("tscore", bm25Score)
+    rankMulti(scored, requireAll = false)
+  }
+
+  /** The multi-term ranking tail shared by the in-query operators and
+    * the on-disk probe: group per-(term, doc) `tscore` rows per
+    * (query, doc), sum in SORTED order (cross-engine-exact), apply
+    * the AND intersection filter when asked, rank top-[[TopDocs]].
+    */
+  private def rankMulti(scored: DataFrame,
+      requireAll: Boolean): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    scored
+    val g = scored
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_matched"),
         aggregate(array_sort(collect_list(col("tscore"))), lit(0.0),
           (a, x) => a + x).as("score"))
+    val ranked = (if (requireAll)
+        g.filter(col("n_matched") === MultiTermLen)
+      else g)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopDocs)
-      .select(col("query_id"), col("doc_id"), col("rank"),
+    if (requireAll)
+      ranked.select(col("query_id"), col("doc_id"), col("rank"),
+        round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    else
+      ranked.select(col("query_id"), col("doc_id"), col("rank"),
         col("n_matched"), round(col("score"), 6).as("score"))
-      .orderBy(col("query_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
   }
 
   /** Multi-term CONJUNCTIVE (AND) retrieval — posting-intersection
@@ -240,19 +258,7 @@ object Retrieval {
     val scored = tf.join(broadcast(qterms), "term").join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("tscore", bm25Score)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id"))
-    scored
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(count(lit(1)).as("n_matched"),
-        aggregate(array_sort(collect_list(col("tscore"))), lit(0.0),
-          (a, x) => a + x).as("score"))
-      .filter(col("n_matched") === MultiTermLen)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopDocs)
-      .select(col("query_id"), col("doc_id"), col("rank"),
-        round(col("score"), 6).as("score"))
-      .orderBy(col("query_id"), col("rank"))
+    rankMulti(scored, requireAll = true)
   }
 
   /** PHRASE retrieval — the proximity form: a phrase matches only
@@ -423,6 +429,39 @@ object Retrieval {
     * operator, so results are row-identical to [[bm25Top]]
     * (RetrievalSpec pins it).
     */
+  /** Multi-term disjunctive probe over the persisted index — the
+    * serving form of [[bm25MultiTop]]: the same 12-rarest-terms
+    * workload derives from the LEXICON sidecar (no corpus access),
+    * the scan prunes to the query terms' buckets at planning time,
+    * per-term scores come from stored (tf, dl) rows + the stats
+    * sidecar, and the sorted-sum/rank tail is [[rankMulti]] itself —
+    * so probe results are row-identical to the in-query operator
+    * (RetrievalSpec pins it). At 100 TB this is the serving shape:
+    * index once, answer multi-term queries from ≤ |terms|/buckets of
+    * the postings.
+    */
+  def bm25MultiProbe(s: SparkSession, path: String): DataFrame = {
+    val lexicon = s.read.parquet(s"$path.lexicon")
+    val qrank = Window.orderBy(col("df"), col("term"))
+    val qterms = lexicon
+      .orderBy(col("df"), col("term"))
+      .limit(NumMultiQueries * MultiTermLen)
+      .withColumn("qrank", row_number().over(qrank))
+      .withColumn("query_id",
+        ((col("qrank") - 1) / MultiTermLen).cast("long") + 1)
+      .select(col("query_id"), col("term"), col("df"))
+    val buckets = qterms
+      .select(pmod(xxhash64(col("term")), lit(IndexBuckets.toLong))
+        .as("b")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val scored = s.read.parquet(path)
+      .filter(col("part_bucket").isin(buckets: _*))
+      .join(broadcast(qterms), "term")
+      .crossJoin(broadcast(s.read.parquet(s"$path.stats")))
+      .withColumn("tscore", bm25Score)
+    rankMulti(scored, requireAll = false)
+  }
+
   def bm25Probe(s: SparkSession, path: String,
       terms: Seq[String] = Nil): DataFrame = {
     val lexicon = s.read.parquet(s"$path.lexicon")

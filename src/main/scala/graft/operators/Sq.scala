@@ -106,6 +106,27 @@ object Sq {
         array_sort(collect_list(struct(col("d"), col("xq")))),
         e => e.getField("xq")).as("dv"))
 
+  /** Midpoint reconstruction of STORED code arrays against a grid
+    * frame — the sidecar-driven decode the on-disk probe runs
+    * ([[Layout.ivfSqProbe]]). Identical arithmetic to [[dequantized]]
+    * (same float cast), so results over persisted codes are
+    * row-identical to the in-query search.
+    */
+  private[operators] def dequantizeAgainst(codes: DataFrame,
+      grid: DataFrame): DataFrame =
+    codes
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("d", "code")))
+      .select(col("vec_id"), col("d").cast("long").as("d"), col("code"))
+      .join(broadcast(grid), Seq("d"))
+      .select(col("vec_id"), col("d"),
+        (col("dmin") + (col("code") + lit(0.5))
+          * (col("dmax") - col("dmin")) / lit(256.0))
+          .cast("float").as("xq"))
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("d"), col("xq")))),
+        e => e.getField("xq")).as("dv"))
+
   /** IVF-SQ8 — the FAISS `IVFSQ` composition, completing the
     * compression × probing matrix this engine now spans (IVF-Flat,
     * IVF-PQ, flat-ADC, flat-SQ8, IVF-SQ8): coarse cells prune the

@@ -220,6 +220,47 @@ class LayoutSpec extends SparkSpec {
       s"only $hits of ${queries.length} planted query copies surfaced")
   }
 
+  test("IVF-SQ8 layout: probe equals the in-query operator row for " +
+      "row, skips unprobed cells, and codes undercut raw bytes ~4x") {
+    val out = Files.createTempDirectory("ivfsq_layout").toString
+    val raw = Files.createTempDirectory("ivfsq_raw").toString
+    Layout.writeIvfSq(spark, sf, out)
+    Layout.writeIvfPartitioned(spark, sf, raw)
+
+    // sidecar-driven decode reproduces the in-query search exactly:
+    // same grid, same midpoint floats, same tie-breaks
+    val probe = Layout.ivfSqProbe(spark, sf, out)
+    val got = probe.collect().map(_.toSeq).toSeq
+    val expect = Sq.ivfSqTopK(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got == expect)
+
+    // planning-time pruning: partition filter present, files skipped
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val codesScan = outerPlanNodes(probe.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec
+        if f.output.exists(_.name == "codes") => f }.head
+    assert(codesScan.partitionFilters.nonEmpty)
+    val filesRead = codesScan.metrics("numFiles").value
+    val totalFiles = spark.read.parquet(out).inputFiles.length
+    assert(filesRead < totalFiles,
+      s"probe read $filesRead of $totalFiles files — nothing skipped")
+
+    // the compression claim: over the same probed cells the 64-byte
+    // code rows undercut the 64-float raw rows decisively
+    val probed = Similarity.queryProbes(spark, sf)
+      .select("cell").distinct().collect().map(_.getLong(0)).sorted
+    def cellBytes(base: String): Long = probed.map { c =>
+      val d = new java.io.File(base, s"part_cell=$c")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.length).sum
+    }.sum
+    val (sqBytes, rawBytes) = (cellBytes(out), cellBytes(raw))
+    info(f"probed-cell bytes: sq8=$sqBytes raw=$rawBytes " +
+      f"(${sqBytes.toDouble / rawBytes}%.3f)")
+    assert(sqBytes * 2 < rawBytes,
+      s"SQ8 layout $sqBytes B not meaningfully below raw $rawBytes B")
+  }
+
   test("IVF-PQ delete + compact: tombstoned vectors leave probes at " +
       "once, survivors promote in order, compaction changes nothing " +
       "but the physical layout") {

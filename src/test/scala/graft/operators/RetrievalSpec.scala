@@ -36,6 +36,19 @@ class RetrievalSpec extends SparkSpec {
     val one = Retrieval.bm25Probe(spark, out, Seq(term))
       .collect().map(_.toSeq).toSeq
     assert(one == want.filter(_.head == term))
+
+    // the multi-term OR probe: same lexicon-derived workload, same
+    // sorted-sum scoring, row-identical to the in-query operator, and
+    // still bucket-pruned
+    val multi = Retrieval.bm25MultiProbe(spark, out)
+    val gotMulti = multi.collect().map(_.toSeq).toSeq
+    val wantMulti = Retrieval.bm25MultiTop(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(gotMulti == wantMulti)
+    val mScan = outerPlanNodes(multi.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec
+        if f.output.exists(_.name == "tf") => f }.head
+    assert(mScan.partitionFilters.nonEmpty)
   }
 
   test("hybrid RRF: k fused rows per query, rrf within bounds and " +
