@@ -284,6 +284,10 @@ object SparkEntry {
     // equal to the hash-oracled exact profile
     "profile_numeric_scale" ->
       (graft.operators.Profile.profileNumericScale _),
+    // categorical ANALYZE: per string column, exact top-5 values with
+    // counts, mass fractions, and distinct totals
+    "profile_categorical" ->
+      (graft.operators.Profile.profileCategorical _),
     "text_tokens" -> (TextAnalysis.tokenStats _),
     // token-mass coverage of the top-V vocabulary for a V grid —
     // the tokenizer-design curve, exact integer masses
@@ -2180,6 +2184,24 @@ object SparkEntry {
                 ELSE 255.0 / (h / 4503599627370496.0) END AS est_orders
          FROM r WHERE rk = LEAST(nh, 256)
          ORDER BY l_returnflag""",
+    // categorical profile: exact counts; frac is one IEEE division of
+    // two exact integers
+    "profile_categorical" ->
+      """WITH u AS (SELECT 'lang' AS col_name, lang AS value
+           FROM documents
+         UNION ALL SELECT 'source', source FROM documents),
+         c AS (SELECT col_name, value, count(*) AS cnt
+           FROM u GROUP BY 1, 2),
+         nd AS (SELECT col_name, count(*) AS n_distinct,
+             CAST(sum(cnt) AS BIGINT) AS n
+           FROM c GROUP BY 1),
+         r AS (SELECT col_name, value, cnt, row_number() OVER (
+             PARTITION BY col_name ORDER BY cnt DESC, value) AS rank
+           FROM c)
+         SELECT r.col_name, rank, r.value, cnt, n_distinct, n,
+           round(CAST(cnt AS DOUBLE) / n, 6) AS frac
+         FROM r JOIN nd ON nd.col_name = r.col_name
+         WHERE rank <= 5 ORDER BY r.col_name, rank""",
     // rank ties broken by token text so the top-V set is identical;
     // coverage is one division of exact integer masses
     "vocab_coverage" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.load
@@ -45,15 +46,22 @@ object Profile {
     round(col(c) * 10000, 0).cast("decimal(38,0)")
 
   def profileNumeric(s: SparkSession, dir: String): DataFrame = {
+    // micro-unit values pre-projected ONCE per row: referencing
+    // vint(c) inside each aggregate argument makes the partial
+    // aggregate evaluate the decimal round/cast up to three times per
+    // (row, column) — decimal(38) arithmetic is the scan's dominant
+    // per-row cost, so the single projection is the cheap form
+    val projected = load(s, dir, "lineitem")
+      .select(Cols.map(col) ++ Cols.map(c => vint(c).as(s"v_$c")): _*)
     val aggs = count(lit(1)).as("n") +: Cols.flatMap { c =>
       Seq(
         countDistinct(col(c)).as(s"nd_$c"),
         min(col(c)).as(s"min_$c"),
         max(col(c)).as(s"max_$c"),
-        sum(vint(c)).as(s"sx_$c"),
-        sum(vint(c) * vint(c)).as(s"sxx_$c"))
+        sum(col(s"v_$c")).as(s"sx_$c"),
+        sum(col(s"v_$c") * col(s"v_$c")).as(s"sxx_$c"))
     }
-    val a = load(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+    val a = projected.agg(aggs.head, aggs.tail: _*)
     // one row per column out of the single aggregate row: an inline'd
     // struct array, so the aggregation runs once (not once per column)
     val rows = Cols.map { c =>
@@ -87,15 +95,17 @@ object Profile {
     * hash-oracled exact profile.
     */
   def profileNumericScale(s: SparkSession, dir: String): DataFrame = {
+    val projected = load(s, dir, "lineitem")
+      .select(Cols.map(col) ++ Cols.map(c => vint(c).as(s"v_$c")): _*)
     val aggs = count(lit(1)).as("n") +: Cols.flatMap { c =>
       Seq(
         approx_count_distinct(col(c), 0.01).as(s"nd_$c"),
         min(col(c)).as(s"min_$c"),
         max(col(c)).as(s"max_$c"),
-        sum(vint(c)).as(s"sx_$c"),
-        sum(vint(c) * vint(c)).as(s"sxx_$c"))
+        sum(col(s"v_$c")).as(s"sx_$c"),
+        sum(col(s"v_$c") * col(s"v_$c")).as(s"sxx_$c"))
     }
-    val a = load(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+    val a = projected.agg(aggs.head, aggs.tail: _*)
     val rows = Cols.map { c =>
       val n = col("n")
       val sx = col(s"sx_$c")
@@ -109,5 +119,45 @@ object Profile {
           / (n * (n - lit(1))) / lit(100000000.0)), 6).as("stddev"))
     }
     a.select(inline(array(rows: _*))).orderBy(col("col_name"))
+  }
+
+  /** Categorical columns profiled by [[profileCategorical]]. */
+  private val CatCols = Seq("lang", "source")
+
+  /** Top values reported per categorical column. */
+  val TopValues = 5
+
+  /** The categorical half of ANALYZE — per string column: total rows,
+    * distinct values, and the top-[[TopValues]] values with exact
+    * counts and mass fractions (ties by value). The first question a
+    * curator asks of a new corpus ("what languages? which sources
+    * dominate?"), and the skew report a partitioner reads before
+    * keying anything by the column.
+    *
+    * Scale shape: ONE corpus scan explodes each row into (column,
+    * value) pairs — a ×|cols| narrow fanout map-side combined into a
+    * values-sized count table; the distinct counts and the top-k
+    * window then run on that table, never the corpus. frac is one
+    * IEEE division of two exact integers (hash-oracled).
+    */
+  def profileCategorical(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val pairs = docs.select(explode(array(CatCols.map(c =>
+        struct(lit(c).as("col_name"), col(c).as("value"))): _*)).as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("kv.value").as("value"))
+    val counts = pairs.groupBy(col("col_name"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val perCol = counts.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("cnt")).as("n"))
+    val w = Window.partitionBy(col("col_name"))
+      .orderBy(col("cnt").desc, col("value"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopValues)
+      .join(broadcast(perCol), "col_name")
+      .select(col("col_name"), col("rank"), col("value"), col("cnt"),
+        col("n_distinct"), col("n"),
+        round(col("cnt").cast("double") / col("n"), 6).as("frac"))
+      .orderBy(col("col_name"), col("rank"))
   }
 }

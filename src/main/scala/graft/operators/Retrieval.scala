@@ -395,29 +395,119 @@ object Retrieval {
         pmod(xxhash64(col("term")), lit(IndexBuckets.toLong)))
       .repartition(col("part_bucket"))
       .write.partitionBy("part_bucket").mode("append").parquet(path)
-    val conf = s.sparkContext.hadoopConfiguration
-    def swapIn(sidecar: String, merged: DataFrame): Unit = {
-      val tmp = s"$sidecar.merging"
-      merged.write.mode("overwrite").parquet(tmp)
-      val p = new org.apache.hadoop.fs.Path(sidecar)
-      val fs = p.getFileSystem(conf)
-      fs.delete(p, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
-    }
-    swapIn(s"$path.lexicon",
+    swapIn(s, s"$path.lexicon",
       s.read.parquet(s"$path.lexicon").withColumnRenamed("df", "df_old")
         .join(tf.groupBy(col("term")).agg(count(lit(1)).as("df_new")),
           Seq("term"), "full_outer")
         .select(col("term"),
           (coalesce(col("df_old"), lit(0L)) +
             coalesce(col("df_new"), lit(0L))).as("df")))
-    swapIn(s"$path.stats",
+    swapIn(s, s"$path.stats",
       s.read.parquet(s"$path.stats")
         .crossJoin(dl.agg(count(lit(1)).as("n_new"),
           coalesce(sum(col("dl")), lit(0L)).as("sumdl_new")))
         .select((col("n") + col("n_new")).as("n"),
           (col("sumdl") + col("sumdl_new")).as("sumdl")))
     tf.unpersist()
+  }
+
+  /** Sibling-swap a sidecar: materialize the merged frame into a
+    * sibling first — overwriting the directory a lazy plan still
+    * reads would race the scan — then rename into place.
+    */
+  private def swapIn(s: SparkSession, sidecar: String,
+      merged: DataFrame): Unit = {
+    val tmp = s"$sidecar.merging"
+    merged.write.mode("overwrite").parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(sidecar)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+  }
+
+  private def exists(s: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** Anti-join a posting frame against the tombstone sidecar (when
+    * present) — every probe's delete visibility. Unhinted: the
+    * tombstone set starts tiny but is unbounded until a compaction.
+    */
+  private def liveRows(s: SparkSession, path: String,
+      rows: DataFrame): DataFrame =
+    if (exists(s, s"$path.tombstones"))
+      rows.join(s.read.parquet(s"$path.tombstones")
+        .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    else rows
+
+  /** Delete documents from the persisted index — the harder sibling
+    * of [[Layout.deleteFromIvfPq]], because BM25's statistics are
+    * part of the score: a tombstone alone would leave every surviving
+    * document ranked against STALE df/N/Σdl. The delete therefore
+    * maintains the statistics EXACTLY: the deleted docs' posting rows
+    * are read back from the index itself (one scan at delete time —
+    * scattered across buckets by design, the cost sits on the rare
+    * verb, not on probes), their per-term document frequencies and
+    * length mass subtract from the sidecars (df decomposes over
+    * disjoint doc sets just as it adds), and the ids land in a
+    * `.tombstones` sidecar every probe anti-joins. Probes after any
+    * delete are row-identical to an index written whole over the
+    * remainder (RetrievalSpec pins it, derived workload included —
+    * the decremented lexicon IS the remainder's lexicon). Replaying
+    * a delete is a no-op: only ids not already tombstoned subtract,
+    * so the at-least-once caller can't double-decrement; deleting an
+    * absent id subtracts nothing by construction.
+    */
+  def deleteFromBm25(s: SparkSession, path: String,
+      ids: DataFrame): Unit = {
+    val prior =
+      if (exists(s, s"$path.tombstones"))
+        s.read.parquet(s"$path.tombstones")
+          .select(col("doc_id")).distinct()
+      else ids.select(col("doc_id")).limit(0)
+    val del = ids.select(col("doc_id")).distinct()
+      .join(prior, Seq("doc_id"), "left_anti").cache()
+    val delPost = s.read.parquet(path).join(del, "doc_id").cache()
+    swapIn(s, s"$path.lexicon",
+      s.read.parquet(s"$path.lexicon")
+        .join(delPost.groupBy(col("term")).agg(count(lit(1)).as("df_del")),
+          Seq("term"), "left")
+        .select(col("term"),
+          (col("df") - coalesce(col("df_del"), lit(0L))).as("df"))
+        .filter(col("df") > 0))
+    swapIn(s, s"$path.stats",
+      s.read.parquet(s"$path.stats")
+        .crossJoin(delPost.select(col("doc_id"), col("dl")).distinct()
+          .agg(count(lit(1)).as("n_del"),
+            coalesce(sum(col("dl")), lit(0L)).as("dl_del")))
+        .select((col("n") - col("n_del")).as("n"),
+          (col("sumdl") - col("dl_del")).as("sumdl")))
+    del.coalesce(1).write.mode("append").parquet(s"$path.tombstones")
+    delPost.unpersist()
+    del.unpersist()
+  }
+
+  /** Fold the tombstones in and squash the small files appends leave —
+    * same physical-hygiene contract as [[Layout.compactIvfPq]]:
+    * rewrite each bucket from its live rows into a sibling tree, swap
+    * it in, drop the tombstone sidecar. The statistics sidecars are
+    * already exact (the delete maintained them), so probes before and
+    * after a compaction are identical (RetrievalSpec pins it).
+    */
+  def compactBm25(s: SparkSession, path: String): Unit = {
+    val live = liveRows(s, path, s.read.parquet(path)
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+        col("part_bucket").cast("long").as("part_bucket")))
+    val tmp = s"$path.compacting"
+    live.repartition(col("part_bucket"))
+      .write.partitionBy("part_bucket").mode("overwrite").parquet(tmp)
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path.tombstones"), true)
   }
 
   /** Probe the persisted index for `terms` (or, when empty, the same
@@ -454,8 +544,8 @@ object Retrieval {
       .select(pmod(xxhash64(col("term")), lit(IndexBuckets.toLong))
         .as("b")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val scored = s.read.parquet(path)
-      .filter(col("part_bucket").isin(buckets: _*))
+    val scored = liveRows(s, path, s.read.parquet(path)
+        .filter(col("part_bucket").isin(buckets: _*)))
       .join(broadcast(qterms), "term")
       .crossJoin(broadcast(s.read.parquet(s"$path.stats")))
       .withColumn("tscore", bm25Score)
@@ -472,8 +562,8 @@ object Retrieval {
       .select(pmod(xxhash64(col("term")), lit(IndexBuckets.toLong))
         .as("b")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val postings = s.read.parquet(path)
-      .filter(col("part_bucket").isin(buckets: _*))
+    val postings = liveRows(s, path, s.read.parquet(path)
+        .filter(col("part_bucket").isin(buckets: _*)))
       .join(broadcast(qterms), "term")
       .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
     scoreAndRank(postings, s.read.parquet(s"$path.stats"))

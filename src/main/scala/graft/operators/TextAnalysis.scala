@@ -377,12 +377,24 @@ object TextAnalysis {
   def contamination(s: SparkSession, dir: String): DataFrame = {
     val sh = load(s, dir, "documents")
       .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
-    val bench = sh.filter(col("doc_id") % 100 === 0)
-      .select(col("doc_id").as("bench_id"), col("sh"))
+    contaminationOf(
+      sh.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id").as("train_id"), col("sh")),
+      sh.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("bench_id"), col("sh")))
+      .orderBy(col("train_id"), col("bench_id"))
+  }
+
+  /** The contamination core over ANY (train_id, sh) / (bench_id, sh)
+    * shingle frames — per-doc verdicts are independent of every other
+    * training doc, which is what lets the streaming guard
+    * ([[graft.streaming.ContaminationStream]]) apply the IDENTICAL
+    * plan per micro-batch against a frozen benchmark and equal the
+    * batch operator over the union (spec-pinned).
+    */
+  def contaminationOf(train: DataFrame, bench: DataFrame): DataFrame = {
     val benchSize = bench.groupBy(col("bench_id"))
       .agg(count(lit(1)).as("bench_sh"))
-    val train = sh.filter(col("doc_id") % 100 =!= 0)
-      .select(col("doc_id").as("train_id"), col("sh"))
     train.join(broadcast(bench), "sh")
       .groupBy(col("train_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
@@ -391,7 +403,6 @@ object TextAnalysis {
       .select(col("train_id"), col("bench_id"), col("n_shared"),
         round(col("n_shared").cast("double") / col("bench_sh"), 6)
           .as("overlap_frac"))
-      .orderBy(col("train_id"), col("bench_id"))
   }
 
   /** Span-level contamination: WHERE the benchmark overlap sits inside

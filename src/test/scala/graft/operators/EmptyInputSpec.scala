@@ -56,6 +56,8 @@ class EmptyInputSpec extends SparkSpec {
       "bm25_phrase" -> (() =>
         Retrieval.bm25PhraseTop(spark, emptyDir).count()),
       "sq_codes_rows" -> (() => Sq.codesRows(spark, emptyDir).count()),
+      "profile_categorical" -> (() =>
+        Profile.profileCategorical(spark, emptyDir).count()),
       "hybrid" -> (() => Retrieval.hybridTopK(spark, emptyDir).count()),
       "sq_codes" -> (() => Sq.codes(spark, emptyDir).count()),
       "sq_topk" -> (() => Sq.sqTopK(spark, emptyDir).count()),

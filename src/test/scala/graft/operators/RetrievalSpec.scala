@@ -139,6 +139,52 @@ class RetrievalSpec extends SparkSpec {
       s"query terms ${byTerm.keySet} != rarest $want")
   }
 
+  test("BM25 delete + compact: probes equal an index written whole " +
+      "over the remainder (statistics maintained exactly), delete " +
+      "replay is a no-op, compaction drops the tombstones") {
+    import org.apache.spark.sql.functions._
+    val full = java.nio.file.Files.createTempDirectory("bm25_del").toString
+    Retrieval.writeBm25Index(spark, sf, full)
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val deadIds = docs.filter(col("doc_id") % 7 === 1)
+      .select(col("doc_id"))
+
+    // the ground truth: a fresh index over only the surviving docs
+    val remLake = java.nio.file.Files
+      .createTempDirectory("bm25_rem").toString
+    docs.filter(col("doc_id") % 7 =!= 1)
+      .write.parquet(s"$remLake/documents.parquet")
+    val remIdx = java.nio.file.Files
+      .createTempDirectory("bm25_remidx").toString
+    Retrieval.writeBm25Index(spark, remLake, remIdx)
+
+    Retrieval.deleteFromBm25(spark, full, deadIds)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(Retrieval.bm25Probe(spark, full)) ==
+      rows(Retrieval.bm25Probe(spark, remIdx)),
+      "single-term probe after delete != remainder index")
+    assert(rows(Retrieval.bm25MultiProbe(spark, full)) ==
+      rows(Retrieval.bm25MultiProbe(spark, remIdx)),
+      "multi-term probe after delete != remainder index")
+
+    // at-least-once replay: re-deleting the same ids must not
+    // double-decrement the statistics
+    Retrieval.deleteFromBm25(spark, full, deadIds)
+    assert(rows(Retrieval.bm25Probe(spark, full)) ==
+      rows(Retrieval.bm25Probe(spark, remIdx)),
+      "delete replay changed the probe — statistics double-decremented")
+
+    // compaction: pure physical hygiene — identical probes, sidecar gone
+    Retrieval.compactBm25(spark, full)
+    assert(rows(Retrieval.bm25Probe(spark, full)) ==
+      rows(Retrieval.bm25Probe(spark, remIdx)))
+    assert(rows(Retrieval.bm25MultiProbe(spark, full)) ==
+      rows(Retrieval.bm25MultiProbe(spark, remIdx)))
+    assert(!new java.io.File(s"$full.tombstones").exists,
+      "compaction must drop the tombstone sidecar")
+  }
+
   test("multi-term AND: every returned document contains ALL terms of " +
       "its query; OR rankings are dense with bounded match counts") {
     val docs = graft.Tables.load(spark, sf, "documents")
