@@ -309,6 +309,10 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_tfidf" -> (TextAnalysis.tfidfTop _),
     "text_top_bigrams" -> (TextAnalysis.topBigrams _),
+    // windowed co-occurrence matrix (the word2vec/GloVe statistic):
+    // ordered pairs within 3 positions, exact counts, shifted-zip
+    // fanout instead of a positional self-join
+    "text_cooccur_window" -> (TextAnalysis.cooccurWindow _),
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_normalize" -> (TextAnalysis.normalize _),
     "text_dup_ngrams" -> (TextAnalysis.dupNgrams _),
@@ -1938,6 +1942,27 @@ object SparkEntry {
            FROM (SELECT string_split(text,' ') AS toks FROM documents)
            WHERE len(toks) >= 2) b
          GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""",
+    // windowed co-occurrence: the UNION ALL blocks are the per-offset
+    // shifted zips (d = 1..3); exact integer counts
+    "text_cooccur_window" ->
+      """WITH t AS (SELECT string_split(text,' ') AS toks FROM documents),
+         p AS (
+           SELECT unnest([toks[i] for i in range(1, len(toks))]) AS x,
+             unnest([toks[i+1] for i in range(1, len(toks))]) AS y,
+             6 AS w6
+           FROM t WHERE len(toks) >= 2
+           UNION ALL
+           SELECT unnest([toks[i] for i in range(1, len(toks)-1)]),
+             unnest([toks[i+2] for i in range(1, len(toks)-1)]), 3
+           FROM t WHERE len(toks) >= 3
+           UNION ALL
+           SELECT unnest([toks[i] for i in range(1, len(toks)-2)]),
+             unnest([toks[i+3] for i in range(1, len(toks)-2)]), 2
+           FROM t WHERE len(toks) >= 4)
+         SELECT x, y, count(*) AS n_cooc,
+           round(CAST(sum(w6) AS DOUBLE) / 6.0, 6) AS glove_w
+         FROM p GROUP BY x, y
+         ORDER BY n_cooc DESC, x, y LIMIT 50""",
     "text_normalize" ->
       """SELECT doc_id,
            len(list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),

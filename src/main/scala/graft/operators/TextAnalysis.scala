@@ -710,4 +710,50 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram"))
       .limit(50)
   }
+
+  /** Window for [[cooccurWindow]] — ordered pairs whose positions
+    * differ by at most this many tokens.
+    */
+  val CoocWindow = 3
+
+  /** Pairs reported by [[cooccurWindow]]. */
+  val CoocTop = 50
+
+  /** Windowed co-occurrence counts — the corpus statistic
+    * distributional-embedding trainers (word2vec, GloVe) consume: for
+    * every ORDERED token pair (x, y) with y at most [[CoocWindow]]
+    * positions after x, the exact corpus-wide count, top-[[CoocTop]]
+    * by (count desc, x, y). The adjacent-bigram statistics
+    * (`text_top_bigrams`, PMI) are the window = 1 special case; the
+    * windowed matrix is what distributional similarity trains on.
+    *
+    * Scale shape: NO positional self-join — for each offset d ≤ W the
+    * pair stream is a `zip_with` of the token array against itself
+    * shifted by d (the bigram trick generalized), so one narrow
+    * corpus scan fans out ≤ W pairs per token, map-side combined into
+    * a (Zipf-light) pair-count table before the single shuffle, and
+    * the top-k is a TakeOrderedAndProject. Exact integer counts —
+    * hash-oracled (`text_cooccur_window`).
+    */
+  def cooccurWindow(s: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    // GloVe's 1/distance weighting kept EXACT: 1/d over d ∈ {1,2,3}
+    // accumulates in sixths (6/d is an integer for every d ≤ 3), so
+    // the weighted mass is an exact integer sum and the reported
+    // weight is ONE IEEE division — hash-oracled like the raw count
+    def pairsAt(d: Int) = zip_with(
+      slice(t, lit(1), greatest(size(t) - d, lit(0))),
+      slice(t, lit(1 + d), greatest(size(t) - d, lit(0))),
+      (x, y) => struct(x.as("x"), y.as("y"), lit(6L / d).as("w6")))
+    val allPairs = flatten(array((1 to CoocWindow).map(pairsAt): _*))
+    load(s, dir, "documents")
+      .select(explode(allPairs).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"), col("p.w6"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_cooc"),
+        round(sum(col("w6")).cast("double") / lit(6.0), 6)
+          .as("glove_w"))
+      .orderBy(col("n_cooc").desc, col("x"), col("y"))
+      .limit(CoocTop)
+  }
 }

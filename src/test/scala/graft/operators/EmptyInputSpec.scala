@@ -58,6 +58,8 @@ class EmptyInputSpec extends SparkSpec {
       "sq_codes_rows" -> (() => Sq.codesRows(spark, emptyDir).count()),
       "profile_categorical" -> (() =>
         Profile.profileCategorical(spark, emptyDir).count()),
+      "text_cooccur_window" -> (() =>
+        TextAnalysis.cooccurWindow(spark, emptyDir).count()),
       "hybrid" -> (() => Retrieval.hybridTopK(spark, emptyDir).count()),
       "sq_codes" -> (() => Sq.codes(spark, emptyDir).count()),
       "sq_topk" -> (() => Sq.sqTopK(spark, emptyDir).count()),

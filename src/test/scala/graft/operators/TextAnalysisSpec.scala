@@ -346,4 +346,28 @@ class TextAnalysisSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("windowed co-occurrence equals a JVM sliding-window replay, " +
+      "GloVe 1/d weights included (exact sixths)") {
+    val got = TextAnalysis.cooccurWindow(spark, sf).collect()
+      .map(r => (r.getAs[String]("x"), r.getAs[String]("y"),
+        r.getAs[Long]("n_cooc"), r.getAs[Double]("glove_w"))).toSeq
+    val counts = scala.collection.mutable.Map
+      .empty[(String, String), (Long, Long)].withDefaultValue((0L, 0L))
+    graft.Tables.load(spark, sf, "documents").select("text").collect()
+      .foreach { r =>
+        val t = r.getAs[String]("text").split(" ", -1)
+        for (d <- 1 to TextAnalysis.CoocWindow;
+             i <- 0 until t.length - d) {
+          val (n, w6) = counts((t(i), t(i + d)))
+          counts((t(i), t(i + d))) = (n + 1, w6 + 6L / d)
+        }
+      }
+    val want = counts.toSeq
+      .map { case ((x, y), (n, w6)) =>
+        (x, y, n, math.round(w6.toDouble / 6.0 * 1e6) / 1e6) }
+      .sortBy { case (x, y, n, _) => (-n, x, y) }
+      .take(TextAnalysis.CoocTop)
+    assert(got == want)
+  }
 }
