@@ -151,6 +151,21 @@ object TextAnalysis {
         col("n_tokens") >= 10 && col("ttr") >= 0.2 && col("alpha_ratio") >= 0.6)
   }
 
+  /** Filter ANY (doc_id, text, …) frame to the rows [[qualityRows]]
+    * would mark keep — the SAME rounded-signal arithmetic inlined as
+    * one predicate, with every other column passed through (the
+    * admission form: [[graft.streaming.AdmissionStream]] needs the
+    * text downstream, which the signal frame drops).
+    */
+  def qualityKeep(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t).cast("double")
+    val ttr = round(size(array_distinct(t)).cast("double") / nTok, 6)
+    val alpha = round(length(regexp_replace(col("text"), "[^a-z]", ""))
+      .cast("double") / length(col("text")), 6)
+    docs.filter(size(t) >= 10 && ttr >= 0.2 && alpha >= 0.6)
+  }
+
   /** Threshold-sweep audit for the quality knob — the curve a curator
     * reads BEFORE choosing a cutoff: for each candidate alpha-ratio
     * threshold (0.0 … 0.9), the documents and tokens that survive and
