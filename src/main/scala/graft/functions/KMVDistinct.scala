@@ -110,7 +110,17 @@ object KMVDistinct {
     udaf(aggregator(k), Encoders.scalaLong).apply(xxhash64(c))
 
   /** Column form of the oracle-able md5-domain sketch
-    * ([[aggregator52]]). */
+    * ([[aggregator52]]).
+    *
+    * Null caveat: `md5(NULL)` is NULL, so a nullable column's null
+    * rows reach the aggregator as an undefined input (the xxhash64
+    * form hashes nulls to the seed — one extra distinct value —
+    * which is also what DuckDB's DISTINCT-over-NULL replay would
+    * count). Feed non-null keys (the registered query uses
+    * `l_orderkey`) or pre-coalesce a sentinel; null semantics are
+    * deliberately NOT papered over here because the cross-engine
+    * oracle would diverge on them.
+    */
   def md5Sketch(c: Column, k: Int = 256): Column = {
     import org.apache.spark.sql.functions.{conv, md5, substring}
     udaf(aggregator52(k), Encoders.scalaLong)

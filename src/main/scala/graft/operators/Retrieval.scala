@@ -458,6 +458,16 @@ object Retrieval {
     * a delete is a no-op: only ids not already tombstoned subtract,
     * so the at-least-once caller can't double-decrement; deleting an
     * absent id subtracts nothing by construction.
+    *
+    * Atomicity caveat (shared with [[appendBm25Batch]]): the two
+    * sidecar swaps and the tombstone append are separate filesystem
+    * operations, and the replay guard keys on the tombstones (written
+    * LAST) — so a crash mid-delete can leave sidecars decremented
+    * without the tombstones, where a naive retry double-decrements.
+    * The recovery is [[repairBm25Sidecars]]: both sidecars are pure
+    * functions of the live posting rows, so one scan rebuilds them
+    * exactly. Single-writer maintenance is assumed, as everywhere in
+    * the layout family.
     */
   def deleteFromBm25(s: SparkSession, path: String,
       ids: DataFrame): Unit = {
@@ -486,6 +496,26 @@ object Retrieval {
     del.coalesce(1).write.mode("append").parquet(s"$path.tombstones")
     delPost.unpersist()
     del.unpersist()
+  }
+
+  /** Rebuild BOTH statistics sidecars from the live posting rows —
+    * the recovery verb for any suspected sidecar inconsistency (a
+    * crash mid-[[deleteFromBm25]], a hand-edited lexicon): df, N and
+    * Σdl are pure functions of the index contents, so one scan over
+    * live rows reproduces them exactly. On a healthy index this is a
+    * no-op (RetrievalSpec pins probes identical before/after; and
+    * that a deliberately corrupted sidecar is healed).
+    */
+  def repairBm25Sidecars(s: SparkSession, path: String): Unit = {
+    val live = liveRows(s, path, s.read.parquet(path)
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))).cache()
+    swapIn(s, s"$path.lexicon",
+      live.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    swapIn(s, s"$path.stats",
+      live.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("dl")), lit(0L)).as("sumdl")))
+    live.unpersist()
   }
 
   /** Fold the tombstones in and squash the small files appends leave —

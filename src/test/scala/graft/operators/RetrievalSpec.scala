@@ -175,6 +175,34 @@ class RetrievalSpec extends SparkSpec {
       rows(Retrieval.bm25Probe(spark, remIdx)),
       "delete replay changed the probe — statistics double-decremented")
 
+    // repair: a no-op on a healthy index, and it HEALS a corrupted
+    // sidecar (the crash-mid-delete recovery) — both sidecars are
+    // pure functions of the live postings
+    Retrieval.repairBm25Sidecars(spark, full)
+    assert(rows(Retrieval.bm25Probe(spark, full)) ==
+      rows(Retrieval.bm25Probe(spark, remIdx)),
+      "repair on a healthy index changed the probe")
+    val statsPath = s"$full.stats"
+    val goodStats = spark.read.parquet(statsPath).collect()
+    spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(1L, 1L)),
+      spark.read.parquet(statsPath).schema)
+      .write.mode("overwrite").parquet(s"$statsPath.corrupt")
+    // simulate the crash artifact: clobber stats with nonsense
+    val fsPath = new org.apache.hadoop.fs.Path(statsPath)
+    val fs = fsPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(fsPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$statsPath.corrupt"),
+      fsPath)
+    assert(spark.read.parquet(statsPath).collect().head.getLong(0) == 1L)
+    Retrieval.repairBm25Sidecars(spark, full)
+    assert(spark.read.parquet(statsPath).collect().map(_.toSeq).toSeq ==
+      goodStats.map(_.toSeq).toSeq, "repair must rebuild exact stats")
+    assert(rows(Retrieval.bm25Probe(spark, full)) ==
+      rows(Retrieval.bm25Probe(spark, remIdx)),
+      "repair must restore probe correctness after corruption")
+
     // compaction: pure physical hygiene — identical probes, sidecar gone
     Retrieval.compactBm25(spark, full)
     assert(rows(Retrieval.bm25Probe(spark, full)) ==
