@@ -51,7 +51,14 @@ object Snapshot {
       .cache()
     val sizes = sigs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_distinct"))
-    val shared = sigs.toDF("sig", "sa")
+    // shuffle-hash pinned: both legs are the SAME cached frame, so an
+    // unhinted plan lets AQE pick which side to broadcast from two
+    // byte-identical runtime stats — a coin flip that executes the
+    // same but flips the bench fingerprint (observed once in ~10 full
+    // runs), and at 100 TB neither corpus-derived side should
+    // broadcast at all. The hint pins the deterministic, scale-honest
+    // shape: shuffle equi-join on the signature.
+    val shared = sigs.toDF("sig", "sa").hint("shuffle_hash")
       .join(sigs.toDF("sig", "sb"), "sig")
       .filter(col("sa") < col("sb"))
       .groupBy(col("sa"), col("sb"))
