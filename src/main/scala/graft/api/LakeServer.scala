@@ -250,9 +250,38 @@ final class LakeServer(lake: Lake, port: Int,
     * one retraining per request. Idle means released, so a long-lived
     * `Serve` process still pins no executor memory between bursts;
     * within a burst multi-consumer frames share one materialization.
+    *
+    * Enter/exit both run under ONE monitor so the zero-check and the
+    * release are atomic with respect to increments: with a bare
+    * atomic counter, request B's increment could land between A's
+    * `decrementAndGet() == 0` and A's `release()`, clearing caches
+    * mid-flight of B — the exact degeneration the refcount exists to
+    * prevent, just narrowed to a window. Under the lock that
+    * interleaving is impossible: B either enters before A's check
+    * (count stays > 0, nothing released) or blocks until the release
+    * completes and then retrains against a consistently-empty cache.
+    * The release itself is cheap (cache unpins + a map clear), so
+    * holding the monitor across it never stalls the pool meaningfully.
     */
   private val queriesInFlight =
     new java.util.concurrent.atomic.AtomicInteger(0)
+  private val inFlightLock = new Object
+
+  /** Test seam: runs INSIDE the lock between the zero-check and the
+    * release. A spec parks here to prove a concurrent [[enterQuery]]
+    * blocks rather than interleaving. Never set in production.
+    */
+  @volatile private[api] var beforeRelease: () => Unit = () => ()
+
+  private[api] def enterQuery(): Unit =
+    inFlightLock.synchronized { queriesInFlight.incrementAndGet() }
+
+  private[api] def exitQuery(): Unit = inFlightLock.synchronized {
+    if (queriesInFlight.decrementAndGet() == 0) {
+      beforeRelease()
+      OperatorCaches.release(lake.spark)
+    }
+  }
 
   private def postQuery(ex: HttpExchange, name: String): Unit =
     SparkEntry.queries.get(name) match {
@@ -269,7 +298,7 @@ final class LakeServer(lake: Lake, port: Int,
         dir match {
           case Left(err) => sendError(ex, err)
           case Right(d) =>
-            queriesInFlight.incrementAndGet()
+            enterQuery()
             try {
               val df = fn(lake.spark, d)
               streamJsonArray(ex, df.toJSON.toLocalIterator().asScala)
@@ -277,10 +306,7 @@ final class LakeServer(lake: Lake, port: Int,
               case scala.util.control.NonFatal(t) =>
                 System.err.println(s"[lake-server] query $name: $t")
                 sendError(ex, "failed query")
-            } finally {
-              if (queriesInFlight.decrementAndGet() == 0)
-                OperatorCaches.release(lake.spark)
-            }
+            } finally exitQuery()
         }
     }
 

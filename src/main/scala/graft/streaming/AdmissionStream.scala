@@ -26,11 +26,12 @@ import graft.operators.{Dedup, TextAnalysis}
   * Scale/robustness shape: quality is stateless; dedup state is the
   * FIFO-bounded per-bucket signature list (O(buckets × MaxPerBucket),
   * never corpus-proportional); contamination probes a benchmark-sized
-  * cached index; the store append is guarded by per-batchId commit
-  * markers, so `foreachBatch`'s at-least-once replay cannot
-  * double-append (the [[IndexStream]] contract). AdmissionStreamSpec
-  * pins each rejection class end-to-end, the store contents, and the
-  * replay no-op.
+  * cached index; each batch lands in the store as an OVERWRITE of its
+  * own batchId-keyed partition directory, so `foreachBatch`'s
+  * at-least-once replay is idempotent at EVERY crash point — no
+  * append/commit-marker window, no repair verb needed.
+  * AdmissionStreamSpec pins each rejection class end-to-end, the
+  * store contents, and the replay no-op.
   */
 object AdmissionStream {
 
@@ -89,13 +90,23 @@ object AdmissionStream {
   }
 
   /** Contamination-check one admitted batch against the cached
-    * benchmark index, append survivors to the store exactly once per
-    * batchId, and return the accounting (pure given the marker state;
-    * reused by the spec for the replay pin).
+    * benchmark index, land survivors in the store idempotently, and
+    * return the accounting (reused by the spec for the replay pin).
+    *
+    * Durability is per-batch OVERWRITE into a batchId-keyed partition
+    * directory (`batch=<id>/`), not append-plus-commit-marker: an
+    * append guarded by a marker leaves a crash window (append commits,
+    * process dies before the marker lands, replay re-appends — silent
+    * duplicate documents, no recovery verb). Overwrite of a
+    * deterministic batch is idempotent under ANY crash point — a
+    * replay rewrites the same rows into the same directory — so
+    * at-least-once foreachBatch delivery composes to exactly-once
+    * store contents with no side ledger to repair. Readers see one
+    * partitioned parquet table at `storePath` (the batch id surfaces
+    * as a partition column — free replay lineage).
     */
   private[graft] def applyBatch(storePath: String, benchSh: DataFrame,
       batch: DataFrame, batchId: Long): BatchStats = {
-    val s = batch.sparkSession
     val nCandidates = batch.count()
     val contaminated = TextAnalysis.contaminationOf(
       batch.select(col("doc_id").as("train_id"),
@@ -107,16 +118,12 @@ object AdmissionStream {
       .select(col("doc_id"), col("text"), col("bucket"),
         col("n_compared"))
     val nContaminated = contaminated.count()
-    val marker = new org.apache.hadoop.fs.Path(
-      s"$storePath.ingested/$batchId")
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
-      admitted.write.mode("append").parquet(storePath)
-      fs.mkdirs(marker.getParent)
-      fs.create(marker, true).close()
-    }
-    BatchStats(batchId, nCandidates, nContaminated,
-      nCandidates - nContaminated)
+    val nStored = nCandidates - nContaminated
+    // an all-rejected batch writes nothing (an empty partition dir
+    // would add schema-less files to partition discovery)
+    if (nStored > 0)
+      admitted.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    BatchStats(batchId, nCandidates, nContaminated, nStored)
   }
 
   /** Start the composed admission monitor over a streaming

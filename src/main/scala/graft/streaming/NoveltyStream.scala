@@ -67,8 +67,21 @@ object NoveltyStream {
     // pre-merge count is unrecoverable from the filter, so the state
     // remembers the last merged batchId and re-emits its cached
     // result instead of re-measuring (exactly-once emission per id).
-    if (batchId <= seen.lastMerged && seen.lastResult != null)
-      return seen.lastResult.copy(batchId = batchId)
+    // The cache holds ONLY the latest batch's result, so the fast
+    // path is strictly `==`: relabeling it for an OLDER id would emit
+    // another batch's counts under that id. A strictly-older replay
+    // (not a Structured Streaming behavior — foreachBatch replays only
+    // the batch in flight at failure — but reachable via direct
+    // driver calls) falls through to an honest re-measure: nKeys is
+    // exact, nNovel underreports because the batch's own shingles are
+    // already folded in, and the state high-water mark never regresses.
+    if (batchId == seen.lastMerged && seen.lastResult != null)
+      return seen.lastResult
+    if (batchId < seen.lastMerged)
+      System.err.println(s"[novelty] out-of-order measure of batch " +
+        s"$batchId after ${seen.lastMerged} already merged: its keys " +
+        "are in the filter, so nNovel reads ~0 (re-measured, not " +
+        "relabeled)")
     val keys = batch
       .select(explode(Dedup.shingles(col("text"))).as("sh"))
       .select(xxhash64(col("sh")).as("h"))
@@ -87,8 +100,10 @@ object NoveltyStream {
       }
       val r = BatchNovelty(batchId, n, novel,
         if (n == 0) 0.0 else math.round(novel.toDouble / n * 1e6) / 1e6)
-      seen.lastMerged = batchId
-      seen.lastResult = r
+      if (batchId > seen.lastMerged) { // high-water mark never regresses
+        seen.lastMerged = batchId
+        seen.lastResult = r
+      }
       r
     } finally keys.unpersist()
   }

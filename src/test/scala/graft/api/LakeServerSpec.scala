@@ -238,11 +238,63 @@ class LakeServerSpec extends SparkSpec with BeforeAndAfterAll {
         })
       }
       assert(futures.map(_.get()).forall(_ == 200))
-      // with per-request release, the first finisher's cleanup clears
-      // the memo while the second is mid-flight and it retrains; the
-      // refcount defers release to idle, so the burst trains once
-      assert(OperatorCaches.trainerRuns.get() - base0 == 1,
-        s"burst of 2 trained ${OperatorCaches.trainerRuns.get() - base0}x")
+      // the barrier aligns the POSTs but not server-side execution:
+      // if request 1 fully completes (idle → released) before request
+      // 2's enter, 2 legitimately retrains — so over HTTP the hard
+      // bound is ≤ one training per request, never per-finisher
+      // clearing mid-flight. The exactly-once-while-overlapping
+      // guarantee is pinned DETERMINISTICALLY by the seam tests below.
+      val delta = OperatorCaches.trainerRuns.get() - base0
+      assert(delta >= 1 && delta <= 2,
+        s"burst of 2 trained ${delta}x")
     } finally pool.shutdown()
+  }
+
+  test("overlapping requests share the trained memo: trainerRuns stays " +
+      "1 (deterministic via the enter/exit seams)") {
+    import graft.operators.OperatorCaches
+    OperatorCaches.release(spark)
+    val base = OperatorCaches.trainerRuns.get()
+    server.enterQuery() // request A starts
+    graft.SparkEntry.queries("ann_ivf_trained_topk")(spark, sf).count()
+    assert(OperatorCaches.trainerRuns.get() - base == 1, "A trains once")
+    server.enterQuery() // request B starts BEFORE A finishes
+    server.exitQuery()  // A finishes: count 2→1, nothing released
+    graft.SparkEntry.queries("ann_ivf_trained_topk")(spark, sf).count()
+    assert(OperatorCaches.trainerRuns.get() - base == 1,
+      "B rides A's memo — the exit of A must not release while B is in flight")
+    server.exitQuery()  // B finishes: idle → released
+  }
+
+  test("zero-check and release are atomic: enterQuery blocks while a " +
+      "release is in flight (no mid-flight cache clear)") {
+    val inWindow = new java.util.concurrent.CountDownLatch(1)
+    val proceed = new java.util.concurrent.CountDownLatch(1)
+    // park the finisher INSIDE the lock, between decrement-to-zero and
+    // the release — exactly the window the r9 refcount left open
+    server.beforeRelease = () => {
+      inWindow.countDown()
+      proceed.await(5, java.util.concurrent.TimeUnit.SECONDS); ()
+    }
+    try {
+      server.enterQuery()
+      val exiter = new Thread(() => server.exitQuery())
+      exiter.start()
+      assert(inWindow.await(5, java.util.concurrent.TimeUnit.SECONDS),
+        "finisher reached the release window")
+      @volatile var entered = false
+      val enterer = new Thread(() => { server.enterQuery(); entered = true })
+      enterer.start()
+      enterer.join(300)
+      // with the bare-atomic r9 code this enter succeeded immediately
+      // and the release then cleared caches mid-flight of it
+      assert(!entered, "enterQuery must block until the release completes")
+      proceed.countDown()
+      enterer.join(5000); exiter.join(5000)
+      assert(entered, "blocked enter proceeds once the release is done")
+    } finally {
+      server.beforeRelease = () => ()
+      server.exitQuery() // balance the blocked enter: idle → released
+    }
   }
 }

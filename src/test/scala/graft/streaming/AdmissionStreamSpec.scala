@@ -64,7 +64,7 @@ class AdmissionStreamSpec extends SparkSpec {
     assert(byBatch.map(_.nCandidates).sum == 3, s"$byBatch")
 
     // at-least-once replay: re-applying an already-committed batchId
-    // must not append again
+    // overwrites its own partition with the same rows — never appends
     val benchSh = bench.select(col("doc_id").as("bench_id"),
       explode(Dedup.shingles(col("text"))).as("sh"))
     val replayBatch = Seq((1L, good1, 0L, 0))
@@ -73,6 +73,23 @@ class AdmissionStreamSpec extends SparkSpec {
     AdmissionStream.applyBatch(store, benchSh, replayBatch,
       byBatch.head.batchId)
     assert(spark.read.parquet(store).count() == before,
-      "replayed batchId appended rows past its commit marker")
+      "replayed batchId must leave the store unchanged")
+
+    // crash window the r9 marker scheme left open: the batch's data
+    // lands but the process dies before durability bookkeeping
+    // completes. Corrupt batch 0's partition to a half-written state
+    // (an extra duplicated row), then replay — overwrite heals it
+    // instead of double-appending
+    replayBatch.union(replayBatch).write.mode("overwrite")
+      .parquet(s"$store/batch=${byBatch.head.batchId}")
+    assert(spark.read.parquet(store).count() == before + 1,
+      "precondition: the simulated partial state is visible")
+    AdmissionStream.applyBatch(store, benchSh, replayBatch,
+      byBatch.head.batchId)
+    assert(spark.read.parquet(store).count() == before,
+      "replay after a crash mid-batch must restore exact contents")
+    assert(spark.read.parquet(store)
+      .filter(col("doc_id") === 1L).count() == 1,
+      "no silent duplicate documents after crash+replay")
   }
 }

@@ -72,4 +72,31 @@ class NoveltyStreamSpec extends SparkSpec {
     val next = NoveltyStream.measure(batch, seen, 1L)
     assert(next.nNovel == 0 && next.noveltyFrac == 0.0)
   }
+
+  test("a STRICTLY older batchId is re-measured honestly, never handed " +
+      "the latest batch's counts relabeled") {
+    val seen = new NoveltyStream.Seen(1L << 20, 0.01)
+    NoveltyStream.measure(
+      Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+      seen, 0L)
+    val latest = NoveltyStream.measure(
+      Seq((2L, "zeta eta theta iota kappa lambda mu")).toDF("doc_id", "text"),
+      seen, 1L)
+    assert(latest.nShingles == 5 && latest.nNovel == 5)
+    // r9 bug: batchId 0 <= lastMerged hit the fast path and returned
+    // batch 1's (5, 5) counts stamped batchId=0. The fix re-measures:
+    // batch 0's own key count is exact, novelty honestly reads 0
+    // (its shingles are already folded in), and the high-water mark
+    // plus cached result stay at batch 1
+    val older = NoveltyStream.measure(
+      Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+      seen, 0L)
+    assert(older.batchId == 0L && older.nShingles == 3 && older.nNovel == 0,
+      s"older replay must re-measure its own batch: $older")
+    assert(seen.lastMerged == 1L, "high-water mark never regresses")
+    val cached = NoveltyStream.measure(
+      Seq((2L, "zeta eta theta iota kappa lambda mu")).toDF("doc_id", "text"),
+      seen, 1L)
+    assert(cached == latest, "latest id still re-emits its cached result")
+  }
 }

@@ -43,6 +43,11 @@ def main():
         a, b = old[q].get("sec"), new[q].get("sec")
         if a is None or b is None:
             continue
+        # a trivial query can round to 0.0s in a sidecar; guard the
+        # ratio (the 0.5s floors already keep such pairs out of the
+        # report unless the other side is material)
+        a = max(a, 1e-9)
+        b = max(b, 1e-9)
         if b > a * ratio and b > 0.5:
             slower.append((b / a, q, a, b))
         elif a > b * ratio and a > 0.5:
