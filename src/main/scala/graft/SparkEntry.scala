@@ -305,6 +305,10 @@ object SparkEntry {
     "snapshot_diff" -> (graft.operators.Snapshot.snapshotDiff _),
     // syndication matrix: exact-content overlap between source pairs
     "source_overlap" -> (graft.operators.Snapshot.sourceOverlap _),
+    // paragraph-grain syndication: partial reuse across sources that
+    // whole-doc signatures miss (doc grain reads 0 rows here)
+    "source_overlap_paragraphs" ->
+      (graft.operators.Snapshot.sourceOverlapParagraphs _),
     "text_token_totals" -> (TextAnalysis.tokenTotals _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_tfidf" -> (TextAnalysis.tfidfTop _),
@@ -2407,6 +2411,27 @@ object SparkEntry {
     "source_overlap" ->
       """WITH s AS (SELECT DISTINCT md5(text) AS sig, source
            FROM documents),
+         sz AS (SELECT source, count(*) AS n FROM s GROUP BY 1),
+         sh AS (SELECT a.source AS sa, b.source AS sb, count(*) AS n_shared
+           FROM s a JOIN s b ON a.sig = b.sig AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT sa, sb, n_shared,
+           round(CAST(n_shared AS DOUBLE) / least(za.n, zb.n), 6)
+             AS containment
+         FROM sh JOIN sz za ON sh.sa = za.source
+           JOIN sz zb ON sh.sb = zb.source
+         ORDER BY sa, sb""",
+    // same matrix over CCNet 32-token-block signatures — partial
+    // cross-source reuse the doc-grain matrix cannot see
+    "source_overlap_paragraphs" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS toks
+           FROM documents),
+         p AS (SELECT doc_id, source,
+             unnest(range(0, len(toks), 32)) AS st, toks
+           FROM t),
+         s AS (SELECT DISTINCT
+             md5(array_to_string(toks[st+1:st+32], ' ')) AS sig, source
+           FROM p),
          sz AS (SELECT source, count(*) AS n FROM s GROUP BY 1),
          sh AS (SELECT a.source AS sa, b.source AS sb, count(*) AS n_shared
            FROM s a JOIN s b ON a.sig = b.sig AND a.source < b.source

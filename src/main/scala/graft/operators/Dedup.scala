@@ -693,23 +693,25 @@ object Dedup {
     * scan — the per-row `when` picks the branch, so the corpus is
     * read once (a filter-per-branch union would scan it twice);
     * downstream operators see one (doc_id, par_id, par_text)
-    * contract either way.
+    * contract either way. `carry` names input columns to pass through
+    * unchanged (e.g. `source` for the syndication matrix) — a
+    * projection column, never a join back.
     */
   private[operators] def segmentParagraphs(docs: DataFrame,
-      parTokens: Int): DataFrame = {
+      parTokens: Int, carry: Seq[String] = Nil): DataFrame = {
     val hasBreaks = col("text").contains("\n\n")
     val toks = split(col("text"), " ")
     val blocks = transform(
       sequence(lit(0), size(toks) - 1, lit(parTokens)),
       i => concat_ws(" ", slice(toks, i + 1, lit(parTokens))))
     docs
-      .select(col("doc_id"), hasBreaks.as("nl"),
+      .select(col("doc_id") +: hasBreaks.as("nl") +:
         posexplode(when(hasBreaks, split(col("text"), "\n\n"))
-          .otherwise(blocks)))
-      .toDF("doc_id", "nl", "par_id", "par_text")
+          .otherwise(blocks)).as(Seq("par_id", "par_text")) +:
+        carry.map(col): _*)
       .filter(!col("nl") || length(trim(col("par_text"))) > 0)
-      .select(col("doc_id"), col("par_id").cast("long").as("par_id"),
-        col("par_text"))
+      .select(col("doc_id") +: col("par_id").cast("long").as("par_id") +:
+        col("par_text") +: carry.map(col): _*)
   }
 
   /** CCNet-style paragraph dedup (Wenzek et al., arXiv:1911.00359 §3:

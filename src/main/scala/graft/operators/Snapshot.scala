@@ -44,11 +44,33 @@ object Snapshot {
     * never sources × sources × docs); fractions are exact-integer
     * divisions. Hash-oracled.
     */
-  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val sigs = load(s, dir, "documents")
-      .select(md5(col("text")).as("sig"), col("source"))
-      .distinct()
-      .cache()
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    overlapFrom(load(s, dir, "documents")
+      .select(md5(col("text")).as("sig"), col("source")))
+
+  /** Paragraph-grain syndication (oracled as
+    * `source_overlap_paragraphs`): the same matrix over CCNet
+    * paragraph signatures ([[Dedup.segmentParagraphs]], md5 of each
+    * 32-token block). Whole-document republication is rare — partial
+    * reuse (a quoted passage, shared boilerplate, a syndicated
+    * section) is the common case, and it is invisible to the
+    * doc-grain matrix (which reads 0 rows on this corpus) while the
+    * paragraph grain surfaces it. Same signature-grain self-equi-join
+    * shape; paragraph signatures are ~(tokens/32)× more numerous than
+    * documents but the join key stays a 32-byte hash and the pair
+    * fanout is bounded by per-signature source counts exactly as at
+    * doc grain.
+    */
+  def sourceOverlapParagraphs(s: SparkSession, dir: String): DataFrame =
+    overlapFrom(Dedup.segmentParagraphs(
+        load(s, dir, "documents").select(col("doc_id"), col("text"),
+          col("source")),
+        Dedup.ParTokens, carry = Seq("source"))
+      .select(md5(col("par_text")).as("sig"), col("source")))
+
+  /** Shared core: the matrix over any (sig, source) frame. */
+  private def overlapFrom(raw: DataFrame): DataFrame = {
+    val sigs = raw.select(col("sig"), col("source")).distinct().cache()
     val sizes = sigs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_distinct"))
     // shuffle-hash pinned: both legs are the SAME cached frame, so an

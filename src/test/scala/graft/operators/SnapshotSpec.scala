@@ -44,6 +44,31 @@ class SnapshotSpec extends SparkSpec {
       s"b's distinct contents are fully contained in a: $got")
   }
 
+  test("paragraph-grain overlap: partial cross-source reuse invisible " +
+      "to the doc-grain matrix is surfaced at block grain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-povl").toString
+    // one shared 32-token block embedded in otherwise-distinct docs:
+    // no two documents are byte-identical, so doc grain sees nothing
+    val block = (1 to 32).map(i => s"shared$i").mkString(" ")
+    val padA = (1 to 32).map(i => s"pada$i").mkString(" ")
+    val padB = (1 to 32).map(i => s"padb$i").mkString(" ")
+    Seq(
+      (1L, s"$block $padA alpha", "en", "a", 6L),
+      (2L, s"$block $padB beta", "en", "b", 6L),
+      (3L, s"only in c $padA", "en", "c", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    assert(Snapshot.sourceOverlap(spark, dir).isEmpty,
+      "no whole document repeats across sources")
+    val got = Snapshot.sourceOverlapParagraphs(spark, dir).collect()
+      .map(r => (r.getAs[String]("sa"), r.getAs[String]("sb")) ->
+        r.getAs[Long]("n_shared")).toMap
+    // docs 1 and 2 segment to blocks [shared][pad ...tail], sharing
+    // exactly the leading 32-token block; c shares nothing
+    assert(got == Map(("a", "b") -> 1L),
+      s"paragraph grain must find exactly the planted shared block: $got")
+  }
+
   test("corpus diff: statuses partition the id universe and follow " +
       "the planted modular rules") {
     val rows = Snapshot.snapshotDiff(spark, sf).collect()
