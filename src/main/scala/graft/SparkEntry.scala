@@ -243,6 +243,10 @@ object SparkEntry {
     "ann_ivfpq_trained_topk" -> (Pq.ivfpqTrainedTopK _),
     // two-stage serving shape: ADC shortlist, exact cosine re-rank
     "ann_ivfpq_refined_topk" -> (Pq.ivfpqRefinedTopK _),
+    // refined two-stage over PLAIN PQ: ADC shortlist -> exact cosine
+    // re-rank — recovers the 32x-compression recall floor for the
+    // uncelled quantizer too
+    "ann_pq_refined_topk" -> (Pq.pqRefinedTopK _),
     // rows-only: ADC under the learned OPQ rotation (Ge et al., CVPR
     // 2013) — trained output with no SQL form; OpqSpec pins rotation
     // orthogonality, the monotone distortion trace vs plain trained
@@ -1234,6 +1238,57 @@ object SparkEntry {
          SELECT query_id, neighbor_id, rank, adc_d2 FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY adc_d2, neighbor_id) AS rank FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    // plain-PQ ADC shortlist (20-deep, same scored CTE as
+    // ann_pq_adc_topk) -> exact-cosine re-rank of just those rows
+    "ann_pq_refined_topk" ->
+      """WITH n AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
+         FROM embeddings),
+         cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+             AS BIGINT) AS code, embedding
+           FROM (SELECT vec_id, embedding FROM embeddings
+             WHERE vec_id % 29 = 3 ORDER BY vec_id LIMIT 16)),
+         cbs AS (SELECT code, CAST(m AS BIGINT) AS subspace,
+             embedding[m*8+1:m*8+8] AS cvec_sub
+           FROM cb, unnest(range(0, 8)) AS u(m)),
+         subs AS (SELECT vec_id, CAST(m AS BIGINT) AS subspace,
+             embedding[m*8+1:m*8+8] AS sub
+           FROM embeddings, unnest(range(0, 8)) AS u(m)),
+         sc AS (SELECT s.vec_id, s.subspace, c.code,
+             list_reduce(list_transform(list_zip(s.sub, c.cvec_sub),
+               x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                  * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+               (p,q) -> p + q) AS d2
+           FROM subs s JOIN cbs c ON c.subspace = s.subspace),
+         codes AS (SELECT vec_id, subspace, code FROM (
+           SELECT vec_id, subspace, code, row_number() OVER (
+             PARTITION BY vec_id, subspace ORDER BY d2, code) AS r
+           FROM sc) WHERE r = 1),
+         lut AS (SELECT vec_id AS query_id, subspace, code, d2
+           FROM sc WHERE vec_id % 100 = 0),
+         scored AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+             CAST(sum(CAST(round(l.d2, 6) AS DECIMAL(38,6))) AS DOUBLE)
+               AS adc_d2
+           FROM codes co JOIN lut l
+             ON l.subspace = co.subspace AND l.code = co.code
+           WHERE l.query_id != co.vec_id
+           GROUP BY l.query_id, co.vec_id),
+         short AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS r
+           FROM scored) WHERE r <= 20),
+         rer AS (SELECT s.query_id, s.neighbor_id,
+             list_reduce(list_transform(list_zip(q.embedding, v.embedding),
+               x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
+               /q.nrm/v.nrm AS cos
+           FROM short s JOIN n q ON q.vec_id = s.query_id
+             JOIN n v ON v.vec_id = s.neighbor_id)
+         SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM (
+           SELECT query_id, neighbor_id, cos, row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM rer)
          WHERE rank <= 5 ORDER BY query_id, rank""",
     // Residual IVF-PQ: IVF cell assignment (seed centroids, argmax
     // cosine) -> residuals v - centroid(cell) -> shared residual

@@ -271,6 +271,15 @@ object Pq {
     adcTopKWith(s, dir, trainedCodebooks(s, dir))
 
   private def adcTopKWith(s: SparkSession, dir: String,
+      cb: DataFrame): DataFrame =
+    adcRank(plainCandidates(s, dir, cb))
+
+  /** The (query_id, neighbor_id, subspace-scored d2) candidate join
+    * behind [[adcTopK]] — plain (non-residual) PQ: whole-corpus codes
+    * meet per-query LUTs on (subspace, code), no cells. Shared by the
+    * ranked form and the refined two-stage form.
+    */
+  private def plainCandidates(s: SparkSession, dir: String,
       cb: DataFrame): DataFrame = {
     val luts = slicedFrame(
       load(s, dir, "embeddings").filter(queryPred),
@@ -278,20 +287,27 @@ object Pq {
       .join(cb, Seq("subspace"))
       .select(col("query_id"), col("subspace"), col("code"),
         l2sq(col("qsub"), col("cvec_sub")).as("d2"))
-    val byQuery = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_d2"), col("neighbor_id"))
     codesWith(s, dir, cb).toDF("neighbor_id", "subspace", "code")
       .join(broadcast(luts), Seq("subspace", "code"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(round(col("d2"), 6).cast("decimal(38,6)"))
-        .cast("double").as("adc_d2"))
-      .withColumn("rank", row_number().over(byQuery))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        col("adc_d2"))
-      .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Two-stage refined PLAIN-PQ search (`ann_pq_refined_topk`) — the
+    * [[ivfpqRefinedTopK]] recipe applied to the uncelled quantizer:
+    * stage 1 shortlists [[ShortR]] candidates per query by ADC over
+    * the corpus codes (32× compressed, raw vectors untouched); stage 2
+    * re-ranks just those rows by exact cosine. Plain PQ is the WORST
+    * refinement case — with no coarse quantizer soaking up between-
+    * cell variance, ADC's quantization error is largest here
+    * (seed-PQ recall ~0.2-0.3 on both test corpora) — which is
+    * exactly why the refined sibling matters: the exact re-rank
+    * recovers whatever the shortlist retains, and PqSpec pins
+    * refined ≥ unrefined recall on the clustered corpus. Hash-oracled
+    * (the shortlist is deterministic exact-DECIMAL ADC; the re-rank
+    * is exact cosine).
+    */
+  def pqRefinedTopK(s: SparkSession, dir: String): DataFrame =
+    refineRank(s, dir, adcScores(
+      plainCandidates(s, dir, codebooks(s, dir))))
 
   /** Residual-PQ artifacts for the ON-DISK IVF-PQ layout
     * ([[Layout.writeIvfPqPartitioned]] seed form,

@@ -254,6 +254,34 @@ class PqSpec extends SparkSpec {
       f"refined recall $r%.3f fell below unrefined $base%.3f")
   }
 
+  test("refined plain PQ: cosine order holds and recall dominates the " +
+      "unrefined ADC ranking (the worst refinement case)") {
+    val refined = Pq.pqRefinedTopK(spark, sf).collect()
+    refined.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to sorted.length))
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    val exact = Similarity.bruteTopK(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.groupBy(_.getAs[Long]("query_id")).toSeq.map { case (q, rs) =>
+        rs.map(_.getAs[Long]("neighbor_id")).count(exact(q).contains)
+      }.sum.toDouble / (exact.size * Similarity.K)
+    val r = recallOf(refined)
+    val base = recallOf(Pq.adcTopK(spark, sf).collect())
+    info(f"refined plain-PQ recall@${Pq.TopK} = $r%.3f " +
+      f"vs unrefined ADC $base%.3f")
+    // same dominance argument as the IVF-PQ sibling: the unrefined
+    // top-k is a subset of the ShortR shortlist, and exact cosine
+    // can only promote true neighbors within it
+    assert(r >= base,
+      f"refined plain-PQ recall $r%.3f below unrefined $base%.3f")
+  }
+
   test("trained end-to-end residual IVF-PQ: shape holds; recall does " +
       "not fall below the seed composition") {
     val rows = Pq.ivfpqTrainedTopK(spark, sf).collect()
