@@ -117,7 +117,18 @@ def main():
         body = r.read()
         return r.status == 200 and body == CSV
 
-    results = [run("add", do_add), run("find", do_find), run("get", do_get)]
+    def do_query(c):
+        # named analytic query over the server's default sf dir; each
+        # request plans + executes a Spark job and streams the JSON
+        # result, so this measures the serve path end-to-end (with the
+        # refcounted operator-cache release active across the burst)
+        c.request("POST", "/query/q1_agg", b"")
+        r = c.getresponse()
+        body = r.read()
+        return r.status == 200 and body.startswith(b"[")
+
+    results = [run("add", do_add), run("find", do_find), run("get", do_get),
+               run("query", do_query)]
     print(json.dumps({"summary": {r["surface"]: r["req_s"] for r in results},
                       "reference": {"add": 357.28, "find": 5575.89,
                                     "get": 6238.30}}), flush=True)
