@@ -126,6 +126,32 @@ object AdmissionStream {
     BatchStats(batchId, nCandidates, nContaminated, nStored)
   }
 
+  /** Batch twin of the composed admission pipeline: the same quality
+    * gate, the same per-bucket admission fold (flatMapGroupsWithState
+    * executes on batch frames with empty initial state — the
+    * [[DocStream.nearDedupedMd5]] mechanism), the same contamination
+    * anti-join — applied to the whole corpus at once. Because
+    * [[DocStream.admitFold]] processes each bucket in ascending doc_id
+    * order and threads the FIFO-bounded state across invocations, a
+    * stream delivering the corpus as doc_id-ordered chunks admits
+    * EXACTLY this set: the sequential fold over chunks equals the
+    * one-shot fold. StreamingAdmissionDemoSpec asserts that
+    * equivalence end-to-end on the reference's fixture corpus.
+    */
+  def admittedBatch(docs: DataFrame, bench: DataFrame): DataFrame = {
+    val benchSh = bench.select(col("doc_id").as("bench_id"),
+      explode(Dedup.shingles(col("text"))).as("sh"))
+    val cands = nearDedupedT(TextAnalysis.qualityKeep(docs)).toDF()
+    val contaminated = TextAnalysis.contaminationOf(
+      cands.select(col("doc_id").as("train_id"),
+        explode(Dedup.shingles(col("text"))).as("sh")),
+      benchSh)
+      .select(col("train_id").as("doc_id")).distinct()
+    cands.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"), col("bucket"),
+        col("n_compared"))
+  }
+
   /** Start the composed admission monitor over a streaming
     * (doc_id, text) frame: quality gate → near-dup admission →
     * contamination check → durable append at `storePath`. The STATIC
