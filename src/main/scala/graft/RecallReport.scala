@@ -28,7 +28,7 @@ object RecallReport {
     "ann_ivf_topk", "ann_ivf_trained_topk",
     "ann_sq8_topk", "ann_ivfsq_topk",
     "ann_pq_adc_topk", "ann_pq_trained_topk", "ann_opq_topk",
-    "ann_pq_refined_topk",
+    "ann_pq_refined_topk", "ann_opq_refined_topk",
     "ann_ivfpq_topk", "ann_ivfpq_trained_topk",
     "ann_ivfpq_refined_topk")
 

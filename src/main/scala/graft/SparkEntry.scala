@@ -252,6 +252,9 @@ object SparkEntry {
     // orthogonality, the monotone distortion trace vs plain trained
     // PQ, and measures recall next to the unrotated ADC forms
     "ann_opq_topk" -> (graft.operators.Opq.adcOpqTopK _),
+    // refined two-stage over OPQ: rotated-space ADC shortlist ->
+    // exact-cosine re-rank (rows-only: the rotation is trainer output)
+    "ann_opq_refined_topk" -> (graft.operators.Opq.adcOpqRefinedTopK _),
     // --- text analysis pack ---
     "text_langid" -> (TextAnalysis.langId _),
     // BM25 ranked retrieval over derived query terms (RAG lexical half)

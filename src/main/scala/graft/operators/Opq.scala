@@ -170,7 +170,26 @@ object Opq {
     * identical). Rows-only; recall and the distortion-vs-plain-PQ pin
     * live in OpqSpec.
     */
-  def adcOpqTopK(s: SparkSession, dir: String): DataFrame = {
+  def adcOpqTopK(s: SparkSession, dir: String): DataFrame =
+    Pq.adcRank(opqCandidates(s, dir))
+
+  /** Two-stage refined OPQ search (`ann_opq_refined_topk`): ADC
+    * shortlist in the learned rotated space, exact-cosine re-rank of
+    * the [[Pq.ShortR]] shortlist against the ORIGINAL embeddings (the
+    * rotation is orthogonal, so cosine in either space is the same
+    * number — re-ranking on raw vectors avoids materializing rotated
+    * copies). Completes the refinement family: plain PQ, OPQ and
+    * IVF-PQ all share one `refineRank` tail. Rows-only (the rotation
+    * is trainer output); OpqSpec pins refined ≥ unrefined recall and
+    * RecallReport carries both corpora.
+    */
+  def adcOpqRefinedTopK(s: SparkSession, dir: String): DataFrame =
+    Pq.refineRank(s, dir, Pq.adcScoresOf(opqCandidates(s, dir)))
+
+  /** The (query LUT × corpus codes) candidate join in the rotated
+    * space — shared by the ranked and refined forms.
+    */
+  private def opqCandidates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = model(s, dir)
     val cb = m.codebook.toDF("subspace", "code", "cvec_sub")
@@ -187,6 +206,6 @@ object Opq {
       .groupBy(col("vec_id"), col("subspace"))
       .agg(max_by(col("code"), struct(-col("d2"), -col("code"))).as("code"))
       .toDF("neighbor_id", "subspace", "code")
-    Pq.adcRank(codes.join(broadcast(luts), Seq("subspace", "code")))
+    codes.join(broadcast(luts), Seq("subspace", "code"))
   }
 }

@@ -101,4 +101,29 @@ class OpqSpec extends SparkSpec {
     // tracked at bench scale by RecallReport
     assert(opq > 0.0, "OPQ recall at chance level")
   }
+
+  test("refined OPQ: cosine order holds; recall dominates the " +
+      "unrefined rotated-space ADC ranking") {
+    val refined = Opq.adcOpqRefinedTopK(spark, sf).collect()
+    refined.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to sorted.length))
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    val brute = Similarity.bruteTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    def recallOf(rs: Array[org.apache.spark.sql.Row]) = rs
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet match { case p => (brute & p).size.toDouble / brute.size }
+    val r = recallOf(refined)
+    val base = recallOf(Opq.adcOpqTopK(spark, sf).collect())
+    info(f"refined OPQ recall@${Pq.TopK} = $r%.3f vs unrefined $base%.3f")
+    // the unrefined top-k is a subset of the ShortR shortlist and the
+    // re-rank is exact cosine — deterministic dominance
+    assert(r >= base,
+      f"refined OPQ recall $r%.3f below unrefined $base%.3f")
+  }
 }
