@@ -141,8 +141,14 @@ object Sq {
     */
   def ivfSqTopK(s: SparkSession, dir: String): DataFrame = {
     val cents = Similarity.centroids(s, dir)
+    // assignments ⋈ reconstructions is corpus × corpus on vec_id:
+    // neither leg may broadcast at scale, and leaving the build side
+    // to equal-stats AQE was this query's one nondeterministic plan
+    // bit (observed flipping run-to-run at sf0.1). shuffle_hash on
+    // the narrow (vec_id, cell) leg pins the scale-honest choice.
     val assigned = Similarity.cellAssignmentsWith(s, dir, cents)
       .select(col("vec_id"), col("cell"))
+      .hint("shuffle_hash")
       .join(dequantized(s, dir), "vec_id")
       .select(col("vec_id"), col("cell"), col("dv").as("cv"))
     Similarity.ivfRankOf(assigned,
