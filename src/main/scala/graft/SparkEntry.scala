@@ -112,6 +112,10 @@ object SparkEntry {
         countDistinct(col("l_orderkey")).as("n_orders"))
       .orderBy(col("l_returnflag"))),
     "skew_join_salted" -> (Skew.skewJoinSalted _),
+    // the skew pre-pass that picks the salt factor (exact-int ceil)
+    "skew_report" -> (Skew.skewReport _),
+    // Morton interleave, hash-oracled bit for bit (exact integer ops)
+    "zorder_keys" -> (graft.operators.Layout.zorderKeys _),
     // rows-only (xxhash-based sketch not reproducible in SQL; accuracy
     // and determinism pinned by KMVDistinctSpec)
     // rows-only (engine-specific sketch internals; accuracy vs exact
@@ -828,6 +832,38 @@ object SparkEntry {
          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1 ORDER BY 1""",
+    "skew_report" ->
+      """WITH t AS (SELECT count(*) AS n_total FROM events),
+         c AS (SELECT event_type, count(*) AS n_rows
+               FROM events GROUP BY event_type)
+         SELECT event_type, n_rows,
+           round(CAST(n_rows AS DOUBLE) / n_total, 6) AS share,
+           (n_rows * 32 + n_total - 1) // n_total AS salt_32
+         FROM c, t ORDER BY n_rows DESC, event_type""",
+    "zorder_keys" ->
+      """WITH b AS (
+           SELECT event_id,
+                  (user_id & 2097151) AS zx,
+                  ((epoch_us(ts) // 60000000) & 2097151) AS zy
+           FROM events),
+         s0 AS (SELECT event_id, zx, zy, zx AS sx, zy AS sy FROM b),
+         s1 AS (SELECT event_id, zx, zy,
+                  ((sx | (sx << 16)) & 281470681808895) AS sx,
+                  ((sy | (sy << 16)) & 281470681808895) AS sy FROM s0),
+         s2 AS (SELECT event_id, zx, zy,
+                  ((sx | (sx << 8)) & 71777214294589695) AS sx,
+                  ((sy | (sy << 8)) & 71777214294589695) AS sy FROM s1),
+         s3 AS (SELECT event_id, zx, zy,
+                  ((sx | (sx << 4)) & 1085102592571150095) AS sx,
+                  ((sy | (sy << 4)) & 1085102592571150095) AS sy FROM s2),
+         s4 AS (SELECT event_id, zx, zy,
+                  ((sx | (sx << 2)) & 3689348814741910323) AS sx,
+                  ((sy | (sy << 2)) & 3689348814741910323) AS sy FROM s3),
+         s5 AS (SELECT event_id, zx, zy,
+                  ((sx | (sx << 1)) & 6148914691236517205) AS sx,
+                  ((sy | (sy << 1)) & 6148914691236517205) AS sy FROM s4)
+         SELECT event_id, zx, zy, (sx | (sy << 1)) AS zkey
+         FROM s5 ORDER BY zkey DESC, event_id LIMIT 100""",
     "outer_join_nations" ->
       """SELECT n_nationkey, n_name, coalesce(n_rich, 0) AS n_rich
          FROM nation LEFT JOIN (

@@ -297,17 +297,38 @@ object Layout {
     hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
   }
 
+  /** The classic five-stage parallel-prefix bit spread: after stage k
+    * the input's low bits sit in groups separated by gaps twice as
+    * wide; the final stage leaves input bit i at position 2i. Masks
+    * appear as the same decimal literals in the `zorder_keys` oracle
+    * SQL.
+    */
+  private val SpreadStages = Seq(
+    16 -> 0x0000FFFF0000FFFFL,
+    8 -> 0x00FF00FF00FF00FFL,
+    4 -> 0x0F0F0F0F0F0F0F0FL,
+    2 -> 0x3333333333333333L,
+    1 -> 0x5555555555555555L)
+
+  /** Spread the low 32 bits of `c` to even bit positions (0,2,…,62). */
+  private def spread(c: org.apache.spark.sql.Column) =
+    SpreadStages.foldLeft(c) { case (x, (n, m)) =>
+      x.bitwiseOR(shiftleft(x, n)).bitwiseAND(lit(m))
+    }
+
   /** Morton/Z-value of two non-negative int keys: bits interleaved so
     * that sorting by z clusters BOTH dimensions at once. Pure column
-    * arithmetic — fully codegen'd, no UDF.
+    * arithmetic — fully codegen'd, no UDF. Ten shift/or/mask nodes per
+    * dimension regardless of `bits` (the parallel-prefix form; the
+    * naive per-bit fold costs 2·bits nodes — 84 at 21 bits —
+    * ZorderSpec pins value-equality against that reference fold).
     */
   def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
-      bits: Int): org.apache.spark.sql.Column =
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc +
-        shiftleft(shiftright(a.cast("long"), i).bitwiseAND(1L), 2 * i) +
-        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(1L), 2 * i + 1)
-    }
+      bits: Int): org.apache.spark.sql.Column = {
+    val mask = (1L << bits) - 1
+    spread(a.cast("long").bitwiseAND(lit(mask)))
+      .bitwiseOR(shiftleft(spread(b.cast("long").bitwiseAND(lit(mask))), 1))
+  }
 
   /** Z-order `df` by two keys: normalize each key to the SAME `bits`-
     * wide range (min/max scaling off a 1-row broadcast — raw
@@ -338,5 +359,179 @@ object Layout {
       .sortWithinPartitions(col("z"))
       .drop("z", "amin", "amax", "bmin", "bmax")
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** Graded query `zorder_keys` — the Morton interleave itself,
+    * hash-oracled. Buckets are taken by masking the user id and
+    * integer-dividing event time to minute grain then masking:
+    * bitwise AND, `div`, `<<` and `|` are exact integer ops with
+    * identical semantics in Spark and DuckDB, so the five-stage
+    * interleave hash-matches bit for bit. The top-100 by key
+    * (event_id tiebreak → total order) exercises every spread stage —
+    * one wrong mask reorders the whole prefix. This is the same
+    * [[zValue]] the layout writers sort by: the graded row pins the
+    * math the pruning story rests on.
+    */
+  def zorderKeys(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(s, dir)
+      .select(col("event_id"),
+        col("user_id").bitwiseAND(lit(2097151L)).as("zx"),
+        expr("unix_micros(ts) div 60000000")
+          .bitwiseAND(lit(2097151L)).as("zy"))
+      .withColumn("zkey", zValue(col("zx"), col("zy"), 21))
+      .orderBy(col("zkey").desc, col("event_id").asc)
+      .limit(100)
+
+  /** Z-order with a COARSE Morton prefix as a partition column — the
+    * relational twin of the IVF index lifecycle: bucket directory =
+    * the top `bucketBits` bits of the z-key (a rectangle in key
+    * space), rows z-sorted inside each bucket, normalization bounds
+    * persisted as a `.bounds` sidecar so appends and probes are
+    * self-sufficient. [[writeZOrdered]] is the one-shot reshape; this
+    * is the LIFECYCLE form a growing 100 TB table needs — append
+    * daily ([[appendToZOrdered]]: new files land only in the buckets
+    * the batch touches, nothing existing read or rewritten), compact
+    * when buckets fragment ([[compactZBuckets]]: rewrites ONLY
+    * multi-file buckets via dynamic partition overwrite), and serve
+    * 2-D boxes under a LITERAL partition filter ([[zOrderedProbe]])
+    * instead of relying on footer stats alone.
+    */
+  def writeZBucketed(s: SparkSession, df: DataFrame, keyA: String,
+      keyB: String, path: String, bits: Int = 10,
+      bucketBits: Int = 4): Unit = {
+    require(bucketBits % 2 == 0, "bucketBits must split evenly over 2 dims")
+    import s.implicits._
+    val st = df.agg(
+      min(col(keyA)).cast("long"), max(col(keyA)).cast("long"),
+      min(col(keyB)).cast("long"), max(col(keyB)).cast("long")).head
+    Seq((keyA, keyB, st.getLong(0), st.getLong(1), st.getLong(2),
+        st.getLong(3), bits, bucketBits))
+      .toDF("key_a", "key_b", "amin", "amax", "bmin", "bmax",
+        "bits", "bucket_bits")
+      .write.mode("overwrite").parquet(s"$path.bounds")
+    zWrite(df, readZBounds(s, path), path, overwrite = true)
+  }
+
+  private case class ZBounds(keyA: String, keyB: String, amin: Long,
+      amax: Long, bmin: Long, bmax: Long, bits: Int, bucketBits: Int)
+
+  private def readZBounds(s: SparkSession, path: String): ZBounds = {
+    val r = s.read.parquet(s"$path.bounds").head
+    ZBounds(r.getAs[String]("key_a"), r.getAs[String]("key_b"),
+      r.getAs[Long]("amin"), r.getAs[Long]("amax"),
+      r.getAs[Long]("bmin"), r.getAs[Long]("bmax"),
+      r.getAs[Int]("bits"), r.getAs[Int]("bucket_bits"))
+  }
+
+  /** z + zbucket columns under FROZEN bounds. Out-of-bounds values
+    * clamp to the edge bucket — the same contract as IVF appends
+    * under a frozen quantizer: drift degrades locality until a
+    * rebuild, never correctness.
+    */
+  private def zCols(df: DataFrame, zb: ZBounds): DataFrame = {
+    val width = (1L << zb.bits) - 1
+    def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) = {
+      val clamped = least(greatest(c.cast("long"), lit(lo)), lit(hi))
+      ((clamped - lit(lo)) * width / lit(math.max(hi - lo, 1L)))
+        .cast("long")
+    }
+    df.withColumn("__z", zValue(norm(col(zb.keyA), zb.amin, zb.amax),
+        norm(col(zb.keyB), zb.bmin, zb.bmax), zb.bits))
+      .withColumn("zbucket",
+        shiftright(col("__z"), 2 * zb.bits - zb.bucketBits))
+  }
+
+  private def zWrite(df: DataFrame, zb: ZBounds, path: String,
+      overwrite: Boolean): Unit =
+    zCols(df, zb)
+      .repartition(col("zbucket"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.partitionBy("zbucket")
+      .mode(if (overwrite) "overwrite" else "append").parquet(path)
+
+  /** Append a batch under the layout's frozen bounds: new files land
+    * ONLY in the buckets the batch touches; nothing existing is read
+    * or rewritten.
+    */
+  def appendToZOrdered(s: SparkSession, path: String,
+      batch: DataFrame): Unit =
+    zWrite(batch, readZBounds(s, path), path, overwrite = false)
+
+  /** Compact fragmented buckets: find partitions holding >1 data
+    * file, re-sort and rewrite THOSE alone; single-file buckets keep
+    * their files byte-identical. Returns the rewritten bucket ids
+    * (empty = already compact and the call did no work — a second run
+    * is a no-op). The rewrite stages into a `.compacting` sibling and
+    * swaps per bucket dir (never reads and overwrites the same live
+    * files — the BM25 sidecar-merge discipline); single-writer
+    * assumed, as for every layout verb here.
+    */
+  def compactZBuckets(s: SparkSession, path: String): Seq[Long] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dirty = fs.listStatus(hp).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("zbucket="))
+      .filter(st => fs.listStatus(st.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > 1)
+      .map(_.getPath.getName.stripPrefix("zbucket=").toLong)
+      .sorted
+    if (dirty.nonEmpty) {
+      val zb = readZBounds(s, path)
+      val tmp = s"$path.compacting"
+      zWrite(s.read.parquet(path)
+          .filter(col("zbucket").isin(dirty: _*)).drop("zbucket"),
+        zb, tmp, overwrite = true)
+      dirty.foreach { beta =>
+        val live = new org.apache.hadoop.fs.Path(path, s"zbucket=$beta")
+        val fresh = new org.apache.hadoop.fs.Path(tmp, s"zbucket=$beta")
+        fs.delete(live, true)
+        fs.rename(fresh, live)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    dirty
+  }
+
+  /** Rectangle probe: enumerate the bucket grid (≤ 2^bucketBits ids —
+    * a planning-time constant, the relational analog of
+    * [[ivfPqProbe]]'s probed-cell set), keep buckets whose key-space
+    * rectangle intersects the normalized query box (±1 normalized
+    * unit of padding absorbs the write side's double truncation), and
+    * scan under a LITERAL partition filter — files outside the cover
+    * are never opened. The residual exact predicate keeps the result
+    * identical to a full scan regardless of the cover.
+    */
+  def zOrderedProbe(s: SparkSession, path: String, aLo: Long, aHi: Long,
+      bLo: Long, bHi: Long): DataFrame = {
+    val zb = readZBounds(s, path)
+    val width = (1L << zb.bits) - 1
+    def normV(v: Long, lo: Long, hi: Long): Long =
+      ((math.min(math.max(v, lo), hi) - lo) * width.toDouble /
+        math.max(hi - lo, 1L)).toLong
+    val (naLo, naHi) = (normV(aLo, zb.amin, zb.amax) - 1,
+      normV(aHi, zb.amin, zb.amax) + 1)
+    val (nbLo, nbHi) = (normV(bLo, zb.bmin, zb.bmax) - 1,
+      normV(bHi, zb.bmin, zb.bmax) + 1)
+    val h = zb.bucketBits / 2
+    val low = zb.bits - h // free low bits inside a bucket, per dim
+    val cand = (0L until (1L << zb.bucketBits)).filter { beta =>
+      var ah = 0L; var bh = 0L
+      (0 until zb.bucketBits).foreach { j =>
+        val p = 2 * zb.bits - zb.bucketBits + j // absolute z position
+        val bit = (beta >> j) & 1L
+        if (p % 2 == 0) ah |= bit << (p / 2 - low)
+        else bh |= bit << ((p - 1) / 2 - low)
+      }
+      val (aMin, aMax) = (ah << low, (ah << low) | ((1L << low) - 1))
+      val (bMin, bMax) = (bh << low, (bh << low) | ((1L << low) - 1))
+      aMin <= naHi && aMax >= naLo && bMin <= nbHi && bMax >= nbLo
+    }
+    s.read.parquet(path)
+      .filter(col("zbucket").isin(cand: _*))
+      .filter(col(zb.keyA).between(aLo, aHi) &&
+        col(zb.keyB).between(bLo, bHi))
+      .drop("zbucket")
   }
 }

