@@ -116,6 +116,8 @@ object SparkEntry {
     "skew_report" -> (Skew.skewReport _),
     // Morton interleave, hash-oracled bit for bit (exact integer ops)
     "zorder_keys" -> (graft.operators.Layout.zorderKeys _),
+    // z-bucketed layout lifecycle end to end: write + pruned box probe
+    "zorder_probe" -> (graft.operators.Layout.zorderProbe _),
     // rows-only (xxhash-based sketch not reproducible in SQL; accuracy
     // and determinism pinned by KMVDistinctSpec)
     // rows-only (engine-specific sketch internals; accuracy vs exact
@@ -864,6 +866,17 @@ object SparkEntry {
                   ((sy | (sy << 1)) & 6148914691236517205) AS sy FROM s4)
          SELECT event_id, zx, zy, (sx | (sy << 1)) AS zkey
          FROM s5 ORDER BY zkey DESC, event_id LIMIT 100""",
+    "zorder_probe" ->
+      """WITH s AS (SELECT min(l_partkey) AS amin, max(l_partkey) AS amax,
+                    min(l_orderkey) AS bmin, max(l_orderkey) AS bmax
+                    FROM lineitem)
+         SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+         FROM lineitem, s
+         WHERE l_partkey BETWEEN amin + (amax - amin) * 45 // 100
+                             AND amin + (amax - amin) * 55 // 100
+           AND l_orderkey BETWEEN bmin + (bmax - bmin) * 45 // 100
+                              AND bmin + (bmax - bmin) * 55 // 100
+         ORDER BY l_orderkey, l_partkey, l_suppkey""",
     "outer_join_nations" ->
       """SELECT n_nationkey, n_name, coalesce(n_rich, 0) AS n_rich
          FROM nation LEFT JOIN (

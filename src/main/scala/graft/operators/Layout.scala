@@ -397,19 +397,27 @@ object Layout {
     * instead of relying on footer stats alone.
     */
   def writeZBucketed(s: SparkSession, df: DataFrame, keyA: String,
-      keyB: String, path: String, bits: Int = 10,
-      bucketBits: Int = 4): Unit = {
+      keyB: String, path: String, bits: Int = 10, bucketBits: Int = 4,
+      bounds: Option[(Long, Long, Long, Long)] = None): Unit = {
     require(bucketBits % 2 == 0, "bucketBits must split evenly over 2 dims")
     import s.implicits._
-    val st = df.agg(
-      min(col(keyA)).cast("long"), max(col(keyA)).cast("long"),
-      min(col(keyB)).cast("long"), max(col(keyB)).cast("long")).head
-    Seq((keyA, keyB, st.getLong(0), st.getLong(1), st.getLong(2),
-        st.getLong(3), bits, bucketBits))
+    // explicit bounds serve the BOOTSTRAP flow — create an empty
+    // layout with the expected key ranges, then stream appends into
+    // it — and the empty-rebuild edge (a min/max over zero rows is
+    // NULL; coalesce keeps the write total rather than throwing)
+    val (amin, amax, bmin, bmax) = bounds.getOrElse {
+      val st = df.agg(
+        coalesce(min(col(keyA)).cast("long"), lit(0L)),
+        coalesce(max(col(keyA)).cast("long"), lit(0L)),
+        coalesce(min(col(keyB)).cast("long"), lit(0L)),
+        coalesce(max(col(keyB)).cast("long"), lit(0L))).head
+      (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+    }
+    Seq((keyA, keyB, amin, amax, bmin, bmax, bits, bucketBits))
       .toDF("key_a", "key_b", "amin", "amax", "bmin", "bmax",
         "bits", "bucket_bits")
       .write.mode("overwrite").parquet(s"$path.bounds")
-    zWrite(df, readZBounds(s, path), path, overwrite = true)
+    zWrite(df, readZBounds(s, path), path, mode = "overwrite")
   }
 
   private case class ZBounds(keyA: String, keyB: String, amin: Long,
@@ -441,14 +449,23 @@ object Layout {
         shiftright(col("__z"), 2 * zb.bits - zb.bucketBits))
   }
 
+  /** Every data file sits at `zbucket=β/zbatch=i/` — the second level
+    * is the INGEST GENERATION (−1 for one-shot writes and compacted
+    * output, the micro-batch id for streamed appends), which is what
+    * lets a streaming replay overwrite exactly its own partitions and
+    * nothing else ([[appendZBatch]]). A consistent two-level
+    * hierarchy everywhere keeps partition discovery happy; probes
+    * drop both columns.
+    */
   private def zWrite(df: DataFrame, zb: ZBounds, path: String,
-      overwrite: Boolean): Unit =
+      mode: String, batchId: Long = -1L): Unit =
     zCols(df, zb)
+      .withColumn("zbatch", lit(batchId))
       .repartition(col("zbucket"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.partitionBy("zbucket")
-      .mode(if (overwrite) "overwrite" else "append").parquet(path)
+      .write.partitionBy("zbucket", "zbatch")
+      .mode(mode).parquet(path)
 
   /** Append a batch under the layout's frozen bounds: new files land
     * ONLY in the buckets the batch touches; nothing existing is read
@@ -456,7 +473,30 @@ object Layout {
     */
   def appendToZOrdered(s: SparkSession, path: String,
       batch: DataFrame): Unit =
-    zWrite(batch, readZBounds(s, path), path, overwrite = false)
+    zWrite(batch, readZBounds(s, path), path, mode = "append")
+
+  /** Idempotent micro-batch append — the streaming ingest primitive:
+    * writes the batch's rows under `zbucket=β/zbatch=batchId` with
+    * DYNAMIC partition overwrite, so a crashed half-append heals on
+    * replay (the recompute replaces exactly its own (bucket, batch)
+    * partitions) and a full replay is a byte-level no-op rewrite.
+    * Holds at every crash point without a side ledger — the
+    * AdmissionStream store discipline applied to the layout.
+    */
+  def appendZBatch(s: SparkSession, path: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    require(batchId >= 0, "batch ids are non-negative; -1 marks one-shot writes")
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try zWrite(batch, readZBounds(s, path), path, mode = "overwrite",
+      batchId = batchId)
+    finally prev match {
+      case Some(v) =>
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 
   /** Compact fragmented buckets: find partitions holding >1 data
     * file, re-sort and rewrite THOSE alone; single-file buckets keep
@@ -470,19 +510,24 @@ object Layout {
   def compactZBuckets(s: SparkSession, path: String): Seq[Long] = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def parquetCount(p: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(p).map { st =>
+        if (st.isDirectory) parquetCount(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) 1 else 0
+      }.sum
     val dirty = fs.listStatus(hp).toSeq
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith("zbucket="))
-      .filter(st => fs.listStatus(st.getPath)
-        .count(_.getPath.getName.endsWith(".parquet")) > 1)
+      .filter(st => parquetCount(st.getPath) > 1)
       .map(_.getPath.getName.stripPrefix("zbucket=").toLong)
       .sorted
     if (dirty.nonEmpty) {
       val zb = readZBounds(s, path)
       val tmp = s"$path.compacting"
       zWrite(s.read.parquet(path)
-          .filter(col("zbucket").isin(dirty: _*)).drop("zbucket"),
-        zb, tmp, overwrite = true)
+          .filter(col("zbucket").isin(dirty: _*))
+          .drop("zbucket", "zbatch"),
+        zb, tmp, mode = "overwrite")
       dirty.foreach { beta =>
         val live = new org.apache.hadoop.fs.Path(path, s"zbucket=$beta")
         val fresh = new org.apache.hadoop.fs.Path(tmp, s"zbucket=$beta")
@@ -494,6 +539,35 @@ object Layout {
     dirty
   }
 
+  /** Graded query `zorder_probe` — the lifecycle end to end under the
+    * driver's oracle: (re)write the sf's lineitem as a z-bucketed
+    * layout in a deterministic scratch dir, then serve a mid-range
+    * 45–55% box on (l_partkey, l_orderkey) through [[zOrderedProbe]]'s
+    * partition-pruned scan. The oracle is the plain SQL box filter
+    * over the source table — proving the reshape loses nothing and
+    * the bucket-cover math misses nothing, at both sf scales. Like
+    * `cid_ingest`, the write round-trip IS the cost under test. Box
+    * bounds use exact integer percent math (`lo + (hi−lo)·p div 100`)
+    * so both engines compute the identical box.
+    */
+  def zorderProbe(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_zprobe_" + Integer.toHexString(dir.hashCode)).toString
+    writeZBucketed(s, src, "l_partkey", "l_orderkey", path)
+    val st = src.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_orderkey")), max(col("l_orderkey"))).head
+    def pct(lo: Long, hi: Long, p: Long) = lo + (hi - lo) * p / 100
+    val (amin, amax) = (st.getLong(0), st.getLong(1))
+    val (bmin, bmax) = (st.getLong(2), st.getLong(3))
+    zOrderedProbe(s, path,
+      pct(amin, amax, 45), pct(amin, amax, 55),
+      pct(bmin, bmax, 45), pct(bmin, bmax, 55))
+      .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+  }
+
   /** Rectangle probe: enumerate the bucket grid (≤ 2^bucketBits ids —
     * a planning-time constant, the relational analog of
     * [[ivfPqProbe]]'s probed-cell set), keep buckets whose key-space
@@ -501,7 +575,9 @@ object Layout {
     * unit of padding absorbs the write side's double truncation), and
     * scan under a LITERAL partition filter — files outside the cover
     * are never opened. The residual exact predicate keeps the result
-    * identical to a full scan regardless of the cover.
+    * identical to a full scan regardless of the cover. (A bootstrap
+    * layout that has never received a row has no data files to infer
+    * a schema from — probe after the first append.)
     */
   def zOrderedProbe(s: SparkSession, path: String, aLo: Long, aHi: Long,
       bLo: Long, bHi: Long): DataFrame = {
@@ -532,6 +608,6 @@ object Layout {
       .filter(col("zbucket").isin(cand: _*))
       .filter(col(zb.keyA).between(aLo, aHi) &&
         col(zb.keyB).between(bLo, bHi))
-      .drop("zbucket")
+      .drop("zbucket", "zbatch")
   }
 }

@@ -26,6 +26,12 @@ class EmptyInputSpec extends SparkSpec {
       StructField("label", IntegerType)))
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
       embSchema).write.parquet(s"$dir/embeddings.parquet")
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      evSchema).write.parquet(s"$dir/events.parquet")
     dir
   }
 
@@ -88,7 +94,9 @@ class EmptyInputSpec extends SparkSpec {
       "dedup_cluster_sizes" -> (() =>
         Dedup.clusterSizes(spark, emptyDir).count()),
       "vocab_coverage" -> (() =>
-        TextAnalysis.vocabCoverage(spark, emptyDir).count()))
+        TextAnalysis.vocabCoverage(spark, emptyDir).count()),
+      "zorder_keys" -> (() => Layout.zorderKeys(spark, emptyDir).count()),
+      "skew_report" -> (() => Skew.skewReport(spark, emptyDir).count()))
     ops.foreach { case (name, run) =>
       val n = try run() catch {
         case e: Throwable => fail(s"$name threw on empty input: $e")

@@ -84,17 +84,19 @@ class ZorderSpec extends SparkSpec {
     // --- append: only the batch's buckets gain files, and reads see
     // the union immediately
     def filesByBucket: Map[String, Set[String]] = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f.getPath) else Nil
       val d = new java.io.File(path)
       d.listFiles().filter(f => f.isDirectory &&
           f.getName.startsWith("zbucket="))
-        .map(b => b.getName ->
-          b.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .map(b => b.getName -> walk(b).toSet)
         .toMap
     }
     val before = filesByBucket
     Layout.appendToZOrdered(spark, path, batch)
     val after = filesByBucket
-    assert(sortedRows(spark.read.parquet(path).drop("zbucket")) ==
+    assert(sortedRows(spark.read.parquet(path).drop("zbucket", "zbatch")) ==
       sortedRows(src))
     val untouched = after.filter { case (b, fs) => before.get(b) == Some(fs) }
     val grown = after.keySet.filter(b => before.get(b) != Some(after(b)))
@@ -116,7 +118,7 @@ class ZorderSpec extends SparkSpec {
       "a compacted bucket still fragmented")
     clean.foreach { case (b, fs) =>
       assert(compacted(b) == fs, s"compact touched clean bucket $b") }
-    assert(sortedRows(spark.read.parquet(path).drop("zbucket")) ==
+    assert(sortedRows(spark.read.parquet(path).drop("zbucket", "zbatch")) ==
       sortedRows(src))
     // idempotent: a second compact finds nothing to do
     assert(Layout.compactZBuckets(spark, path).isEmpty)
@@ -124,5 +126,24 @@ class ZorderSpec extends SparkSpec {
     // the probe still matches after append + compact
     val probe2 = Layout.zOrderedProbe(spark, path, aLo, aHi, bLo, bHi)
     assert(sortedRows(probe2) == sortedRows(boxOf(src)))
+  }
+
+  test("bootstrap flow: an empty layout created with explicit bounds " +
+      "accepts appends and serves probes; an empty rebuild never throws") {
+    val path = Files.createTempDirectory("zboot").toString + "/zl"
+    // expected ranges known up front, no data yet — the streaming
+    // ingest starting point
+    Layout.writeZBucketed(spark, src.limit(0), "l_partkey", "l_orderkey",
+      path, bounds = Some((0L, 199L, 0L, 6000L)))
+    Layout.appendToZOrdered(spark, path, src)
+    val probe = Layout.zOrderedProbe(spark, path, 40L, 90L, 1000L, 3000L)
+    assert(sortedRows(probe) == sortedRows(src.filter(
+      col("l_partkey").between(40, 90) &&
+        col("l_orderkey").between(1000, 3000))))
+    // derived-bounds rebuild over zero rows: total, not a throw
+    val empty = Files.createTempDirectory("zempty").toString + "/zl"
+    Layout.writeZBucketed(spark, src.limit(0), "l_partkey", "l_orderkey",
+      empty)
+    assert(Layout.compactZBuckets(spark, empty).isEmpty)
   }
 }
