@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 
-import graft.functions.{LshBuckets, MinHashSig, Shingles3, SimHash64, VecDot}
+import graft.functions.{LshBuckets, MinHashSig, Shingles3, SimHash64, SortedBucket, VecDot}
 
 /** Session extension registering graft's native expressions, so they
   * are callable from SQL and `call_function` in any session configured
@@ -15,6 +15,7 @@ import graft.functions.{LshBuckets, MinHashSig, Shingles3, SimHash64, VecDot}
   *   - `minhash_sig(sh, n)`   one-pass MinHash signature (see MinHashSig)
   *   - `shingles3(text)`      distinct 3-token shingles (see Shingles3)
   *   - `simhash64(tokens)`    64-bit SimHash (see SimHash64)
+  *   - `sorted_bucket(v, bs)` binary-search bucket id (see SortedBucket)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -75,6 +76,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "lsh_buckets(vec) takes 1 argument")
         LshBuckets(args.head)
+      }),
+    (new FunctionIdentifier("sorted_bucket"),
+      new ExpressionInfo(classOf[SortedBucket].getName, "sorted_bucket"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "sorted_bucket(v, boundaries) takes 2 arguments")
+        SortedBucket(args.head, args(1))
       }),
     // Spark's own runtime-filter membership expression, exposed as a
     // callable function so operators can apply an EXPLICIT bloom

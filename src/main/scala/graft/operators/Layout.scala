@@ -413,22 +413,58 @@ object Layout {
         coalesce(max(col(keyB)).cast("long"), lit(0L))).head
       (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
     }
-    Seq((keyA, keyB, amin, amax, bmin, bmax, bits, bucketBits))
+    Seq((keyA, keyB, amin, amax, bmin, bmax, bits, bucketBits,
+        null.asInstanceOf[Array[Double]], null.asInstanceOf[Array[Double]]))
       .toDF("key_a", "key_b", "amin", "amax", "bmin", "bmax",
-        "bits", "bucket_bits")
+        "bits", "bucket_bits", "a_bounds", "b_bounds")
+      .write.mode("overwrite").parquet(s"$path.bounds")
+    zWrite(df, readZBounds(s, path), path, mode = "overwrite")
+  }
+
+  /** Equi-DEPTH variant of [[writeZBucketed]] — the skew-proof form.
+    * Min-max normalization collapses a zipf-distributed key into a
+    * handful of hot Morton cells (most of the value range is empty,
+    * the head lands in one bucket — the 100 TB failure mode for id-
+    * and count-like keys). Here each dimension's coordinate is its
+    * QUANTILE bucket instead: boundaries from one approxQuantile pass
+    * (driver-held, 2^bits−1 doubles — KB-scale, same budget as a
+    * trained codebook), rows routed through the codegen'd
+    * `sorted_bucket` binary search (O(log k) per row per dim — see
+    * [[graft.functions.SortedBucket]]). Equal-population buckets by
+    * construction, whatever the distribution; appends freeze the
+    * boundaries exactly like min-max bounds (drift degrades balance
+    * until a rebuild, never correctness). ZorderSpec measures the
+    * imbalance factor both ways on a zipf corpus.
+    */
+  def writeZBucketedEquiDepth(s: SparkSession, df: DataFrame,
+      keyA: String, keyB: String, path: String, bits: Int = 10,
+      bucketBits: Int = 4): Unit = {
+    require(bucketBits % 2 == 0, "bucketBits must split evenly over 2 dims")
+    import s.implicits._
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    val Array(aBs, bBs) = Array(keyA, keyB).map(k =>
+      df.select(col(k).cast("double").as(k))
+        .stat.approxQuantile(k, probs, 1e-4))
+    Seq((keyA, keyB, 0L, 0L, 0L, 0L, bits, bucketBits, aBs, bBs))
+      .toDF("key_a", "key_b", "amin", "amax", "bmin", "bmax",
+        "bits", "bucket_bits", "a_bounds", "b_bounds")
       .write.mode("overwrite").parquet(s"$path.bounds")
     zWrite(df, readZBounds(s, path), path, mode = "overwrite")
   }
 
   private case class ZBounds(keyA: String, keyB: String, amin: Long,
-      amax: Long, bmin: Long, bmax: Long, bits: Int, bucketBits: Int)
+      amax: Long, bmin: Long, bmax: Long, bits: Int, bucketBits: Int,
+      aBounds: Option[Array[Double]], bBounds: Option[Array[Double]])
 
   private def readZBounds(s: SparkSession, path: String): ZBounds = {
     val r = s.read.parquet(s"$path.bounds").head
+    def arr(name: String): Option[Array[Double]] =
+      Option(r.getAs[scala.collection.Seq[Double]](name)).map(_.toArray)
     ZBounds(r.getAs[String]("key_a"), r.getAs[String]("key_b"),
       r.getAs[Long]("amin"), r.getAs[Long]("amax"),
       r.getAs[Long]("bmin"), r.getAs[Long]("bmax"),
-      r.getAs[Int]("bits"), r.getAs[Int]("bucket_bits"))
+      r.getAs[Int]("bits"), r.getAs[Int]("bucket_bits"),
+      arr("a_bounds"), arr("b_bounds"))
   }
 
   /** z + zbucket columns under FROZEN bounds. Out-of-bounds values
@@ -438,13 +474,18 @@ object Layout {
     */
   private def zCols(df: DataFrame, zb: ZBounds): DataFrame = {
     val width = (1L << zb.bits) - 1
-    def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) = {
-      val clamped = least(greatest(c.cast("long"), lit(lo)), lit(hi))
-      ((clamped - lit(lo)) * width / lit(math.max(hi - lo, 1L)))
-        .cast("long")
+    def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long,
+        bs: Option[Array[Double]]) = bs match {
+      case Some(qs) => // equi-depth: quantile bucket via binary search
+        call_function("sorted_bucket", c.cast("double"), lit(qs))
+      case None =>
+        val clamped = least(greatest(c.cast("long"), lit(lo)), lit(hi))
+        ((clamped - lit(lo)) * width / lit(math.max(hi - lo, 1L)))
+          .cast("long")
     }
-    df.withColumn("__z", zValue(norm(col(zb.keyA), zb.amin, zb.amax),
-        norm(col(zb.keyB), zb.bmin, zb.bmax), zb.bits))
+    df.withColumn("__z",
+        zValue(norm(col(zb.keyA), zb.amin, zb.amax, zb.aBounds),
+          norm(col(zb.keyB), zb.bmin, zb.bmax, zb.bBounds), zb.bits))
       .withColumn("zbucket",
         shiftright(col("__z"), 2 * zb.bits - zb.bucketBits))
   }
@@ -583,13 +624,23 @@ object Layout {
       bLo: Long, bHi: Long): DataFrame = {
     val zb = readZBounds(s, path)
     val width = (1L << zb.bits) - 1
-    def normV(v: Long, lo: Long, hi: Long): Long =
-      ((math.min(math.max(v, lo), hi) - lo) * width.toDouble /
-        math.max(hi - lo, 1L)).toLong
-    val (naLo, naHi) = (normV(aLo, zb.amin, zb.amax) - 1,
-      normV(aHi, zb.amin, zb.amax) + 1)
-    val (nbLo, nbHi) = (normV(bLo, zb.bmin, zb.bmax) - 1,
-      normV(bHi, zb.bmin, zb.bmax) + 1)
+    def normV(v: Long, lo: Long, hi: Long,
+        bs: Option[Array[Double]]): Long = bs match {
+      case Some(qs) => // count of boundaries <= v, as sorted_bucket
+        var (l, h) = (0, qs.length)
+        while (l < h) {
+          val m = (l + h) >>> 1
+          if (qs(m) <= v.toDouble) l = m + 1 else h = m
+        }
+        l.toLong
+      case None =>
+        ((math.min(math.max(v, lo), hi) - lo) * width.toDouble /
+          math.max(hi - lo, 1L)).toLong
+    }
+    val (naLo, naHi) = (normV(aLo, zb.amin, zb.amax, zb.aBounds) - 1,
+      normV(aHi, zb.amin, zb.amax, zb.aBounds) + 1)
+    val (nbLo, nbHi) = (normV(bLo, zb.bmin, zb.bmax, zb.bBounds) - 1,
+      normV(bHi, zb.bmin, zb.bmax, zb.bBounds) + 1)
     val h = zb.bucketBits / 2
     val low = zb.bits - h // free low bits inside a bucket, per dim
     val cand = (0L until (1L << zb.bucketBits)).filter { beta =>

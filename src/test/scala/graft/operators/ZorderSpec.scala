@@ -146,4 +146,56 @@ class ZorderSpec extends SparkSpec {
       empty)
     assert(Layout.compactZBuckets(spark, empty).isEmpty)
   }
+
+  test("sorted_bucket: codegen binary search equals the driver-side " +
+      "count-of-boundaries-<=-v on edges, ties and interior points") {
+    val bs = Array(1.0, 3.0, 3.0, 7.0, 10.0)
+    val vs = Seq(0.5, 1.0, 2.0, 3.0, 6.9, 7.0, 9.0, 10.0, 11.0)
+    val got = spark.createDataFrame(vs.map(Tuple1(_))).toDF("v")
+      .select(col("v"),
+        call_function("sorted_bucket", col("v"), lit(bs)).as("b"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    vs.foreach { v =>
+      val expect = bs.count(_ <= v).toLong
+      assert(got(v) == expect, s"sorted_bucket($v) = ${got(v)} != $expect")
+    }
+  }
+
+  test("equi-depth z-layout holds bucket balance on a zipf key where " +
+      "min-max collapses; probes stay exact") {
+    // heavy-headed key: ~half the mass below 20 in a 0..100k range
+    val skewed = spark.range(20000).select(
+      col("id"),
+      (lit(100000L) / (pmod(xxhash64(col("id")), lit(1000L)) + 1))
+        .cast("long").as("ka"),
+      pmod(xxhash64(col("id"), lit(7)), lit(10000L)).as("kb"))
+    val mm = Files.createTempDirectory("zmm").toString + "/zl"
+    val ed = Files.createTempDirectory("zed").toString + "/zl"
+    Layout.writeZBucketed(spark, skewed, "ka", "kb", mm)
+    Layout.writeZBucketedEquiDepth(spark, skewed, "ka", "kb", ed)
+
+    def imbalance(path: String): (Long, Double) = {
+      val sizes = spark.read.parquet(path).groupBy("zbucket")
+        .count().collect().map(_.getAs[Long]("count"))
+      val mean = sizes.sum.toDouble / 16 // 2^bucketBits buckets total
+      (sizes.length, sizes.max / mean)
+    }
+    val (mmBuckets, mmImb) = imbalance(mm)
+    val (edBuckets, edImb) = imbalance(ed)
+    info(f"min-max: $mmBuckets buckets, imbalance $mmImb%.1f; " +
+      f"equi-depth: $edBuckets buckets, imbalance $edImb%.1f")
+    // min-max collapses the zipf head: most Morton cells empty
+    assert(edBuckets > mmBuckets, "equi-depth no better populated")
+    assert(edImb < mmImb / 2,
+      f"equi-depth imbalance $edImb%.1f not clearly below min-max $mmImb%.1f")
+    assert(edImb < 2.0, f"equi-depth imbalance $edImb%.1f above 2x mean")
+
+    // probe correctness is distribution-independent
+    val probe = Layout.zOrderedProbe(spark, ed, 50L, 5000L, 2000L, 8000L)
+    val expect = skewed.filter(col("ka").between(50, 5000) &&
+      col("kb").between(2000, 8000))
+    def keyset(df: DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    assert(keyset(probe) == keyset(expect))
+  }
 }
