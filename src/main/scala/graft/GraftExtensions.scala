@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 
-import graft.functions.{LshBuckets, MinHashSig, Shingles3, SimHash64, SortedBucket, VecDot}
+import graft.functions.{HilbertKey, LshBuckets, MinHashSig, Shingles3, SimHash64, SortedBucket, VecDot}
 
 /** Session extension registering graft's native expressions, so they
   * are callable from SQL and `call_function` in any session configured
@@ -16,6 +16,7 @@ import graft.functions.{LshBuckets, MinHashSig, Shingles3, SimHash64, SortedBuck
   *   - `shingles3(text)`      distinct 3-token shingles (see Shingles3)
   *   - `simhash64(tokens)`    64-bit SimHash (see SimHash64)
   *   - `sorted_bucket(v, bs)` binary-search bucket id (see SortedBucket)
+  *   - `hilbert_key(x, y, n)` Hilbert-curve index (see HilbertKey)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -76,6 +77,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "lsh_buckets(vec) takes 1 argument")
         LshBuckets(args.head)
+      }),
+    (new FunctionIdentifier("hilbert_key"),
+      new ExpressionInfo(classOf[HilbertKey].getName, "hilbert_key"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "hilbert_key(x, y, bits) takes 3 arguments")
+        val bits = args(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"bits must be an integer literal, got $other")
+        }
+        HilbertKey(args.head, args(1), bits)
       }),
     (new FunctionIdentifier("sorted_bucket"),
       new ExpressionInfo(classOf[SortedBucket].getName, "sorted_bucket"),

@@ -398,8 +398,10 @@ object Layout {
     */
   def writeZBucketed(s: SparkSession, df: DataFrame, keyA: String,
       keyB: String, path: String, bits: Int = 10, bucketBits: Int = 4,
-      bounds: Option[(Long, Long, Long, Long)] = None): Unit = {
+      bounds: Option[(Long, Long, Long, Long)] = None,
+      curve: String = "morton"): Unit = {
     require(bucketBits % 2 == 0, "bucketBits must split evenly over 2 dims")
+    require(curve == "morton" || curve == "hilbert", s"unknown curve $curve")
     import s.implicits._
     // explicit bounds serve the BOOTSTRAP flow — create an empty
     // layout with the expected key ranges, then stream appends into
@@ -414,9 +416,10 @@ object Layout {
       (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
     }
     Seq((keyA, keyB, amin, amax, bmin, bmax, bits, bucketBits,
-        null.asInstanceOf[Array[Double]], null.asInstanceOf[Array[Double]]))
+        null.asInstanceOf[Array[Double]], null.asInstanceOf[Array[Double]],
+        curve))
       .toDF("key_a", "key_b", "amin", "amax", "bmin", "bmax",
-        "bits", "bucket_bits", "a_bounds", "b_bounds")
+        "bits", "bucket_bits", "a_bounds", "b_bounds", "curve")
       .write.mode("overwrite").parquet(s"$path.bounds")
     zWrite(df, readZBounds(s, path), path, mode = "overwrite")
   }
@@ -445,16 +448,18 @@ object Layout {
     val Array(aBs, bBs) = Array(keyA, keyB).map(k =>
       df.select(col(k).cast("double").as(k))
         .stat.approxQuantile(k, probs, 1e-4))
-    Seq((keyA, keyB, 0L, 0L, 0L, 0L, bits, bucketBits, aBs, bBs))
+    Seq((keyA, keyB, 0L, 0L, 0L, 0L, bits, bucketBits, aBs, bBs,
+        "morton"))
       .toDF("key_a", "key_b", "amin", "amax", "bmin", "bmax",
-        "bits", "bucket_bits", "a_bounds", "b_bounds")
+        "bits", "bucket_bits", "a_bounds", "b_bounds", "curve")
       .write.mode("overwrite").parquet(s"$path.bounds")
     zWrite(df, readZBounds(s, path), path, mode = "overwrite")
   }
 
   private case class ZBounds(keyA: String, keyB: String, amin: Long,
       amax: Long, bmin: Long, bmax: Long, bits: Int, bucketBits: Int,
-      aBounds: Option[Array[Double]], bBounds: Option[Array[Double]])
+      aBounds: Option[Array[Double]], bBounds: Option[Array[Double]],
+      curve: String)
 
   private def readZBounds(s: SparkSession, path: String): ZBounds = {
     val r = s.read.parquet(s"$path.bounds").head
@@ -464,7 +469,7 @@ object Layout {
       r.getAs[Long]("amin"), r.getAs[Long]("amax"),
       r.getAs[Long]("bmin"), r.getAs[Long]("bmax"),
       r.getAs[Int]("bits"), r.getAs[Int]("bucket_bits"),
-      arr("a_bounds"), arr("b_bounds"))
+      arr("a_bounds"), arr("b_bounds"), r.getAs[String]("curve"))
   }
 
   /** z + zbucket columns under FROZEN bounds. Out-of-bounds values
@@ -483,9 +488,13 @@ object Layout {
         ((clamped - lit(lo)) * width / lit(math.max(hi - lo, 1L)))
           .cast("long")
     }
-    df.withColumn("__z",
-        zValue(norm(col(zb.keyA), zb.amin, zb.amax, zb.aBounds),
-          norm(col(zb.keyB), zb.bmin, zb.bmax, zb.bBounds), zb.bits))
+    val (nx, ny) = (norm(col(zb.keyA), zb.amin, zb.amax, zb.aBounds),
+      norm(col(zb.keyB), zb.bmin, zb.bmax, zb.bBounds))
+    val key = zb.curve match {
+      case "hilbert" => call_function("hilbert_key", nx, ny, lit(zb.bits))
+      case _ => zValue(nx, ny, zb.bits)
+    }
+    df.withColumn("__z", key)
       .withColumn("zbucket",
         shiftright(col("__z"), 2 * zb.bits - zb.bucketBits))
   }
@@ -641,20 +650,30 @@ object Layout {
       normV(aHi, zb.amin, zb.amax, zb.aBounds) + 1)
     val (nbLo, nbHi) = (normV(bLo, zb.bmin, zb.bmax, zb.bBounds) - 1,
       normV(bHi, zb.bmin, zb.bmax, zb.bBounds) + 1)
+    // both curves induce the SAME level-h quadtree cells as buckets —
+    // only the cell NUMBERING differs. Enumerate the grid, keep cells
+    // intersecting the box, number each through the layout's curve
+    // (the curve is hierarchical, so a cell's key prefix — its bucket
+    // id — is constant across the cell: take any corner).
     val h = zb.bucketBits / 2
     val low = zb.bits - h // free low bits inside a bucket, per dim
-    val cand = (0L until (1L << zb.bucketBits)).filter { beta =>
-      var ah = 0L; var bh = 0L
-      (0 until zb.bucketBits).foreach { j =>
-        val p = 2 * zb.bits - zb.bucketBits + j // absolute z position
-        val bit = (beta >> j) & 1L
-        if (p % 2 == 0) ah |= bit << (p / 2 - low)
-        else bh |= bit << ((p - 1) / 2 - low)
-      }
-      val (aMin, aMax) = (ah << low, (ah << low) | ((1L << low) - 1))
-      val (bMin, bMax) = (bh << low, (bh << low) | ((1L << low) - 1))
-      aMin <= naHi && aMax >= naLo && bMin <= nbHi && bMax >= nbLo
-    }
+    val cand = (for {
+      ah <- 0L until (1L << h)
+      bh <- 0L until (1L << h)
+      aMin = ah << low
+      bMin = bh << low
+      if aMin <= naHi && (aMin | ((1L << low) - 1)) >= naLo &&
+        bMin <= nbHi && (bMin | ((1L << low) - 1)) >= nbLo
+    } yield zb.curve match {
+      case "hilbert" =>
+        graft.functions.HilbertKey.xy2d(1L << zb.bits, aMin, bMin) >>
+          (2 * low)
+      case _ =>
+        (0 until h).foldLeft(0L) { (acc, i) =>
+          acc | (((ah >> i) & 1L) << (2 * i)) |
+            (((bh >> i) & 1L) << (2 * i + 1))
+        }
+    }).distinct
     s.read.parquet(path)
       .filter(col("zbucket").isin(cand: _*))
       .filter(col(zb.keyA).between(aLo, aHi) &&

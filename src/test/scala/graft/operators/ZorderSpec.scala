@@ -198,4 +198,84 @@ class ZorderSpec extends SparkSpec {
       df.select("id").collect().map(_.getLong(0)).toSet
     assert(keyset(probe) == keyset(expect))
   }
+
+  test("hilbert_key: bijective unit-step curve (engine-exhaustive at " +
+      "bits=4) matching the driver reference") {
+    val bits = 4
+    val n = 1 << bits
+    val keys = spark.range(n.toLong * n).select(
+        (col("id") / n).cast("long").as("x"),
+        pmod(col("id"), lit(n.toLong)).as("y"))
+      .select(col("x"), col("y"),
+        call_function("hilbert_key", col("x"), col("y"), lit(bits)).as("d"))
+      .collect()
+    // bijective onto [0, n^2)
+    assert(keys.map(_.getAs[Long]("d")).toSet ==
+      (0L until n.toLong * n).toSet)
+    // consecutive keys are grid neighbors — the property Morton lacks
+    val pos = keys.map(r => r.getAs[Long]("d") ->
+      (r.getAs[Long]("x"), r.getAs[Long]("y"))).toMap
+    (0L until n.toLong * n - 1).foreach { d =>
+      val ((x1, y1), (x2, y2)) = (pos(d), pos(d + 1))
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at d=$d")
+    }
+    // generated code ≡ the static reference used by the probe cover
+    keys.foreach { r =>
+      assert(r.getAs[Long]("d") == graft.functions.HilbertKey.xy2d(
+        n.toLong, r.getAs[Long]("x"), r.getAs[Long]("y")))
+    }
+  }
+
+  test("hilbert lifecycle: probe exact under a partition filter; " +
+      "per-file bounding boxes measurably tighter than morton") {
+    val hdir = Files.createTempDirectory("zhil").toString + "/zl"
+    Layout.writeZBucketed(spark, src, "l_partkey", "l_orderkey", hdir,
+      curve = "hilbert")
+    val (aLo, aHi, bLo, bHi) = (40L, 90L, 1000L, 3000L)
+    val probe = Layout.zOrderedProbe(spark, hdir, aLo, aHi, bLo, bHi)
+    assert(sortedRows(probe) == sortedRows(src.filter(
+      col("l_partkey").between(aLo, aHi) &&
+        col("l_orderkey").between(bLo, bHi))))
+    val scan = outerPlanNodes(probe.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }.head
+    assert(scan.partitionFilters.nonEmpty)
+    assert(scan.metrics("numFiles").value <
+      spark.read.parquet(hdir).inputFiles.length)
+
+    // locality: range-partition the SAME normalized coords by each
+    // curve into 64 equal files; hilbert's unit-step continuity gives
+    // tighter per-file (partkey × orderkey) bounding boxes
+    val bits = 10
+    def meanBoxArea(curveKey: (Long, Long) => Long): Double = {
+      val st = src.agg(min("l_partkey"), max("l_partkey"),
+        min("l_orderkey"), max("l_orderkey")).head
+      val w = (1L << bits) - 1
+      def nrm(v: Long, lo: Long, hi: Long) =
+        (v - lo) * w / math.max(hi - lo, 1L)
+      val keyed = src.collect().map { r =>
+        val (a, b) = (r.getAs[Long]("l_partkey"), r.getAs[Long]("l_orderkey"))
+        (curveKey(nrm(a, st.getLong(0), st.getLong(1)),
+          nrm(b, st.getLong(2), st.getLong(3))), a, b)
+      }.sortBy(_._1)
+      val chunks = keyed.grouped((keyed.length + 63) / 64).toSeq
+      chunks.map { c =>
+        (c.map(_._2).max - c.map(_._2).min).toDouble *
+          (c.map(_._3).max - c.map(_._3).min)
+      }.sum / chunks.length
+    }
+    def mortonRef(x: Long, y: Long): Long = {
+      var z = 0L
+      (0 until bits).foreach { i =>
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val m = meanBoxArea(mortonRef)
+    val h = meanBoxArea(graft.functions.HilbertKey.xy2d(1L << bits, _, _))
+    info(f"mean per-file bbox area: morton $m%.0f, hilbert $h%.0f " +
+      f"(ratio ${h / m}%.2f)")
+    assert(h < m * 0.8,
+      f"hilbert bbox area $h%.0f not clearly below morton $m%.0f")
+  }
 }
