@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 import graft.functions.{HilbertKey, LshBuckets, MinHashSig, Shingles3, SimHash64, SortedBucket, VecDot}
 
@@ -109,5 +110,19 @@ object GraftExtensions {
         require(args.length == 2,
           "bloom_might_contain(filter, key) takes 2 arguments")
         BloomFilterMightContain(args.head, args(1))
+      }),
+    // ...and its build-side twin, the aggregate runtime filtering
+    // uses, exposed so a GROUPED build is one distributed pass —
+    // per-bucket bloom sidecars (Layout.writeBloomSidecar) need one
+    // filter PER group, which driver-side stat.bloomFilter can't
+    // express. args: (raw long key, estimated items, num bits);
+    // keys are put raw, matching bloom_might_contain above.
+    (new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "bloom_agg(key, estimatedItems, numBits) takes 3 arguments")
+        BloomFilterAggregate(args.head, args(1), args(2), 0, 0)
       }))
 }

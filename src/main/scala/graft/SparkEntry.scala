@@ -118,6 +118,11 @@ object SparkEntry {
     "zorder_keys" -> (graft.operators.Layout.zorderKeys _),
     // z-bucketed layout lifecycle end to end: write + pruned box probe
     "zorder_probe" -> (graft.operators.Layout.zorderProbe _),
+    // same lifecycle through the Hilbert numbering (curve-independent
+    // result -> shares zorder_probe's oracle, exercises xy->d + cover)
+    "hilbert_probe" -> (graft.operators.Layout.hilbertProbe _),
+    // bloom sidecar point lookup on a non-layout column, end to end
+    "bloom_point_probe" -> (graft.operators.Layout.bloomPointProbeQuery _),
     // rows-only (xxhash-based sketch not reproducible in SQL; accuracy
     // and determinism pinned by KMVDistinctSpec)
     // rows-only (engine-specific sketch internals; accuracy vs exact
@@ -867,6 +872,22 @@ object SparkEntry {
          SELECT event_id, zx, zy, (sx | (sy << 1)) AS zkey
          FROM s5 ORDER BY zkey DESC, event_id LIMIT 100""",
     "zorder_probe" ->
+      """WITH s AS (SELECT min(l_partkey) AS amin, max(l_partkey) AS amax,
+                    min(l_orderkey) AS bmin, max(l_orderkey) AS bmax
+                    FROM lineitem)
+         SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+         FROM lineitem, s
+         WHERE l_partkey BETWEEN amin + (amax - amin) * 45 // 100
+                             AND amin + (amax - amin) * 55 // 100
+           AND l_orderkey BETWEEN bmin + (bmax - bmin) * 45 // 100
+                              AND bmin + (bmax - bmin) * 55 // 100
+         ORDER BY l_orderkey, l_partkey, l_suppkey""",
+    "bloom_point_probe" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+         FROM lineitem
+         WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
+         ORDER BY l_partkey, l_suppkey""",
+    "hilbert_probe" ->
       """WITH s AS (SELECT min(l_partkey) AS amin, max(l_partkey) AS amax,
                     min(l_orderkey) AS bmin, max(l_orderkey) AS bmax
                     FROM lineitem)

@@ -600,13 +600,28 @@ object Layout {
     * bounds use exact integer percent math (`lo + (hi−lo)·p div 100`)
     * so both engines compute the identical box.
     */
-  def zorderProbe(s: SparkSession, dir: String): DataFrame = {
+  def zorderProbe(s: SparkSession, dir: String): DataFrame =
+    curveProbe(s, dir, "morton", "graft_zprobe_")
+
+  /** Graded query `hilbert_probe` — the same lifecycle-under-oracle
+    * as `zorder_probe` but through the Hilbert numbering: the box
+    * result is curve-INDEPENDENT (layouts are permutations), so both
+    * graded rows share one SQL oracle while exercising two different
+    * key functions, bucket covers and partition layouts. A wrong
+    * rotation in the xy→d walk or a bad cover renumbering loses rows
+    * and hash-fails.
+    */
+  def hilbertProbe(s: SparkSession, dir: String): DataFrame =
+    curveProbe(s, dir, "hilbert", "graft_hprobe_")
+
+  private def curveProbe(s: SparkSession, dir: String, curve: String,
+      prefix: String): DataFrame = {
     val src = graft.Tables.load(s, dir, "lineitem")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
     val path = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft_zprobe_" + Integer.toHexString(dir.hashCode)).toString
-    writeZBucketed(s, src, "l_partkey", "l_orderkey", path)
+      prefix + Integer.toHexString(dir.hashCode)).toString
+    writeZBucketed(s, src, "l_partkey", "l_orderkey", path, curve = curve)
     val st = src.agg(min(col("l_partkey")), max(col("l_partkey")),
       min(col("l_orderkey")), max(col("l_orderkey"))).head
     def pct(lo: Long, hi: Long, p: Long) = lo + (hi - lo) * p / 100
@@ -616,6 +631,83 @@ object Layout {
       pct(amin, amax, 45), pct(amin, amax, 55),
       pct(bmin, bmax, 45), pct(bmin, bmax, 55))
       .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+  }
+
+  /** Bloom sidecar over a NON-layout column — point lookups for the
+    * key the curve does not serve. A z-layout answers range boxes on
+    * its two curve keys; a point lookup on any other column
+    * (`WHERE l_orderkey = k` against a (partkey, suppkey) layout)
+    * degenerates to a full scan, because no directory or footer stat
+    * is selective in it. One grouped pass builds a Bloom filter PER
+    * BUCKET over the probe column (the `bloom_agg` injection — one
+    * shuffle of KB-sized partial filters with map-side combine,
+    * O(2^bucketBits · bits/8) total state), persisted as a `.blooms`
+    * sidecar. [[bloomPointProbe]] then tests the key against ≤
+    * 2^bucketBits driver-held filters and scans only the buckets that
+    * might contain it, under a literal partition filter.
+    *
+    * Freshness contract: filters describe bucket contents at build
+    * time. COMPACTION preserves them (it rewrites files, not bucket
+    * membership); APPENDS stale them toward false negatives — rebuild
+    * after an append cycle, exactly like retraining stats. ZorderSpec
+    * pins both directions: the planted staleness miss and the
+    * post-rebuild exactness.
+    */
+  def writeBloomSidecar(s: SparkSession, path: String,
+      column: String, fpp: Double = 0.01): Unit = {
+    val layout = s.read.parquet(path)
+    val perBucket = math.max(layout.count() /
+      (1L << readZBounds(s, path).bucketBits), 64L)
+    val bits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(perBucket, fpp)
+    layout
+      .groupBy(col("zbucket").cast("long").as("zbucket"))
+      .agg(call_function("bloom_agg", col(column).cast("long"),
+        lit(perBucket), lit(bits)).as("bloom"))
+      .withColumn("key_col", lit(column))
+      .write.mode("overwrite").parquet(s"$path.blooms")
+  }
+
+  /** Graded query `bloom_point_probe` — the bloom sidecar under the
+    * driver's oracle: z-layout on (l_partkey, l_suppkey), filters
+    * over l_orderkey, point lookup of the MAX order key (exists by
+    * construction, deterministic in both engines). The oracle is the
+    * plain `WHERE l_orderkey = (SELECT max(...))` — a pruned lookup
+    * that misses a bucket loses rows and hash-fails.
+    */
+  def bloomPointProbeQuery(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_bprobe_" + Integer.toHexString(dir.hashCode)).toString
+    writeZBucketed(s, src, "l_partkey", "l_suppkey", path)
+    writeBloomSidecar(s, path, "l_orderkey")
+    val k = src.agg(max(col("l_orderkey"))).head.getLong(0)
+    bloomPointProbe(s, path, k)
+      .orderBy(col("l_partkey"), col("l_suppkey"))
+  }
+
+  /** Point lookup via the `.blooms` sidecar: test the key against the
+    * driver-held per-bucket filters (no false negatives at build
+    * time), scan only the candidate buckets, apply the exact
+    * predicate. The sidecar read is 2^bucketBits KB-sized rows — the
+    * same planning-time budget as the probed-cell collect in
+    * [[ivfPqProbe]].
+    */
+  def bloomPointProbe(s: SparkSession, path: String,
+      key: Long): DataFrame = {
+    val rows = s.read.parquet(s"$path.blooms").collect()
+    val column = rows.head.getAs[String]("key_col")
+    val cand = rows.filter { r =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+        .mightContainLong(key)
+    }.map(_.getAs[Long]("zbucket")).toSeq
+    s.read.parquet(path)
+      .filter(col("zbucket").isin(cand: _*))
+      .filter(col(column) === key)
+      .drop("zbucket", "zbatch")
   }
 
   /** Rectangle probe: enumerate the bucket grid (≤ 2^bucketBits ids —

@@ -278,4 +278,47 @@ class ZorderSpec extends SparkSpec {
     assert(h < m * 0.8,
       f"hilbert bbox area $h%.0f not clearly below morton $m%.0f")
   }
+
+  test("bloom sidecar: point lookups on a non-layout column prune " +
+      "buckets with no false negatives; compaction preserves filters; " +
+      "appends stale them until a rebuild") {
+    val path = Files.createTempDirectory("zbloom").toString + "/zl"
+    // the layout serves (partkey, suppkey) boxes; orderkey point
+    // lookups are what the bloom sidecar adds
+    Layout.writeZBucketed(spark, src, "l_partkey", "l_suppkey", path)
+    Layout.writeBloomSidecar(spark, path, "l_orderkey")
+
+    val k = src.select("l_orderkey").head.getLong(0)
+    val probe = Layout.bloomPointProbe(spark, path, k)
+    assert(sortedRows(probe) ==
+      sortedRows(src.filter(col("l_orderkey") === k)))
+    val scan = outerPlanNodes(probe.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }.head
+    assert(scan.partitionFilters.nonEmpty, "no partition filter")
+    val (filesRead, total) = (scan.metrics("numFiles").value,
+      spark.read.parquet(path).inputFiles.length.toLong)
+    info(s"point lookup read $filesRead of $total files")
+    assert(filesRead < total, "bloom pruned nothing")
+    // absent key: exact empty (filters have no false negatives)
+    assert(Layout.bloomPointProbe(spark, path, 99999999L).count() == 0)
+
+    // append a planted key the filters have never seen: the sidecar
+    // is stale toward false negatives — the documented contract
+    val planted = src.limit(5).select(
+      lit(7777777L).as("l_orderkey"), col("l_partkey"),
+      col("l_suppkey"), col("l_quantity"))
+    Layout.appendToZOrdered(spark, path, planted)
+    assert(Layout.bloomPointProbe(spark, path, 7777777L).count() == 0,
+      "stale filters unexpectedly matched the planted key")
+    // rebuild = one grouped pass; the planted rows surface exactly
+    Layout.writeBloomSidecar(spark, path, "l_orderkey")
+    assert(Layout.bloomPointProbe(spark, path, 7777777L).count() == 5)
+
+    // compaction rewrites files, not bucket membership: the sidecar
+    // stays valid with NO rebuild
+    assert(Layout.compactZBuckets(spark, path).nonEmpty)
+    assert(Layout.bloomPointProbe(spark, path, 7777777L).count() == 5)
+    assert(sortedRows(Layout.bloomPointProbe(spark, path, k)) ==
+      sortedRows(src.filter(col("l_orderkey") === k)))
+  }
 }
