@@ -123,6 +123,8 @@ object SparkEntry {
     "hilbert_probe" -> (graft.operators.Layout.hilbertProbe _),
     // bloom sidecar point lookup on a non-layout column, end to end
     "bloom_point_probe" -> (graft.operators.Layout.bloomPointProbeQuery _),
+    // bucket-co-located fact join: zero exchanges below the join
+    "bucketed_join" -> (graft.operators.Bucketed.bucketedJoin _),
     // rows-only (xxhash-based sketch not reproducible in SQL; accuracy
     // and determinism pinned by KMVDistinctSpec)
     // rows-only (engine-specific sketch internals; accuracy vs exact
@@ -887,6 +889,11 @@ object SparkEntry {
          FROM lineitem
          WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
          ORDER BY l_partkey, l_suppkey""",
+    "bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
     "hilbert_probe" ->
       """WITH s AS (SELECT min(l_partkey) AS amin, max(l_partkey) AS amax,
                     min(l_orderkey) AS bmin, max(l_orderkey) AS bmax
