@@ -660,12 +660,74 @@ object Layout {
       (1L << readZBounds(s, path).bucketBits), 64L)
     val bits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(perBucket, fpp)
-    layout
-      .groupBy(col("zbucket").cast("long").as("zbucket"))
-      .agg(call_function("bloom_agg", col(column).cast("long"),
-        lit(perBucket), lit(bits)).as("bloom"))
-      .withColumn("key_col", lit(column))
+    bloomsOf(layout, column, perBucket, bits)
       .write.mode("overwrite").parquet(s"$path.blooms")
+  }
+
+  /** One grouped bloom-build pass over any (zbucket, column) frame —
+    * shared by the full rebuild and the incremental merge, which is
+    * what makes merged ≡ rebuilt BYTE-identical (same parameters,
+    * same order-free bit-OR construction).
+    */
+  private def bloomsOf(df: DataFrame, column: String, items: Long,
+      bits: Long): DataFrame =
+    df.groupBy(col("zbucket").cast("long").as("zbucket"))
+      .agg(call_function("bloom_agg", col(column).cast("long"),
+        lit(items), lit(bits)).as("bloom"))
+      .withColumn("key_col", lit(column))
+      .withColumn("est_items", lit(items))
+
+  /** Incrementally fold an appended batch into the `.blooms` sidecar
+    * — closing the append-staleness window WITHOUT rescanning the
+    * layout: Bloom filters are order-free bit-ORs, so
+    * merge(old, bloom(batch)) equals a from-scratch rebuild over the
+    * grown bucket BYTE FOR BYTE when built with the same parameters
+    * (ZorderSpec pins exactly that equality). Buckets the batch never
+    * touched keep their rows as-is; cost is one pass over the BATCH
+    * plus 2^bucketBits KB-sized merges on the driver. Pair with
+    * [[appendToZOrdered]]/[[appendZBatch]] and point lookups stay
+    * fresh one trigger behind the stream.
+    */
+  def mergeBloomSidecar(s: SparkSession, path: String,
+      batch: DataFrame): Unit = {
+    import s.implicits._
+    val sidecar = s"$path.blooms"
+    val old = s.read.parquet(sidecar).collect()
+    val column = old.head.getAs[String]("key_col")
+    val items = old.head.getAs[Long]("est_items")
+    val bits = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(
+        old.head.getAs[Array[Byte]]("bloom"))).bitSize()
+    val fresh = bloomsOf(zCols(batch, readZBounds(s, path)), column,
+      items, bits).collect()
+    def bf(bytes: Array[Byte]) =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+    def bytes(b: org.apache.spark.util.sketch.BloomFilter) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      b.writeTo(bos)
+      bos.toByteArray
+    }
+    val freshBy = fresh.map(r =>
+      r.getAs[Long]("zbucket") -> r.getAs[Array[Byte]]("bloom")).toMap
+    val merged = old.map { r =>
+      val beta = r.getAs[Long]("zbucket")
+      val blm = freshBy.get(beta) match {
+        case Some(add) =>
+          bytes(bf(r.getAs[Array[Byte]]("bloom"))
+            .mergeInPlace(bf(add)))
+        case None => r.getAs[Array[Byte]]("bloom")
+      }
+      (beta, blm, column, items)
+    } ++ freshBy.keySet.diff(old.map(_.getAs[Long]("zbucket")).toSet)
+      .toSeq.map(beta => (beta, freshBy(beta), column, items))
+    val tmp = s"$sidecar.merging"
+    merged.toSeq.toDF("zbucket", "bloom", "key_col", "est_items")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val hp = new org.apache.hadoop.fs.Path(sidecar)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), hp)
   }
 
   /** Graded query `bloom_point_probe` — the bloom sidecar under the

@@ -321,4 +321,43 @@ class ZorderSpec extends SparkSpec {
     assert(sortedRows(Layout.bloomPointProbe(spark, path, k)) ==
       sortedRows(src.filter(col("l_orderkey") === k)))
   }
+
+  test("incremental bloom merge: appended keys visible without a " +
+      "rescan, byte-identical to a same-parameter rebuild") {
+    val path = Files.createTempDirectory("zbloom2").toString + "/zl"
+    Layout.writeZBucketed(spark, src, "l_partkey", "l_suppkey", path)
+    Layout.writeBloomSidecar(spark, path, "l_orderkey")
+
+    val planted = src.limit(7).select(
+      lit(8888888L).as("l_orderkey"), col("l_partkey"),
+      col("l_suppkey"), col("l_quantity"))
+    Layout.appendToZOrdered(spark, path, planted)
+    assert(Layout.bloomPointProbe(spark, path, 8888888L).count() == 0,
+      "filters unexpectedly fresh before the merge")
+    // fold ONLY the batch in: one batch-sized pass, no layout rescan
+    Layout.mergeBloomSidecar(spark, path, planted)
+    assert(Layout.bloomPointProbe(spark, path, 8888888L).count() == 7)
+    assert(Layout.bloomPointProbe(spark, path, 55555555L).count() == 0)
+
+    // OR-merge of same-parameter filters ≡ from-scratch build over
+    // the grown buckets, BYTE for byte (order-free bit-OR)
+    val sidecar = spark.read.parquet(s"$path.blooms").collect()
+    val merged = sidecar.map(r =>
+      r.getAs[Long]("zbucket") -> r.getAs[Array[Byte]]("bloom")).toMap
+    val items = sidecar.head.getAs[Long]("est_items")
+    val bits = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(
+        sidecar.head.getAs[Array[Byte]]("bloom"))).bitSize()
+    val rebuilt = spark.read.parquet(path)
+      .groupBy(col("zbucket").cast("long").as("zbucket"))
+      .agg(call_function("bloom_agg", col("l_orderkey").cast("long"),
+        lit(items), lit(bits)).as("bloom"))
+      .collect().map(r =>
+        r.getAs[Long]("zbucket") -> r.getAs[Array[Byte]]("bloom")).toMap
+    assert(rebuilt.keySet == merged.keySet)
+    rebuilt.foreach { case (beta, bs) =>
+      assert(java.util.Arrays.equals(bs, merged(beta)),
+        s"bucket $beta: merged filter differs from rebuilt")
+    }
+  }
 }
