@@ -692,7 +692,10 @@ object Layout {
       batch: DataFrame): Unit = {
     import s.implicits._
     val sidecar = s"$path.blooms"
+    resolveBloomSidecar(s, sidecar)
     val old = s.read.parquet(sidecar).collect()
+    require(old.nonEmpty, s"$sidecar is empty — build it with " +
+      "writeBloomSidecar over a non-empty layout before merging")
     val column = old.head.getAs[String]("key_col")
     val items = old.head.getAs[Long]("est_items")
     val bits = org.apache.spark.util.sketch.BloomFilter
@@ -730,6 +733,23 @@ object Layout {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), hp)
   }
 
+  /** Complete a swap interrupted between delete and rename: if the
+    * sidecar is missing but a fully-written `.merging` sibling
+    * exists, rename it into place. Every sidecar READER calls this,
+    * so a crash inside [[mergeBloomSidecar]]'s swap heals on the next
+    * probe or merge — recovery-on-read, the same discipline as the
+    * layout's batch partitions (no state is ever only-in-flight: the
+    * delete runs strictly after the `.merging` write commits, so one
+    * complete copy exists at every crash point).
+    */
+  private def resolveBloomSidecar(s: SparkSession,
+      sidecar: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(sidecar)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$sidecar.merging")
+    if (!fs.exists(hp) && fs.exists(tmp)) fs.rename(tmp, hp)
+  }
+
   /** Graded query `bloom_point_probe` — the bloom sidecar under the
     * driver's oracle: z-layout on (l_partkey, l_suppkey), filters
     * over l_orderkey, point lookup of the MAX order key (exists by
@@ -759,6 +779,7 @@ object Layout {
     */
   def bloomPointProbe(s: SparkSession, path: String,
       key: Long): DataFrame = {
+    resolveBloomSidecar(s, s"$path.blooms")
     val rows = s.read.parquet(s"$path.blooms").collect()
     val column = rows.head.getAs[String]("key_col")
     val cand = rows.filter { r =>

@@ -33,16 +33,25 @@ import graft.operators.Layout
 object ZorderStream {
 
   /** Apply one micro-batch: skip if its marker exists, else an
-    * idempotent (bucket, batch)-scoped overwrite, then mark.
+    * idempotent (bucket, batch)-scoped overwrite — optionally folding
+    * the batch into the `.blooms` point-lookup sidecar — then mark.
+    *
+    * The bloom fold keeps its own idempotence under at-least-once
+    * delivery: inserting the same keys sets the same bits, so a
+    * replayed merge is a bit-level no-op and the sidecar stays BYTE
+    * equal to a from-scratch rebuild at every crash point (a crash
+    * inside the sidecar swap itself heals on the next read —
+    * [[Layout.mergeBloomSidecar]]'s recovery-on-read).
     */
   private[streaming] def ingestBatch(path: String, batch: DataFrame,
-      batchId: Long): Unit = {
+      batchId: Long, maintainBlooms: Boolean = false): Unit = {
     val s = batch.sparkSession
     val conf = s.sparkContext.hadoopConfiguration
     val marker = new org.apache.hadoop.fs.Path(s"$path.ingested/$batchId")
     val fs = marker.getFileSystem(conf)
     if (!fs.exists(marker)) {
       Layout.appendZBatch(s, path, batch, batchId)
+      if (maintainBlooms) Layout.mergeBloomSidecar(s, path, batch)
       fs.mkdirs(marker.getParent)
       fs.create(marker, true).close()
     }
@@ -50,15 +59,21 @@ object ZorderStream {
 
   /** Start ingesting a streaming frame (carrying the layout's two key
     * columns) into the z-bucketed layout at `path`. The caller owns
-    * the returned query's lifecycle.
+    * the returned query's lifecycle. With `maintainBlooms` the
+    * `.blooms` sidecar (built beforehand with
+    * [[Layout.writeBloomSidecar]]) is folded forward each trigger, so
+    * point lookups on the non-layout column stay fresh one trigger
+    * behind the stream instead of staling toward false negatives
+    * until a rebuild.
     */
-  def ingest(rows: DataFrame, path: String): StreamingQuery = {
+  def ingest(rows: DataFrame, path: String,
+      maintainBlooms: Boolean = false): StreamingQuery = {
     require(rows.isStreaming, "ingest expects a streaming frame")
     rows.writeStream
       .outputMode(OutputMode.Append())
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(path, batch, batchId)
+        ingestBatch(path, batch, batchId, maintainBlooms)
       }
       .start()
   }

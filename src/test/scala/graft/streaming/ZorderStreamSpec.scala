@@ -74,4 +74,54 @@ class ZorderStreamSpec extends SparkSpec {
     assert(sortedRows(spark.read.parquet(path)
       .drop("zbucket", "zbatch")) == sortedRows(src))
   }
+
+  test("bloom maintenance: point lookups stay fresh one trigger " +
+      "behind the stream; replayed merge is byte-idempotent; a " +
+      "swap crash heals on the next read") {
+    val path = Files.createTempDirectory("zstreamb").toString + "/zl"
+    val seed = src.filter(col("l_orderkey") % 2 === 0)
+    Layout.writeZBucketed(spark, seed, "l_partkey", "l_orderkey", path)
+    Layout.writeBloomSidecar(spark, path, "l_orderkey")
+
+    // a key arriving ONLY via the stream
+    val planted = src.limit(5).select(lit(7777777L).as("l_orderkey"),
+      col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val late = src.filter(col("l_orderkey") % 2 === 1).union(planted)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val q = ZorderStream.ingest(mem.toDF()
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity"),
+      path, maintainBlooms = true)
+    try {
+      mem.addData(late.as[(Long, Long, Long, Double)].collect().toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // fresh WITHOUT any rebuild: the streamed-only key is found
+    assert(Layout.bloomPointProbe(spark, path, 7777777L).count() == 5)
+    assert(sortedRows(spark.read.parquet(path)
+      .drop("zbucket", "zbatch")) == sortedRows(seed.union(late)))
+
+    def sidecarBytes(): Map[Long, Seq[Byte]] =
+      spark.read.parquet(s"$path.blooms").collect().map(r =>
+        r.getAs[Long]("zbucket") ->
+          r.getAs[Array[Byte]]("bloom").toSeq).toMap
+
+    // replayed merge of an already-folded batch: bit-level no-op
+    val before = sidecarBytes()
+    Layout.mergeBloomSidecar(spark, path, late)
+    assert(sidecarBytes() == before,
+      "re-merging the same batch changed the sidecar")
+
+    // crash between delete and rename: only `.merging` exists.
+    // The next reader completes the swap and serves exact results.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sc = new org.apache.hadoop.fs.Path(s"$path.blooms")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.blooms.merging")
+    assert(fs.rename(sc, tmp))
+    assert(Layout.bloomPointProbe(spark, path, 7777777L).count() == 5)
+    assert(sidecarBytes() == before, "recovered sidecar differs")
+  }
 }
