@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Chunk, Curate, Curriculum, Dedup, KMeans, Mix, Multimodal, Pack, Pii, Pipeline, Pq, QastQueries, Relational, Retrieval, Sampling, Shuffle, Similarity, Skew, Sq, Temporal, TextAnalysis}
+import graft.operators.{Bpe, Chunk, Curate, Curriculum, Dedup, Dsir, KMeans, Mix, Multimodal, Pack, Pii, Pipeline, Pq, QastQueries, Relational, Retrieval, Sampling, Shuffle, Similarity, Skew, Sq, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -343,6 +343,12 @@ object SparkEntry {
     "text_dup_spans" -> (TextAnalysis.dupSpans _),
     "text_span_scrub" -> (TextAnalysis.spanScrub _),
     "text_lm_score" -> (TextAnalysis.lmScore _),
+    // DSIR importance weights against the lang='en' target model —
+    // hashed-ngram log-ratio scoring, 256-double broadcast "model"
+    "dsir_weights" -> (Dsir.weights _),
+    // the resample itself: Gumbel top-k over the log-weights,
+    // md5-universe draws — deterministic sampling ∝ weight
+    "dsir_sample" -> (Dsir.sample _),
     "bpe_pairs" -> (TextAnalysis.bpePairs _),
     // rows-only: the data-dependent merge loop has no fixed SQL form;
     // exact-pinned by BpeSpec's sequential replay (see Bpe scaladoc)
@@ -2215,6 +2221,67 @@ object SparkEntry {
            round(list_reduce(list_sort(list(lp)), (a, b) -> a + b)
              / count(*), 6) AS mean_lp
          FROM lps GROUP BY doc_id ORDER BY doc_id""",
+    // DSIR: λ_b from exact count ratios (ln of one IEEE division),
+    // per-doc sum folds the SORTED per-occurrence score list — the
+    // text_lm_score determinism discipline
+    "dsir_weights" ->
+      """WITH occ AS (SELECT doc_id, lang,
+           CAST(list_sum([ (strpos('0123456789abcdef',
+               substr(md5(w), i, 1)) - 1) * power(16, 4-i)
+             for i in range(1,5) ]) AS BIGINT) % 256 AS b
+           FROM (SELECT doc_id, lang,
+             unnest(string_split(text,' ')) AS w FROM documents)),
+         tgt AS (SELECT b, count(*) AS ct FROM occ
+           WHERE lang = 'en' GROUP BY b),
+         raw AS (SELECT b, count(*) AS cr FROM occ GROUP BY b),
+         tt AS (SELECT count(*) AS t_total FROM occ WHERE lang = 'en'),
+         rt AS (SELECT count(*) AS r_total FROM occ),
+         lam AS (SELECT g.b,
+             ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / (t_total + 256))
+           - ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE) / (r_total + 256))
+             AS lam
+           FROM range(256) g(b) LEFT JOIN tgt ON g.b = tgt.b
+             LEFT JOIN raw ON g.b = raw.b, tt, rt)
+         SELECT doc_id, count(*) AS n_toks,
+           round(list_reduce(list_sort(list(lam)), (a, x) -> a + x), 6)
+             + 0.0 AS log_weight,
+           round(list_reduce(list_sort(list(lam)), (a, x) -> a + x)
+             / count(*), 6) + 0.0 AS mean_lw
+         FROM occ JOIN lam USING (b)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "dsir_sample" ->
+      """WITH occ AS (SELECT doc_id, lang,
+           CAST(list_sum([ (strpos('0123456789abcdef',
+               substr(md5(w), i, 1)) - 1) * power(16, 4-i)
+             for i in range(1,5) ]) AS BIGINT) % 256 AS b
+           FROM (SELECT doc_id, lang,
+             unnest(string_split(text,' ')) AS w FROM documents)),
+         tgt AS (SELECT b, count(*) AS ct FROM occ
+           WHERE lang = 'en' GROUP BY b),
+         raw AS (SELECT b, count(*) AS cr FROM occ GROUP BY b),
+         tt AS (SELECT count(*) AS t_total FROM occ WHERE lang = 'en'),
+         rt AS (SELECT count(*) AS r_total FROM occ),
+         lam AS (SELECT g.b,
+             ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / (t_total + 256))
+           - ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE) / (r_total + 256))
+             AS lam
+           FROM range(256) g(b) LEFT JOIN tgt ON g.b = tgt.b
+             LEFT JOIN raw ON g.b = raw.b, tt, rt),
+         w AS (SELECT doc_id, count(*) AS n_toks,
+             round(list_reduce(list_sort(list(lam)), (a, x) -> a + x), 6)
+               AS log_weight
+           FROM occ JOIN lam USING (b) GROUP BY doc_id),
+         k AS (SELECT doc_id, n_toks, log_weight
+             - ln(-ln(least(greatest(list_sum([ (strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                 * power(16, 13-i) for i in range(1,14) ])
+               / 4503599627370496.0, 5e-324), 1.0 - 1e-16))) AS gk
+           FROM w),
+         r AS (SELECT doc_id, n_toks,
+             row_number() OVER (ORDER BY gk DESC, doc_id) AS rank
+           FROM k)
+         SELECT CAST(rank AS INT) AS rank, doc_id, n_toks
+         FROM r WHERE rank <= 100 ORDER BY rank""",
     "bpe_pairs" ->
       """WITH w AS (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS w
            FROM documents),
