@@ -123,6 +123,9 @@ object SparkEntry {
     "hilbert_probe" -> (graft.operators.Layout.hilbertProbe _),
     // bloom sidecar point lookup on a non-layout column, end to end
     "bloom_point_probe" -> (graft.operators.Layout.bloomPointProbeQuery _),
+    // per-file min/max manifest (the Iceberg data-skipping pattern):
+    // range-clustered write, planning-time file pruning, exact result
+    "zone_probe" -> (graft.operators.Layout.zoneProbeQuery _),
     // bucket-co-located fact join: zero exchanges below the join
     "bucketed_join" -> (graft.operators.Bucketed.bucketedJoin _),
     // rows-only (xxhash-based sketch not reproducible in SQL; accuracy
@@ -888,6 +891,14 @@ object SparkEntry {
          WHERE l_partkey BETWEEN amin + (amax - amin) * 45 // 100
                              AND amin + (amax - amin) * 55 // 100
            AND l_orderkey BETWEEN bmin + (bmax - bmin) * 45 // 100
+                              AND bmin + (bmax - bmin) * 55 // 100
+         ORDER BY l_orderkey, l_partkey, l_suppkey""",
+    "zone_probe" ->
+      """WITH s AS (SELECT min(l_orderkey) AS bmin, max(l_orderkey) AS bmax
+                    FROM lineitem)
+         SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+         FROM lineitem, s
+         WHERE l_orderkey BETWEEN bmin + (bmax - bmin) * 45 // 100
                               AND bmin + (bmax - bmin) * 55 // 100
          ORDER BY l_orderkey, l_partkey, l_suppkey""",
     "bloom_point_probe" ->

@@ -793,6 +793,81 @@ object Layout {
       .drop("zbucket", "zbatch")
   }
 
+  /** Per-FILE min/max manifest over arbitrary numeric columns — the
+    * Iceberg/Delta data-skipping pattern, completing the sidecar
+    * family: the curve keys serve 2-D boxes, `.blooms` serves
+    * EQUALITY on a non-layout column, `.zones` serves RANGES on any
+    * column. Parquet footers already hold these stats, but at 100 TB
+    * a scan that "only" opens every footer is already a
+    * million-file metadata storm; a manifest answers the pruning
+    * question in ONE read at planning time — exactly why table
+    * formats ship manifests instead of trusting footer pushdown.
+    *
+    * One grouped pass over `_metadata.file_path` (map-side combine
+    * collapses each partition to its own file rows). Selectivity
+    * tracks physical clustering: range-clustered files give tight
+    * disjoint zones; a column uncorrelated with layout gives
+    * full-range zones and the probe degrades to a full scan — but
+    * never a wrong one (the residual predicate is always applied).
+    * Staleness contract matches `.blooms`: appends require a manifest
+    * refresh; LayoutSpec-style pins live in ZorderSpec.
+    */
+  def writeZoneMap(s: SparkSession, path: String,
+      cols: Seq[String]): Unit = {
+    val df = s.read.parquet(path)
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"min_$c"),
+      max(col(c).cast("long")).as(s"max_$c")))
+    df.groupBy(col("_metadata.file_path").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path.zones")
+  }
+
+  /** Range probe through the `.zones` manifest: keep files whose
+    * [min, max] interval intersects [lo, hi], read exactly those, and
+    * apply the exact residual predicate. The manifest filter is a
+    * dataframe (at million-file scale it's a distributed filter); the
+    * collected survivor list is planning state, the same budget as
+    * any file listing. An all-null column in a file yields null
+    * min/max → the file is dropped, which is correct: null never
+    * satisfies BETWEEN.
+    */
+  def zoneProbe(s: SparkSession, path: String, column: String,
+      lo: Long, hi: Long): DataFrame = {
+    val files = s.read.parquet(s"$path.zones")
+      .filter(col(s"min_$column") <= hi && col(s"max_$column") >= lo)
+      .select(col("file")).collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty) s.read.parquet(path).limit(0)
+      else s.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col(column).between(lo, hi))
+  }
+
+  /** Graded query `zone_probe` — manifest-pruned range scan end to
+    * end: lineitem range-clustered on l_orderkey into 8 files, zone
+    * maps written, the 45–55% l_orderkey band served through
+    * [[zoneProbe]]. The oracle is the plain SQL range filter, blind
+    * to the layout — files are an implementation detail the result
+    * must not see. Box bounds use exact integer percent math so both
+    * engines compute the identical band.
+    */
+  def zoneProbeQuery(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_zones_" + Integer.toHexString(dir.hashCode)).toString
+    src.repartitionByRange(8, col("l_orderkey"))
+      .write.mode("overwrite").parquet(path)
+    writeZoneMap(s, path, Seq("l_orderkey", "l_partkey"))
+    val st = src.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head
+    def pct(p: Long) =
+      st.getLong(0) + (st.getLong(1) - st.getLong(0)) * p / 100
+    zoneProbe(s, path, "l_orderkey", pct(45), pct(55))
+      .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+  }
+
   /** Rectangle probe: enumerate the bucket grid (≤ 2^bucketBits ids —
     * a planning-time constant, the relational analog of
     * [[ivfPqProbe]]'s probed-cell set), keep buckets whose key-space

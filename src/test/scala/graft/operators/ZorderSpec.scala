@@ -322,6 +322,35 @@ class ZorderSpec extends SparkSpec {
       sortedRows(src.filter(col("l_orderkey") === k)))
   }
 
+  test("zone map: range probe on the clustered column skips files " +
+      "and is exact; an uncorrelated column degrades to a full scan " +
+      "but never a wrong one") {
+    val path = Files.createTempDirectory("zones").toString + "/t"
+    src.repartitionByRange(8, col("l_orderkey"))
+      .write.mode("overwrite").parquet(path)
+    Layout.writeZoneMap(spark, path, Seq("l_orderkey", "l_partkey"))
+    val total = spark.read.parquet(path).inputFiles.length
+
+    // clustered column: tight disjoint zones → files skipped, exact
+    val probe = Layout.zoneProbe(spark, path, "l_orderkey", 1000L, 1500L)
+    assert(sortedRows(probe) == sortedRows(
+      src.filter(col("l_orderkey").between(1000L, 1500L))))
+    assert(probe.inputFiles.length < total,
+      s"read ${probe.inputFiles.length} of $total files — no pruning")
+    info(s"clustered probe read ${probe.inputFiles.length} of $total files")
+
+    // column uncorrelated with the clustering: zones span everything,
+    // no pruning — but the residual predicate keeps the result exact
+    val flat = Layout.zoneProbe(spark, path, "l_partkey", 40L, 60L)
+    assert(sortedRows(flat) == sortedRows(
+      src.filter(col("l_partkey").between(40L, 60L))))
+
+    // empty band beyond the data: zero files read, zero rows
+    val none = Layout.zoneProbe(spark, path, "l_orderkey",
+      99999999L, 99999999L)
+    assert(none.count() == 0)
+  }
+
   test("incremental bloom merge: appended keys visible without a " +
       "rescan, byte-identical to a same-parameter rebuild") {
     val path = Files.createTempDirectory("zbloom2").toString + "/zl"
