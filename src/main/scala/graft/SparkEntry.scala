@@ -318,6 +318,10 @@ object SparkEntry {
     // heuristic-classifier audit: confusion matrix vs the labeled
     // lang column, exact counts + row fractions
     "langid_confusion" -> (TextAnalysis.langidConfusion _),
+    // TRAINED language classifier: closed-form multinomial NB on the
+    // md5-deterministic train split, argmax over classes, held-out eval
+    "nb_langid" -> (graft.operators.NaiveBayes.predictions _),
+    "nb_confusion" -> (graft.operators.NaiveBayes.confusion _),
     // collocations: PMI of the top bigrams from exact counts
     "text_bigram_pmi" -> (TextAnalysis.bigramPmi _),
     // span-level benchmark contamination: the window positions a
@@ -1626,6 +1630,81 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cos DESC, neighbor_id) AS rank FROM cand)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // closed-form NB: exact count models on the md5 train split, ln of
+    // IEEE divisions, sorted-fold per-(doc, class) sums, argmax with a
+    // pinned (score DESC, class ASC) tie-break
+    "nb_langid" ->
+      """WITH occ AS (SELECT doc_id, lang,
+           CAST(list_sum([ (strpos('0123456789abcdef',
+               substr(md5(w), i, 1)) - 1) * power(16, 4-i)
+             for i in range(1,5) ]) AS BIGINT) % 256 AS b,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' AS train
+           FROM (SELECT doc_id, lang,
+             unnest(string_split(text,' ')) AS w FROM documents)),
+         counts AS (SELECT lang AS cls, b, count(*) AS c FROM occ
+           WHERE train GROUP BY 1, 2),
+         totals AS (SELECT lang AS cls, count(*) AS t FROM occ
+           WHERE train GROUP BY 1),
+         grid AS (SELECT cls, g.b FROM totals, range(256) g(b)),
+         lam AS (SELECT grid.cls, grid.b,
+             ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) / (t + 256)) AS lam
+           FROM grid LEFT JOIN counts ON grid.cls = counts.cls
+             AND grid.b = counts.b
+           JOIN totals ON grid.cls = totals.cls),
+         docs AS (SELECT DISTINCT doc_id, lang, train FROM occ),
+         nd AS (SELECT lang AS cls, count(*) AS nd FROM docs
+           WHERE train GROUP BY 1),
+         ndt AS (SELECT count(*) AS nd_total FROM docs WHERE train),
+         prior AS (SELECT cls, ln(CAST(nd AS DOUBLE) / nd_total) AS lp
+           FROM nd, ndt),
+         sums AS (SELECT doc_id, cls,
+             list_reduce(list_sort(list(lam)), (a, x) -> a + x) AS s
+           FROM occ JOIN lam USING (b) GROUP BY doc_id, cls),
+         sc AS (SELECT doc_id, cls, s + lp AS score
+           FROM sums JOIN prior USING (cls)),
+         pk AS (SELECT doc_id, cls, row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+           FROM sc)
+         SELECT p.doc_id, d.lang, p.cls AS pred,
+           CASE WHEN d.train THEN 'train' ELSE 'heldout' END AS split
+         FROM pk p JOIN docs d USING (doc_id)
+         WHERE rn = 1 ORDER BY p.doc_id""",
+    "nb_confusion" ->
+      """WITH occ AS (SELECT doc_id, lang,
+           CAST(list_sum([ (strpos('0123456789abcdef',
+               substr(md5(w), i, 1)) - 1) * power(16, 4-i)
+             for i in range(1,5) ]) AS BIGINT) % 256 AS b,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' AS train
+           FROM (SELECT doc_id, lang,
+             unnest(string_split(text,' ')) AS w FROM documents)),
+         counts AS (SELECT lang AS cls, b, count(*) AS c FROM occ
+           WHERE train GROUP BY 1, 2),
+         totals AS (SELECT lang AS cls, count(*) AS t FROM occ
+           WHERE train GROUP BY 1),
+         grid AS (SELECT cls, g.b FROM totals, range(256) g(b)),
+         lam AS (SELECT grid.cls, grid.b,
+             ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) / (t + 256)) AS lam
+           FROM grid LEFT JOIN counts ON grid.cls = counts.cls
+             AND grid.b = counts.b
+           JOIN totals ON grid.cls = totals.cls),
+         docs AS (SELECT DISTINCT doc_id, lang, train FROM occ),
+         nd AS (SELECT lang AS cls, count(*) AS nd FROM docs
+           WHERE train GROUP BY 1),
+         ndt AS (SELECT count(*) AS nd_total FROM docs WHERE train),
+         prior AS (SELECT cls, ln(CAST(nd AS DOUBLE) / nd_total) AS lp
+           FROM nd, ndt),
+         sums AS (SELECT doc_id, cls,
+             list_reduce(list_sort(list(lam)), (a, x) -> a + x) AS s
+           FROM occ JOIN lam USING (b) GROUP BY doc_id, cls),
+         sc AS (SELECT doc_id, cls, s + lp AS score
+           FROM sums JOIN prior USING (cls)),
+         pk AS (SELECT doc_id, cls, row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+           FROM sc)
+         SELECT d.lang, p.cls AS pred, count(*) AS n
+         FROM pk p JOIN docs d USING (doc_id)
+         WHERE rn = 1 AND NOT d.train
+         GROUP BY d.lang, p.cls ORDER BY d.lang, p.cls""",
     // same prediction CASE as text_langid, joined back to the label
     "langid_confusion" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),

@@ -824,6 +824,38 @@ object Layout {
       .write.mode("overwrite").parquet(s"$path.zones")
   }
 
+  /** Incremental manifest maintenance: zone rows are per-FILE and
+    * parquet files are immutable, so the manifest is APPEND-ONLY —
+    * list the layout, anti-join against the manifest driver-side,
+    * scan ONLY the missing files for their min/max, and append their
+    * rows. No merge arithmetic at all (contrast the bloom sidecar's
+    * bit-OR): new files add rows, untouched files' rows stay valid
+    * forever. A crash mid-append can leave duplicate rows for a file
+    * on replay — harmless by construction because [[zoneProbe]]
+    * reads the survivor list through `distinct`, so re-running this
+    * verb is idempotent in effect. Cost: one pass over the NEW files
+    * only.
+    */
+  def mergeZoneMap(s: SparkSession, path: String,
+      cols: Seq[String]): Unit = {
+    val onDisk = s.read.parquet(path).select(
+      col("_metadata.file_path").as("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val known = s.read.parquet(s"$path.zones")
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    val missing = (onDisk -- known).toIndexedSeq
+    if (missing.nonEmpty) {
+      val df = s.read.parquet(missing: _*)
+      val aggs = cols.flatMap(c => Seq(
+        min(col(c).cast("long")).as(s"min_$c"),
+        max(col(c).cast("long")).as(s"max_$c")))
+      df.groupBy(col("_metadata.file_path").as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .coalesce(1)
+        .write.mode("append").parquet(s"$path.zones")
+    }
+  }
+
   /** Range probe through the `.zones` manifest: keep files whose
     * [min, max] interval intersects [lo, hi], read exactly those, and
     * apply the exact residual predicate. The manifest filter is a
@@ -835,9 +867,11 @@ object Layout {
     */
   def zoneProbe(s: SparkSession, path: String, column: String,
       lo: Long, hi: Long): DataFrame = {
+    // distinct: a crashed-and-replayed mergeZoneMap can leave a
+    // file's row duplicated, and a doubled path would read it twice
     val files = s.read.parquet(s"$path.zones")
       .filter(col(s"min_$column") <= hi && col(s"max_$column") >= lo)
-      .select(col("file")).collect().map(_.getString(0))
+      .select(col("file")).distinct().collect().map(_.getString(0))
     val base =
       if (files.isEmpty) s.read.parquet(path).limit(0)
       else s.read.parquet(files.toIndexedSeq: _*)

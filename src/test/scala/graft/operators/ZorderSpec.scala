@@ -349,6 +349,24 @@ class ZorderSpec extends SparkSpec {
     val none = Layout.zoneProbe(spark, path, "l_orderkey",
       99999999L, 99999999L)
     assert(none.count() == 0)
+
+    // incremental maintenance: new files append rows (the manifest is
+    // append-only — files are immutable), old rows stay valid, and a
+    // replayed merge leaves probe results exact despite dup rows
+    val planted = src.limit(4).select(lit(5555555L).as("l_orderkey"),
+      col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    planted.coalesce(1).write.mode("append").parquet(path)
+    assert(Layout.zoneProbe(spark, path, "l_orderkey",
+      5555555L, 5555555L).count() == 0, "manifest unexpectedly fresh")
+    Layout.mergeZoneMap(spark, path, Seq("l_orderkey", "l_partkey"))
+    val freshProbe = Layout.zoneProbe(spark, path, "l_orderkey",
+      5555555L, 5555555L)
+    assert(freshProbe.count() == 4)
+    assert(freshProbe.inputFiles.length == 1,
+      "planted-key probe should read only the appended file")
+    Layout.mergeZoneMap(spark, path, Seq("l_orderkey", "l_partkey"))
+    assert(Layout.zoneProbe(spark, path, "l_orderkey",
+      5555555L, 5555555L).count() == 4, "replayed merge broke the probe")
   }
 
   test("incremental bloom merge: appended keys visible without a " +
