@@ -322,6 +322,12 @@ object SparkEntry {
     // md5-deterministic train split, argmax over classes, held-out eval
     "nb_langid" -> (graft.operators.NaiveBayes.predictions _),
     "nb_confusion" -> (graft.operators.NaiveBayes.confusion _),
+    // fuzzy record linkage: deletion-neighborhood blocking turns an
+    // edit-distance<=1 join into one bounded-fanout equi-join (at most
+    // len+1 keys/row) + an exact levenshtein verify — no quadratic
+    // pair generation, no broadcast of either corpus side
+    "er_matches" -> (graft.operators.Er.matches _),
+    "er_candidates" -> (graft.operators.Er.candidates _),
     // collocations: PMI of the top bigrams from exact counts
     "text_bigram_pmi" -> (TextAnalysis.bigramPmi _),
     // span-level benchmark contamination: the window positions a
@@ -1705,6 +1711,73 @@ object SparkEntry {
          FROM pk p JOIN docs d USING (doc_id)
          WHERE rn = 1 AND NOT d.train
          GROUP BY d.lang, p.cls ORDER BY d.lang, p.cls""",
+    // deletion-neighborhood blocked fuzzy join: the dirty batch is a
+    // pure md5 function of customer, both sides explode into their
+    // <=len+1 single-deletion keys, candidates come from the equi-join
+    // and the exact levenshtein filter removes neighborhood collisions
+    "er_matches" ->
+      """WITH dirty AS (SELECT c_custkey AS dirty_id,
+           CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '8'
+             THEN substr(c_name, 1, CAST(list_sum([ (strpos('0123456789abcdef',
+                    substr(md5(CAST(c_custkey AS VARCHAR)), i, 1)) - 1) * power(16, 4-i)
+                  for i in range(1,5) ]) AS BIGINT) % length(c_name))
+               || substr(c_name, CAST(list_sum([ (strpos('0123456789abcdef',
+                    substr(md5(CAST(c_custkey AS VARCHAR)), i, 1)) - 1) * power(16, 4-i)
+                  for i in range(1,5) ]) AS BIGINT) % length(c_name) + 2)
+             ELSE c_name END AS dirty_name
+           FROM customer
+           WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 2, 1) < '4'),
+         dkeys AS (SELECT dirty_id, dirty_name,
+             unnest(list_distinct([dirty_name] ||
+               [substr(dirty_name, 1, i-1) || substr(dirty_name, i+1)
+                for i in range(1, length(dirty_name)+1)])) AS k
+           FROM dirty),
+         ckeys AS (SELECT c_custkey AS clean_id, c_name AS clean_name,
+             unnest(list_distinct([c_name] ||
+               [substr(c_name, 1, i-1) || substr(c_name, i+1)
+                for i in range(1, length(c_name)+1)])) AS k
+           FROM customer),
+         pairs AS (SELECT DISTINCT dirty_id, dirty_name, clean_id, clean_name
+           FROM dkeys JOIN ckeys USING (k))
+         SELECT dirty_id, dirty_name, clean_id, clean_name,
+           levenshtein(dirty_name, clean_name) AS dist
+         FROM pairs WHERE levenshtein(dirty_name, clean_name) <= 1
+         ORDER BY dirty_id, clean_id""",
+    "er_candidates" ->
+      """WITH dirty AS (SELECT c_custkey AS dirty_id,
+           CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '8'
+             THEN substr(c_name, 1, CAST(list_sum([ (strpos('0123456789abcdef',
+                    substr(md5(CAST(c_custkey AS VARCHAR)), i, 1)) - 1) * power(16, 4-i)
+                  for i in range(1,5) ]) AS BIGINT) % length(c_name))
+               || substr(c_name, CAST(list_sum([ (strpos('0123456789abcdef',
+                    substr(md5(CAST(c_custkey AS VARCHAR)), i, 1)) - 1) * power(16, 4-i)
+                  for i in range(1,5) ]) AS BIGINT) % length(c_name) + 2)
+             ELSE c_name END AS dirty_name
+           FROM customer
+           WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 2, 1) < '4'),
+         dkeys AS (SELECT dirty_id, dirty_name,
+             unnest(list_distinct([dirty_name] ||
+               [substr(dirty_name, 1, i-1) || substr(dirty_name, i+1)
+                for i in range(1, length(dirty_name)+1)])) AS k
+           FROM dirty),
+         ckeys AS (SELECT c_custkey AS clean_id, c_name AS clean_name,
+             unnest(list_distinct([c_name] ||
+               [substr(c_name, 1, i-1) || substr(c_name, i+1)
+                for i in range(1, length(c_name)+1)])) AS k
+           FROM customer),
+         pairs AS (SELECT DISTINCT dirty_id, dirty_name, clean_id, clean_name
+           FROM dkeys JOIN ckeys USING (k)),
+         matched AS (SELECT dirty_id, dirty_name, clean_id,
+             levenshtein(dirty_name, clean_name) AS dist
+           FROM pairs WHERE levenshtein(dirty_name, clean_name) <= 1),
+         cand AS (SELECT *, row_number() OVER (PARTITION BY dirty_id
+             ORDER BY dist, clean_id) AS rn FROM matched)
+         SELECT dirty_id, dirty_name, count(*) AS n_candidates,
+           CAST(sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           min(CASE WHEN rn = 1 THEN clean_id END) AS best_id,
+           min(CASE WHEN rn = 1 THEN dist END) AS best_dist
+         FROM cand GROUP BY dirty_id, dirty_name
+         ORDER BY dirty_id""",
     // same prediction CASE as text_langid, joined back to the label
     "langid_confusion" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
