@@ -328,6 +328,11 @@ object SparkEntry {
     // pair generation, no broadcast of either corpus side
     "er_matches" -> (graft.operators.Er.matches _),
     "er_candidates" -> (graft.operators.Er.candidates _),
+    // lakehouse mutation verbs: MERGE INTO clause dispatch in one
+    // full-outer equi-join; SCD2 close/open version history over two
+    // chained ticks — batches are pure md5 functions of customer
+    "merge_upsert" -> (graft.operators.Merge.upsertGraded _),
+    "scd2_history" -> (graft.operators.Merge.scd2Graded _),
     // collocations: PMI of the top bigrams from exact counts
     "text_bigram_pmi" -> (TextAnalysis.bigramPmi _),
     // span-level benchmark contamination: the window positions a
@@ -1778,6 +1783,106 @@ object SparkEntry {
            min(CASE WHEN rn = 1 THEN dist END) AS best_dist
          FROM cand GROUP BY dirty_id, dirty_name
          ORDER BY dirty_id""",
+    // MERGE INTO: the change batch is a pure md5 function of customer
+    // (digit of key#m1 < '4' → update, ['4','6') → delete, key#i1
+    // digit < '2' → insert under key+10M); one full-outer join, CASE
+    // dispatch per ANSI MERGE, balances as exact integer cents
+    "merge_upsert" ->
+      """WITH t AS (SELECT c_custkey AS custkey, c_name AS name,
+           CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+           c_mktsegment AS segment FROM customer),
+         b AS (
+           SELECT c_custkey AS custkey, 'U' AS action,
+             CAST(NULL AS VARCHAR) AS name,
+             CAST(list_sum([ (strpos('0123456789abcdef',
+                 substr(md5(CAST(c_custkey AS VARCHAR) || '#u1'), i, 1)) - 1)
+               * power(16, 4-i) for i in range(1,5) ]) AS BIGINT) AS bal_cents,
+             CAST(NULL AS VARCHAR) AS segment
+           FROM customer
+           WHERE substr(md5(CAST(c_custkey AS VARCHAR) || '#m1'), 1, 1) < '4'
+           UNION ALL
+           SELECT c_custkey, 'D', NULL, NULL, NULL FROM customer
+           WHERE substr(md5(CAST(c_custkey AS VARCHAR) || '#m1'), 1, 1) >= '4'
+             AND substr(md5(CAST(c_custkey AS VARCHAR) || '#m1'), 1, 1) < '6'
+           UNION ALL
+           SELECT c_custkey + 10000000, 'I',
+             'Customer#NEW' || CAST(c_custkey AS VARCHAR),
+             CAST(list_sum([ (strpos('0123456789abcdef',
+                 substr(md5(CAST(c_custkey AS VARCHAR) || '#n1'), i, 1)) - 1)
+               * power(16, 4-i) for i in range(1,5) ]) AS BIGINT),
+             'BUILDING'
+           FROM customer
+           WHERE substr(md5(CAST(c_custkey AS VARCHAR) || '#i1'), 1, 1) < '2'),
+         j AS (SELECT t.custkey AS tk, b.custkey AS bk, b.action AS action,
+             t.name AS tname, b.name AS bname,
+             t.bal_cents AS tbal, b.bal_cents AS bbal,
+             t.segment AS tseg, b.segment AS bseg
+           FROM t FULL OUTER JOIN b ON t.custkey = b.custkey)
+         SELECT COALESCE(tk, bk) AS custkey,
+           CASE WHEN (tk IS NOT NULL AND bk IS NOT NULL AND action = 'U')
+                  OR (tk IS NULL AND action = 'I')
+                THEN COALESCE(bname, tname) ELSE tname END AS name,
+           CASE WHEN (tk IS NOT NULL AND bk IS NOT NULL AND action = 'U')
+                  OR (tk IS NULL AND action = 'I')
+                THEN COALESCE(bbal, tbal) ELSE tbal END AS bal_cents,
+           CASE WHEN (tk IS NOT NULL AND bk IS NOT NULL AND action = 'U')
+                  OR (tk IS NULL AND action = 'I')
+                THEN COALESCE(bseg, tseg) ELSE tseg END AS segment,
+           CASE WHEN tk IS NULL AND action = 'I' THEN 'inserted'
+                WHEN tk IS NOT NULL AND bk IS NOT NULL AND action = 'U'
+                  THEN 'updated'
+                ELSE 'kept' END AS op
+         FROM j
+         WHERE action IS NULL OR (tk IS NOT NULL AND action <> 'D')
+            OR (tk IS NULL AND action = 'I')
+         ORDER BY custkey""",
+    // SCD2 over two chained ticks: tick t updates keys whose md5(#mt)
+    // digit < '4' to the md5(#vt) hex4 value; a changed current row is
+    // closed at t and its successor opened; unchanged matches pass
+    "scd2_history" ->
+      """WITH dim0 AS (SELECT c_custkey AS custkey,
+           CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+           CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+           FROM customer),
+         b1 AS (SELECT c_custkey AS custkey,
+             CAST(list_sum([ (strpos('0123456789abcdef',
+                 substr(md5(CAST(c_custkey AS VARCHAR) || '#v1'), i, 1)) - 1)
+               * power(16, 4-i) for i in range(1,5) ]) AS BIGINT) AS new_val
+           FROM customer
+           WHERE substr(md5(CAST(c_custkey AS VARCHAR) || '#m1'), 1, 1) < '4'),
+         s1 AS (
+           SELECT d.custkey, d.bal_cents, d.valid_from,
+             CASE WHEN b.new_val IS NOT NULL AND b.new_val <> d.bal_cents
+               THEN CAST(1 AS BIGINT) END AS valid_to
+           FROM dim0 d LEFT JOIN b1 b USING (custkey)
+           UNION ALL
+           SELECT b.custkey, b.new_val, CAST(1 AS BIGINT),
+             CAST(NULL AS BIGINT)
+           FROM b1 b JOIN dim0 d USING (custkey)
+           WHERE b.new_val <> d.bal_cents),
+         b2 AS (SELECT c_custkey AS custkey,
+             CAST(list_sum([ (strpos('0123456789abcdef',
+                 substr(md5(CAST(c_custkey AS VARCHAR) || '#v2'), i, 1)) - 1)
+               * power(16, 4-i) for i in range(1,5) ]) AS BIGINT) AS new_val
+           FROM customer
+           WHERE substr(md5(CAST(c_custkey AS VARCHAR) || '#m2'), 1, 1) < '4'),
+         cur1 AS (SELECT * FROM s1 WHERE valid_to IS NULL),
+         s2 AS (
+           SELECT custkey, bal_cents, valid_from, valid_to FROM s1
+           WHERE valid_to IS NOT NULL
+           UNION ALL
+           SELECT c.custkey, c.bal_cents, c.valid_from,
+             CASE WHEN b.new_val IS NOT NULL AND b.new_val <> c.bal_cents
+               THEN CAST(2 AS BIGINT) END
+           FROM cur1 c LEFT JOIN b2 b USING (custkey)
+           UNION ALL
+           SELECT b.custkey, b.new_val, CAST(2 AS BIGINT),
+             CAST(NULL AS BIGINT)
+           FROM b2 b JOIN cur1 c USING (custkey)
+           WHERE b.new_val <> c.bal_cents)
+         SELECT custkey, bal_cents, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+         FROM s2 ORDER BY custkey, valid_from""",
     // same prediction CASE as text_langid, joined back to the label
     "langid_confusion" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
