@@ -156,6 +156,11 @@ object SparkEntry {
       .agg(graft.functions.KMVDistinct
         .md5Sketch(col("l_orderkey"), 256).as("est_orders"))
       .orderBy(col("l_returnflag"))),
+    // KMV extended from cardinality to SET OPERATIONS: pairwise source
+    // Jaccard + union estimates from one md5-domain k-min sketch per
+    // pair — the whole estimator replays bit-identically in DuckDB
+    "approx_jaccard_kmv" -> ((s, dir) =>
+      graft.operators.Approx.kmvJaccardSources(s, dir)),
     // the cid connector end-to-end, oracle-verified: distributed write
     // of every document into a fresh CAS (content-addressing dedups
     // identical texts), then a connector read-back — counts and byte
@@ -2683,6 +2688,43 @@ object SparkEntry {
                 ELSE 255.0 / (h / 4503599627370496.0) END AS est_orders
          FROM r WHERE rk = LEAST(nh, 256)
          ORDER BY l_returnflag""",
+    // KMV set operations: per source-pair, the k=64 smallest md5-domain
+    // shingle hashes of the union; n_both counts sample members present
+    // in BOTH sources (c=2 after the per-(pair,h) group); jaccard =
+    // n_both/k and union = 63/frac(kth) are each one IEEE division of
+    // deterministic values, closed under round 6
+    "approx_jaccard_kmv" ->
+      """WITH sh AS (SELECT source,
+           CASE WHEN len(toks)>=3 THEN list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+             for i in range(1,len(toks)-1)]) ELSE [text] END AS sh
+         FROM (SELECT source, text, string_split(text,' ') AS toks
+               FROM documents)),
+         sigs AS (SELECT DISTINCT source,
+             CAST(list_sum([ (strpos('0123456789abcdef',
+                 substr(md5(s), i, 1)) - 1)
+               * power(16, 13-i) for i in range(1,14) ]) AS BIGINT) AS h
+           FROM (SELECT source, unnest(sh) AS s FROM sh)),
+         srcs AS (SELECT DISTINCT source FROM documents),
+         pairs AS (SELECT a.source AS src_a, b.source AS src_b
+           FROM srcs a JOIN srcs b ON a.source < b.source),
+         mem AS (SELECT src_a, src_b, unnest([src_a, src_b]) AS member
+           FROM pairs),
+         g AS (SELECT m.src_a, m.src_b, s.h, count(*) AS c
+           FROM mem m JOIN sigs s ON s.source = m.member
+           GROUP BY 1, 2, 3),
+         r AS (SELECT src_a, src_b, h, c,
+             row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+           FROM g)
+         SELECT src_a, src_b, CAST(max(rn) AS BIGINT) AS k_used,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           round(CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / max(rn), 6) AS jaccard_est,
+           round(CASE WHEN max(rn) < 64 THEN CAST(max(rn) AS DOUBLE)
+                 ELSE 63.0 / (CAST(max(h) AS DOUBLE) / 4503599627370496.0)
+                 END, 6) AS union_est
+         FROM r WHERE rn <= 64
+         GROUP BY src_a, src_b
+         ORDER BY src_a, src_b""",
     // categorical profile: exact counts; frac is one IEEE division of
     // two exact integers
     "profile_categorical" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.load
@@ -131,4 +132,71 @@ object Approx {
       .select(explode(col("tk")).as("e"))
       .select(col("e.item").as("token"), col("e.count").as("est_count"))
       .orderBy(col("est_count").desc, col("token"))
+
+  // --- KMV set-operation sketch: pairwise Jaccard / union estimates ---
+
+  /** Pairwise source-similarity matrix from ONE KMV sketch per pair
+    * (graded `approx_jaccard_kmv`, hash-oracled — the md5-domain KMV
+    * discipline of `approx_distinct_kmv_md5` extended from cardinality
+    * to SET OPERATIONS): for sources A and B, the k smallest md5-domain
+    * hashes of A∪B form a uniform sample of the union, so
+    *
+    *   Ĵ(A,B)  = |{h ∈ K(A∪B) : h ∈ A ∧ h ∈ B}| / k        (Beyer et
+    *   Û(A,B)  = (k−1) / frac(kth smallest)                 al., 2007)
+    *
+    * Every quantity is a deterministic function of md5 values, so the
+    * whole estimator — not just its inputs — replays bit-identically
+    * in DuckDB (`round 6` closes the two IEEE divisions). Grain is the
+    * per-source distinct 3-token shingle set ([[Dedup.shingles]] —
+    * document-level md5 would be trivially disjoint across sources on
+    * this corpus; shingles overlap richly at both scales).
+    *
+    * Scale shape: the pair list is |S|² rows (tiny — broadcast), each
+    * source's sketch rows fan out to its |S|−1 pairs, and the rank
+    * filter `rn <= k` plans as WindowGroupLimit — a per-partition
+    * top-k, never a full per-pair sort. The k-min property
+    * K(A∪B) ⊆ K(A) ∪ K(B) (pinned in ApproxSpec) means per-source
+    * sketches are all a cluster ever ships: the pairwise matrix is
+    * computable from |S| bounded sketches, not from the corpus.
+    */
+  def kmvJaccardSources(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val sigs = docs
+      .select(col("source"), explode(Dedup.shingles(col("text"))).as("sh"))
+      .select(col("source"),
+        conv(substring(md5(col("sh")), 1, 13), 16, 10).cast("long").as("h"))
+      .distinct()
+    kmvJaccardFor(sigs, docs.select(col("source")).distinct(), k)
+  }
+
+  /** Estimator core over any (source, h) sketch-input frame — h must
+    * be the 52-bit md5-domain hash (13 hex digits), distinct per
+    * (source, h).
+    */
+  private[operators] def kmvJaccardFor(sigs: DataFrame, srcs: DataFrame,
+      k: Int): DataFrame = {
+    val pairs = srcs.as("a")
+      .join(srcs.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+    val mem = pairs.select(col("src_a"), col("src_b"),
+      explode(array(col("src_a"), col("src_b"))).as("member"))
+    val g = sigs.join(broadcast(mem), col("source") === col("member"))
+      .groupBy(col("src_a"), col("src_b"), col("h"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))
+    g.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(max(col("rn")).cast("long").as("k_used"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_both"),
+        max(col("h")).as("kth"))
+      .select(col("src_a"), col("src_b"), col("k_used"), col("n_both"),
+        round(col("n_both").cast("double") / col("k_used"), 6)
+          .as("jaccard_est"),
+        round(when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (col("kth").cast("double") / lit(4503599627370496.0))), 6)
+          .as("union_est"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

@@ -9,6 +9,7 @@ import graft.{SparkSpec, Tables}
   * determinism (sketches must merge order-independently).
   */
 class ApproxSpec extends SparkSpec {
+  import spark.implicits._
 
   test("HLL distinct estimates land within 10% of exact (rsd 5%)") {
     val est = Approx.hllDistinct(spark, sf).collect()
@@ -107,5 +108,60 @@ class ApproxSpec extends SparkSpec {
       s"union-merged $merged != one-pass $direct")
     assert(math.abs(direct - exact) / exact < 0.05,
       s"estimate $direct vs exact $exact")
+  }
+
+  // --- KMV pairwise Jaccard (approx_jaccard_kmv) ----------------------
+
+  private def md5Domain(e: org.apache.spark.sql.Column) =
+    conv(substring(md5(e), 1, 13), 16, 10).cast("long")
+
+  test("KMV Jaccard exact branch: union below k reproduces exact " +
+      "Jaccard and exact union size") {
+    // A = 0..29, B = 20..49 → |A∩B| = 10, |A∪B| = 50, J = 0.2
+    val sigs = ((0 until 30).map(i => ("A", s"elem$i")) ++
+      (20 until 50).map(i => ("B", s"elem$i")))
+      .toDF("source", "s")
+      .select(col("source"), md5Domain(col("s")).as("h"))
+    val srcs = Seq("A", "B").toDF("source")
+    val r = Approx.kmvJaccardFor(sigs, srcs, k = 64).collect().head
+    assert(r.getLong(2) == 50L, s"k_used ${r.getLong(2)}")
+    assert(r.getLong(3) == 10L, s"n_both ${r.getLong(3)}")
+    assert(r.getDouble(4) == 0.2, s"jaccard_est ${r.getDouble(4)}")
+    assert(r.getDouble(5) == 50.0, s"union_est ${r.getDouble(5)}")
+  }
+
+  test("KMV Jaccard sketch branch: within tolerance on a planted " +
+      "500/250 overlap") {
+    // A = 0..499, B = 250..749 → J = 1/3, union 750
+    val sigs = ((0 until 500).map(i => ("A", s"item$i")) ++
+      (250 until 750).map(i => ("B", s"item$i")))
+      .toDF("source", "s")
+      .select(col("source"), md5Domain(col("s")).as("h"))
+    val srcs = Seq("A", "B").toDF("source")
+    val r = Approx.kmvJaccardFor(sigs, srcs, k = 64).collect().head
+    assert(r.getLong(2) == 64L)
+    assert(math.abs(r.getDouble(4) - 1.0 / 3) < 0.15,
+      s"jaccard_est ${r.getDouble(4)} too far from 1/3")
+    assert(math.abs(r.getDouble(5) - 750.0) / 750.0 < 0.3,
+      s"union_est ${r.getDouble(5)} too far from 750")
+  }
+
+  test("KMV Jaccard mergeability: per-source k-min sketches alone " +
+      "reproduce the pairwise matrix (K(A∪B) ⊆ K(A) ∪ K(B))") {
+    val sigs = ((0 until 300).map(i => ("A", s"x$i")) ++
+      (150 until 450).map(i => ("B", s"x$i")) ++
+      (0 until 200 by 2).map(i => ("C", s"x$i")))
+      .toDF("source", "s")
+      .select(col("source"), md5Domain(col("s")).as("h"))
+    val srcs = Seq("A", "B", "C").toDF("source")
+    val perSource = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"))
+    val truncated = sigs.withColumn("rn", row_number().over(perSource))
+      .filter(col("rn") <= 64).drop("rn")
+    val full = Approx.kmvJaccardFor(sigs, srcs, k = 64).collect().toSeq
+    val fromSketches = Approx.kmvJaccardFor(truncated, srcs, k = 64)
+      .collect().toSeq
+    assert(full == fromSketches,
+      s"sketch-only result diverges:\n$full\nvs\n$fromSketches")
   }
 }
