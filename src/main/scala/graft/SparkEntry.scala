@@ -161,6 +161,13 @@ object SparkEntry {
     // pair — the whole estimator replays bit-identically in DuckDB
     "approx_jaccard_kmv" -> ((s, dir) =>
       graft.operators.Approx.kmvJaccardSources(s, dir)),
+    // PCA: the covariance aggregation identity under a hash oracle
+    // (decimal-exact sums, 16-dim slice keeps the oracle explode
+    // feasible); projection/spectrum are trained-model outputs
+    // (rows-only, PcaSpec pins orthonormality + subspace recovery)
+    "pca_covariance" -> (graft.operators.Pca.covarianceGraded _),
+    "pca_project" -> (graft.operators.Pca.project _),
+    "pca_variance" -> (graft.operators.Pca.varianceExplained _),
     // the cid connector end-to-end, oracle-verified: distributed write
     // of every document into a fresh CAS (content-addressing dedups
     // identical texts), then a connector read-back — counts and byte
@@ -2725,6 +2732,26 @@ object SparkEntry {
          FROM r WHERE rn <= 64
          GROUP BY src_a, src_b
          ORDER BY src_a, src_b""",
+    // PCA covariance cells over the 16-dim slice: float×float products
+    // are exact in double (24+24 < 53 mantissa bits); round-9 scale-9
+    // DECIMAL sums are order-free exact; cov is one identical IEEE
+    // chain (Σxy·n − Σx·Σy)/n² closed under round 6
+    "pca_covariance" ->
+      """WITH p AS (SELECT i.i AS i, j.j AS j,
+           CAST(e.embedding[CAST(i.i AS INTEGER) + 1] AS DOUBLE) AS xi,
+           CAST(e.embedding[CAST(j.j AS INTEGER) + 1] AS DOUBLE) AS xj
+         FROM embeddings e, range(0, 16) i(i), range(0, 16) j(j)
+         WHERE j.j >= i.i)
+         SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           count(*) AS n,
+           round((CAST(sum(CAST(round(xi * xj, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                    * count(*)
+                  - CAST(sum(CAST(round(xi, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                    * CAST(sum(CAST(round(xj, 9) AS DECIMAL(38,9))) AS DOUBLE))
+               / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)), 6)
+             + 0.0 AS cov
+         FROM p GROUP BY i, j
+         ORDER BY i, j""",
     // categorical profile: exact counts; frac is one IEEE division of
     // two exact integers
     "profile_categorical" ->

@@ -1,0 +1,162 @@
+package graft.operators
+
+import breeze.linalg.{eigSym, DenseMatrix}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+
+/** Principal component analysis over the embedding corpus — the
+  * dimensionality-reduction stage between raw embeddings and
+  * ANN/quantizer indexes (FAISS's PCAMatrix pre-transform; also the
+  * classical whitening step before OPQ).
+  *
+  * The split follows the repo's trained-artifact discipline
+  * ([[KMeans]], [[Opq]]): the DISTRIBUTED part is one map-side-
+  * combinable aggregation — (i, j) covariance cells with DECIMAL-exact
+  * sums (each float×float product is exact in double: 24+24 mantissa
+  * bits < 53; `round(·, 9)` then scale-9 decimal addition is
+  * order-free, so the covariance matrix — and therefore the whole
+  * trained model — is bit-stable under any partitioning). The
+  * eigendecomposition itself is a 64×64 driver-side `eigSym` (KB-scale,
+  * the "tiny model on the driver, data stays out" split), and the
+  * projection back onto the corpus is a narrow codegen'd dot product
+  * per component (`vec_dot` against plan-literal component vectors —
+  * no join, no shuffle, exactly how the trained rotation serves in
+  * [[Opq]]).
+  *
+  * Eigenvector sign is mathematically arbitrary; components are
+  * canonicalized (largest-|entry| coordinate made positive) so the
+  * trained model is deterministic end to end.
+  *
+  * Graded queries: `pca_covariance` is the aggregation identity under
+  * a hash oracle (a 16-dim slice keeps the oracle's explode
+  * DuckDB-feasible; the full-dim training aggregation is the SAME
+  * plan); `pca_project` / `pca_variance` are trained-model outputs
+  * (rows-only by design, like every trained artifact), with
+  * orthonormality, descending-variance, trace-preservation and
+  * planted-subspace recovery pinned in PcaSpec.
+  */
+object Pca {
+
+  /** Full embedding dimensionality (matches [[Opq.Dim]]). */
+  val Dim = 64
+
+  /** Dims in the graded covariance slice — keeps the DuckDB oracle's
+    * 16×17/2-cell explode feasible while exercising the identical
+    * aggregation shape training uses at full width.
+    */
+  val CovDim = 16
+
+  /** Components served by `pca_project`. */
+  val K = 8
+
+  private def exactSum(c: Column): Column =
+    sum(round(c, 9).cast("decimal(38,9)"))
+
+  /** Upper-triangle covariance cells of the first `dim` coordinates:
+    * n, and cov from exact-decimal Σx, Σy, Σxy via the one-IEEE-chain
+    * identity cov = (Σxy·n − Σx·Σy) / n².
+    */
+  private[operators] def covCells(emb: DataFrame, dim: Int): DataFrame = {
+    val sliced = emb.select(slice(col("embedding"), 1, dim).as("v"))
+    sliced
+      .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi").cast("double").as("xi"),
+        posexplode(col("v")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .select(col("i"), col("j"), col("xi"), col("xj").cast("double").as("xj"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), exactSum(col("xi")).as("sxi"),
+        exactSum(col("xj")).as("sxj"),
+        exactSum(col("xi") * col("xj")).as("sxij"))
+  }
+
+  /** Graded `pca_covariance`: hash-oracled covariance entries over the
+    * 16-dim slice.
+    */
+  def covarianceGraded(s: SparkSession, dir: String): DataFrame =
+    covCells(load(s, dir, "embeddings"), CovDim)
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("n"),
+        // + 0.0 canonicalizes the IEEE −0 a rounded tiny negative
+        // produces (same in the oracle)
+        (round((col("sxij").cast("double") * col("n")
+            - col("sxi").cast("double") * col("sxj").cast("double"))
+          / (col("n").cast("double") * col("n").cast("double")), 6) + lit(0.0))
+          .as("cov"))
+      .orderBy(col("i"), col("j"))
+
+  /** Trained model: (eigenvalues descending, components as rows),
+    * from the exact-decimal covariance of an md5-deterministic quarter
+    * sample — bit-stable input ⇒ bit-stable eigensolve.
+    */
+  private[operators] def principalComponentsFor(emb: DataFrame,
+      dim: Int): (Array[Double], Array[Array[Double]]) = {
+    val rows = covCells(emb, dim).collect()
+    // no data → no variance: zero spectrum over the standard basis
+    // (total, like the zero-row layout bootstrap in Layout)
+    if (rows.isEmpty)
+      return (Array.fill(dim)(0.0),
+        Array.tabulate(dim, dim)((c, r) => if (c == r) 1.0 else 0.0))
+    val m = DenseMatrix.zeros[Double](dim, dim)
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val n = r.getLong(2).toDouble
+      val cov = (r.getDecimal(5).doubleValue() * r.getLong(2)
+        - r.getDecimal(3).doubleValue() * r.getDecimal(4).doubleValue()) / (n * n)
+      m(i, j) = cov; m(j, i) = cov
+    }
+    val es = eigSym(m)
+    // descending by eigenvalue; canonicalize sign (largest-|entry| > 0)
+    val order = (0 until dim).sortBy(c => -es.eigenvalues(c))
+    val values = order.map(c => es.eigenvalues(c)).toArray
+    val comps = order.map { c =>
+      val v = Array.tabulate(dim)(r => es.eigenvectors(r, c))
+      val pivot = v.indices.maxBy(r => (math.abs(v(r)), -r))
+      if (v(pivot) < 0) v.map(-_) else v
+    }.toArray
+    (values, comps)
+  }
+
+  /** The graded trained model: quarter sample (md5 digit of vec_id),
+    * full width, memoized per process like every trained artifact.
+    */
+  private[operators] def trained(s: SparkSession,
+      dir: String): (Array[Double], Array[Array[Double]]) =
+    OperatorCaches.trainedMemo(s"pca:$dir") {
+      principalComponentsFor(
+        load(s, dir, "embeddings")
+          .filter(substring(md5(col("vec_id").cast("string")), 1, 1) < "4"),
+        Dim)
+    }
+
+  /** Graded `pca_project`: every embedding onto the top-[[K]]
+    * components — one codegen dot per component against plan-literal
+    * vectors, no join, no shuffle.
+    */
+  def project(s: SparkSession, dir: String): DataFrame = {
+    val comps = trained(s, dir)._2
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pcs = (0 until K).map(c =>
+      round(graft.functions.vecDot(col("v"), lit(comps(c))), 6).as(s"pc$c"))
+    e.select(col("vec_id") +: pcs: _*).orderBy(col("vec_id"))
+  }
+
+  /** Graded `pca_variance`: the spectrum — eigenvalue and cumulative
+    * explained-variance fraction per component.
+    */
+  def varianceExplained(s: SparkSession, dir: String): DataFrame = {
+    val values = trained(s, dir)._1
+    val total = values.sum
+    val rows = values.zipWithIndex.map { case (v, c) =>
+      val frac = if (total > 0) values.take(c + 1).sum / total else 0.0
+      (c.toLong, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(frac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    import s.implicits._
+    rows.toSeq.toDF("component", "eigenvalue", "cum_frac")
+      .orderBy(col("component"))
+  }
+}
