@@ -168,6 +168,10 @@ object SparkEntry {
     "pca_covariance" -> (graft.operators.Pca.covarianceGraded _),
     "pca_project" -> (graft.operators.Pca.project _),
     "pca_variance" -> (graft.operators.Pca.varianceExplained _),
+    // grouped closed-form OLS: per-nation order-value trend from one
+    // 6-sum exact-decimal aggregation; slope/intercept/R² each one
+    // IEEE chain over exact integers (the events_anomaly discipline)
+    "ols_trend" -> (graft.operators.Regression.olsTrend _),
     // the cid connector end-to-end, oracle-verified: distributed write
     // of every document into a fresh CAS (content-addressing dedups
     // identical texts), then a connector read-back — counts and byte
@@ -2732,6 +2736,30 @@ object SparkEntry {
          FROM r WHERE rn <= 64
          GROUP BY src_a, src_b
          ORDER BY src_a, src_b""",
+    // grouped OLS: six exact integer sums (HUGEINT in DuckDB, scale-0
+    // DECIMAL in Spark), then slope/intercept/R² as identical IEEE
+    // chains; intercept uses the ROUNDED slope so both engines agree
+    "ols_trend" ->
+      """WITH d AS (SELECT c_nationkey AS nationkey,
+           (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS x,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y
+         FROM orders JOIN customer ON o_custkey = c_custkey),
+         a AS (SELECT nationkey, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+             sum(x*x) AS sxx, sum(y*y) AS syy
+           FROM d GROUP BY 1),
+         s AS (SELECT nationkey, n, sx, sy,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+             CAST(n * syy - sy * sy AS DOUBLE) AS deny
+           FROM a),
+         t AS (SELECT nationkey, n, sx, sy, num, den, deny,
+             round(num / den, 6) AS slope FROM s)
+         SELECT CAST(nationkey AS BIGINT) AS nationkey, n, slope,
+           round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept,
+           round((num * num) / (den * deny), 6) AS r2
+         FROM t ORDER BY nationkey""",
     // PCA covariance cells over the 16-dim slice: float×float products
     // are exact in double (24+24 < 53 mantissa bits); round-9 scale-9
     // DECIMAL sums are order-free exact; cov is one identical IEEE
