@@ -172,6 +172,9 @@ object SparkEntry {
     // 6-sum exact-decimal aggregation; slope/intercept/R² each one
     // IEEE chain over exact integers (the events_anomaly discipline)
     "ols_trend" -> (graft.operators.Regression.olsTrend _),
+    // time-series regularization: per-user daily grid over the user's
+    // own span, interior gaps linearly interpolated from exact cents
+    "events_gapfill" -> (Temporal.gapFill _),
     // the cid connector end-to-end, oracle-verified: distributed write
     // of every document into a fresh CAS (content-addressing dedups
     // identical texts), then a connector read-back — counts and byte
@@ -2736,6 +2739,40 @@ object SparkEntry {
          FROM r WHERE rn <= 64
          GROUP BY src_a, src_b
          ORDER BY src_a, src_b""",
+    // per-user daily grid over the user's own span; interior gaps get
+    // vp + (vn−vp)·frac with frac one IEEE division of exact integer
+    // day distances, closed under round 6
+    "events_gapfill" ->
+      """WITH daily AS (SELECT user_id,
+           datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) AS v
+         FROM events GROUP BY 1, 2),
+         span AS (SELECT user_id, min(d) AS d0, max(d) AS d1
+           FROM daily GROUP BY 1),
+         grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS d
+           FROM span),
+         j AS (SELECT g.user_id, g.d, daily.v
+           FROM grid g LEFT JOIN daily
+             ON g.user_id = daily.user_id AND g.d = daily.d),
+         w AS (SELECT user_id, d, v,
+             last_value(v IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+               OVER wp AS pd,
+             first_value(v IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+               OVER wn AS nd
+           FROM j
+           WINDOW wp AS (PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, d,
+           round(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                 ELSE CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE)
+                   * (CAST(d - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+                 END, 6) AS value,
+           (v IS NULL) AS filled
+         FROM w ORDER BY user_id, d""",
     // grouped OLS: six exact integer sums (HUGEINT in DuckDB, scale-0
     // DECIMAL in Spark), then slope/intercept/R² as identical IEEE
     // chains; intercept uses the ROUNDED slope so both engines agree

