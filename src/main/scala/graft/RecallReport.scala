@@ -29,6 +29,7 @@ object RecallReport {
     "ann_sq8_topk", "ann_ivfsq_topk",
     "ann_pq_adc_topk", "ann_pq_trained_topk", "ann_opq_topk",
     "ann_pq_refined_topk", "ann_opq_refined_topk",
+    "ann_pca_refined_topk",
     "ann_ivfpq_topk", "ann_ivfpq_trained_topk",
     "ann_ivfpq_refined_topk")
 

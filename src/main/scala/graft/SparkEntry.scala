@@ -168,6 +168,9 @@ object SparkEntry {
     "pca_covariance" -> (graft.operators.Pca.covarianceGraded _),
     "pca_project" -> (graft.operators.Pca.project _),
     "pca_variance" -> (graft.operators.Pca.varianceExplained _),
+    // ANN through the PCA bottleneck: 8-dim compressed shortlist,
+    // exact re-rank via the shared refine tail
+    "ann_pca_refined_topk" -> (graft.operators.Pca.annPcaRefinedTopK _),
     // grouped closed-form OLS: per-nation order-value trend from one
     // 6-sum exact-decimal aggregation; slope/intercept/R² each one
     // IEEE chain over exact integers (the events_anomaly discipline)

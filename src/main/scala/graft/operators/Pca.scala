@@ -144,6 +144,37 @@ object Pca {
     e.select(col("vec_id") +: pcs: _*).orderBy(col("vec_id"))
   }
 
+  /** ANN through the PCA bottleneck (graded `ann_pca_refined_topk`,
+    * rows-only like every trained artifact): stage 1 scores queries
+    * against the corpus in the [[K]]-dim PCA space (an 8×64-byte
+    * projection is what a 100 TB scan reads — 8× the IO reduction of
+    * raw vectors, FAISS's PCAMatrix,Flat recipe), stage 2 re-ranks the
+    * shortlist by exact cosine over original vectors through the SAME
+    * [[Pq.refineRank]] tail every compressed family shares (ADC's
+    * ascending-distance contract is met by negating the compressed
+    * cosine). PcaSpec pins refined ≥ unrefined dominance cannot apply
+    * here (there is no unrefined sibling); RecallReport carries the
+    * measured recall next to the PQ/OPQ families on both corpora.
+    */
+  def annPcaRefinedTopK(s: SparkSession, dir: String): DataFrame = {
+    val comps = trained(s, dir)._2.take(K)
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val proj = e.select(col("vec_id"),
+      array((0 until K).map(c =>
+        graft.functions.vecDot(col("v"), lit(comps(c)))): _*).as("pv"))
+    val q = proj.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("pv").as("qv"))
+    val c = proj.select(col("vec_id").as("neighbor_id"), col("pv").as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-(graft.functions.vecDot(col("qv"), col("cv"))
+          / sqrt(graft.functions.vecDot(col("qv"), col("qv")))
+          / sqrt(graft.functions.vecDot(col("cv"), col("cv")))))
+          .as("adc_d2"))
+    Pq.refineRank(s, dir, scored)
+  }
+
   /** Graded `pca_variance`: the spectrum — eigenvalue and cumulative
     * explained-variance fraction per component.
     */
