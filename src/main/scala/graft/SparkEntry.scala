@@ -178,6 +178,10 @@ object SparkEntry {
     // time-series regularization: per-user daily grid over the user's
     // own span, interior gaps linearly interpolated from exact cents
     "events_gapfill" -> (Temporal.gapFill _),
+    // hierarchy flattening by pointer doubling (O(log depth) shuffled
+    // self-joins) vs DuckDB's one-edge-per-iteration recursive CTE —
+    // identical flattening through structurally different algorithms
+    "graph_roots" -> (graft.operators.Graph.graphRoots _),
     // the cid connector end-to-end, oracle-verified: distributed write
     // of every document into a fresh CAS (content-addressing dedups
     // identical texts), then a connector read-back — counts and byte
@@ -2742,6 +2746,28 @@ object SparkEntry {
          FROM r WHERE rn <= 64
          GROUP BY src_a, src_b
          ORDER BY src_a, src_b""",
+    // the md5 parent forest walked by recursive CTE; Spark reaches the
+    // same flattening via pointer doubling
+    "graph_roots" ->
+      """WITH RECURSIVE par AS (SELECT c_custkey AS node,
+           CASE WHEN c_custkey < 10 THEN c_custkey
+                ELSE CAST(list_sum([ (strpos('0123456789abcdef',
+                    substr(md5(CAST(c_custkey AS VARCHAR) || '#p'), i, 1)) - 1)
+                  * power(16, 8-i) for i in range(1,9) ]) AS BIGINT)
+                  % c_custkey
+           END AS parent
+         FROM customer),
+         walk AS (
+           SELECT node, parent AS cur,
+             CASE WHEN node < 10 THEN 0 ELSE 1 END AS depth
+           FROM par
+           UNION ALL
+           SELECT w.node, p.parent, w.depth + 1
+           FROM walk w JOIN par p ON w.cur = p.node
+           WHERE w.cur >= 10)
+         SELECT node, cur AS root, CAST(depth AS BIGINT) AS depth
+         FROM walk WHERE cur < 10
+         ORDER BY node""",
     // per-user daily grid over the user's own span; interior gaps get
     // vp + (vn−vp)·frac with frac one IEEE division of exact integer
     // day distances, closed under round 6
