@@ -127,6 +127,30 @@ object Scd2Stream {
       .start()
   }
 
+  /** Retention: delete COMMITTED snapshot dirs older than the last
+    * `keep` marked ticks. Hist segments are never touched (they ARE
+    * the history); the replay frontier — the last tick, the only one
+    * foreachBatch can ever replay — is always retained (`keep >= 1`);
+    * unmarked wrecks are left for their replay to overwrite; markers
+    * stay as the committed-tick ledger. Idempotent: a second vacuum
+    * finds nothing below the cutoff.
+    */
+  def vacuum(s: SparkSession, path: String, keep: Int = 1): Unit = {
+    require(keep >= 1, "the replay frontier must be retained")
+    val f = fsOf(s, path)
+    val curRoot = new Path(s"$path/cur")
+    val md = new Path(markerDir(path))
+    if (!f.exists(curRoot) || !f.exists(md)) return
+    val committed = f.listStatus(md).map(_.getPath.getName.toLong).sorted
+    if (committed.length <= keep) return
+    val cutoff = committed.takeRight(keep).min
+    f.listStatus(curRoot).foreach { st =>
+      val t = st.getPath.getName.split("=").last.toLong
+      if (t < cutoff && committed.contains(t))
+        f.delete(st.getPath, true)
+    }
+  }
+
   /** The current snapshot: the highest marked tick's `cur` dir. */
   def currentOf(s: SparkSession, path: String): DataFrame =
     s.read.parquet(s"$path/cur/tick=${lastApplied(s, path)}")

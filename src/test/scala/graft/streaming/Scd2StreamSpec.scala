@@ -93,6 +93,29 @@ class Scd2StreamSpec extends SparkSpec {
       == sortedRows(chained))
   }
 
+  test("vacuum drops old snapshots, keeps the frontier, and changes " +
+      "no reader-visible state") {
+    val path = Files.createTempDirectory("scd2v").toString + "/dim"
+    Scd2Stream.bootstrap(dim0, path)
+    Scd2Stream.applyTick(path, "id", "bal", batch1.toDF("id", "new_val"), 0L)
+    Scd2Stream.applyTick(path, "id", "bal", batch2.toDF("id", "new_val"), 1L)
+    val before = sortedRows(Scd2Stream.historyOf(spark, path))
+
+    Scd2Stream.vacuum(spark, path, keep = 1)
+    val fs = new java.io.File(s"$path/cur")
+    assert(fs.list().sorted.toSeq == Seq("tick=1"),
+      s"expected only the frontier, got ${fs.list().toSeq}")
+    assert(sortedRows(Scd2Stream.historyOf(spark, path)) == before)
+    assert(Scd2Stream.lastApplied(spark, path) == 1L)
+
+    // idempotent; and the frontier replay still short-circuits
+    Scd2Stream.vacuum(spark, path, keep = 1)
+    val st = Scd2Stream.applyTick(path, "id", "bal",
+      batch2.toDF("id", "new_val"), 1L)
+    assert(st.batchId == 1L && st.nCurrent == 4L)
+    assert(sortedRows(Scd2Stream.historyOf(spark, path)) == before)
+  }
+
   test("an empty tick closes nothing and keeps the snapshot intact") {
     val path = Files.createTempDirectory("scd2e").toString + "/dim"
     Scd2Stream.bootstrap(dim0, path)
