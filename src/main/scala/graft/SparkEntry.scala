@@ -182,6 +182,10 @@ object SparkEntry {
     // self-joins) vs DuckDB's one-edge-per-iteration recursive CTE —
     // identical flattening through structurally different algorithms
     "graph_roots" -> (graft.operators.Graph.graphRoots _),
+    // fixed-iteration PageRank over the md5 multigraph: scale-12
+    // decimal ranks make every round's inflow sum order-free, so the
+    // whole power iteration hash-matches DuckDB's unrolled CTEs
+    "graph_pagerank" -> (graft.operators.Graph.graphPagerank _),
     // the cid connector end-to-end, oracle-verified: distributed write
     // of every document into a fresh CAS (content-addressing dedups
     // identical texts), then a connector read-back — counts and byte
@@ -2768,6 +2772,57 @@ object SparkEntry {
          SELECT node, cur AS root, CAST(depth AS BIGINT) AS depth
          FROM walk WHERE cur < 10
          ORDER BY node""",
+    // three unrolled power-iteration rounds; scale-12 decimal inflow
+    // sums are order-free, each rank is one short IEEE chain
+    "graph_pagerank" ->
+      """WITH nn AS (SELECT count(*) AS n FROM customer),
+         edges AS (SELECT c_custkey AS src,
+             CAST(list_sum([ (strpos('0123456789abcdef',
+                 substr(md5(CAST(c_custkey AS VARCHAR) || '#e'
+                   || CAST(i AS VARCHAR)), j, 1)) - 1)
+               * power(16, 8-j) for j in range(1,9) ]) AS BIGINT)
+               % nn.n AS dst
+           FROM customer CROSS JOIN nn
+           CROSS JOIN (SELECT unnest([1,2,3]) AS i)),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         r0 AS (SELECT c_custkey AS node,
+             CAST(round(CAST(1 AS DOUBLE)/nn.n, 12) AS DECIMAL(38,12)) AS r
+           FROM customer CROSS JOIN nn),
+         f1 AS (SELECT e.dst AS node,
+             sum(CAST(round(CAST(r.r AS DOUBLE)/CAST(d.deg AS DOUBLE), 12)
+               AS DECIMAL(38,12))) AS s
+           FROM edges e JOIN deg d ON e.src = d.src
+           JOIN r0 r ON e.src = r.node GROUP BY 1),
+         r1 AS (SELECT c.c_custkey AS node,
+             CAST(round(CAST(0.15 AS DOUBLE)/nn.n
+               + CAST(0.85 AS DOUBLE)*CAST(COALESCE(f1.s, 0) AS DOUBLE), 12)
+               AS DECIMAL(38,12)) AS r
+           FROM customer c CROSS JOIN nn
+           LEFT JOIN f1 ON c.c_custkey = f1.node),
+         f2 AS (SELECT e.dst AS node,
+             sum(CAST(round(CAST(r.r AS DOUBLE)/CAST(d.deg AS DOUBLE), 12)
+               AS DECIMAL(38,12))) AS s
+           FROM edges e JOIN deg d ON e.src = d.src
+           JOIN r1 r ON e.src = r.node GROUP BY 1),
+         r2 AS (SELECT c.c_custkey AS node,
+             CAST(round(CAST(0.15 AS DOUBLE)/nn.n
+               + CAST(0.85 AS DOUBLE)*CAST(COALESCE(f2.s, 0) AS DOUBLE), 12)
+               AS DECIMAL(38,12)) AS r
+           FROM customer c CROSS JOIN nn
+           LEFT JOIN f2 ON c.c_custkey = f2.node),
+         f3 AS (SELECT e.dst AS node,
+             sum(CAST(round(CAST(r.r AS DOUBLE)/CAST(d.deg AS DOUBLE), 12)
+               AS DECIMAL(38,12))) AS s
+           FROM edges e JOIN deg d ON e.src = d.src
+           JOIN r2 r ON e.src = r.node GROUP BY 1),
+         r3 AS (SELECT c.c_custkey AS node,
+             CAST(round(CAST(0.15 AS DOUBLE)/nn.n
+               + CAST(0.85 AS DOUBLE)*CAST(COALESCE(f3.s, 0) AS DOUBLE), 12)
+               AS DECIMAL(38,12)) AS r
+           FROM customer c CROSS JOIN nn
+           LEFT JOIN f3 ON c.c_custkey = f3.node)
+         SELECT node, round(CAST(r AS DOUBLE), 9) AS rank
+         FROM r3 ORDER BY node""",
     // per-user daily grid over the user's own span; interior gaps get
     // vp + (vn−vp)·frac with frac one IEEE division of exact integer
     // day distances, closed under round 6

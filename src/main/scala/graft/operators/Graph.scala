@@ -78,4 +78,87 @@ object Graph {
     */
   def graphRoots(s: SparkSession, dir: String): DataFrame =
     rootsFor(parentForest(s, dir)).orderBy(col("node"))
+
+  /** PageRank iterations served by [[pagerankFor]]. Fixed (not
+    * convergence-driven) so the plan is ONE deterministic declarative
+    * tree — the oracle unrolls the same three rounds as chained CTEs.
+    */
+  val PrIters = 3
+
+  /** Per-node out-degree of the md5 edge set. */
+  val PrOutEdges = 3
+
+  /** Damping factor numerator/denominator as exact doubles. */
+  private val Damp = 0.85
+  private val Jump = 0.15
+
+  /** The md5 multigraph over customer keys: node n emits
+    * [[PrOutEdges]] edges to `hex8(md5(n#e<i>)) % N` — keys are
+    * 0..N−1 contiguous, so every target is a real node and no node
+    * dangles (out-degree is exactly [[PrOutEdges]] by construction;
+    * duplicate targets and self-loops are legitimate multigraph edges
+    * and both engines weight them identically).
+    */
+  private[operators] def edgeSet(s: SparkSession, dir: String): DataFrame = {
+    val cust = load(s, dir, "customer")
+    val n = cust.count()
+    cust.select(col("c_custkey").cast("long").as("src"),
+        explode(array((1 to PrOutEdges).map(i =>
+          hex8(concat(col("c_custkey").cast("string"), lit(s"#e$i"))) % n
+        ): _*)).as("dst"))
+  }
+
+  /** Fixed-iteration PageRank over any (src, dst) edge frame — the
+    * link-analysis primitive (Page et al. 1999; also the quality
+    * signal Common-Crawl-scale curation pipelines compute over the
+    * web/hostname graph before sampling).
+    *
+    * Exactness contract (so the WHOLE power iteration hash-oracles in
+    * DuckDB): ranks live as scale-12 DECIMAL. Per round, each edge's
+    * contribution is `round(rank/outdeg, 12)` — ONE IEEE division then
+    * a fixed rounding — and the per-node inflow is an exact DECIMAL
+    * sum (order-free under any partitioning); the new rank is
+    * `round(jump/N + damp·inflow, 12)` — one short IEEE chain per
+    * node per round. Dangling mass: none by construction here
+    * (out-degree ≥ 1); the operator drops mass from any node absent in
+    * `edges` (both engines identically), the standard simplification.
+    *
+    * Scale shape: each round is one shuffled equi-join (edges ⋈ ranks
+    * on src — both corpus-sized at web scale, so the rank leg carries
+    * a `shuffle_hash` hint) plus one map-side-combinable sum into dst;
+    * the node frame re-enters by left join so zero-inflow nodes keep
+    * the jump term. Rounds are a constant — the plan is a fixed
+    * declarative tree, no driver loop state, nothing collected.
+    */
+  def pagerankFor(nodes: DataFrame, edges: DataFrame, n: Long,
+      iters: Int = PrIters): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "src")
+    val r0 = nodes.select(col("node"),
+      round(lit(1.0) / n, 12).cast("decimal(38,12)").as("r"))
+    (1 to iters).foldLeft(r0) { (r, _) =>
+      val inflow = e.join(r.hint("shuffle_hash"),
+          e("src") === r("node"))
+        .select(col("dst"),
+          round(col("r").cast("double") / col("deg").cast("double"), 12)
+            .cast("decimal(38,12)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+        .select(col("node"),
+          round(lit(Jump) / n
+              + lit(Damp) * coalesce(col("s"), lit(0)).cast("double"), 12)
+            .cast("decimal(38,12)").as("r"))
+    }
+  }
+
+  /** Graded `graph_pagerank`: three rounds over the md5 multigraph,
+    * against DuckDB's unrolled-CTE power iteration.
+    */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val cust = load(s, dir, "customer")
+    val nodes = cust.select(col("c_custkey").cast("long").as("node"))
+    pagerankFor(nodes, edgeSet(s, dir), cust.count())
+      .select(col("node"), round(col("r").cast("double"), 9).as("rank"))
+      .orderBy(col("node"))
+  }
 }

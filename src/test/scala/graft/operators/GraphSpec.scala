@@ -32,6 +32,40 @@ class GraphSpec extends SparkSpec {
     assert(out(5L) == ((5L, 0L)))
   }
 
+  test("pagerank: mass conserved and a pure hub dominates a pure spoke") {
+    // 5-node graph: every node links to 0; 0 links to 1. Node 0 must
+    // absorb the bulk of the rank; total mass stays 1 up to the
+    // per-round rounding slack (no dangling nodes by construction).
+    val nodes = (0L to 4L).toDF("node")
+    val edges = ((1L to 4L).map(n => (n, 0L)) :+ ((0L, 1L)))
+      .toDF("src", "dst")
+    val r = Graph.pagerankFor(nodes, edges, 5L).collect()
+      .map(x => x.getLong(0) -> x.getDecimal(1).doubleValue()).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, s"mass ${r.values.sum}")
+    assert(r(0L) > r(1L) && r(1L) > r(2L), r.toString)
+    assert(r(2L) == r(3L) && r(3L) == r(4L)) // symmetric spokes tie exactly
+  }
+
+  test("pagerank: uniform ring stays uniform (the fixed point is exact)") {
+    // each node links to the next: the uniform vector is PageRank's
+    // fixed point, and the exact-decimal discipline must hold it
+    // bit-stably across rounds rather than drift
+    val n = 8L
+    val nodes = (0L until n).toDF("node")
+    val edges = (0L until n).map(i => (i, (i + 1) % n)).toDF("src", "dst")
+    val r = Graph.pagerankFor(nodes, edges, n).collect()
+      .map(_.getDecimal(1).doubleValue()).distinct
+    assert(r.length == 1, s"ring ranks diverged: ${r.toSeq}")
+    assert(math.abs(r.head - 1.0 / n) < 1e-9)
+  }
+
+  test("pagerank: the graded plan has no cartesian and no corpus broadcast") {
+    val plan = Graph.graphPagerank(spark, sf).queryExecution.executedPlan
+      .toString()
+    assert(!plan.contains("CartesianProduct"), "cartesian in pagerank plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "BNLJ in pagerank plan")
+  }
+
   test("doubling equals the one-edge-at-a-time walk on the graded forest") {
     // parents are strictly smaller, so a key-prefix slice is closed
     // under ancestors (limit() would not be)
