@@ -362,6 +362,11 @@ object SparkEntry {
     // full-outer equi-join; SCD2 close/open version history over two
     // chained ticks — batches are pure md5 functions of customer
     "merge_upsert" -> (graft.operators.Merge.upsertGraded _),
+    // incremental view maintenance (counting algorithm): the
+    // maintained per-customer aggregate under an md5 insert/delete
+    // delta must be bit-identical to DuckDB recomputing from scratch
+    // over (base \ deletes) ∪ inserts — the IVM identity is the oracle
+    "ivm_maintain" -> (graft.operators.Ivm.ivmMaintain _),
     "scd2_history" -> (graft.operators.Merge.scd2Graded _),
     // collocations: PMI of the top bigrams from exact counts
     "text_bigram_pmi" -> (TextAnalysis.bigramPmi _),
@@ -1866,6 +1871,36 @@ object SparkEntry {
          WHERE action IS NULL OR (tk IS NOT NULL AND action <> 'D')
             OR (tk IS NULL AND action = 'I')
          ORDER BY custkey""",
+    // IVM identity: the oracle recomputes the view from scratch over
+    // (base \ deletes) ∪ inserts; Spark maintains it from the view +
+    // delta without touching the base — exact integer cents make the
+    // two bit-identical
+    "ivm_maintain" ->
+      """WITH dels AS (SELECT o_orderkey FROM orders
+           WHERE CAST(list_sum([ (strpos('0123456789abcdef',
+               substr(md5(CAST(o_orderkey AS VARCHAR) || '#del'), i, 1)) - 1)
+             * power(16, 4-i) for i in range(1,5) ]) AS BIGINT) < 6554),
+         eff AS (
+           SELECT CAST(o_custkey AS BIGINT) AS cust,
+             CAST(round(o_totalprice * 100, 0) AS HUGEINT) AS s
+           FROM orders
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+           UNION ALL
+           SELECT CASE WHEN CAST(list_sum([ (strpos('0123456789abcdef',
+                 substr(md5(CAST(o_orderkey AS VARCHAR) || '#new'), i, 1)) - 1)
+               * power(16, 4-i) for i in range(1,5) ]) AS BIGINT) < 16384
+               THEN CAST(o_custkey AS BIGINT) + 10000000
+               ELSE CAST(o_custkey AS BIGINT) END,
+             CAST(round(o_totalprice * 100, 0) AS HUGEINT) + 12345
+           FROM orders
+           WHERE CAST(list_sum([ (strpos('0123456789abcdef',
+               substr(md5(CAST(o_orderkey AS VARCHAR) || '#ins'), i, 1)) - 1)
+             * power(16, 4-i) for i in range(1,5) ]) AS BIGINT) < 3277)
+         SELECT cust, count(*) AS n,
+           CAST(sum(s) AS BIGINT) AS sum_cents,
+           round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS avg_cents
+         FROM eff GROUP BY cust
+         ORDER BY cust""",
     // SCD2 over two chained ticks: tick t updates keys whose md5(#mt)
     // digit < '4' to the md5(#vt) hex4 value; a changed current row is
     // closed at t and its successor opened; unchanged matches pass
