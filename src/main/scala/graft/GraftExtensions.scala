@@ -20,8 +20,10 @@ import graft.functions.{HilbertKey, LshBuckets, MinHashSig, Shingles3, SimHash64
   *   - `hilbert_key(x, y, n)` Hilbert-curve index (see HilbertKey)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.injections.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -39,6 +41,10 @@ object GraftExtensions {
       if (!registry.functionExists(ident))
         registry.registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 
   private lazy val injections: Seq[(FunctionIdentifier, ExpressionInfo,

@@ -79,6 +79,10 @@ object SparkEntry {
     "grouping_sets" -> (Relational.groupingSetsOrders _),
     "percentiles_qty" -> (Relational.percentilesQty _),
     "asof_join" -> (Temporal.asOfJoin _),
+    // the same as-of workload through the first-class Catalyst
+    // operator (custom logical node + strategy + merge exec) — two
+    // execution strategies, one oracle
+    "asof_join_native" -> (Temporal.asOfJoinNative _),
     "range_join_bands" -> (Temporal.rangeJoinBands _),
     // trailing z-score anomaly flags over the daily series (exact
     // integer window sums → bit-identical variance both engines)
@@ -178,6 +182,10 @@ object SparkEntry {
     // time-series regularization: per-user daily grid over the user's
     // own span, interior gaps linearly interpolated from exact cents
     "events_gapfill" -> (Temporal.gapFill _),
+    // exponentially-decayed counters: day-grain half-life weights are
+    // exact integer shifts (1 << (50−k)), summed in decimal — no
+    // libm pow in either engine, so the decay hash-oracles
+    "events_decayed" -> (Temporal.decayedCounts _),
     // hierarchy flattening by pointer doubling (O(log depth) shuffled
     // self-joins) vs DuckDB's one-edge-per-iteration recursive CTE —
     // identical flattening through structurally different algorithms
@@ -637,6 +645,16 @@ object SparkEntry {
            count(*) AS n
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "asof_join" ->
+      """SELECT p.user_id, p.ts AS buy_ts, c.ts AS click_ts,
+           date_diff('second', c.ts, p.ts) AS wait_s, p.value
+         FROM (SELECT user_id, ts, value FROM events
+               WHERE event_type='purchase') p
+         ASOF JOIN (SELECT user_id, ts FROM events
+               WHERE event_type='click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY 1, 2""",
+    // identical oracle for the native-operator twin
+    "asof_join_native" ->
       """SELECT p.user_id, p.ts AS buy_ts, c.ts AS click_ts,
            date_diff('second', c.ts, p.ts) AS wait_s, p.value
          FROM (SELECT user_id, ts, value FROM events
@@ -2892,6 +2910,33 @@ object SparkEntry {
                  END, 6) AS value,
            (v IS NULL) AS filled
          FROM w ORDER BY user_id, d""",
+    // half-life decay via exact integer shifts: weight = 1 << (50−k),
+    // sums exact (HUGEINT here, decimal in Spark), final /2^50 is a
+    // power-of-two scale — bit-identical with no pow() anywhere
+    "events_decayed" ->
+      """WITH ref AS (SELECT max(CAST(ts AS DATE)) AS d1 FROM events),
+         w AS (SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             datediff('day', CAST(ts AS DATE), ref.d1) AS k1,
+             datediff('day', CAST(ts AS DATE), ref.d1) // 7 AS k7
+           FROM events CROSS JOIN ref)
+         SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(CASE WHEN k1 <= 50
+                 THEN (CAST(1 AS BIGINT) << (50 - k1)) ELSE 0 END
+               AS HUGEINT)) AS DOUBLE) / 1125899906842624.0, 9)
+             AS decayed_1d,
+           round(CAST(sum(CAST(CASE WHEN k7 <= 50
+                 THEN (CAST(1 AS BIGINT) << (50 - k7)) ELSE 0 END
+               AS HUGEINT)) AS DOUBLE) / 1125899906842624.0, 9)
+             AS decayed_7d,
+           round(CAST(sum(CAST(cents AS HUGEINT)
+                 * CAST(CASE WHEN k1 <= 50
+                     THEN (CAST(1 AS BIGINT) << (50 - k1)) ELSE 0 END
+                   AS HUGEINT)) AS DOUBLE)
+               / 1125899906842624.0 / 100.0, 6)
+             AS decayed_value_1d
+         FROM w GROUP BY event_type
+         ORDER BY event_type""",
     // grouped OLS: six exact integer sums (HUGEINT in DuckDB, scale-0
     // DECIMAL in Spark), then slope/intercept/R² as identical IEEE
     // chains; intercept uses the ROUNDED slope so both engines agree

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -42,6 +42,29 @@ object Temporal {
         (unix_timestamp(col("ts")) - unix_timestamp(col("click_ts")))
           .as("wait_s"),
         col("value"))
+  }
+
+  /** Graded `asof_join_native`: the same as-of workload served by the
+    * first-class Catalyst operator ([[graft.plans.AsOfJoin]] —
+    * logical node → strategy → per-partition merge exec) instead of
+    * the union+window composition above. Same oracle, two different
+    * execution strategies — exactly what the hash match should pin.
+    * Times travel as `unix_micros` (the operator's LongType contract).
+    */
+  def asOfJoinNative(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("buy_ts"), col("value"),
+        unix_micros(col("ts")).as("bt"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        unix_micros(col("ts")).as("ct"))
+    graft.plans.AsOf.join(buys, clicks, "user_id", "bt", "c_user", "ct")
+      .select(col("user_id"), col("buy_ts"), col("click_ts"),
+        (unix_timestamp(col("buy_ts")) - unix_timestamp(col("click_ts")))
+          .as("wait_s"),
+        col("value"))
+      .orderBy(col("user_id"), col("buy_ts"))
   }
 
   /** Range (band) join: classify each order into a price band defined
@@ -155,6 +178,52 @@ object Temporal {
     * prev/next-neighbor lookups are two frames of ONE partitioned
     * window — no self-join, no per-gap probing.
     */
+  /** Graded `events_decayed`: exponentially-decayed counters per event
+    * type — the recency weighting every freshness-aware dashboard and
+    * trending-topics ranker applies (half-life decay; Cormode et al.'s
+    * exponential histograms solve the streaming variant).
+    *
+    * Exactness contract: decay at DAY grain with half-life h days
+    * means weight 2^(−⌊age/h⌋) — an integer power of two, carried as
+    * the exact integer `1 << (50 − k)` (0 beyond 50 half-lives, where
+    * the weight is below any output rounding anyway). All sums are
+    * exact DECIMAL over those integers; the only IEEE steps are the
+    * final division by 2^50 (exact — a power-of-two scale) and the
+    * closing round — so the whole operator hash-oracles, with NO pow()
+    * in either engine (libm pow is the classic cross-engine hazard).
+    *
+    * Scale shape: one map-side-combinable aggregation per type; the
+    * reference instant is a broadcast 1-row agg (never a second scan
+    * inline); weights are row-local arithmetic — no join, no window.
+    */
+  def decayedCounts(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val ref = e.agg(max(to_date(col("ts"))).as("d1"))
+    val k = datediff(col("d1"), to_date(col("ts")))
+    def w(kCol: String): Column = expr(
+      s"cast(if($kCol <= 50, shiftleft(cast(1 as bigint), " +
+        s"cast(50 - $kCol as int)), 0) as decimal(38,0))")
+    e.crossJoin(broadcast(ref))
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .withColumn("k1", k)
+      .withColumn("k7", expr("k1 div 7"))
+      .withColumn("w1", w("k1"))
+      .withColumn("w7", w("k7"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("w1")).as("s1"),
+        sum(col("w7")).as("s7"),
+        sum(col("cents").cast("decimal(38,0)") * col("w1")).as("sv1"))
+      .select(col("event_type"), col("n"),
+        round(col("s1").cast("double") / 1125899906842624.0, 9)
+          .as("decayed_1d"),
+        round(col("s7").cast("double") / 1125899906842624.0, 9)
+          .as("decayed_7d"),
+        round(col("sv1").cast("double") / 1125899906842624.0 / 100.0, 6)
+          .as("decayed_value_1d"))
+      .orderBy(col("event_type"))
+  }
+
   def gapFill(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .select(col("user_id"),
