@@ -96,6 +96,9 @@ object SparkEntry {
     // top-k-per-group plan (WindowGroupLimit, no global sort)
     "sample_weighted_quota" -> (Sampling.weightedQuota _),
     "dedup_clusters" -> (Dedup.clusters _),
+    // the dedup decision: per cluster, the deterministic survivor
+    // (longest text, doc_id tie-break) + removal counts
+    "dedup_canonical" -> (Dedup.canonical _),
     // the dedup report's headline: n_clusters per component size
     "dedup_cluster_sizes" -> (Dedup.clusterSizes _),
     "anti_join" -> (Relational.antiJoinCustomers _),
@@ -186,6 +189,12 @@ object SparkEntry {
     // exact integer shifts (1 << (50−k)), summed in decimal — no
     // libm pow in either engine, so the decay hash-oracles
     "events_decayed" -> (Temporal.decayedCounts _),
+    // first-order Markov transitions per user: one lag window, exact
+    // counts, one rounded division per row
+    "events_transitions" -> (Temporal.eventTransitions _),
+    // pairwise association rules: basket-bounded self-join fanout,
+    // exact supports, lift/confidence one division each
+    "basket_rules" -> (graft.operators.Basket.basketRules _),
     // hierarchy flattening by pointer doubling (O(log depth) shuffled
     // self-joins) vs DuckDB's one-edge-per-iteration recursive CTE —
     // identical flattening through structurally different algorithms
@@ -716,6 +725,32 @@ object SparkEntry {
            UNION SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
          SELECT id AS doc_id, min(lbl) AS cluster FROM reach
          GROUP BY id ORDER BY 1""",
+    // the same component labelling, then the survivor pick: longest
+    // text, doc_id tie-break — a total order, identical in both engines
+    "dedup_canonical" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id,
+           CASE WHEN len(toks)>=3 THEN list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+             for i in range(1,len(toks)-1)]) ELSE [text] END AS sh
+         FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a, sh b
+           WHERE a.doc_id < b.doc_id
+             AND len(list_intersect(a.sh,b.sh))*1.0/len(list_distinct(a.sh||b.sh)) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach AS (SELECT src AS id, src AS lbl FROM edges
+           UNION SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         lab AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach
+           GROUP BY id),
+         j AS (SELECT l.cluster, l.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY l.cluster
+               ORDER BY d.n_chars DESC, l.doc_id) AS rn
+           FROM lab l JOIN documents d ON l.doc_id = d.doc_id)
+         SELECT cluster, count(*) AS size,
+           max(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc,
+           max(CASE WHEN rn = 1 THEN n_chars END) AS keep_chars,
+           count(*) - 1 AS n_removed
+         FROM j GROUP BY cluster ORDER BY cluster""",
     "events_sliding" ->
       """SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE * o
              AS window_start,
@@ -2937,6 +2972,39 @@ object SparkEntry {
              AS decayed_value_1d
          FROM w GROUP BY event_type
          ORDER BY event_type""",
+    // lag window over a TOTAL order (event_id unique) → deterministic
+    // transition pairs; exact counts; one rounded division per row
+    "events_transitions" ->
+      """WITH p AS (SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS prev_type
+         FROM events),
+         c AS (SELECT prev_type, event_type, count(*) AS n FROM p
+           WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, event_type, n,
+           round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+             AS p
+         FROM c ORDER BY prev_type, event_type""",
+    // pairwise association rules over distinct (order, part) items:
+    // exact supports, confidence/lift one rounded division each
+    "basket_rules" ->
+      """WITH items AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS ok,
+           CAST(l_partkey AS BIGINT) AS part FROM lineitem),
+         nn AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+         pp AS (SELECT part, count(*) AS n_part FROM items GROUP BY 1),
+         pr AS (SELECT a.part AS pa, b.part AS pb, count(*) AS n_ab
+           FROM items a JOIN items b ON a.ok = b.ok AND a.part < b.part
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT pa, pb, n_ab, x.n_part AS n_a, y.n_part AS n_b,
+           round(CAST(n_ab AS DOUBLE) / CAST(x.n_part AS DOUBLE), 6)
+             AS confidence,
+           round(CAST(n_ab * nn.n_orders AS DOUBLE)
+             / CAST(x.n_part * y.n_part AS DOUBLE), 6) AS lift
+         FROM pr JOIN pp x ON pr.pa = x.part
+         JOIN pp y ON pr.pb = y.part
+         CROSS JOIN nn
+         ORDER BY pa, pb""",
     // grouped OLS: six exact integer sums (HUGEINT in DuckDB, scale-0
     // DECIMAL in Spark), then slope/intercept/R² as identical IEEE
     // chains; intercept uses the ROUNDED slope so both engines agree

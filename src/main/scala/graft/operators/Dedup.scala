@@ -460,6 +460,33 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Graded `dedup_canonical`: the dedup DECISION on top of
+    * [[clusters]] — per near-dup cluster, the representative to KEEP
+    * (longest text wins, doc_id breaks ties — a deterministic total
+    * order, so both engines pick the identical survivor) plus the
+    * removal count. This is the step that turns a cluster labelling
+    * into an actionable dedup manifest; keeping the LONGEST member is
+    * the usual curation default (near-dups are mostly truncations and
+    * boilerplate-wrapped copies of the fullest version). One window
+    * rank + one aggregation over the label frame — cluster-sized, not
+    * corpus-sized.
+    */
+  def canonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    clusters(s, dir).join(docs, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("size"),
+        max(when(col("rn") === 1, col("doc_id"))).as("keep_doc"),
+        max(when(col("rn") === 1, col("n_chars"))).as("keep_chars"))
+      .withColumn("n_removed", col("size") - 1)
+      .orderBy(col("cluster"))
+  }
+
   /** Cluster-size histogram over [[clusters]] — the "how much dup
     * mass" summary a dedup report leads with: n_clusters of each
     * size ≥ 2 (docs with no near-dup edge never enter the component

@@ -178,6 +178,34 @@ object Temporal {
     * prev/next-neighbor lookups are two frames of ONE partitioned
     * window — no self-join, no per-gap probing.
     */
+  /** Graded `events_transitions`: the first-order Markov transition
+    * matrix over each user's event sequence — P(next type | type),
+    * the behavioral fingerprint sessionization/funnel analyses start
+    * from. One window `lag` per user ordered by (ts, event_id) —
+    * event_id is unique, so the ordering (and therefore every
+    * transition pair) is total and deterministic in both engines.
+    * Counts are exact; the row probability is ONE IEEE division
+    * closed under round 6. Scale: one shuffle on user_id, one
+    * map-side-combinable count — no self-join.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy(col("prev_type"))
+    pairs
+      .withColumn("p",
+        round(col("n").cast("double")
+          / sum(col("n")).over(totals).cast("double"), 6))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
   /** Graded `events_decayed`: exponentially-decayed counters per event
     * type — the recency weighting every freshness-aware dashboard and
     * trending-topics ranker applies (half-life decay; Cormode et al.'s

@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, Attribute, BindReferences, Expression, JoinedRow, PredicateHelper, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.LongType
 
@@ -51,6 +52,36 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
   override protected def withNewChildrenInternal(newLeft: LogicalPlan,
       newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
+}
+
+/** Filter pushdown through [[AsOfJoin]] — the custom
+  * `Rule[LogicalPlan]` tier of the extension surface: Catalyst's
+  * generic `PushDownPredicates` skips node types it doesn't know, so
+  * without this rule a `WHERE` above an as-of join filters AFTER the
+  * merge and the scan reads every row.
+  *
+  * Only LEFT-side conjuncts are eligible, and that asymmetry is the
+  * operator's semantics, not a limitation: a predicate over the
+  * right side's columns filters matched PAIRS — pushing it into the
+  * right child would instead make the join pick the latest SURVIVING
+  * right row (an earlier click), silently changing answers. The spec
+  * pins both directions: left conjuncts reach the parquet scan's
+  * `PushedFilters`; right conjuncts stay above the join and a planted
+  * case shows the pushed-down variant would differ.
+  */
+object PushFilterThroughAsOfJoin extends Rule[LogicalPlan]
+    with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoin) =>
+      val (pushable, kept) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic
+          && p.references.subsetOf(j.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
+        kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
 }
 
 /** Plans [[AsOfJoin]] to [[AsOfJoinExec]]; injected via

@@ -62,6 +62,58 @@ class AsOfJoinSpec extends SparkSpec {
     native.zip(window).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
   }
 
+  test("optimizer rule: a left-side filter above the join reaches the " +
+      "parquet scan's PushedFilters") {
+    val e = graft.Tables.events(spark, sf)
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("bt"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("ct"))
+    val q = AsOf.join(buys, clicks, "user_id", "bt", "c_user", "ct")
+      .filter(col("value") > 15.0)
+    // semantics: pushed ≡ filtered-after (compute the reference with
+    // the filter applied before the join manually)
+    val ref = AsOf.join(buys.filter(col("value") > 15.0), clicks,
+      "user_id", "bt", "c_user", "ct")
+    assert(q.count() == ref.count() && q.count() > 0)
+    // the filter sits below the join in the optimized plan...
+    val opt = q.queryExecution.optimizedPlan
+    val joinNode = opt.collectFirst { case j: AsOfJoin => j }.get
+    assert(opt.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.toString.contains("15.0") => f }.isEmpty
+      || joinNode.left.exists {
+           case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+             f.condition.toString.contains("15.0")
+           case _ => false },
+      s"value filter not below AsOfJoin:\n$opt")
+    // ...and reaches the scan
+    val planStr = q.queryExecution.executedPlan.toString()
+    assert(planStr.contains("PushedFilters") &&
+      planStr.replaceAll("\\s", "").contains("GreaterThan(value,15.0)"),
+      s"filter did not reach the scan:\n$planStr")
+  }
+
+  test("optimizer rule: right-side filters are NOT pushed — pushing " +
+      "would change which right row matches") {
+    // user 1: clicks c1@10, c2@60; buy@100. Filtering ctag='c1' above
+    // the join must yield NOTHING (the match is c2); a wrong pushdown
+    // would re-match c1.
+    val l = Seq((1L, 100L, "buy")).toDF("k", "t", "tag")
+    val r = Seq((1L, 10L, "c1"), (1L, 60L, "c2")).toDF("ck", "ct", "ctag")
+    val q = AsOf.join(l, r, "k", "t", "ck", "ct")
+      .filter(col("ctag") === "c1")
+    assert(q.count() == 0L,
+      "right-side filter was pushed below the as-of join (wrong answers)")
+    val joinNode = q.queryExecution.optimizedPlan
+      .collectFirst { case j: AsOfJoin => j }.get
+    assert(!joinNode.right.exists {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.toString.contains("c1")
+      case _ => false
+    }, "ctag filter found below the join's right side")
+  }
+
   test("physical contract: merge exec planned; pre-partitioned inputs " +
       "join without any extra exchange") {
     val out = AsOf.join(lefts, rights, "k", "t", "ck", "ct")
