@@ -192,6 +192,12 @@ object SparkEntry {
     // first-order Markov transitions per user: one lag window, exact
     // counts, one rounded division per row
     "events_transitions" -> (Temporal.eventTransitions _),
+    // point-in-interval join, bin-bucketed: equi-join on the hour bin
+    // + exact residual — the oracle runs the naive inequality join
+    "interval_join_binned" -> (Temporal.intervalJoinBinned _),
+    // rule-based expectation checks: exact counting per assertion,
+    // one anti-join for referential integrity
+    "dq_checks" -> (graft.operators.DataQuality.dqChecks _),
     // pairwise association rules: basket-bounded self-join fanout,
     // exact supports, lift/confidence one division each
     "basket_rules" -> (graft.operators.Basket.basketRules _),
@@ -403,6 +409,9 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_tfidf" -> (TextAnalysis.tfidfTop _),
     "text_top_bigrams" -> (TextAnalysis.topBigrams _),
+    // Zipf exponent of the head ranks: ln inputs rounded to 9 (absorbs
+    // libm ulp spread), six exact decimal sums, stats one IEEE chain
+    "text_zipf_slope" -> (TextAnalysis.zipfSlope _),
     // windowed co-occurrence matrix (the word2vec/GloVe statistic):
     // ordered pairs within 3 positions, exact counts, shifted-zip
     // fanout instead of a positional self-join
@@ -2494,6 +2503,36 @@ object SparkEntry {
            round(CAST(sum(w6) AS DOUBLE) / 6.0, 6) AS glove_w
          FROM p GROUP BY x, y
          ORDER BY n_cooc DESC, x, y LIMIT 50""",
+    // six scale-9 fixed-point sums in HUGEINT; the 1e-18 scale factors
+    // cancel in each ratio, so the stats replay within the round-6 close
+    "text_zipf_slope" ->
+      """WITH f AS (SELECT token, count(*) AS freq FROM (
+             SELECT unnest(string_split(text, ' ')) AS token
+             FROM documents) GROUP BY 1),
+         r AS (SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, token) AS rank
+           FROM f),
+         p AS (SELECT round(ln(CAST(rank AS DOUBLE)), 9) AS x,
+             round(ln(CAST(freq AS DOUBLE)), 9) AS y
+           FROM r WHERE rank <= 1000),
+         q AS (SELECT CAST(round(x * 1e9, 0) AS HUGEINT) AS xi,
+             CAST(round(y * 1e9, 0) AS HUGEINT) AS yi,
+             CAST(round(round(x * y, 9) * 1e9, 0) AS HUGEINT) AS xyi,
+             CAST(round(round(x * x, 9) * 1e9, 0) AS HUGEINT) AS xxi,
+             CAST(round(round(y * y, 9) * 1e9, 0) AS HUGEINT) AS yyi
+           FROM p),
+         a AS (SELECT count(*) AS n, sum(xi) AS sx, sum(yi) AS sy,
+             sum(xyi) AS sxy, sum(xxi) AS sxx, sum(yyi) AS syy FROM q)
+         SELECT n,
+           round(CAST(n * sxy * 1000000000 - sx * sy AS DOUBLE)
+             / CAST(n * sxx * 1000000000 - sx * sx AS DOUBLE), 6)
+             AS slope,
+           round((CAST(n * sxy * 1000000000 - sx * sy AS DOUBLE)
+                * CAST(n * sxy * 1000000000 - sx * sy AS DOUBLE))
+             / (CAST(n * sxx * 1000000000 - sx * sx AS DOUBLE)
+                * CAST(n * syy * 1000000000 - sy * sy AS DOUBLE)), 6)
+             AS r2
+         FROM a""",
     "text_normalize" ->
       """SELECT doc_id,
            len(list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
@@ -2986,6 +3025,66 @@ object SparkEntry {
              / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
              AS p
          FROM c ORDER BY prev_type, event_type""",
+    // the md5 interval set joined by the NAIVE inequality form — the
+    // O(n·m) plan the binned operator avoids, affordable only here
+    "interval_join_binned" ->
+      """WITH iv0 AS (SELECT CAST(o_orderkey AS BIGINT) AS interval_id,
+           CAST(list_sum([ (strpos('0123456789abcdef',
+               substr(md5(CAST(o_orderkey AS VARCHAR) || '#ivs'), i, 1)) - 1)
+             * power(16, 8-i) for i in range(1,9) ]) AS BIGINT)
+             % 2505600 AS start_s,
+           900 + CAST(list_sum([ (strpos('0123456789abcdef',
+               substr(md5(CAST(o_orderkey AS VARCHAR) || '#ivl'), i, 1)) - 1)
+             * power(16, 4-i) for i in range(1,5) ]) AS BIGINT)
+             % 7200 AS len_s
+         FROM orders WHERE o_orderkey < 3000),
+         ivs AS (SELECT interval_id, start_s, start_s + len_s AS end_s
+           FROM iv0),
+         e AS (SELECT user_id, value,
+             datediff('second', TIMESTAMP '2024-01-01 00:00:00', ts) AS es
+           FROM events)
+         SELECT interval_id, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+         FROM e JOIN ivs ON es >= start_s AND es < end_s
+         GROUP BY 1 ORDER BY 1""",
+    // six exact-count assertions unioned into one report; the rate is
+    // the single rounded division per row
+    "dq_checks" ->
+      """WITH u AS (
+           SELECT 'lineitem_qty_range' AS chk, count(*) AS n_checked,
+             CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+           FROM lineitem
+           UNION ALL
+           SELECT 'orders_date_not_null', count(*),
+             CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'orders_customer_exists',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders o LEFT JOIN customer c
+                ON o.o_custkey = c.c_custkey
+              WHERE c.c_custkey IS NULL)
+           UNION ALL
+           SELECT 'customer_key_unique', count(*),
+             CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+           FROM customer
+           UNION ALL
+           SELECT 'events_value_nonneg', count(*),
+             CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM events
+           UNION ALL
+           SELECT 'documents_nchars_consistent', count(*),
+             CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+               AS BIGINT)
+           FROM documents)
+         SELECT chk AS "check", n_checked, n_violations,
+           round(CAST(n_violations AS DOUBLE) / CAST(n_checked AS DOUBLE), 6)
+             AS violation_rate
+         FROM u ORDER BY chk""",
     // pairwise association rules over distinct (order, part) items:
     // exact supports, confidence/lift one rounded division each
     "basket_rules" ->

@@ -175,12 +175,24 @@ object Approx {
     */
   private[operators] def kmvJaccardFor(sigs: DataFrame, srcs: DataFrame,
       k: Int): DataFrame = {
+    // sketch FIRST: the k smallest hashes per source (|S|·k rows) are
+    // all the pair stage needs — K(A∪B) ⊆ K(A) ∪ K(B), and a union-
+    // sketch member h is in A iff h ∈ K(A) (if h ∈ A it is among A's k
+    // smallest, being among the union's). ApproxSpec pins this
+    // mergeability; computing it this way turns the pair fanout from
+    // corpus-sized (every signature × |S|−1 pairs) into KB-sized,
+    // bit-identically. The per-source top-k itself plans as
+    // WindowGroupLimit — a per-partition partial limit, no full sort.
+    val w0 = Window.partitionBy(col("source")).orderBy(col("h"))
+    val sk = sigs.withColumn("rn0", row_number().over(w0))
+      .filter(col("rn0") <= k)
+      .select(col("source"), col("h"))
     val pairs = srcs.as("a")
       .join(srcs.as("b"), col("a.source") < col("b.source"))
       .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
     val mem = pairs.select(col("src_a"), col("src_b"),
       explode(array(col("src_a"), col("src_b"))).as("member"))
-    val g = sigs.join(broadcast(mem), col("source") === col("member"))
+    val g = sk.join(broadcast(mem), col("source") === col("member"))
       .groupBy(col("src_a"), col("src_b"), col("h"))
       .agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))

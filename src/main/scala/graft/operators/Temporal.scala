@@ -178,6 +178,67 @@ object Temporal {
     * prev/next-neighbor lookups are two frames of ONE partitioned
     * window — no self-join, no per-gap probing.
     */
+  /** Interval-bin width (seconds) for [[intervalJoinBinned]]. */
+  val IntervalBin = 3600L
+
+  /** Graded `interval_join_binned`: point-in-interval join where BOTH
+    * sides are corpus-sized and share NO equi-key — the shape that
+    * degenerates to a BroadcastNestedLoopJoin (events × intervals) if
+    * written as the naive `s <= t AND t < e` theta join. The scalable
+    * form is the binning trick [[rangeJoinBands]]'s scaladoc promises
+    * for a large ranges side: each interval explodes to the
+    * fixed-width bins it overlaps (`sequence(start div W, end div
+    * W)`), each event
+    * carries its ONE bin, and the join is an equi-join on bin with the
+    * exact residual predicate on top. An event's single bin meets each
+    * covering interval exactly once, so no dedup is needed — the
+    * equi-join IS the answer.
+    *
+    * The interval set is a pure md5 function of `orders` (keys < 3000
+    * → a scale-stable count; start/length from hex folds in exact
+    * integer seconds), so DuckDB reproduces it and checks the whole
+    * join against the naive inequality form — the oracle runs the
+    * O(n·m) plan the operator exists to avoid, which only the oracle
+    * CAN at sf. Readout: per-interval event count, distinct users,
+    * exact cent sum.
+    *
+    * Scale shape: fanout per interval = ⌈len/W⌉ + 1 bins (a small
+    * constant for bounded intervals), one shuffled equi-join on bin,
+    * map-side-combinable aggregation. Bin width trades replication
+    * (long intervals × narrow bins) against residual selectivity
+    * (wide bins × short intervals); W = 1h against ≤2.1h intervals
+    * keeps both ≤ 3.
+    */
+  def intervalJoinBinned(s: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.load
+    def hexN(e: Column, n: Int): Column =
+      conv(substring(md5(e), 1, n), 16, 10).cast("long")
+    val epoch0 = to_timestamp(lit("2024-01-01 00:00:00")).cast("long")
+    val ivs = load(s, dir, "orders")
+      .filter(col("o_orderkey") < 3000)
+      .select(col("o_orderkey").cast("long").as("interval_id"))
+      .withColumn("start_s",
+        hexN(concat(col("interval_id").cast("string"), lit("#ivs")), 8)
+          % lit(29L * 86400L))
+      .withColumn("end_s", col("start_s") + lit(900L)
+        + hexN(concat(col("interval_id").cast("string"), lit("#ivl")), 4)
+          % lit(7200L))
+    val binned = ivs.select(col("interval_id"), col("start_s"), col("end_s"),
+      explode(expr(s"sequence(start_s div $IntervalBin, " +
+        s"end_s div $IntervalBin)")).as("bin"))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("value"),
+        (col("ts").cast("long") - epoch0).as("es"))
+      .withColumn("bin", expr(s"es div $IntervalBin"))
+    ev.join(binned.hint("shuffle_hash"), Seq("bin"))
+      .filter(col("es") >= col("start_s") && col("es") < col("end_s"))
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"))
+      .orderBy(col("interval_id"))
+  }
+
   /** Graded `events_transitions`: the first-order Markov transition
     * matrix over each user's event sequence — P(next type | type),
     * the behavioral fingerprint sessionization/funnel analyses start

@@ -771,4 +771,51 @@ object TextAnalysis {
       .orderBy(col("n_cooc").desc, col("x"), col("y"))
       .limit(CoocTop)
   }
+
+  /** Ranks fitted by `text_zipf_slope` (df-cap: the head is where the
+    * law holds and where every engine agrees the ranking is total).
+    */
+  val ZipfRanks = 1000
+
+  /** Graded `text_zipf_slope`: the Zipf exponent of the corpus token
+    * distribution — ln-freq regressed on ln-rank over the top
+    * [[ZipfRanks]] ranks. A natural corpus sits near slope −1; a
+    * strongly flatter/steeper fit (or a low R²) flags synthetic or
+    * boilerplate-heavy text, which is why corpus QA dashboards carry
+    * it next to [[quality]].
+    *
+    * Exactness: rank is a `row_number` over the TOTAL order
+    * (freq DESC, token ASC); each regression input is `round(ln·, 9)`
+    * (round-9 absorbs the ≤1-ulp libm spread — the nb_langid/DSIR ln
+    * discipline) and the six sums fold as exact scale-9 DECIMAL
+    * (order-free); each output statistic is one short IEEE chain over
+    * those exact sums, closed under round 6 (the [[Regression]]
+    * normal-equation forms). Scale shape: one token count, one
+    * WindowGroupLimit top-k, a 1000-row aggregation — corpus-linear,
+    * then constant.
+    */
+  def zipfSlope(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token"))
+    def d9(c: Column): Column = round(c, 9).cast("decimal(38,9)")
+    val pts = load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ZipfRanks)
+      .select(
+        round(log(col("rank").cast("double")), 9).as("x"),
+        round(log(col("freq").cast("double")), 9).as("y"))
+    val agg = pts.agg(count(lit(1)).as("n"),
+      sum(d9(col("x"))).as("sx"), sum(d9(col("y"))).as("sy"),
+      sum(d9(col("x") * col("y"))).as("sxy"),
+      sum(d9(col("x") * col("x"))).as("sxx"),
+      sum(d9(col("y") * col("y"))).as("syy"))
+    val num  = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den  = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    agg.select(col("n"),
+      round(num / den, 6).as("slope"),
+      round((num * num) / (den * deny), 6).as("r2"))
+  }
 }

@@ -181,6 +181,15 @@ class PlanSpec extends SparkSpec {
     assert("Join".r.findAllIn(p).size >= 1)
   }
 
+  test("binned interval join is an equi-join on the bin — the naive " +
+      "inequality form's BNLJ never appears") {
+    val p = physical(Temporal.intervalJoinBinned(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"expected a shuffled equi-join on bin:\n$p")
+  }
+
   test("range join broadcasts the constant bands side") {
     val p = physical(Temporal.rangeJoinBands(spark, sf))
     // inequality-only condition + tiny side => broadcast nested loop,
