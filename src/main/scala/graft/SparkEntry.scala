@@ -198,6 +198,12 @@ object SparkEntry {
     // rule-based expectation checks: exact counting per assertion,
     // one anti-join for referential integrity
     "dq_checks" -> (graft.operators.DataQuality.dqChecks _),
+    // k-anonymity audit: quasi-identifier classes below k, exact
+    // integer balance bands
+    "privacy_kanon" -> (graft.operators.Privacy.kanonAudit _),
+    // robust location/scale: positional exact median + MAD in integer
+    // cents, two ranked windows, no collect
+    "events_mad" -> (Temporal.eventsMad _),
     // pairwise association rules: basket-bounded self-join fanout,
     // exact supports, lift/confidence one division each
     "basket_rules" -> (graft.operators.Basket.basketRules _),
@@ -3085,6 +3091,36 @@ object SparkEntry {
            round(CAST(n_violations AS DOUBLE) / CAST(n_checked AS DOUBLE), 6)
              AS violation_rate
          FROM u ORDER BY chk""",
+    // quasi-identifier classes below k over exact $1000 balance bands
+    // (shifted before the integer div so floor semantics are shared)
+    "privacy_kanon" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+           c_mktsegment AS segment,
+           (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) // 100000
+             AS bal_band,
+           count(*) AS class_size
+         FROM customer
+         GROUP BY 1, 2, 3 HAVING count(*) < 5
+         ORDER BY 1, 2, 3""",
+    // positional exact median + MAD: rank (n+1)//2 of the total
+    // (cents, event_id) order — tie-proof in both engines
+    "events_mad" ->
+      """WITH b AS (SELECT event_type, event_id,
+           CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+         g1 AS (SELECT event_type, event_id, c,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY c, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n FROM b),
+         g2 AS (SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN c END)
+             OVER (PARTITION BY event_type) AS med FROM g1),
+         g3 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY abs(c - med), event_id) AS rn2 FROM g2)
+         SELECT event_type, max(n) AS n,
+           round(CAST(max(med) AS DOUBLE) / 100.0, 6) AS median,
+           round(CAST(max(CASE WHEN rn2 = (n + 1) // 2
+               THEN abs(c - med) END) AS DOUBLE) / 100.0, 6) AS mad
+         FROM g3 GROUP BY event_type
+         ORDER BY event_type""",
     // pairwise association rules over distinct (order, part) items:
     // exact supports, confidence/lift one rounded division each
     "basket_rules" ->

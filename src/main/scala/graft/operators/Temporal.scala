@@ -178,6 +178,46 @@ object Temporal {
     * prev/next-neighbor lookups are two frames of ONE partitioned
     * window — no self-join, no per-gap probing.
     */
+  /** Graded `events_mad`: robust location/scale per event type —
+    * exact lower-median and median-absolute-deviation, the outlier
+    * detector that doesn't get dragged by the outliers themselves
+    * (the complement to `events_anomaly`'s mean/σ z-scores).
+    *
+    * Exactness: values travel as integer cents; the lower median is
+    * the element AT RANK ⌊(n+1)/2⌋ of the total order
+    * (cents ASC, event_id ASC) — a positional pick, so duplicates and
+    * engine sort ties cannot move it; deviations |cents − med| are
+    * exact integers and MAD is the same positional pick over them.
+    * The only IEEE steps are the two final /100 conversions, closed
+    * under round 6. Scale shape: two ranked windows per type (the
+    * second over the deviation column) — no self-join, no collect.
+    */
+  def eventsMad(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100, 0).cast("long")
+    val base = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), cents.as("c"))
+    val w1 = Window.partitionBy(col("event_type"))
+      .orderBy(col("c"), col("event_id"))
+    val g1 = base.withColumn("rn", row_number().over(w1))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("med",
+        max(when(col("rn") === expr("(n + 1) div 2"), col("c")))
+          .over(Window.partitionBy(col("event_type"))))
+    val w2 = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("c") - col("med")), col("event_id"))
+    g1.withColumn("rn2", row_number().over(w2))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(col("med")).as("med_cents"),
+        max(when(col("rn2") === expr("(n + 1) div 2"),
+          abs(col("c") - col("med")))).as("mad_cents"))
+      .select(col("event_type"), col("n"),
+        round(col("med_cents").cast("double") / 100.0, 6).as("median"),
+        round(col("mad_cents").cast("double") / 100.0, 6).as("mad"))
+      .orderBy(col("event_type"))
+  }
+
   /** Interval-bin width (seconds) for [[intervalJoinBinned]]. */
   val IntervalBin = 3600L
 

@@ -44,7 +44,8 @@ object ZorderStream {
     * [[Layout.mergeBloomSidecar]]'s recovery-on-read).
     */
   private[streaming] def ingestBatch(path: String, batch: DataFrame,
-      batchId: Long, maintainBlooms: Boolean = false): Unit = {
+      batchId: Long, maintainBlooms: Boolean = false,
+      maintainZones: Seq[String] = Nil): Unit = {
     val s = batch.sparkSession
     val conf = s.sparkContext.hadoopConfiguration
     val marker = new org.apache.hadoop.fs.Path(s"$path.ingested/$batchId")
@@ -52,6 +53,10 @@ object ZorderStream {
     if (!fs.exists(marker)) {
       Layout.appendZBatch(s, path, batch, batchId)
       if (maintainBlooms) Layout.mergeBloomSidecar(s, path, batch)
+      // zone rows are per-file and append-only; a crash-and-replay can
+      // duplicate a file's row, which zoneProbe's distinct absorbs —
+      // so the fold is idempotent in effect, like the bloom bit-OR
+      if (maintainZones.nonEmpty) Layout.mergeZoneMap(s, path, maintainZones)
       fs.mkdirs(marker.getParent)
       fs.create(marker, true).close()
     }
@@ -67,13 +72,14 @@ object ZorderStream {
     * until a rebuild.
     */
   def ingest(rows: DataFrame, path: String,
-      maintainBlooms: Boolean = false): StreamingQuery = {
+      maintainBlooms: Boolean = false,
+      maintainZones: Seq[String] = Nil): StreamingQuery = {
     require(rows.isStreaming, "ingest expects a streaming frame")
     rows.writeStream
       .outputMode(OutputMode.Append())
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(path, batch, batchId, maintainBlooms)
+        ingestBatch(path, batch, batchId, maintainBlooms, maintainZones)
       }
       .start()
   }

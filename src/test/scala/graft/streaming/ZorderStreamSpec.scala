@@ -124,4 +124,42 @@ class ZorderStreamSpec extends SparkSpec {
     assert(Layout.bloomPointProbe(spark, path, 7777777L).count() == 5)
     assert(sidecarBytes() == before, "recovered sidecar differs")
   }
+
+  test("zone maintenance: range probes see streamed rows one trigger " +
+      "behind; the manifest only grows by the new files; replayed " +
+      "merge is harmless through the probe's distinct") {
+    val path = Files.createTempDirectory("zstreamz").toString + "/zl"
+    val seed = src.filter(col("l_orderkey") % 2 === 0)
+    Layout.writeZBucketed(spark, seed, "l_partkey", "l_orderkey", path)
+    Layout.writeZoneMap(spark, path, Seq("l_suppkey"))
+    val zonesBefore = spark.read.parquet(s"$path.zones").count()
+
+    // rows arriving ONLY via the stream, in a suppkey band of their own
+    val planted = src.limit(7).select(col("l_orderkey"),
+      col("l_partkey"), lit(9000001L).as("l_suppkey"), col("l_quantity"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val q = ZorderStream.ingest(mem.toDF()
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity"),
+      path, maintainZones = Seq("l_suppkey"))
+    try {
+      mem.addData(planted.as[(Long, Long, Long, Double)].collect().toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // fresh WITHOUT a rebuild: the streamed-only band is served
+    assert(Layout.zoneProbe(spark, path, "l_suppkey",
+      9000000L, 9000002L).count() == 7)
+    // the manifest grew by exactly the appended files, seeds untouched
+    val zones = spark.read.parquet(s"$path.zones")
+    assert(zones.count() > zonesBefore)
+    assert(zones.filter(col("min_l_suppkey") === 9000001L).count() ==
+      zones.count() - zonesBefore)
+
+    // replayed merge: duplicate rows possible, probe exact regardless
+    Layout.mergeZoneMap(spark, path, Seq("l_suppkey"))
+    assert(Layout.zoneProbe(spark, path, "l_suppkey",
+      9000000L, 9000002L).count() == 7)
+  }
 }
