@@ -215,6 +215,9 @@ object SparkEntry {
     // decimal ranks make every round's inflow sum order-free, so the
     // whole power iteration hash-matches DuckDB's unrolled CTEs
     "graph_pagerank" -> (graft.operators.Graph.graphPagerank _),
+    // weighted PageRank over the real trade graph (supplier nation →
+    // customer nation, exact revenue-cent weights)
+    "graph_pagerank_trade" -> (graft.operators.Graph.graphPagerankTrade _),
     // the cid connector end-to-end, oracle-verified: distributed write
     // of every document into a fresh CAS (content-addressing dedups
     // identical texts), then a connector read-back — counts and byte
@@ -2954,6 +2957,58 @@ object SparkEntry {
                AS DECIMAL(38,12)) AS r
            FROM customer c CROSS JOIN nn
            LEFT JOIN f3 ON c.c_custkey = f3.node)
+         SELECT node, round(CAST(r AS DOUBLE), 9) AS rank
+         FROM r3 ORDER BY node""",
+    // the weighted variant over the real trade graph: contribution =
+    // round(r·w/W_src, 12), w exact revenue cents
+    "graph_pagerank_trade" ->
+      """WITH edges AS (
+           SELECT CAST(s.s_nationkey AS BIGINT) AS src,
+             CAST(c.c_nationkey AS BIGINT) AS dst,
+             sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS w
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           GROUP BY 1, 2),
+         nn AS (SELECT count(*) AS n FROM nation),
+         wo AS (SELECT src, sum(w) AS wout FROM edges GROUP BY 1),
+         r0 AS (SELECT CAST(n_nationkey AS BIGINT) AS node,
+             CAST(round(CAST(1 AS DOUBLE)/nn.n, 12) AS DECIMAL(38,12)) AS r
+           FROM nation CROSS JOIN nn),
+         f1 AS (SELECT e.dst AS node,
+             sum(CAST(round(CAST(r.r AS DOUBLE) * CAST(e.w AS DOUBLE)
+               / CAST(wo.wout AS DOUBLE), 12) AS DECIMAL(38,12))) AS s
+           FROM edges e JOIN wo ON e.src = wo.src
+           JOIN r0 r ON e.src = r.node GROUP BY 1),
+         r1 AS (SELECT n2.node,
+             CAST(round(CAST(0.15 AS DOUBLE)/nn.n
+               + CAST(0.85 AS DOUBLE)*CAST(COALESCE(f1.s, 0) AS DOUBLE), 12)
+               AS DECIMAL(38,12)) AS r
+           FROM (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation) n2
+           CROSS JOIN nn LEFT JOIN f1 ON n2.node = f1.node),
+         f2 AS (SELECT e.dst AS node,
+             sum(CAST(round(CAST(r.r AS DOUBLE) * CAST(e.w AS DOUBLE)
+               / CAST(wo.wout AS DOUBLE), 12) AS DECIMAL(38,12))) AS s
+           FROM edges e JOIN wo ON e.src = wo.src
+           JOIN r1 r ON e.src = r.node GROUP BY 1),
+         r2 AS (SELECT n2.node,
+             CAST(round(CAST(0.15 AS DOUBLE)/nn.n
+               + CAST(0.85 AS DOUBLE)*CAST(COALESCE(f2.s, 0) AS DOUBLE), 12)
+               AS DECIMAL(38,12)) AS r
+           FROM (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation) n2
+           CROSS JOIN nn LEFT JOIN f2 ON n2.node = f2.node),
+         f3 AS (SELECT e.dst AS node,
+             sum(CAST(round(CAST(r.r AS DOUBLE) * CAST(e.w AS DOUBLE)
+               / CAST(wo.wout AS DOUBLE), 12) AS DECIMAL(38,12))) AS s
+           FROM edges e JOIN wo ON e.src = wo.src
+           JOIN r2 r ON e.src = r.node GROUP BY 1),
+         r3 AS (SELECT n2.node,
+             CAST(round(CAST(0.15 AS DOUBLE)/nn.n
+               + CAST(0.85 AS DOUBLE)*CAST(COALESCE(f3.s, 0) AS DOUBLE), 12)
+               AS DECIMAL(38,12)) AS r
+           FROM (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation) n2
+           CROSS JOIN nn LEFT JOIN f3 ON n2.node = f3.node)
          SELECT node, round(CAST(r AS DOUBLE), 9) AS rank
          FROM r3 ORDER BY node""",
     // per-user daily grid over the user's own span; interior gaps get

@@ -161,4 +161,62 @@ object Graph {
       .select(col("node"), round(col("r").cast("double"), 9).as("rank"))
       .orderBy(col("node"))
   }
+
+  /** WEIGHTED PageRank over any (src, dst, w) edge frame — w exact
+    * integers. Same exactness contract as [[pagerankFor]], with the
+    * contribution split by weight share instead of out-degree:
+    * `round(rank · w / W_src, 12)` — w and W_src are exact integers,
+    * so the share is still ONE IEEE chain per edge per round.
+    */
+  def pagerankWeighted(nodes: DataFrame, edges: DataFrame, n: Long,
+      iters: Int = PrIters): DataFrame = {
+    val wOut = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val e = edges.join(wOut, "src")
+    val r0 = nodes.select(col("node"),
+      round(lit(1.0) / n, 12).cast("decimal(38,12)").as("r"))
+    (1 to iters).foldLeft(r0) { (r, _) =>
+      val inflow = e.join(r.hint("shuffle_hash"), e("src") === r("node"))
+        .select(col("dst"),
+          round(col("r").cast("double") * col("w").cast("double")
+            / col("wout").cast("double"), 12)
+            .cast("decimal(38,12)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+        .select(col("node"),
+          round(lit(Jump) / n
+              + lit(Damp) * coalesce(col("s"), lit(0)).cast("double"), 12)
+            .cast("decimal(38,12)").as("r"))
+    }
+  }
+
+  /** Graded `graph_pagerank_trade`: PageRank over the REAL trade
+    * graph — supplier nation → customer nation, edge weight = exact
+    * revenue cents aggregated from lineitem⋈orders⋈customer⋈supplier.
+    * The md5 sibling above verifies the iteration machinery on an
+    * adversarially-random graph; this row verifies the full pipeline
+    * from fact tables to a semantic graph readout (which trading
+    * nations are central, volume-weighted). 25 nodes — the graph is
+    * tiny, the JOINS that build it are the corpus-sized work, and
+    * they are all key equi-joins.
+    */
+  def graphPagerankTrade(s: SparkSession, dir: String): DataFrame = {
+    val li = load(s, dir, "lineitem")
+    val o = load(s, dir, "orders")
+    val c = load(s, dir, "customer")
+    val su = load(s, dir, "supplier")
+    val nation = load(s, dir, "nation")
+    val edges = li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .select(su("s_nationkey").cast("long").as("src"),
+        c("c_nationkey").cast("long").as("dst"),
+        round(li("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("cents")).as("w"))
+    val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
+    pagerankWeighted(nodes, edges, nation.count())
+      .select(col("node"), round(col("r").cast("double"), 9).as("rank"))
+      .orderBy(col("node"))
+  }
 }

@@ -59,6 +59,19 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r.head - 1.0 / n) < 1e-9)
   }
 
+  test("weighted pagerank: the heavier edge carries the rank mass") {
+    // 0 splits its vote 9:1 between 1 and 2; both return it. Rank(1)
+    // must dominate rank(2); mass stays 1 up to rounding slack.
+    val nodes = (0L to 2L).toDF("node")
+    val edges = Seq((0L, 1L, 9L), (0L, 2L, 1L), (1L, 0L, 1L),
+      (2L, 0L, 1L)).toDF("src", "dst", "w")
+    val r = Graph.pagerankWeighted(nodes, edges, 3L).collect()
+      .map(x => x.getLong(0) -> x.getDecimal(1).doubleValue()).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, s"mass ${r.values.sum}")
+    assert(r(1L) > r(2L), r.toString)
+    assert(r(0L) > r(1L), r.toString) // everyone votes for 0
+  }
+
   test("pagerank: the graded plan has no cartesian and no corpus broadcast") {
     val plan = Graph.graphPagerank(spark, sf).queryExecution.executedPlan
       .toString()
