@@ -32,6 +32,17 @@ class EmptyInputSpec extends SparkSpec {
       StructField("value", DoubleType), StructField("props", StringType)))
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
       evSchema).write.parquet(s"$dir/events.parquet")
+    // empty TPC-H tables for the relational-driven operators (schemas
+    // from Tables.canonical so conform() is a no-op)
+    Seq("customer", "orders", "lineitem", "nation", "supplier")
+      .foreach { t =>
+        val sch = StructType(graft.Tables.canonical(t).map {
+          case (n, dt) => StructField(n, dt)
+        })
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+          .write.parquet(s"$dir/$t.parquet")
+      }
     dir
   }
 
@@ -96,7 +107,24 @@ class EmptyInputSpec extends SparkSpec {
       "vocab_coverage" -> (() =>
         TextAnalysis.vocabCoverage(spark, emptyDir).count()),
       "zorder_keys" -> (() => Layout.zorderKeys(spark, emptyDir).count()),
-      "skew_report" -> (() => Skew.skewReport(spark, emptyDir).count()))
+      "skew_report" -> (() => Skew.skewReport(spark, emptyDir).count()),
+      "events_decayed" -> (() =>
+        Temporal.decayedCounts(spark, emptyDir).count()),
+      "events_transitions" -> (() =>
+        Temporal.eventTransitions(spark, emptyDir).count()),
+      "events_mad" -> (() => Temporal.eventsMad(spark, emptyDir).count()),
+      "events_gapfill" -> (() => Temporal.gapFill(spark, emptyDir).count()),
+      "interval_join_binned" -> (() =>
+        Temporal.intervalJoinBinned(spark, emptyDir).count()),
+      "graph_pagerank" -> (() =>
+        Graph.graphPagerank(spark, emptyDir).count()),
+      "graph_pagerank_trade" -> (() =>
+        Graph.graphPagerankTrade(spark, emptyDir).count()),
+      "graph_roots" -> (() => Graph.graphRoots(spark, emptyDir).count()),
+      "ivm_maintain" -> (() => Ivm.ivmMaintain(spark, emptyDir).count()),
+      "basket_rules" -> (() => Basket.basketRules(spark, emptyDir).count()),
+      "privacy_kanon" -> (() => Privacy.kanonAudit(spark, emptyDir).count()),
+      "dedup_canonical" -> (() => Dedup.canonical(spark, emptyDir).count()))
     ops.foreach { case (name, run) =>
       val n = try run() catch {
         case e: Throwable => fail(s"$name threw on empty input: $e")
