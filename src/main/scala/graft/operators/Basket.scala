@@ -35,8 +35,11 @@ object Basket {
     val nOrders = items.select(col("ok")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val perPart = items.groupBy(col("part")).agg(count(lit(1)).as("n_part"))
+    // equal-stats self-join: pin the build side (the r9 fingerprint
+    // lesson — Snapshot.scala's flip class) with the scale-honest
+    // choice: neither corpus-derived leg broadcasts at 100 TB
     val pairs = items.toDF("ok", "pa")
-      .join(items.toDF("ok", "pb"), "ok")
+      .join(items.toDF("ok", "pb").hint("shuffle_hash"), "ok")
       .filter(col("pa") < col("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= MinSupport)

@@ -88,15 +88,17 @@ object IvmStream {
     * returned query's lifecycle.
     */
   def maintain(rows: DataFrame, path: String, keys: Seq[String],
-      sums: Seq[String]): StreamingQuery = {
+      sums: Seq[String], checkpoint: Option[String] = None): StreamingQuery = {
     require(rows.isStreaming, "maintain expects a streaming frame")
-    rows.writeStream
+    val w = rows.writeStream
       .outputMode(OutputMode.Append())
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyTick(path, keys, sums, batch, batchId); ()
       }
-      .start()
+    // durable source offsets: across a PROCESS restart the replayed
+    // frontier batch is the one the markers already make idempotent
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
   /** Retention: identical contract to [[Scd2Stream.vacuum]] (shared

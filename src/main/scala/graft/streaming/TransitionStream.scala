@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Continuously-maintained Markov transition counts — the streaming
+  * face of `Temporal.eventTransitions`, built by COMPOSING the two
+  * streaming primitives this pack already has:
+  *
+  *   1. a stateful pair emitter ([[pairs]], the [[AsOfStream]]
+  *      pattern): per user, state is the single last (ts, kind) —
+  *      each arriving event emits one (prev_type, event_type) pair
+  *      and replaces the state; within a batch rows sort by
+  *      (ts, event_id), the batch twin's total order;
+  *   2. the maintained-view fold ([[IvmStream]]): pair counts are
+  *      sum-maintainable, so each micro-batch of pairs folds into the
+  *      on-disk count view in O(|view| + |batch|) with the
+  *      marker-gated tick discipline (replayed deltas fold exactly
+  *      once, crash mid-write heals by overwrite).
+  *
+  * Same in-order-per-user feed contract as [[AsOfStream]]; the batch
+  * operator is the backfill tool. TransitionStreamSpec pins streamed
+  * maintained counts ≡ the batch lag-window counts on the graded
+  * corpus split at arbitrary batch boundaries.
+  */
+object TransitionStream {
+
+  case class Ev(user: Long, tsMicros: Long, eventId: Long, kind: String)
+
+  case class Pair(prevType: String, eventType: String)
+
+  /** Per-user carried state: the last event's kind (with its order key
+    * so a replayed batch cannot regress it).
+    */
+  case class LastEv(tsMicros: Long, eventId: Long, kind: String)
+
+  private def fold(user: Long, rows: Iterator[Ev],
+      state: GroupState[LastEv]): Iterator[Pair] = {
+    val sorted = rows.toIndexedSeq.sortBy(e => (e.tsMicros, e.eventId))
+    var last = state.getOption
+    val out = Seq.newBuilder[Pair]
+    sorted.foreach { e =>
+      last.foreach(p => out += Pair(p.kind, e.kind))
+      last = Some(LastEv(e.tsMicros, e.eventId, e.kind))
+    }
+    last.foreach(state.update)
+    out.result().iterator
+  }
+
+  /** The stateful pair stream (stage 1). */
+  def pairs(events: Dataset[Ev]): Dataset[Pair] = {
+    require(events.isStreaming, "pairs expects a streaming frame")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user)
+      .flatMapGroupsWithState[LastEv, Pair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(fold)
+  }
+
+  /** Maintain the on-disk (prev_type, event_type, n) view at `path`
+    * (bootstrapped via [[IvmStream.bootstrap]] with an empty or seed
+    * count frame) from the pair stream (stage 2). The `s` sum column
+    * mirrors n so the generic IVM fold applies unchanged.
+    */
+  def maintain(events: Dataset[Ev], path: String,
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val p = pairs(events)
+    val deltas = p.toDF()
+      .select(col("prevType").as("prev_type"),
+        col("eventType").as("event_type"),
+        lit(1L).as("m"), lit(1L).as("s"))
+    val w = deltas.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        IvmStream.applyTick(path, Seq("prev_type", "event_type"),
+          Seq("s"), batch, batchId); ()
+      }
+    // the checkpoint carries BOTH the source offsets and the pair
+    // emitter's per-user state store; the IVM markers make the
+    // replayed frontier batch fold exactly once
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** The maintained counts: (prev_type, event_type, n). */
+  def countsOf(s: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    IvmStream.currentOf(s, path)
+      .select(col("prev_type"), col("event_type"), col("n"))
+}
