@@ -204,6 +204,10 @@ object SparkEntry {
     // robust location/scale: positional exact median + MAD in integer
     // cents, two ranked windows, no collect
     "events_mad" -> (Temporal.eventsMad _),
+    // ABC/Pareto cut on exact cumulative revenue shares per nation
+    "pareto_abc" -> (Relational.paretoAbc _),
+    // length-concentration Gini per source, exact integer rank sums
+    "docs_gini" -> (TextAnalysis.docsGini _),
     // pairwise association rules: basket-bounded self-join fanout,
     // exact supports, lift/confidence one division each
     "basket_rules" -> (graft.operators.Basket.basketRules _),
@@ -3176,6 +3180,48 @@ object SparkEntry {
                THEN abs(c - med) END) AS DOUBLE) / 100.0, 6) AS mad
          FROM g3 GROUP BY event_type
          ORDER BY event_type""",
+    // cumulative revenue share per nation over the total
+    // (rev DESC, suppkey) order; the class compares the ROUNDED share
+    "pareto_abc" ->
+      """WITH rev AS (SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+             AS BIGINT)) AS rev_cents
+         FROM lineitem GROUP BY 1),
+         j AS (SELECT r.suppkey, CAST(s.s_nationkey AS BIGINT) AS nation,
+             r.rev_cents
+           FROM rev r JOIN supplier s ON r.suppkey = s.s_suppkey),
+         wn AS (SELECT nation, suppkey, rev_cents,
+             row_number() OVER (PARTITION BY nation
+               ORDER BY rev_cents DESC, suppkey) AS rank,
+             sum(rev_cents) OVER (PARTITION BY nation
+               ORDER BY rev_cents DESC, suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(rev_cents) OVER (PARTITION BY nation) AS tot
+           FROM j)
+         SELECT nation, suppkey, rank,
+           CAST(rev_cents AS BIGINT) AS rev_cents,
+           round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+             AS cum_share,
+           CASE WHEN round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                  <= 0.80 THEN 'A'
+                WHEN round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                  <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc
+         FROM wn ORDER BY nation, rank""",
+    // Gini over lengths sorted (n_chars, doc_id): exact integer rank
+    // sums, one IEEE chain closed under round 6
+    "docs_gini" ->
+      """WITH w AS (SELECT source, n_chars,
+           CAST(row_number() OVER (PARTITION BY source
+             ORDER BY n_chars, doc_id) AS BIGINT) AS i
+         FROM documents)
+         SELECT source, count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(2.0 * CAST(sum(i * n_chars) AS DOUBLE)
+               / CAST(count(*) * sum(n_chars) AS DOUBLE)
+             - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS gini
+         FROM w GROUP BY source ORDER BY source""",
     // pairwise association rules over distinct (order, part) items:
     // exact supports, confidence/lift one rounded division each
     "basket_rules" ->

@@ -769,4 +769,43 @@ object Relational {
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(20)
   }
+
+  /** Graded `pareto_abc`: ABC/Pareto classification of suppliers by
+    * revenue within their nation — the 80/95 cumulative-share cut
+    * every procurement/capacity dashboard draws. Revenue cents are
+    * rounded ONCE per line (`round(p·(1−d)·100)`, one IEEE chain)
+    * then summed exactly; the cumulative share is one division closed
+    * under round 6, and the class compares the ROUNDED share in both
+    * engines, so the boundary rows agree bit-for-bit. Window order
+    * (rev DESC, suppkey ASC) is total — ranks never flip. One shuffle
+    * to the supplier grain, one windowed pass per nation.
+    */
+  def paretoAbc(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val su = Tables.load(s, dir, "supplier")
+    val rev = li
+      .select(col("l_suppkey").cast("long").as("suppkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long").as("cents"))
+      .groupBy(col("suppkey")).agg(sum(col("cents")).as("rev_cents"))
+      .join(su.select(col("s_suppkey").cast("long").as("suppkey"),
+        col("s_nationkey").cast("long").as("nation")), "suppkey")
+    val w = Window.partitionBy(col("nation"))
+      .orderBy(col("rev_cents").desc, col("suppkey"))
+    val tot = Window.partitionBy(col("nation"))
+    rev
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum",
+        sum(col("rev_cents")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("cum_share",
+        round(col("cum").cast("double")
+          / sum(col("rev_cents")).over(tot).cast("double"), 6))
+      .withColumn("abc",
+        when(col("cum_share") <= 0.80, "A")
+          .when(col("cum_share") <= 0.95, "B").otherwise("C"))
+      .select(col("nation"), col("suppkey"), col("rank"),
+        col("rev_cents"), col("cum_share"), col("abc"))
+      .orderBy(col("nation"), col("rank"))
+  }
 }

@@ -772,6 +772,37 @@ object TextAnalysis {
       .limit(CoocTop)
   }
 
+  /** Graded `docs_gini`: Gini coefficient of document length per
+    * source — the concentration readout a mixing policy reads next to
+    * the JSD drift row (is a source's token mass spread across many
+    * docs or locked in a few giants — which decides whether doc-level
+    * sampling can rebalance it at all).
+    *
+    * Exactness: G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over lengths sorted
+    * ascending; Σ(i·xᵢ) and Σx are exact integers (rank from a
+    * `row_number` — tie groups contribute the same Σ regardless of
+    * internal order, so ties cannot move the statistic), and G is one
+    * IEEE chain closed under round 6. One window pass per source, one
+    * aggregation.
+    */
+  def docsGini(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    load(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("i") * col("n_chars")).as("ix"))
+      .select(col("source"), col("n"), col("total_chars"),
+        round(lit(2.0) * col("ix").cast("double")
+            / (col("n") * col("total_chars")).cast("double")
+            - (col("n") + 1).cast("double") / col("n").cast("double"), 6)
+          .as("gini"))
+      .orderBy(col("source"))
+  }
+
   /** Ranks fitted by `text_zipf_slope` (df-cap: the head is where the
     * law holds and where every engine agrees the ranking is total).
     */
