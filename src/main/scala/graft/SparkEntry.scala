@@ -208,6 +208,9 @@ object SparkEntry {
     "pareto_abc" -> (Relational.paretoAbc _),
     // length-concentration Gini per source, exact integer rank sums
     "docs_gini" -> (TextAnalysis.docsGini _),
+    // α=1/2 EWMA in closed scaled form: exact shift prefix sums, one
+    // power-of-two division per row
+    "events_ewma" -> (Temporal.eventsEwma _),
     // pairwise association rules: basket-bounded self-join fanout,
     // exact supports, lift/confidence one division each
     "basket_rules" -> (graft.operators.Basket.basketRules _),
@@ -3222,6 +3225,21 @@ object SparkEntry {
              - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
              AS gini
          FROM w GROUP BY source ORDER BY source""",
+    // s_d = (Σ c_i·2^i)/2^(d+1): exact shift prefix sum, one
+    // power-of-two division — the α=1/2 EWMA closed form
+    "events_ewma" ->
+      """WITH daily AS (SELECT user_id,
+           datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) AS v
+         FROM events GROUP BY 1, 2)
+         SELECT user_id, d, v AS cents,
+           round(CAST(sum(v * (CAST(1 AS BIGINT) << CAST(d AS INT)))
+               OVER (PARTITION BY user_id ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE)
+             / CAST((CAST(1 AS BIGINT) << CAST(d + 1 AS INT)) AS DOUBLE), 6)
+             AS ewma
+         FROM daily ORDER BY user_id, d""",
     // pairwise association rules over distinct (order, part) items:
     // exact supports, confidence/lift one rounded division each
     "basket_rules" ->

@@ -178,6 +178,58 @@ object Temporal {
     * prev/next-neighbor lookups are two frames of ONE partitioned
     * window — no self-join, no per-gap probing.
     */
+  /** Graded `events_ewma`: per-user exponentially-weighted moving
+    * average of daily spend (α = 1/2) — the classic smoothing baseline
+    * between the raw daily series and [[gapFill]]'s interpolation.
+    *
+    * Exactness: with α = 1/2 the recurrence s_d = (c_d + s_{d−1})/2
+    * over observed days admits a CLOSED scaled form
+    * s_d = (Σ_{i≤d} c_i·2^i) / 2^(d+1) where i is the day index — the
+    * prefix sum is EXACT integer arithmetic (shifts, like
+    * [[decayedCounts]]) and the only IEEE step is one final
+    * power-of-two division per row, closed under round 6. Valid while
+    * the span stays ≤ [[EwmaMaxSteps]] steps (2^i headroom); the
+    * operator checks the span and fails LOUD beyond it (the long-span
+    * form renormalizes per chunk with a carried scale — out of scope
+    * until a corpus needs it, and silently wrong is worse than
+    * absent). Note the smoothing steps over OBSERVED days
+    * (irregular-interval EWMA); missing days do not decay.
+    *
+    * Scale shape: one daily aggregation, one per-user running-sum
+    * window — the gapFill partitioning, no self-join.
+    */
+  def eventsEwma(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("d"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(sum(col("cents")).as("v"))
+    val span = daily.agg(max(col("d"))).head
+    if (!span.isNullAt(0))
+      require(span.getLong(0) <= EwmaMaxSteps,
+        s"events_ewma: span ${span.getLong(0)} steps exceeds the exact " +
+          s"2^i headroom ($EwmaMaxSteps); chunked renormalization needed")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("scaled", expr("v * shiftleft(cast(1 as bigint), " +
+        "cast(d as int))"))
+      .withColumn("pref", sum(col("scaled")).over(w))
+      .select(col("user_id"), col("d"), col("v").as("cents"),
+        round(col("pref").cast("double")
+          / expr("cast(shiftleft(cast(1 as bigint), cast(d + 1 as int)) " +
+            "as double)"), 6).as("ewma"))
+      .orderBy(col("user_id"), col("d"))
+  }
+
+  /** Exact-integer headroom for [[eventsEwma]]'s 2^day-index scaling
+    * (assumes daily cent sums < 2^22, i.e. $42k/user/day — 2^22·2^41
+    * sits at the long boundary).
+    */
+  val EwmaMaxSteps = 40L
+
   /** Graded `events_mad`: robust location/scale per event type —
     * exact lower-median and median-absolute-deviation, the outlier
     * detector that doesn't get dragged by the outliers themselves
