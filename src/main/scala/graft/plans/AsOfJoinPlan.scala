@@ -41,6 +41,11 @@ import org.apache.spark.sql.types.LongType
   * long columns per row — not the hot path the projection is).
   * Ties (right.time == left.time) match, like ASOF's `>=`. NULL key
   * or time on either side drops the row (inner-join discipline).
+  * MULTIPLE right rows at the same (key, time): exactly one matches,
+  * chosen arbitrarily among the tied rows (the sort order below the
+  * exec is total only on (key, time)) — the same contract as SQL
+  * ASOF JOIN everywhere; callers needing a deterministic pick should
+  * pre-aggregate the right side to one row per instant.
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, leftTime: Expression,

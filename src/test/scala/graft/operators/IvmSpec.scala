@@ -27,6 +27,21 @@ class IvmSpec extends SparkSpec {
     assert(out(9L) == ((1L, 7L)), "new key not born")
   }
 
+  test("multi-sum views maintain every sum column independently") {
+    val v = Seq((1L, 2L, 30L, 300L)).toDF("cust", "n", "s", "t")
+      .select(col("cust"), col("n"),
+        col("s").cast("decimal(38,0)").as("s"),
+        col("t").cast("decimal(38,0)").as("t"))
+    val delta = Seq((1L, 1L, 5L, 50L), (1L, -1L, 10L, 100L))
+      .toDF("cust", "m", "s", "t")
+    val out = Ivm.maintain(v, delta, Seq("cust"), Seq("s", "t")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 2L) // 2 + 1 - 1
+    assert(r.getDecimal(2).longValue() == 25L) // 30 + 5 - 10
+    assert(r.getDecimal(3).longValue() == 250L) // 300 + 50 - 100
+  }
+
   test("maintain equals a from-scratch recompute on the graded delta") {
     val maintained = Ivm.ivmMaintain(spark, sf).collect()
     // recompute: base rows minus deletes plus inserts, re-aggregated

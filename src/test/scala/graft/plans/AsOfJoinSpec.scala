@@ -40,6 +40,16 @@ class AsOfJoinSpec extends SparkSpec {
     ), out.toString)
   }
 
+  test("tied right rows at one instant: exactly ONE match emitted, " +
+      "from the tie set") {
+    val l = Seq((1L, 50L, "buy")).toDF("k", "t", "tag")
+    val r = Seq((1L, 10L, "c1"), (1L, 10L, "c2")).toDF("ck", "ct", "ctag")
+    val out = AsOf.join(l, r, "k", "t", "ck", "ct")
+      .select(col("tag"), col("ctag")).collect()
+    assert(out.length == 1, s"expected one match, got ${out.length}")
+    assert(Set("c1", "c2").contains(out.head.getString(1)))
+  }
+
   test("NULL keys and times drop on both sides (inner discipline)") {
     val l = Seq((Some(1L), Some(20L), "ok"), (None, Some(20L), "nk"),
       (Some(1L), None, "nt")).toDF("k", "t", "tag")
