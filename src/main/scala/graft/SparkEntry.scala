@@ -3232,7 +3232,7 @@ object SparkEntry {
            datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
            sum(CAST(round(value * 100, 0) AS BIGINT)) AS v
          FROM events GROUP BY 1, 2)
-         SELECT user_id, d, v AS cents,
+         SELECT user_id, d, CAST(v AS BIGINT) AS cents,
            round(CAST(sum(v * (CAST(1 AS BIGINT) << CAST(d AS INT)))
                OVER (PARTITION BY user_id ORDER BY d
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
