@@ -206,6 +206,8 @@ object SparkEntry {
     "events_mad" -> (Temporal.eventsMad _),
     // ABC/Pareto cut on exact cumulative revenue shares per nation
     "pareto_abc" -> (Relational.paretoAbc _),
+    // Herfindahl concentration: exact Σrev² numerator, one division
+    "supplier_hhi" -> (Relational.supplierHhi _),
     // length-concentration Gini per source, exact integer rank sums
     "docs_gini" -> (TextAnalysis.docsGini _),
     // α=1/2 EWMA in closed scaled form: exact shift prefix sums, one
@@ -3211,6 +3213,22 @@ object SparkEntry {
                   <= 0.95 THEN 'B'
                 ELSE 'C' END AS abc
          FROM wn ORDER BY nation, rank""",
+    // HHI = Σrev²/(Σrev)²: exact HUGEINT squared sum, one IEEE chain
+    "supplier_hhi" ->
+      """WITH rev AS (SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+             AS BIGINT)) AS rev
+         FROM lineitem GROUP BY 1),
+         j AS (SELECT CAST(s.s_nationkey AS BIGINT) AS nation,
+             CAST(r.rev AS BIGINT) AS rev
+           FROM rev r JOIN supplier s ON r.suppkey = s.s_suppkey)
+         SELECT nation, count(*) AS n_suppliers,
+           CAST(sum(rev) AS BIGINT) AS tot_cents,
+           round(CAST(sum(CAST(rev AS HUGEINT) * CAST(rev AS HUGEINT))
+               AS DOUBLE)
+             / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE)), 6)
+             AS hhi
+         FROM j GROUP BY nation ORDER BY nation""",
     // Gini over lengths sorted (n_chars, doc_id): exact integer rank
     // sums, one IEEE chain closed under round 6
     "docs_gini" ->
