@@ -29,14 +29,20 @@ import graft.Tables.load
   *
   * Shape at scale: one map-side-combinable aggregation for per-source
   * totals (broadcast back — the budget table has one row per SOURCE),
-  * then one ordered window per source for the running admission sum.
-  * The window partitions by source, so a single colossal source
-  * serializes its own cumsum; at that scale the per-source window
-  * swaps for the two-phase distributed prefix sum in [[Pack]] (range-
-  * partition by priority within source → per-partition totals →
-  * broadcast offsets) — same contract, no single-task stage. The
-  * window form is kept here because it is the plan AQE handles well
-  * at per-source cardinalities up to hundreds of millions of rows.
+  * then ONE GLOBAL range-partitioned prefix sum over the total order
+  * (source, priority, doc_id) via [[DistributedPrefix.exclusiveSum]],
+  * REBASED per source by subtracting each source's start offset (the
+  * exclusive prefix of per-source totals in source order — a
+  * source-count-sized frame, broadcast with the budgets). A
+  * `Window.partitionBy(source)` would cap parallelism at the number
+  * of sources: a real pretraining mix where one crawl source holds
+  * 40% of 100 TB would serialize that source's entire token stream
+  * through one task. The range partitioner splits INSIDE a huge
+  * source (boundaries are (source, pri) samples), so the hot source
+  * spreads across the cluster; the rebase is a broadcast equi-join.
+  * Per-source cumsum ≡ global cumsum − source base, exactly, in
+  * integer arithmetic. Pinned in PlanSpec: the executed plan carries
+  * no window partitioned by `source`/`lang`.
   */
 object Mix {
 
@@ -63,15 +69,21 @@ object Mix {
     // (Spark's `/` is DOUBLE division; past 2^53 tokens it would
     // corrupt budgets). corpus_tokens × w stays far under 2^63 for
     // any real corpus (100 TB ≈ 2.5e13 tokens × weight ≤ 10).
+    // src_base = tokens in all earlier sources (source asc), so the
+    // GLOBAL prefix below rebases to a per-source cumsum; the window
+    // here runs over the source-count-sized frame, never the corpus.
+    val bySrc = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val budgets = srcs.crossJoin(broadcast(totals))
       .select(col("source"), col("src_tokens"),
-        expr("corpus_tokens * w div (2 * wsum)").as("budget"))
-    val byPri = Window.partitionBy(col("source"))
-      .orderBy(col("pri"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs.join(broadcast(budgets), "source")
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(byPri),
-        lit(0L)))
+        expr("corpus_tokens * w div (2 * wsum)").as("budget"),
+        coalesce(sum(col("src_tokens")).over(bySrc), lit(0L))
+          .as("src_base"))
+    DistributedPrefix.exclusiveSum(docs,
+        Seq(col("source"), col("pri"), col("doc_id")),
+        col("n_tokens"), "global_cum")
+      .join(broadcast(budgets), "source")
+      .withColumn("cum_before", col("global_cum") - col("src_base"))
       .filter(col("cum_before") < col("budget"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("budget"), col("cum_before"))
@@ -96,12 +108,19 @@ object Mix {
     val docs = load(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val byArrival = Window.partitionBy(col("source"))
-      .orderBy(col("doc_id"))
+    // same rebased-global-prefix shape as [[mixSources]]: the window
+    // runs only over the source-count-sized totals frame
+    val bySrc = Window.orderBy(col("source"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .withColumn("cum_before",
-        coalesce(sum(col("n_tokens")).over(byArrival), lit(0L)))
+    val bases = docs.groupBy(col("source"))
+      .agg(sum("n_tokens").as("src_tokens"))
+      .select(col("source"),
+        coalesce(sum(col("src_tokens")).over(bySrc), lit(0L))
+          .as("src_base"))
+    DistributedPrefix.exclusiveSum(docs,
+        Seq(col("source"), col("doc_id")), col("n_tokens"), "global_cum")
+      .join(broadcast(bases), "source")
+      .withColumn("cum_before", col("global_cum") - col("src_base"))
       .filter(col("cum_before") < lit(ArrivalBudget))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("cum_before"))
@@ -177,12 +196,18 @@ object Mix {
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         md5(col("doc_id").cast("string").cast("binary")).as("pri"))
-    val byPri = Window.partitionBy(col("lang"))
-      .orderBy(col("pri"), col("doc_id"))
+    // rebased global prefix, as in [[mixSources]] — pool_tokens in
+    // the broadcast budgets frame gives each lang's base for free
+    val byLang = Window.orderBy(col("lang"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.join(broadcast(tempBudgets(s, dir)), "lang")
-      .withColumn("cum_before",
-        coalesce(sum(col("n_tokens")).over(byPri), lit(0L)))
+    val budgets = tempBudgets(s, dir)
+      .withColumn("lang_base",
+        coalesce(sum(col("pool_tokens")).over(byLang), lit(0L)))
+    DistributedPrefix.exclusiveSum(docs,
+        Seq(col("lang"), col("pri"), col("doc_id")),
+        col("n_tokens"), "global_cum")
+      .join(broadcast(budgets), "lang")
+      .withColumn("cum_before", col("global_cum") - col("lang_base"))
       .withColumn("n_copies", expr("budget div pool_tokens") +
         when(col("cum_before") < col("budget") % col("pool_tokens"), 1L)
           .otherwise(0L))

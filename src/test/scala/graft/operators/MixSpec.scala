@@ -46,6 +46,47 @@ class MixSpec extends SparkSpec {
     }
   }
 
+  test("rebased global prefix ≡ the per-source window form (the plan " +
+      "swap changed the shape, not the contract)") {
+    // the window reference implementation the operator replaced:
+    // per-source cumulative tokens in (pri, doc_id) order
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string").cast("binary")).as("pri"))
+    val byPri = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("pri"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val windowed = docs
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(byPri), lit(0L)))
+      .select(col("doc_id"), col("cum_before"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ours = Mix.mixSources(spark, sf).collect()
+    assert(ours.nonEmpty)
+    ours.foreach { r =>
+      assert(r.getAs[Long]("cum_before") ==
+        windowed(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")}: prefix rebase diverged " +
+          s"from the window reference")
+    }
+    // arrival twin: same parity on the doc_id order
+    val byArr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val windowedArr = docs
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(byArr), lit(0L)))
+      .select(col("doc_id"), col("cum_before"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Mix.mixArrival(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("cum_before") ==
+        windowedArr(r.getAs[Long]("doc_id")))
+    }
+  }
+
   test("deterministic: two runs admit the identical set") {
     val a = Mix.mixSources(spark, sf).collect().map(_.getAs[Long]("doc_id"))
     val b = Mix.mixSources(spark, sf).collect().map(_.getAs[Long]("doc_id"))

@@ -311,11 +311,26 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"PII pass must not shuffle:\n$p")
   }
 
-  test("mix: budget table broadcasts; only the per-source window sorts") {
-    val p = physical(Mix.mixSources(spark, sf))
-    assert(p.contains("BroadcastHashJoin"))
-    assert(!p.contains("SortMergeJoin"))
-    assert(!p.contains("CartesianProduct"))
+  test("mix: budget table broadcasts; the admission cumsum is the " +
+      "rebased global prefix — NO window partitioned by source/lang " +
+      "(a per-source window caps parallelism at the source count)") {
+    for (df <- Seq(Mix.mixSources(spark, sf), Mix.mixArrival(spark, sf),
+        Mix.mixUpsample(spark, sf))) {
+      val p = physical(df)
+      assert(p.contains("BroadcastHashJoin"))
+      assert(!p.contains("SortMergeJoin"))
+      assert(!p.contains("CartesianProduct"))
+      // a window PARTITIONED by source/lang would mean the corpus
+      // cumsum serializes per source — the 100 TB scale-killer this
+      // operator family explicitly avoids. Partition keys print as a
+      // bare attribute before the comma (`windowspecdefinition(source#3,
+      // pri#8 ASC …`); the legitimate bounded windows only ORDER by
+      // source/lang/pid (`source#133 ASC NULLS FIRST, …`) over
+      // source-count- or partition-count-sized frames.
+      assert("windowspecdefinition\\((source|lang)#\\d+,".r
+        .findFirstIn(p).isEmpty,
+        s"corpus-sized per-source window found:\n$p")
+    }
   }
 
   test("dup-ngrams: shingle doc-frequency joins back as a hash " +
