@@ -210,8 +210,10 @@ object SparkEntry {
     "supplier_hhi" -> (Relational.supplierHhi _),
     // length-concentration Gini per source, exact integer rank sums
     "docs_gini" -> (TextAnalysis.docsGini _),
-    // α=1/2 EWMA in closed scaled form: exact shift prefix sums, one
-    // power-of-two division per row
+    // α=1/2 calendar-day EWMA, block-renormalized: exact shift prefix
+    // sums within 40-day blocks, an exact-scaling carry chain across
+    // them (arbitrary spans); single-block spans — all this testdata —
+    // reduce bit-exactly to the one-division form the oracle replays
     "events_ewma" -> (Temporal.eventsEwma _),
     // pairwise association rules: basket-bounded self-join fanout,
     // exact supports, lift/confidence one division each

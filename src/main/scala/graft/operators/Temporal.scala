@@ -182,23 +182,39 @@ object Temporal {
     * average of daily spend (α = 1/2) — the classic smoothing baseline
     * between the raw daily series and [[gapFill]]'s interpolation.
     *
-    * Exactness: with α = 1/2 the recurrence s_d = (c_d + s_{d−1})/2
-    * over observed days admits a CLOSED scaled form
-    * s_d = (Σ_{i≤d} c_i·2^i) / 2^(d+1) where i is the day index — the
-    * prefix sum is EXACT integer arithmetic (shifts, like
-    * [[decayedCounts]]) and the only IEEE step is one final
-    * power-of-two division per row, closed under round 6. Valid while
-    * the span stays ≤ [[EwmaMaxSteps]] steps (2^i headroom); the
-    * operator checks the span and fails LOUD beyond it (the long-span
-    * form renormalizes per chunk with a carried scale — out of scope
-    * until a corpus needs it, and silently wrong is worse than
-    * absent). Note the smoothing steps over OBSERVED days
-    * (irregular-interval EWMA); missing days do not decay.
+    * Semantics: the recurrence s_d = (c_d + s_{d−1})/2 runs over
+    * CALENDAR days (d = days since 2024-01-01, zero-filled) — a gap
+    * of g missing days decays the state by 2^−g before the next
+    * observation lands, the standard time-decay reading. Output rows
+    * exist only for observed days.
     *
-    * Scale shape: one daily aggregation, one per-user running-sum
-    * window — the gapFill partitioning, no self-join.
+    * Exactness via BLOCK RENORMALIZATION: within a block of
+    * B = [[EwmaMaxSteps]] calendar days (q = d div B, r = d mod B)
+    * the closed scaled form is exact integer arithmetic —
+    * P_q(d) = Σ_{i∈block q, i≤d} c_i·2^(i−qB) < 2^(23+r) fits a long —
+    * and s_d = (P_q(d) + carryIn_q) / 2^(r+1), where carryIn_q is the
+    * state entering the block: carryIn_q = (P_prev + carryIn_prev) ·
+    * 2^(−B·(q−q_prev)) chained across observed blocks (empty blocks
+    * decay through the exponent). Every scaling is an EXACT IEEE
+    * exponent shift (`Math.scalb` / a power-of-two division), so the
+    * ONLY roundings in the whole chain are one long→double conversion
+    * plus one add per block boundary — strictly fewer than the
+    * sequential recurrence's one-per-day, and deterministic
+    * (correctly-rounded IEEE) on any engine replaying the same op
+    * order. For spans ≤ B there is a single block with carry 0.0, so
+    * results are bit-identical to the one-division closed form the
+    * DuckDB oracle replays (`+ 0.0` and `/2^k` are exact).
+    *
+    * Scale shape: one map-side-combinable daily aggregation, one
+    * per-(user, block) running-sum window, and the sequential carry
+    * fold runs over the per-block TOTALS frame — B× smaller than the
+    * daily frame, grouped by user (`flatMapGroups` is the genuine
+    * per-group-imperative case: an affine fold S ← (P+S)·2^−B has no
+    * window form, and the frame it folds is bounded by users ×
+    * span/B, never event count).
     */
   def eventsEwma(s: SparkSession, dir: String): DataFrame = {
+    val B = EwmaMaxSteps.toInt
     val daily = Tables.events(s, dir)
       .select(col("user_id"),
         datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
@@ -206,27 +222,54 @@ object Temporal {
         round(col("value") * 100, 0).cast("long").as("cents"))
       .groupBy(col("user_id"), col("d"))
       .agg(sum(col("cents")).as("v"))
-    val span = daily.agg(max(col("d"))).head
-    if (!span.isNullAt(0))
-      require(span.getLong(0) <= EwmaMaxSteps,
-        s"events_ewma: span ${span.getLong(0)} steps exceeds the exact " +
-          s"2^i headroom ($EwmaMaxSteps); chunked renormalization needed")
-    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .withColumn("q", expr(s"d div $B"))
+      .withColumn("r", col("d") % B)
+    val w = Window.partitionBy(col("user_id"), col("q")).orderBy(col("d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    daily
+    val scaled = daily
       .withColumn("scaled", expr("v * shiftleft(cast(1 as bigint), " +
-        "cast(d as int))"))
+        "cast(r as int))"))
       .withColumn("pref", sum(col("scaled")).over(w))
+    // per-(user, block) exact totals feed the carry chain; the fold
+    // emits the state ENTERING each observed block (0.0 for the first)
+    import s.implicits._
+    val carries = scaled.groupBy(col("user_id"), col("q"))
+      .agg(sum(col("scaled")).as("p"))
+      .select(col("user_id").cast("long"), col("q").cast("long"),
+        col("p").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        val blocks = it.toArray.sortBy(_._2)
+        var state = 0.0 // s at the last day of the previous block
+        var qPrev = -1L
+        blocks.iterator.map { case (_, q, p) =>
+          val carryIn =
+            if (qPrev < 0) 0.0
+            else {
+              val shift = B.toLong * (q - qPrev)
+              // scalb is an exact exponent shift; past double range
+              // the true value underflows to 0 anyway
+              if (shift > 2048) 0.0
+              else Math.scalb(state, -shift.toInt)
+            }
+          state = p.toDouble + carryIn
+          qPrev = q
+          (uid, q, carryIn)
+        }
+      }
+      .toDF("user_id", "q", "carry_in")
+    scaled.join(carries, Seq("user_id", "q"))
       .select(col("user_id"), col("d"), col("v").as("cents"),
-        round(col("pref").cast("double")
-          / expr("cast(shiftleft(cast(1 as bigint), cast(d + 1 as int)) " +
+        round((col("pref").cast("double") + col("carry_in"))
+          / expr("cast(shiftleft(cast(1 as bigint), cast(r + 1 as int)) " +
             "as double)"), 6).as("ewma"))
       .orderBy(col("user_id"), col("d"))
   }
 
-  /** Exact-integer headroom for [[eventsEwma]]'s 2^day-index scaling
-    * (assumes daily cent sums < 2^22, i.e. $42k/user/day — 2^22·2^41
-    * sits at the long boundary).
+  /** Block width (in calendar days) of [[eventsEwma]]'s exact-integer
+    * in-block prefix: daily cent sums < 2^22 ($42k/user/day) keep the
+    * scaled per-block prefix Σ c_i·2^r < 2^63.
     */
   val EwmaMaxSteps = 40L
 
