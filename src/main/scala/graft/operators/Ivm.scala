@@ -41,7 +41,11 @@ object Ivm {
   /** Maintain a (keys, n, sums...) view under a delta of
     * (keys, m, values...) rows — `m` is +1 insert / −1 delete, value
     * columns must be named exactly like the view's sum columns and are
-    * multiplied by m before folding in. Groups with net n = 0 drop.
+    * multiplied by m before folding in. Groups with net n = 0 drop;
+    * net n < 0 — a delta retracting more rows than the view holds —
+    * is a CORRUPT FEED and fails loudly (`raise_error` inside the
+    * kept `n` column, so pruning cannot elide the check), per the
+    * pack's fail-loud-over-silently-wrong discipline.
     */
   def maintain(view: DataFrame, delta: DataFrame, keys: Seq[String],
       sums: Seq[String]): DataFrame = {
@@ -52,6 +56,11 @@ object Ivm {
       .unionByName(dAgg.select((keys :+ "n").map(col) ++ sums.map(col): _*))
       .groupBy(keys.map(col): _*)
       .agg(sum(col("n")).as("n"), sums.map(c => sum(col(c)).as(c)): _*)
+      .withColumn("n", when(col("n") >= 0, col("n"))
+        .otherwise(raise_error(concat(
+          lit("ivm maintain: net count "), col("n").cast("string"),
+          lit(" < 0 — the delta retracts rows the view does not hold " +
+            "(corrupt feed)")))))
       .filter(col("n") > 0)
   }
 

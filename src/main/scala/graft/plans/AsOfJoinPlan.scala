@@ -207,10 +207,19 @@ object AsOf {
     val rPlan =
       if (rPlan0.outputSet.intersect(lPlan.outputSet).isEmpty) rPlan0
       else Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+    // resolve by name, FAILING on ambiguity: binding the first of
+    // several same-named attributes would silently join on the wrong
+    // column (the analyzer raises AMBIGUOUS_REFERENCE for built-in
+    // joins; we bypass it, so we enforce the same rule)
     def attr(plan: LogicalPlan, name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"as-of column '$name' not in ${plan.output.map(_.name)}"))
+      plan.output.filter(_.name == name) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"as-of column '$name' not in ${plan.output.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"as-of column '$name' is ambiguous: ${many.size} attributes " +
+            s"share the name in ${plan.output.map(_.name)}")
+      }
     val node = AsOfJoin(lPlan, rPlan,
       attr(lPlan, leftKeyCol), attr(lPlan, leftTimeCol),
       attr(rPlan, rightKeyCol), attr(rPlan, rightTimeCol))

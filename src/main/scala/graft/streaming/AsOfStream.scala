@@ -34,7 +34,11 @@ object AsOfStream {
       waitS: Long, value: Double)
 
   /** Per-user state: the last click instant (codegen'd encoders need
-    * the class public).
+    * the class public). Updates are MONOTONE — [[fold]] only advances
+    * the instant, so a feed violating the in-order contract cannot
+    * regress the frontier: a late (older) click is ignored rather
+    * than silently swapped under later purchases. True replays are
+    * already covered by the state store's versioning.
     */
   case class LastClick(tsMicros: Long)
 
@@ -45,7 +49,8 @@ object AsOfStream {
     var last = state.getOption.map(_.tsMicros)
     val out = Seq.newBuilder[Enriched]
     sorted.foreach { e =>
-      if (e.kind == "click") last = Some(e.tsMicros)
+      if (e.kind == "click" && !last.exists(_ >= e.tsMicros))
+        last = Some(e.tsMicros)
       else if (e.kind == "purchase") last.foreach { ct =>
         // second-grain wait like the batch twin's unix_timestamp diff
         out += Enriched(user, e.tsMicros, ct,

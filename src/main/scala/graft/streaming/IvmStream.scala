@@ -66,9 +66,17 @@ object IvmStream {
   private[graft] def applyTick(path: String, keys: Seq[String],
       sums: Seq[String], batch: DataFrame, batchId: Long): TickStats = {
     val s = batch.sparkSession
-    if (lastApplied(s, path) >= batchId)
-      return TickStats(batchId,
-        s.read.parquet(s"$path/cur/tick=$batchId").count())
+    if (lastApplied(s, path) >= batchId) {
+      // already-committed replay: report stats only if the snapshot
+      // still exists — vacuum(keep=1) may have deleted an older tick,
+      // and an idempotent skip must not throw on a multi-batch
+      // restart window (nGroups = -1 flags "committed, vacuumed")
+      val snap = new Path(s"$path/cur/tick=$batchId")
+      val n = if (fsOf(s, path).exists(snap))
+        s.read.parquet(snap.toString).count()
+      else -1L
+      return TickStats(batchId, n)
+    }
     val prev = {
       val md = new Path(markerDir(path))
       fsOf(s, markerDir(path)).listStatus(md)

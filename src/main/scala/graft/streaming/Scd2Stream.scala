@@ -81,8 +81,14 @@ object Scd2Stream {
     val ts = batchId + 1
     if (lastApplied(s, path) >= batchId) {
       // replay after full success: state is durable — re-read the
-      // accounting rather than re-deriving it against LATER state
-      val cur = s.read.parquet(s"$path/cur/tick=$batchId")
+      // accounting rather than re-deriving it against LATER state.
+      // vacuum(keep=1) may have deleted this committed tick's
+      // snapshot (multi-batch restart window): the idempotent skip
+      // must not throw, so report -1 counts for "committed, vacuumed"
+      val curP = new Path(s"$path/cur/tick=$batchId")
+      if (!f.exists(curP))
+        return TickStats(batchId, -1L, -1L, -1L)
+      val cur = s.read.parquet(curP.toString)
       val histP = new Path(s"$path/hist/tick=$batchId")
       val nClosed =
         if (f.exists(histP)) s.read.parquet(histP.toString).count() else 0L

@@ -30,8 +30,13 @@ object TransitionStream {
 
   case class Pair(prevType: String, eventType: String)
 
-  /** Per-user carried state: the last event's kind (with its order key
-    * so a replayed batch cannot regress it).
+  /** Per-user carried state: the last event's kind, with its order
+    * key. TRUE replays are covered by the state store's versioning
+    * (a replayed batch re-folds from the restored pre-batch state);
+    * the order key guards the OTHER failure mode — a feed violating
+    * the in-order contract. An event at or before the state's
+    * (tsMicros, eventId) is dropped by [[fold]] instead of silently
+    * regressing the state and emitting a wrong pair.
     */
   case class LastEv(tsMicros: Long, eventId: Long, kind: String)
 
@@ -41,8 +46,16 @@ object TransitionStream {
     var last = state.getOption
     val out = Seq.newBuilder[Pair]
     sorted.foreach { e =>
-      last.foreach(p => out += Pair(p.kind, e.kind))
-      last = Some(LastEv(e.tsMicros, e.eventId, e.kind))
+      // contract-violating late event: already behind the carried
+      // frontier — emitting would pair it with a FUTURE prev. Drop
+      // (a throw would poison the checkpoint: the same batch replays
+      // into the same throw forever).
+      val stale = last.exists(p => e.tsMicros < p.tsMicros ||
+        (e.tsMicros == p.tsMicros && e.eventId <= p.eventId))
+      if (!stale) {
+        last.foreach(p => out += Pair(p.kind, e.kind))
+        last = Some(LastEv(e.tsMicros, e.eventId, e.kind))
+      }
     }
     last.foreach(state.update)
     out.result().iterator

@@ -27,6 +27,23 @@ class IvmSpec extends SparkSpec {
     assert(out(9L) == ((1L, 7L)), "new key not born")
   }
 
+  test("over-retraction (net n < 0) fails loudly — a delta removing " +
+      "rows the view does not hold is a corrupt feed, not a delete") {
+    val v = view(Seq((1L, 10L)))
+    val delta = Seq((1L, -1L, 10L), (1L, -1L, 10L)) // retracts 2 of 1
+      .toDF("cust", "m", "s")
+    val e = intercept[Exception] {
+      Ivm.maintain(v, delta, Seq("cust"), Seq("s")).collect()
+    }
+    // raise_error surfaces as a SparkRuntimeException wrapping the
+    // message; pin the diagnostic text so the failure stays explicable
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("retracts rows")),
+      s"unexpected failure: $e")
+  }
+
   test("multi-sum views maintain every sum column independently") {
     val v = Seq((1L, 2L, 30L, 300L)).toDF("cust", "n", "s", "t")
       .select(col("cust"), col("n"),

@@ -50,6 +50,15 @@ class AsOfJoinSpec extends SparkSpec {
     assert(Set("c1", "c2").contains(out.head.getString(1)))
   }
 
+  test("duplicate column names on a side are an ERROR, not a silent " +
+      "first-match bind (the analyzer's AMBIGUOUS_REFERENCE rule)") {
+    val dupLeft = lefts.select(col("k"), col("t"), col("t").as("k"))
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOf.join(dupLeft, rights, "k", "t", "ck", "ct")
+    }
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+  }
+
   test("NULL keys and times drop on both sides (inner discipline)") {
     val l = Seq((Some(1L), Some(20L), "ok"), (None, Some(20L), "nk"),
       (Some(1L), None, "nt")).toDF("k", "t", "tag")

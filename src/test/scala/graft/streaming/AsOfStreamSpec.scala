@@ -41,6 +41,17 @@ class AsOfStreamSpec extends SparkSpec {
       Enriched(2, 7_000_000L, 7_000_000L, 0L, 3.0)), out.toString)
   }
 
+  test("a late (older) click cannot regress the carried frontier — " +
+      "later purchases keep the NEWEST prior click") {
+    val out = runStream(Seq(
+      Seq(Ev(1, 20_000_000L, "click", 0)),
+      // contract-violating straggler: older than the carried click
+      Seq(Ev(1, 10_000_000L, "click", 0),
+        Ev(1, 30_000_000L, "purchase", 5.0))))
+    assert(out == Seq(
+      Enriched(1, 30_000_000L, 20_000_000L, 10L, 5.0)), out.toString)
+  }
+
   test("streamed enrichment equals the batch as-of join on the graded " +
       "corpus, split at arbitrary batch boundaries") {
     val evs = graft.Tables.events(spark, sf)

@@ -89,5 +89,14 @@ class IvmStreamSpec extends SparkSpec {
       spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/cur/tick=0")),
       "vacuum left the old snapshot")
+
+    // multi-batch restart window: an OLDER committed batch replays
+    // AFTER vacuum deleted its snapshot — the idempotent skip must
+    // not throw on the missing parquet; -1 flags "committed, vacuumed"
+    val st = IvmStream.applyTick(path, Seq("cust"), Seq("s"),
+      d0.toDF("cust", "m", "s"), 0L)
+    assert(st.nGroups == -1L, st.toString)
+    assert(asMap(IvmStream.currentOf(spark, path)) == out,
+      "a vacuumed replay mutated the view")
   }
 }

@@ -47,6 +47,22 @@ class TransitionStreamSpec extends SparkSpec {
       ("click", "purchase") -> 1L), out.toString)
   }
 
+  test("a contract-violating late event is dropped, never regressing " +
+      "the carried frontier or emitting a wrong pair") {
+    val path = Files.createTempDirectory("trl").toString + "/view"
+    bootstrapEmpty(path)
+    runStream(path, Seq(
+      Seq(Ev(1, 10, 1, "view"), Ev(1, 30, 3, "click")),
+      // ts=20 is BEHIND the carried (30, click) frontier: pairing it
+      // would claim click -> straggler in event-time order — wrong.
+      // It must vanish; the following purchase pairs with the click.
+      Seq(Ev(1, 20, 2, "straggler"), Ev(1, 40, 4, "purchase"))))
+    val out = TransitionStream.countsOf(spark, path).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("view", "click") -> 1L,
+      ("click", "purchase") -> 1L), out.toString)
+  }
+
   test("streamed maintained counts equal the batch lag-window counts " +
       "on the graded corpus") {
     val evs = graft.Tables.events(spark, sf)
