@@ -292,6 +292,10 @@ object SparkEntry {
     "dedup_ngram_dfcap" -> (Dedup.ngramJaccardDfCapped _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhashPairs _),
+    // md5-domain graded twin (the KMV recipe): vote bits from md5 hex
+    // digits instead of xxhash, so fingerprints AND the banded
+    // Hamming pipeline replay bit-identically in DuckDB
+    "dedup_simhash_md5" -> (Dedup.simhashMd5Pairs _),
     "dedup_embedding" -> (Dedup.embeddingPairs _),
     "dedup_embedding_blocked" -> (Dedup.embeddingPairsBlocked _),
     "semantic_dedup" -> (Dedup.semantic _),
@@ -304,6 +308,10 @@ object SparkEntry {
     "ann_brute_topk" -> (Similarity.bruteTopK _),
     "ann_blocked_topk" -> (Similarity.bruteTopKBlocked _),
     "ann_lsh_topk" -> (Similarity.lshTopK _),
+    // md5-domain graded twin: ±1 sign-projection planes derived from
+    // md5 parities (no RNG) make the bucket bits — not just the final
+    // cosines — hash-oracled in DuckDB
+    "ann_lsh_md5_topk" -> (Similarity.lshMd5TopK _),
     "ann_ivf_topk" -> (Similarity.ivfTopK _),
     // predicate-constrained search: rank among qualifying vectors only
     "ann_ivf_filtered_topk" -> (Similarity.ivfFilteredTopK _),
@@ -455,6 +463,10 @@ object SparkEntry {
     // rows-only: segments under bpe_train's data-dependent merges;
     // exact-pinned by BpeSpec's sequential segmentation replay
     "bpe_tokenize" -> (Bpe.tokenize _),
+    // hash-graded twin: same apply machinery under the FROZEN shipped
+    // merge list, so the DuckDB oracle replays the greedy
+    // segmentation exactly (bounded string-rewriting recursion)
+    "bpe_tokenize_frozen" -> (Bpe.tokenizeFrozen _),
     "curriculum_order" -> (Curriculum.order _),
     "corpus_shuffle" -> (Shuffle.permute _),
     "split_manifest" -> (Sampling.splitAudit _),
@@ -1136,7 +1148,9 @@ object SparkEntry {
     "dedup_minhash_lsh" -> dedupPairsOracle,
     // dedup_simhash intentionally omitted: its contract depends on
     // xxhash64 bit patterns DuckDB cannot reproduce; covered by
-    // DedupSpec instead (driver records rows-only).
+    // DedupSpec instead (driver records rows-only). Its md5-domain
+    // twin below IS hash-graded end to end.
+    "dedup_simhash_md5" -> simhashMd5Oracle,
     // same exhaustive contract under two physical plans: the labelled
     // exact baseline (nested-loop) and the block-pair equi-join that
     // is the 100 TB shape — both must equal this brute-force oracle
@@ -1265,6 +1279,9 @@ object SparkEntry {
          ORDER BY doc_id""",
     // ann_lsh_topk intentionally omitted: approximate recall contract,
     // measured against bruteTopK in SimilaritySpec (driver rows-only).
+    // Its md5-plane twin below hash-grades the same pipeline shape
+    // end to end, bucket bits included.
+    "ann_lsh_md5_topk" -> lshMd5Oracle,
     // same exact contract under two physical plans: the labelled
     // broadcast baseline and the block-partitioned equi-join that is
     // the 100 TB shape — both must equal this brute-force oracle
@@ -2735,6 +2752,14 @@ object SparkEntry {
            FROM w WHERE len(w) >= 2)
          SELECT pair, count(*) AS n FROM p GROUP BY pair
          ORDER BY n DESC, pair LIMIT 50""",
+    // the frozen-vocab tokenizer: greedy merge application replayed
+    // as a bounded string-rewriting recursion — per merge rank,
+    // leftmost-replace of _a_b_ with _ab_ on the _-delimited symbol
+    // string until fixpoint (== the greedy fold), then advance rank;
+    // pieces = delimiter count - 1. bpe_train/bpe_tokenize stay
+    // rows-only (data-dependent merges); this twin hash-grades the
+    // apply machinery end to end.
+    "bpe_tokenize_frozen" -> bpeFrozenOracle,
     // the sequential replay of Curriculum.order's two-phase rank: a
     // plain global window (what a single box would run), decile cut
     // by the same integer arithmetic
@@ -3827,6 +3852,122 @@ object SparkEntry {
            ON c.user_id = b.user_id AND b.buy_ts >= c.click_ts
           AND b.buy_ts <= c.click_ts + INTERVAL 30 MINUTE
          GROUP BY 1 ORDER BY 1""")
+
+  /** Oracle for `bpe_tokenize_frozen` — the merge VALUES rows come
+    * from the same [[graft.operators.Bpe.FrozenMerges]] literal the
+    * operator folds, one source of truth.
+    */
+  private val bpeFrozenOracle: String = {
+    val merges = graft.operators.Bpe.FrozenMerges.zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1}, '_${a}_${b}_', '_$a$b" + "_')" }
+      .mkString(", ")
+    val m = graft.operators.Bpe.FrozenMerges.size
+    s"""WITH RECURSIVE words AS (
+         SELECT doc_id, w FROM (SELECT doc_id,
+             unnest(regexp_extract_all(text, '[a-z]+')) AS w
+           FROM documents) WHERE length(w) >= 2),
+       vocab AS (SELECT DISTINCT w FROM words),
+       merges(i, pat, rep) AS (VALUES $merges),
+       seg(w, s, i) AS (
+         SELECT w, regexp_replace(w, '(.)', '_\\1', 'g') || '_', 1
+           FROM vocab
+         UNION ALL
+         SELECT seg.w, replace(seg.s, m.pat, m.rep),
+             CASE WHEN replace(seg.s, m.pat, m.rep) = seg.s
+               THEN seg.i + 1 ELSE seg.i END
+           FROM seg JOIN merges m ON m.i = seg.i),
+       pieces AS (SELECT w,
+           length(s) - length(replace(s, '_', '')) - 1 AS pieces
+         FROM seg WHERE i = $m + 1),
+       perdoc AS (SELECT doc_id, count(*) AS n_words,
+           sum(pieces) AS n_pieces
+         FROM words JOIN pieces USING (w) GROUP BY 1)
+       SELECT d.doc_id,
+           CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(p.n_pieces, 0) AS BIGINT) AS n_pieces
+         FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+         ORDER BY d.doc_id"""
+  }
+
+  /** Oracle for `dedup_simhash_md5` — generated so the 16 per-bit
+    * vote sums and the chunk assembly stay mechanically in sync with
+    * the Spark operator (Dedup.simhashMd5Pairs).
+    */
+  private val simhashMd5Oracle: String = {
+    val votes = (0 until 16).map(k =>
+      s"sum(CASE WHEN (v >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS s$k")
+      .mkString(", ")
+    val chunk = (0 until 16).map(k =>
+      s"(CASE WHEN s$k > 0 THEN ${1L << k} ELSE 0 END)").mkString(" + ")
+    s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         FROM documents),
+       hx AS (SELECT doc_id, md5(w) AS m FROM words),
+       banded AS (SELECT doc_id, CAST(u.band AS BIGINT) AS band,
+           (strpos('0123456789abcdef', substr(m, u.band*4 + 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(m, u.band*4 + 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(m, u.band*4 + 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(m, u.band*4 + 4, 1)) - 1) AS v
+         FROM hx, unnest(range(0, 4)) AS u(band)),
+       vt AS (SELECT doc_id, band, $votes FROM banded GROUP BY 1, 2),
+       chunks AS (SELECT doc_id, band, $chunk AS chunk FROM vt),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM chunks a JOIN chunks b
+           ON a.band = b.band AND a.chunk = b.chunk
+          WHERE a.doc_id < b.doc_id)
+       SELECT id_a, id_b, hamming FROM (
+         SELECT c.id_a, c.id_b,
+             CAST(sum(bit_count(xor(ca.chunk, cb.chunk))) AS BIGINT)
+               AS hamming
+           FROM cand c
+           JOIN chunks ca ON ca.doc_id = c.id_a
+           JOIN chunks cb ON cb.doc_id = c.id_b AND cb.band = ca.band
+           GROUP BY 1, 2)
+       WHERE hamming <= 3 ORDER BY id_a, id_b"""
+  }
+
+  /** Oracle for `ann_lsh_md5_topk` — the ±1 plane literals come from
+    * the SAME md5 derivation the operator inlines
+    * (Similarity.md5Plane), so there is one source of truth for the
+    * projection constants.
+    */
+  private val lshMd5Oracle: String = {
+    val planes = (for {
+      t <- 0 until graft.operators.Similarity.NumTables
+      b <- 0 until graft.operators.Similarity.BitsPerTable
+    } yield {
+      val cs = graft.operators.Similarity.md5Plane(t, b)
+        .map(c => if (c > 0) "1.0" else "-1.0").mkString(",")
+      s"($t, $b, [$cs])"
+    }).mkString(", ")
+    s"""WITH pl(t, b, c) AS (VALUES $planes),
+       n AS (SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(embedding,
+           x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
+         FROM embeddings),
+       bits AS (SELECT e.vec_id, p.t,
+           CASE WHEN list_reduce(list_transform(list_zip(e.embedding, p.c),
+             x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),
+             (u,v2)->u+v2) > 0
+           THEN CAST(1 AS BIGINT) << p.b ELSE 0 END AS bit
+         FROM embeddings e, pl p),
+       bk AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket
+         FROM bits GROUP BY 1, 2),
+       cand AS (SELECT DISTINCT q.vec_id AS query_id,
+           c.vec_id AS neighbor_id
+         FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+         WHERE q.vec_id % 100 = 0 AND c.vec_id != q.vec_id),
+       s AS (SELECT cand.query_id, cand.neighbor_id,
+         list_reduce(list_transform(list_zip(qn.embedding, cn.embedding),
+           x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
+           /qn.nrm/cn.nrm AS cos
+         FROM cand
+         JOIN n qn ON qn.vec_id = cand.query_id
+         JOIN n cn ON cn.vec_id = cand.neighbor_id)
+       SELECT query_id, neighbor_id, rank, round(cos,6) AS cos FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
 
   private val annExactOracle =
     """WITH n AS (SELECT vec_id, embedding,

@@ -210,15 +210,41 @@ object Bpe {
     * Output: (doc_id, n_words, n_pieces) — trainable-word count and
     * total BPE pieces under the [[TrainRounds]]-merge vocabulary.
     */
-  def tokenize(s: SparkSession, dir: String): DataFrame = {
-    val merges = trainedMerges(s, dir)
+  def tokenize(s: SparkSession, dir: String): DataFrame =
+    tokenizeWith(s, dir, trainedMerges(s, dir).map(m => (m._2, m._3)))
+
+  /** The FROZEN-VOCABULARY merge list: a fixed shipped artifact (the
+    * deployment case — training happens once, tokenization forever
+    * after), chosen to chain (t,h → th,e) and collide plausibly on
+    * English text. Freezing is what makes the apply half HASH-GRADED
+    * (`bpe_tokenize_frozen`): the DuckDB oracle replays the identical
+    * greedy segmentation as a bounded string-rewriting recursion —
+    * per merge, repeated leftmost `replace` of `_a_b_` with `_ab_` on
+    * the `_`-delimited symbol string until fixpoint, which equals the
+    * greedy left-to-right fold (leftmost-first, merged symbols never
+    * re-merge under the same rule, and a pass's consumed trailing
+    * delimiter only defers — never changes — the next disjoint
+    * merge). The trained list stays rows-only (data-dependent);
+    * BpeSpec pins the two-form equivalence on the real corpus vocab.
+    */
+  val FrozenMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r",
+    "o" -> "u", "an" -> "d", "in" -> "g", "e" -> "s", "o" -> "n",
+    "s" -> "t", "e" -> "d")
+
+  /** Tokenization under the frozen merge list — graded end to end. */
+  def tokenizeFrozen(s: SparkSession, dir: String): DataFrame =
+    tokenizeWith(s, dir, FrozenMerges)
+
+  private def tokenizeWith(s: SparkSession, dir: String,
+      merges: Seq[(String, String)]): DataFrame = {
     val words = load(s, dir, "documents")
       .select(col("doc_id"),
         explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("w"))
       .filter(length(col("w")) >= 2)
     val segmented = words.select(col("w")).distinct()
       .select(col("w"), merges.foldLeft(split(col("w"), "")) {
-        case (syms, (_, a, b, _)) => applyMerge(syms, a, b)
+        case (syms, (a, b)) => applyMerge(syms, a, b)
       }.as("syms"))
       .select(col("w"), size(col("syms")).cast("long").as("pieces"))
     val perDoc = words.join(segmented, "w")

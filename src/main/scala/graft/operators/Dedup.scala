@@ -384,6 +384,56 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The md5-domain GRADED twin of [[simhashPairs]] (the KMV recipe:
+    * `approx_distinct_kmv_md5` beside `approx_distinct_kmv`): the
+    * production fingerprint hashes tokens with xxhash64 — fast but
+    * not replayable in SQL — so this twin derives each token's 64
+    * vote bits from md5 hex digits instead, making the ENTIRE
+    * pipeline (votes → fingerprint → pigeonhole banding → Hamming
+    * filter) a deterministic integer function DuckDB reproduces
+    * bit-for-bit. Band b's 16-bit value is hex chars [4b+1, 4b+4] of
+    * md5(token); per (doc, band, bit) the vote is Σ ±1 over the token
+    * MULTISET; fingerprint bit = (vote > 0). Banding and the
+    * Hamming ≤ 3 filter run on the four 16-bit chunks directly
+    * (Σ bit_count(xor) over bands), so no engine ever assembles a
+    * sign-overflowing 64-bit value.
+    *
+    * Scale shape: identical to [[simhashPairs]] — one narrow
+    * projection + one map-side-combinable (doc, band) aggregation for
+    * fingerprints, then the pigeonhole equi-join; never all-pairs.
+    */
+  def simhashMd5Pairs(s: SparkSession, dir: String): DataFrame = {
+    val words = load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .withColumn("m", md5(col("w").cast("binary")))
+    val banded = words.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        conv(substring(col("m"), b * 4 + 1, 4), 16, 10)
+          .cast("long")): _*)))
+      .toDF("doc_id", "band", "v")
+    val voteAggs = (0 until 16).map(k =>
+      sum(when(shiftrightunsigned(col("v"), k).bitwiseAND(1L) === 1L,
+        1L).otherwise(-1L)).as(s"s$k"))
+    val chunks = banded.groupBy(col("doc_id"), col("band"))
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"), col("band"),
+        (0 until 16).map(k =>
+          when(col(s"s$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+          .reduce(_ + _).as("chunk"))
+    val cand = chunks.toDF("id_a", "band", "chunk")
+      .join(chunks.toDF("id_b", "band", "chunk"), Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(chunks.toDF("id_a", "band", "ca"), "id_a")
+      .join(chunks.toDF("id_b", "band", "cb"), Seq("id_b", "band"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(bit_count(col("ca").bitwiseXOR(col("cb")))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // --- 5. embedding-cosine near-dup ----------------------------------
 
   /** Cosine similarity between two float-vector columns. `vec_dot` is

@@ -360,6 +360,63 @@ object Similarity {
     * candidates only. Same output shape as `bruteTopK` (its recall is
     * measured against it in SimilaritySpec).
     */
+  /** Deterministic ±1 sign-projection planes for the md5-domain LSH
+    * twin: coefficient (t, b, d) is the parity of the first hex digit
+    * of md5("lsh:t:b:d") — no RNG anywhere, so the SAME derivation
+    * builds the DuckDB oracle's plane literals (SparkEntry) and this
+    * operator's `lit` arrays. ±1 coefficients make every dot product
+    * a signed left-to-right sum of the raw components: float→double
+    * casts and sign flips are exact, so bucket bits replay
+    * bit-identically cross-engine (the classic sign-random-projection
+    * LSH family — Charikar 2002 — with hash-derived signs).
+    */
+  def md5Plane(t: Int, b: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(Dim) { d =>
+      val h = md.digest(s"lsh:$t:$b:$d".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 1) 1.0f else -1.0f
+    }
+  }
+
+  /** The md5-domain GRADED twin of [[lshTopK]] (the KMV recipe):
+    * identical pipeline shape — bucket the corpus and the queries per
+    * table, candidates share any (table, bucket), exact cosine +
+    * rank over candidates only — but with [[md5Plane]] sign
+    * projections instead of the seeded gaussian hyperplanes, so the
+    * WHOLE pipeline (bucket bits included) is hash-oracled in DuckDB
+    * rather than pinned by a recall spec.
+    */
+  def lshMd5TopK(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    def bucketsOf(v: Column): Column = array((0 until NumTables).map { t =>
+      (0 until BitsPerTable).map { b =>
+        when(call_function("vec_dot", v,
+          typedLit(md5Plane(t, b))) > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    def withBuckets(df: DataFrame, idCol: String, vecCol: String) =
+      df.select(col(idCol), col(vecCol), posexplode(bucketsOf(col(vecCol))))
+        .toDF(idCol, vecCol, "table", "bucket")
+    val qb = withBuckets(
+      e.filter(queryPred).select(col("vec_id").as("query_id"),
+        col("embedding").as("qv")), "query_id", "qv")
+    val cb = withBuckets(
+      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+      "neighbor_id", "cv")
+    val cands = cb.join(broadcast(qb), Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cos")).as("cos"))
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir)
     def withBuckets(df: DataFrame, idCol: String, vecCol: String) =

@@ -109,4 +109,32 @@ class BpeSpec extends SparkSpec {
     assert(got.length == want.length, "every document must be kept")
     assert(got.toSeq == want.toSeq)
   }
+
+  test("frozen tokenizer: the greedy fold equals the string-rewriting " +
+      "fixpoint the DuckDB oracle runs, on the real corpus vocabulary") {
+    // the oracle's form: per merge rank, leftmost-replace _a_b_ ->
+    // _ab_ on the _-delimited symbol string until fixpoint
+    def rewrite(w: String): Int = {
+      var s = "_" + w.mkString("_") + "_"
+      Bpe.FrozenMerges.foreach { case (a, b) =>
+        var prev = ""
+        while (prev != s) { prev = s; s = s.replace(s"_${a}_${b}_", s"_$a$b" + "_") }
+      }
+      s.count(_ == '_') - 1
+    }
+    val vocab = graft.Tables.load(spark, sf, "documents")
+      .select(explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("w"))
+      .filter(length(col("w")) >= 2).distinct().collect()
+      .map(_.getString(0))
+    assert(vocab.nonEmpty)
+    val folded = vocab.map { w =>
+      w -> Bpe.FrozenMerges.foldLeft(w.split("")) { case (s, (a, b)) =>
+        applyOne(s, a, b)
+      }.length
+    }.toMap
+    vocab.foreach { w =>
+      assert(folded(w) == rewrite(w),
+        s"'$w': greedy fold ${folded(w)} != rewrite fixpoint ${rewrite(w)}")
+    }
+  }
 }
