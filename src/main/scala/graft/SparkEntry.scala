@@ -1157,7 +1157,8 @@ object SparkEntry {
     "dedup_embedding" -> embeddingPairsOracle,
     "dedup_embedding_blocked" -> embeddingPairsOracle,
     // SemDeDup: same deterministic coarse quantizer as ann_ivf_topk
-    // (vec_id % 37 = 5 seeds, argmax cosine, ties to smallest id),
+    // (sublinear stride max(37, floor(sqrt N)) offset-5 seeds, argmax
+    // cosine, ties to smallest id),
     // then "smallest id in the in-cell cos >= 0.35 neighborhood
     // survives" — integer/boolean output only, no float hash surface
     "semantic_dedup" ->
@@ -1166,7 +1167,7 @@ object SparkEntry {
              x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
          FROM embeddings),
          cent AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
-           FROM n WHERE vec_id % 37 = 5),
+           FROM n WHERE vec_id % (SELECT greatest(37, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings) = 5),
          sc AS (SELECT v.vec_id, c.cent_id,
            list_reduce(list_transform(list_zip(v.embedding,c.cvec),
              x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
@@ -1377,7 +1378,7 @@ object SparkEntry {
              x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
          FROM embeddings),
          cent AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
-           FROM n WHERE vec_id % 37 = 5),
+           FROM n WHERE vec_id % (SELECT greatest(37, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings) = 5),
          sc AS (SELECT v.vec_id, c.cent_id,
            list_reduce(list_transform(list_zip(v.embedding,c.cvec),
              x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
@@ -1547,7 +1548,7 @@ object SparkEntry {
              x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
          FROM embeddings),
          cent AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
-           FROM n WHERE vec_id % 37 = 5),
+           FROM n WHERE vec_id % (SELECT greatest(37, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings) = 5),
          sc AS (SELECT v.vec_id, c.cent_id,
            list_reduce(list_transform(list_zip(v.embedding,c.cvec),
              x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
@@ -1615,7 +1616,7 @@ object SparkEntry {
              x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
          FROM embeddings),
          cent AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
-           FROM n WHERE vec_id % 37 = 5),
+           FROM n WHERE vec_id % (SELECT greatest(37, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings) = 5),
          sc AS (SELECT v.vec_id, c.cent_id,
            list_reduce(list_transform(list_zip(v.embedding,c.cvec),
              x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
@@ -1691,7 +1692,7 @@ object SparkEntry {
              x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
          FROM embeddings),
          cent AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
-           FROM n WHERE vec_id % 37 = 5),
+           FROM n WHERE vec_id % (SELECT greatest(37, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings) = 5),
          sc AS (SELECT v.vec_id, c.cent_id,
            list_reduce(list_transform(list_zip(v.embedding,c.cvec),
              x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
@@ -1725,7 +1726,7 @@ object SparkEntry {
              x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
          FROM embeddings),
          cent AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
-           FROM n WHERE vec_id % 37 = 5),
+           FROM n WHERE vec_id % (SELECT greatest(37, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings) = 5),
          sc AS (SELECT v.vec_id, c.cent_id,
            list_reduce(list_transform(list_zip(v.embedding,c.cvec),
              x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
@@ -1749,7 +1750,7 @@ object SparkEntry {
              x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
          FROM embeddings),
          cent AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
-           FROM n WHERE vec_id % 37 = 5),
+           FROM n WHERE vec_id % (SELECT greatest(37, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings) = 5),
          sc AS (SELECT v.vec_id, c.cent_id,
            list_reduce(list_transform(list_zip(v.embedding,c.cvec),
              x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)

@@ -644,7 +644,7 @@ object Dedup {
     * work, which is the entire point of the method at 100 TB: the
     * pair join is an EQUI-join on the cell id, cell population stays
     * ~constant because the quantizer's centroid count is
-    * scale-proportional (`vec_id % 37 == 5` seeds — the same
+    * scale-proportional (sublinear stride max(37, ⌊√N⌋) seeds — the same
     * deterministic quantizer as [[Similarity.ivfTopK]], which is what
     * makes this oracle-able in SQL; swap in
     * [[KMeans.trainedCentroidsScale]] for a trained cluster map),

@@ -7,7 +7,7 @@ import graft.Tables.load
 
 /** Lloyd's k-means over the embedding corpus — the TRAINING half of
   * the IVF index whose probe half is [[Similarity.ivfTopK]]: the same
-  * deterministic seed set (`vec_id % 37 == 5`) is refined for
+  * deterministic seed set (Similarity.centroids — sublinear stride) is refined for
   * [[Rounds]] iterations, after which [[Similarity.cellAssignments]]'s
   * quantizer would use the trained centroids instead of raw seeds.
   *

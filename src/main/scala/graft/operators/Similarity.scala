@@ -189,9 +189,9 @@ object Similarity {
 
   /** IVF (inverted-file) top-k — the cell-probing scale path that
     * complements LSH: a deterministic coarse quantizer (centroids =
-    * the vectors with vec_id % 37 == 5, scale-proportional cell count)
-    * partitions the corpus into cells; each query probes its NProbe
-    * nearest cells and ranks exactly within them.
+    * the vectors at stride max(37, ⌊√N⌋), offset 5) partitions the
+    * corpus into cells; each query probes its NProbe nearest cells
+    * and ranks exactly within them.
     *
     * Scale shape: assignment is a broadcast join + per-vector argmax
     * folded by `max_by` at the groupBy grain — map-side combine means
@@ -204,10 +204,29 @@ object Similarity {
     */
   val NProbe = 2
 
-  /** The deterministic coarse quantizer's centroid set. */
-  def centroids(s: SparkSession, dir: String): DataFrame =
-    corpus(s, dir).filter(col("vec_id") % 37 === 5)
+  /** The deterministic coarse quantizer's centroid set: vectors whose
+    * id lies on stride p = max(37, ⌊√N⌋) at offset 5. C = N/p ≈ √N is
+    * SUBLINEAR in the corpus (the broadcast of the centroid table —
+    * and the per-vector argmax fan-out — must not scale with N; the
+    * r10 rule C = N/37 died at 100× because the broadcast grew
+    * linearly), while the 37 floor keeps toy scale factors on the
+    * historical quantizer. C ≈ √N is also the classical IVF balance
+    * point: probe cost C + N·nprobe/C minimizes at C = √(N·nprobe).
+    * The stride is a 1-row aggregate cross-joined in (no driver
+    * action), and the SAME rule is a scalar subquery in every DuckDB
+    * oracle — sqrt/floor/greatest are correctly-rounded IEEE on both
+    * engines, so the centroid SET replays exactly. The trained
+    * quantizer ([[KMeans.trainedCentroids]], O(1)-state
+    * `trainedCentroidsScale`) remains the serving path.
+    */
+  def centroids(s: SparkSession, dir: String): DataFrame = {
+    val n = corpus(s, dir).agg(count(lit(1)).as("n_corpus"))
+    corpus(s, dir).crossJoin(broadcast(n))
+      .filter(col("vec_id") %
+        greatest(lit(37L),
+          floor(sqrt(col("n_corpus").cast("double"))).cast("long")) === 5)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+  }
 
   private def scoredCells(s: SparkSession, dir: String,
       cents: DataFrame): DataFrame =

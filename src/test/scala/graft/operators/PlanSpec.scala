@@ -408,13 +408,16 @@ class PlanSpec extends SparkSpec {
     // the N×C centroid scoring lives behind the cached assignment —
     // every consumer reads the InMemoryTableScan, no consumer
     // re-derives the broadcast nested-loop scoring. The plan STRING
-    // re-prints the cached relation (one scoring BNLJ inside) under
-    // every table scan, so the pin is count equality: each BNLJ
-    // occurrence is a cached-plan printout, none free-standing.
+    // re-prints the cached relation under every table scan; each
+    // printout carries exactly TWO benign BNLJs (the N×C scoring
+    // crossJoin and the 1-row sublinear-stride count broadcast inside
+    // Similarity.centroids), so the pin is count equality: every BNLJ
+    // occurrence belongs to a cached-plan printout, none free-standing.
     val imr = "InMemoryRelation".r.findAllIn(p).length
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
     assert(imr >= 1, p)
-    assert(bnlj == imr, s"free-standing nested-loop scoring: $bnlj vs $imr\n$p")
+    assert(bnlj == 2 * imr,
+      s"free-standing nested-loop scoring: $bnlj vs 2x$imr\n$p")
     // the pair join on the cell id itself hash-/sort-merge-joins
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
       || p.contains("BroadcastHashJoin"), p)
