@@ -32,7 +32,7 @@ import scala.jdk.CollectionConverters._
   * `root` would be an object-store prefix; Spark only ever sees paths
   * returned by `pathOf`, so scans stay ordinary distributed file reads.
   */
-final class ContentStore(val root: Path) {
+final class ContentStore(val root: Path) extends FileStore {
   private val blobs = root.resolve("blobs")
   private val dirs = root.resolve("dirs")
   private val ingests = root.resolve("ingests")
