@@ -201,6 +201,9 @@ object SparkEntry {
     // k-anonymity audit: quasi-identifier classes below k, exact
     // integer balance bands
     "privacy_kanon" -> (graft.operators.Privacy.kanonAudit _),
+    // l-diversity: the homogeneity attack k-anonymity misses — QI
+    // classes whose sensitive attribute takes < 3 distinct values
+    "privacy_ldiv" -> (graft.operators.Privacy.ldivAudit _),
     // robust location/scale: positional exact median + MAD in integer
     // cents, two ranked windows, no collect
     "events_mad" -> (Temporal.eventsMad _),
@@ -291,6 +294,9 @@ object SparkEntry {
     "dedup_ngram_prefix" -> (Dedup.ngramJaccardPrefix _),
     "dedup_ngram_dfcap" -> (Dedup.ngramJaccardDfCapped _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
+    // sub-document duplication Jaccard misses: shared/min(|A|,|B|),
+    // the size-skewed quote-inclusion pairs (no size-ratio prune)
+    "dedup_containment" -> (Dedup.containmentPairs _),
     "dedup_simhash" -> (Dedup.simhashPairs _),
     // md5-domain graded twin (the KMV recipe): vote bits from md5 hex
     // digits instead of xxhash, so fingerprints AND the banded
@@ -312,6 +318,10 @@ object SparkEntry {
     // md5 parities (no RNG) make the bucket bits — not just the final
     // cosines — hash-oracled in DuckDB
     "ann_lsh_md5_topk" -> (Similarity.lshMd5TopK _),
+    // MMR diversity rerank of the top-10 cosine pool: greedy
+    // lambda*rel - mu*max-sim-to-picked, selection (not just scores)
+    // hash-oracled via unrolled rounds
+    "ann_mmr_topk" -> (Similarity.mmrTopK _),
     "ann_ivf_topk" -> (Similarity.ivfTopK _),
     // predicate-constrained search: rank among qualifying vectors only
     "ann_ivf_filtered_topk" -> (Similarity.ivfFilteredTopK _),
@@ -470,6 +480,10 @@ object SparkEntry {
     "curriculum_order" -> (Curriculum.order _),
     "corpus_shuffle" -> (Shuffle.permute _),
     "split_manifest" -> (Sampling.splitAudit _),
+    // time-keyed split with an embargo quarantine between train and
+    // test — the temporal-leakage complement to the content-keyed
+    // cluster split
+    "split_temporal" -> (Sampling.temporalSplit _),
     // split keyed by near-dup CLUSTER representative: near-twins can
     // never straddle train/val — the contamination-safe holdout
     "split_leakage_safe" -> (Sampling.leakageSafeSplit _),
@@ -1146,6 +1160,21 @@ object SparkEntry {
     // must still equal the exact brute-force contract
     "dedup_ngram_dfcap" -> dedupPairsOracle,
     "dedup_minhash_lsh" -> dedupPairsOracle,
+    // containment over the same shingle sets: shared/min(|A|,|B|),
+    // no size-ratio prune (those pairs are the point)
+    "dedup_containment" ->
+      """WITH sh AS (SELECT doc_id,
+         CASE WHEN len(toks)>=3 THEN list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+           for i in range(1,len(toks)-1)]) ELSE [text] END AS sh
+       FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents))
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.sh,b.sh))*1.0
+           /least(len(a.sh),len(b.sh)),6) AS containment
+       FROM sh a, sh b
+       WHERE a.doc_id < b.doc_id
+         AND len(list_intersect(a.sh,b.sh))*1.0
+           /least(len(a.sh),len(b.sh)) >= 0.9
+       ORDER BY 1, 2""",
     // dedup_simhash intentionally omitted: its contract depends on
     // xxhash64 bit patterns DuckDB cannot reproduce; covered by
     // DedupSpec instead (driver records rows-only). Its md5-domain
@@ -1283,6 +1312,8 @@ object SparkEntry {
     // Its md5-plane twin below hash-grades the same pipeline shape
     // end to end, bucket bits included.
     "ann_lsh_md5_topk" -> lshMd5Oracle,
+    // greedy MMR selection replayed round-by-round (unrolled CTEs)
+    "ann_mmr_topk" -> mmrOracle,
     // same exact contract under two physical plans: the labelled
     // broadcast baseline and the block-partitioned equi-join that is
     // the 100 TB shape — both must equal this brute-force oracle
@@ -3185,6 +3216,21 @@ object SparkEntry {
          FROM u ORDER BY chk""",
     // quasi-identifier classes below k over exact $1000 balance bands
     // (shifted before the integer div so floor semantics are shared)
+    // the homogeneity-attack half of the release gate: QI classes
+    // whose sensitive band count is < 3 (exact two-level aggregation)
+    "privacy_ldiv" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+           c_mktsegment AS segment,
+           (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) // 100000
+             AS bal_band
+         FROM customer),
+         g AS (SELECT nation, segment, bal_band, count(*) AS n
+           FROM c GROUP BY 1, 2, 3)
+         SELECT nation, segment, CAST(sum(n) AS BIGINT) AS class_size,
+           count(*) AS n_distinct_sensitive,
+           count(*) >= 3 AS meets_l
+         FROM g GROUP BY 1, 2
+         ORDER BY 1, 2""",
     "privacy_kanon" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nation,
            c_mktsegment AS segment,
@@ -3386,6 +3432,21 @@ object SparkEntry {
          FROM r, g GROUP BY 1 ORDER BY 1""",
     // universe-hash split membership is a pure function of the key:
     // the same CASE over the md5 first hex digit on both engines
+    // temporal split audit: 3-way integer day bucketing with an
+    // embargo gap, exact counts incl. count(DISTINCT user)
+    "split_temporal" ->
+      """WITH e AS (SELECT user_id,
+           datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+         FROM events),
+         s AS (SELECT user_id, d,
+           CASE WHEN d < 20 THEN 'train'
+                WHEN d < 23 THEN 'embargo'
+                ELSE 'test' END AS split FROM e)
+         SELECT split, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(min(d) AS BIGINT) AS min_day,
+           CAST(max(d) AS BIGINT) AS max_day
+         FROM s GROUP BY 1 ORDER BY 1""",
     "split_manifest" ->
       """SELECT CASE
            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
@@ -3853,6 +3914,64 @@ object SparkEntry {
            ON c.user_id = b.user_id AND b.buy_ts >= c.click_ts
           AND b.buy_ts <= c.click_ts + INTERVAL 30 MINUTE
          GROUP BY 1 ORDER BY 1""")
+
+  /** Oracle for `ann_mmr_topk` — the greedy rounds unroll as CTEs
+    * generated from the same [[graft.operators.Similarity.MmrK]] /
+    * MmrLambda / MmrMu constants the operator uses (the
+    * `graph_pagerank` unrolled-rounds precedent applied to a greedy
+    * argmax chain).
+    */
+  private val mmrOracle: String = {
+    import graft.operators.Similarity.{MmrK, MmrLambda, MmrMu, MmrPool}
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a.embedding,$b.embedding),
+         x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p,q2)->p+q2)"""
+    val rounds = (2 to MmrK).map { r =>
+      s"""sel$r AS (SELECT query_id, nid, score, $r AS rank FROM (
+           SELECT t.query_id, t.nid, t.score, row_number() OVER (
+             PARTITION BY t.query_id ORDER BY t.score DESC, t.nid) AS rn
+           FROM (
+             SELECT c.query_id, c.nid,
+               CAST($MmrLambda AS DOUBLE)*c.cos
+                 - CAST($MmrMu AS DOUBLE)*m.msim AS score
+             FROM cand c
+             JOIN (SELECT p.query_id, p.a_nid AS nid, max(p.sim) AS msim
+                   FROM pair p JOIN all${r - 1} s
+                     ON s.query_id = p.query_id AND s.nid = p.b_nid
+                   GROUP BY 1, 2) m
+               ON m.query_id = c.query_id AND m.nid = c.nid
+             WHERE NOT EXISTS (SELECT 1 FROM all${r - 1} s2
+               WHERE s2.query_id = c.query_id AND s2.nid = c.nid)
+           ) t) WHERE rn = 1),
+         all$r AS (SELECT * FROM all${r - 1} UNION ALL SELECT * FROM sel$r)"""
+    }.mkString(",\n")
+    s"""WITH n AS (SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(embedding,
+           x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
+       FROM embeddings),
+       cand AS (SELECT query_id, nid, cos FROM (
+         SELECT q.vec_id AS query_id, c.vec_id AS nid,
+           ${dot("q", "c")}/q.nrm/c.nrm AS cos,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY ${dot("q", "c")}/q.nrm/c.nrm DESC, c.vec_id) AS r
+         FROM n q, n c
+         WHERE q.vec_id % 100 = 0 AND c.vec_id != q.vec_id)
+         WHERE r <= $MmrPool),
+       pair AS (SELECT a.query_id, a.nid AS a_nid, b.nid AS b_nid,
+           ${dot("na", "nb")}/na.nrm/nb.nrm AS sim
+         FROM cand a
+         JOIN cand b ON a.query_id = b.query_id AND a.nid != b.nid
+         JOIN n na ON na.vec_id = a.nid
+         JOIN n nb ON nb.vec_id = b.nid),
+       all1 AS (SELECT query_id, nid, cos AS score, 1 AS rank FROM (
+         SELECT query_id, nid, cos, row_number() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, nid) AS rn
+         FROM cand) WHERE rn = 1),
+       $rounds
+       SELECT query_id, nid AS neighbor_id, CAST(rank AS INT) AS rank,
+         round(score, 6) AS score
+       FROM all$MmrK ORDER BY query_id, rank"""
+  }
 
   /** Oracle for `bpe_tokenize_frozen` — the merge VALUES rows come
     * from the same [[graft.operators.Bpe.FrozenMerges]] literal the

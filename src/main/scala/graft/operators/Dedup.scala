@@ -349,6 +349,37 @@ object Dedup {
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashLshPairs(s, dir, 0.5)
 
+  /** Containment threshold for [[containmentPairs]]. */
+  val ContainmentThreshold = 0.9
+
+  /** Near-CONTAINMENT pairs (graded `dedup_containment`): shared
+    * shingles / min(|A|,|B|) ≥ 0.9 — the sub-document duplication
+    * Jaccard structurally misses: a 50-shingle quote embedded in a
+    * 5,000-shingle page has J ≈ 0.01 but containment 1.0, and quote
+    * inclusion / boilerplate wrapping is a dominant duplication mode
+    * in crawled training corpora (the "containment" of Broder 1997,
+    * measured exactly here rather than by sketch). Same inverted-index
+    * equi-join as [[ngramJaccard]] but WITHOUT the 2× size-ratio
+    * prune — that prune is lossless for Jaccard precisely because it
+    * discards the size-skewed pairs containment exists to find. At
+    * 100 TB the df-capped index ([[MaxShingleDf]] discipline) bounds
+    * the hot-shingle fanout the same way it does for Jaccard.
+    */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val inv = shingleIndex(s, dir)
+    inv.toDF("id_a", "n_a", "shingle")
+      .join(inv.toDF("id_b", "n_b", "shingle"), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= ContainmentThreshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // --- 4. SimHash ----------------------------------------------------
 
   /** 64-bit SimHash over the token multiset: each token's xxhash64

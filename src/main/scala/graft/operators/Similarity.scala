@@ -379,6 +379,95 @@ object Similarity {
     * candidates only. Same output shape as `bruteTopK` (its recall is
     * measured against it in SimilaritySpec).
     */
+  /** MMR candidate-pool size, output size, and relevance weight. */
+  val MmrPool = 10
+  val MmrK = 5
+  val MmrLambda = 0.7
+  /** The diversity weight as its OWN literal: `1 - 0.7` in IEEE is
+    * 0.30000000000000004, which no SQL oracle writes — both engines
+    * must use the same literal 0.3.
+    */
+  val MmrMu = 0.3
+
+  /** Maximal-marginal-relevance top-k (graded `ann_mmr_topk`;
+    * Carbonell & Goldstein 1998): rerank each query's top-[[MmrPool]]
+    * cosine candidates for DIVERSITY — pick greedily by
+    * λ·cos(q,d) − (1−λ)·max_{s∈picked} cos(d,s) — so near-duplicate
+    * neighbors stop crowding out distinct evidence. THE rerank every
+    * RAG pipeline runs between retrieval and the context window: the
+    * corpus's duplication (this corpus plants near-dup clusters)
+    * otherwise fills all k slots with copies of one document.
+    *
+    * Exactness: every cosine is the shared left-to-right `vec_dot`
+    * fold; the greedy argmax compares λ·cos − (1−λ)·maxsim doubles
+    * built from identical IEEE ops in both engines, ties to the
+    * smaller id — so the SELECTION (not just the scores) replays in
+    * DuckDB, whose oracle unrolls the same [[MmrK]] rounds as CTEs.
+    *
+    * Scale shape: the candidate pool and its pairwise-sim frame are
+    * queries×10 and queries×90 rows — planning-time constants, cached
+    * once and reused by all [[MmrK]] unrolled rounds; each round is a
+    * broadcast-sized join + one map-side-combinable argmax. The
+    * iterative greedy pick is inherently sequential in k, but k is a
+    * constant and the per-round work is one tiny equi-join — never a
+    * corpus rescan.
+    */
+  def mmrTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val nrm = sqrt(call_function("vec_dot", col("embedding"), col("embedding")))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        nrm.as("q_nrm"))
+    val c = e.select(col("vec_id").as("nid"), col("embedding").as("cv"),
+      nrm.as("c_nrm"))
+    val byCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nid"))
+    val cand = c.join(broadcast(q), col("query_id") =!= col("nid"))
+      .withColumn("cos", call_function("vec_dot", col("qv"), col("cv"))
+        / col("q_nrm") / col("c_nrm"))
+      .withColumn("r", row_number().over(byCos)).filter(col("r") <= MmrPool)
+      .select(col("query_id"), col("nid"), col("cos"), col("cv"),
+        col("c_nrm"))
+      .cache()
+    val pair = cand.select(col("query_id"), col("nid").as("a_nid"),
+        col("cv").as("av"), col("c_nrm").as("a_nrm"))
+      .join(cand.select(col("query_id"), col("nid").as("b_nid"),
+        col("cv").as("bv"), col("c_nrm").as("b_nrm")), Seq("query_id"))
+      .filter(col("a_nid") =!= col("b_nid"))
+      .select(col("query_id"), col("a_nid"), col("b_nid"),
+        (call_function("vec_dot", col("av"), col("bv"))
+          / col("a_nrm") / col("b_nrm")).as("sim"))
+      .cache()
+    val slim = cand.select(col("query_id"), col("nid"), col("cos"))
+    // round 1: pure relevance argmax (ties to the smaller id)
+    var sel = slim.groupBy(col("query_id"))
+      .agg(max_by(struct(col("nid"), col("cos").as("score")),
+        struct(col("cos"), -col("nid"))).as("p"))
+      .select(col("query_id"), col("p.nid").as("nid"),
+        col("p.score").as("score"), lit(1).as("rank"))
+    for (r <- 2 to MmrK) {
+      val msim = pair
+        .join(sel.select(col("query_id"), col("nid").as("b_nid")),
+          Seq("query_id", "b_nid"))
+        .groupBy(col("query_id"), col("a_nid").as("nid"))
+        .agg(max(col("sim")).as("msim"))
+      val pick = slim.join(msim, Seq("query_id", "nid"))
+        .join(sel.select(col("query_id"), col("nid")),
+          Seq("query_id", "nid"), "left_anti")
+        .withColumn("score",
+          lit(MmrLambda) * col("cos") - lit(MmrMu) * col("msim"))
+        .groupBy(col("query_id"))
+        .agg(max_by(struct(col("nid"), col("score")),
+          struct(col("score"), -col("nid"))).as("p"))
+        .select(col("query_id"), col("p.nid").as("nid"),
+          col("p.score").as("score"), lit(r).as("rank"))
+      sel = sel.unionByName(pick)
+    }
+    sel.select(col("query_id"), col("nid").as("neighbor_id"), col("rank"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Deterministic ±1 sign-projection planes for the md5-domain LSH
     * twin: coefficient (t, b, d) is the parity of the first hex digit
     * of md5("lsh:t:b:d") — no RNG anywhere, so the SAME derivation

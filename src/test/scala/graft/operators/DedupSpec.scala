@@ -31,6 +31,37 @@ class DedupSpec extends SparkSpec {
     assert(stats.getAs[Long]("n_docs") >= stats.getAs[Long]("n_quality"))
   }
 
+  test("containment pairs equal a brute-force shingle-set replay, and " +
+      "catch a planted sub-document pair Jaccard misses") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .as[(Long, Seq[String])].collect()
+    val want = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      shared = (sa.toSet & sb.toSet).size
+      c = shared.toDouble / math.min(sa.size, sb.size)
+      if c >= Dedup.ContainmentThreshold
+    } yield (a, b)).toSet
+    val got = Dedup.containmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"got ${got.size} pairs, brute replay ${want.size}")
+    // the operator's reason to exist: a short doc fully contained in a
+    // long one has containment 1.0 but Jaccard |A|/|B| below the 0.5
+    // dedup gate — synthesize the pair and check only containment sees it
+    val dir = java.nio.file.Files.createTempDirectory("graft-cont").toString
+    val small = (1 to 5).map(i => s"tok$i").mkString(" ")
+    val big = (1 to 60).map(i => s"tok$i").mkString(" ")
+    Seq((1L, small, "en", "src0", small.length.toLong),
+        (2L, big, "en", "src0", big.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val cont = Dedup.containmentPairs(spark, dir).collect()
+    assert(cont.length == 1 && cont.head.getDouble(2) == 1.0, cont.toSeq)
+    assert(Dedup.ngramJaccard(spark, dir).collect().isEmpty,
+      "Jaccard at 0.5 should NOT see the size-skewed pair")
+  }
+
   test("minhash signature is deterministic and length-128") {
     val sig = Dedup.minhashSignature(Dedup.shingles(lit("a b c d e f g")))
     val twice = spark.range(1).select(sig.as("s1"), sig.as("s2"))

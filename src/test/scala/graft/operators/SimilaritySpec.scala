@@ -70,6 +70,50 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("MMR rerank equals a sequential greedy replay; picks are " +
+      "distinct, rank 1 is the pure-relevance top, marginal scores " +
+      "never increase after round 2") {
+    val vecs = graft.Tables.load(spark, sf, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Long, b: Long): Double =
+      dot(vecs(a), vecs(b)) / math.sqrt(dot(vecs(a), vecs(a))) /
+        math.sqrt(dot(vecs(b), vecs(b)))
+    val got = Similarity.mmrTopK(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    assert(got.nonEmpty)
+    got.foreach { case (q, rs) =>
+      val picked = rs.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Long]("neighbor_id")).toSeq
+      assert(picked.distinct == picked, s"query $q repeated a pick")
+      assert(picked.size == Similarity.MmrK)
+      // sequential replay of the greedy chain over the same pool
+      val pool = vecs.keys.filter(_ != q).toSeq
+        .map(n => n -> cos(q, n)).sortBy { case (n, c) => (-c, n) }
+        .take(Similarity.MmrPool)
+      var sel = Seq(pool.head._1)
+      while (sel.size < Similarity.MmrK) {
+        val next = pool.filterNot(p => sel.contains(p._1)).map {
+          case (n, c) =>
+            val pen = sel.map(s0 => cos(n, s0)).max
+            (n, Similarity.MmrLambda * c - Similarity.MmrMu * pen)
+        }.sortBy { case (n, s0) => (-s0, n) }.head._1
+        sel = sel :+ next
+      }
+      assert(picked == sel, s"query $q: $picked != replay $sel")
+      // marginal scores are non-increasing once the penalty applies
+      val scores = rs.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Double]("score")).drop(1)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q marginal scores increased: $scores")
+    }
+  }
+
   test("blocked exact top-k equals the broadcast baseline row-for-row") {
     val brute = Similarity.bruteTopK(spark, sf).collect().toSeq
     val blocked = Similarity.bruteTopKBlocked(spark, sf).collect().toSeq
