@@ -142,6 +142,12 @@ object SparkEntry {
     "approx_distinct_hll" -> (graft.operators.Approx.hllDistinct _),
     "approx_quantiles" -> (graft.operators.Approx.approxQuantiles _),
     "approx_heavy_hitters" -> (graft.operators.Approx.heavyHitters _),
+    // md5-domain graded twins (KMV recipe): exact statistics over a
+    // deterministic ~12.5% Bernoulli sample — the estimator itself,
+    // not just its inputs, replays in DuckDB
+    "approx_quantiles_md5" -> (graft.operators.Approx.quantilesMd5 _),
+    "approx_heavy_hitters_md5" ->
+      (graft.operators.Approx.heavyHittersMd5 _),
     // rows-only: the sketch-merge audit (per-shard HLL sketches
     // union-merged vs one-pass vs exact); ApproxSpec pins the merge
     "approx_hll_merge" -> (graft.operators.Approx.hllMergeAudit _),
@@ -2901,6 +2907,49 @@ object SparkEntry {
     // md5-domain KMV sketch: k-th smallest distinct md5-52bit hash,
     // estimate = (k-1)/(h_k/2^52) — below k distinct hashes the count
     // is exact. Bit-identical replay of the Spark Aggregator
+    // deterministic-sample quantile estimator: exact positional
+    // medians over the md5 ~12.5% sample (52-bit prefix threshold)
+    "approx_quantiles_md5" -> {
+      val thr = 4503599627370496L / graft.operators.Approx.SampleDen
+      s"""WITH l AS (SELECT l_returnflag,
+           CAST(round(l_quantity * 100, 0) AS BIGINT) AS qty_cents,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
+           list_sum([ (strpos('0123456789abcdef',
+               substr(md5(CAST(l_orderkey AS VARCHAR) || '#'
+                 || CAST(l_linenumber AS VARCHAR)), i, 1)) - 1)
+             * power(16, 13-i) for i in range(1,14) ]) AS h
+         FROM lineitem),
+         s AS (SELECT * FROM l WHERE h < $thr),
+         r AS (SELECT l_returnflag, qty_cents, price_cents,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY qty_cents) AS rq,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY price_cents) AS rp,
+             count(*) OVER (PARTITION BY l_returnflag) AS n FROM s)
+         SELECT l_returnflag, CAST(min(n) AS BIGINT) AS n_sampled,
+           CAST(max(CASE WHEN rq = (n+1)//2 THEN qty_cents END)
+             AS BIGINT) AS p50_qty_cents,
+           CAST(max(CASE WHEN rp = (n+1)//2 THEN price_cents END)
+             AS BIGINT) AS p50_price_cents
+         FROM r GROUP BY 1 ORDER BY 1"""
+    },
+    // deterministic-sample heavy hitters: exact sample counts scaled
+    // by the integer denominator
+    "approx_heavy_hitters_md5" -> {
+      val thr = 4503599627370496L / graft.operators.Approx.SampleDen
+      s"""WITH d AS (SELECT text,
+           list_sum([ (strpos('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+             * power(16, 13-i) for i in range(1,14) ]) AS h
+         FROM documents),
+         t AS (SELECT unnest(string_split(text, ' ')) AS token
+           FROM d WHERE h < $thr)
+         SELECT token,
+           CAST(count(*) * ${graft.operators.Approx.SampleDen} AS BIGINT)
+             AS est_count
+         FROM t GROUP BY 1
+         ORDER BY est_count DESC, token LIMIT 20"""
+    },
     "approx_distinct_kmv_md5" ->
       """WITH h AS (SELECT DISTINCT l_returnflag,
            list_sum([ (strpos('0123456789abcdef',

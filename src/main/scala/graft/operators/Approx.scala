@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,6 +43,77 @@ object Approx {
           .as("p50_price"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
+
+  /** Deterministic-sample denominator for the md5-domain estimator
+    * twins: rows whose 52-bit md5 prefix falls under 2^52/8 form a
+    * ~12.5% Bernoulli sample that BOTH engines select identically.
+    */
+  val SampleDen = 8L
+
+  /** 52-bit md5 prefix of a key (the `approx_distinct_kmv_md5`
+    * domain trick: 13 hex chars fit exactly in both a BIGINT and a
+    * double, so the same threshold test replays in DuckDB).
+    */
+  private def h52(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 13), 16, 10)
+      .cast("long")
+
+  /** The md5-domain GRADED twin of [[approxQuantiles]] (KMV recipe):
+    * the t-digest sketch's internals are engine-specific, but the
+    * OTHER classical scale path — estimate quantiles as the EXACT
+    * quantiles of a deterministic Bernoulli sample — is a pure md5
+    * function end to end, so the whole estimator hash-oracles. Per
+    * return flag: the positional lower median (the `events_mad`
+    * rank-⌊(n+1)/2⌋ pick — the value at a rank of the sorted multiset
+    * is well-defined whatever the engine's tie order) of quantity and
+    * price cents over the ~12.5% sample. At 100 TB the sample is what
+    * gets sorted — 1/[[SampleDen]] of the corpus, and the rule
+    * pushes to the scan as a projection filter.
+    */
+  def quantilesMd5(s: SparkSession, dir: String): DataFrame = {
+    val sampled = load(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_quantity") * 100, 0).cast("long").as("qty_cents"),
+        round(col("l_extendedprice") * 100, 0).cast("long")
+          .as("price_cents"),
+        h52(concat(col("l_orderkey").cast("string"), lit("#"),
+          col("l_linenumber").cast("string"))).as("h"))
+      .filter(col("h") < 4503599627370496L / SampleDen)
+    val n = Window.partitionBy(col("l_returnflag"))
+    val byQty = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("qty_cents"))
+    val byPrice = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("price_cents"))
+    sampled
+      .withColumn("n", count(lit(1)).over(n))
+      .withColumn("rq", row_number().over(byQty))
+      .withColumn("rp", row_number().over(byPrice))
+      .groupBy(col("l_returnflag"))
+      .agg(first(col("n")).as("n_sampled"),
+        max(when(col("rq") === expr("(n + 1) div 2"), col("qty_cents")))
+          .as("p50_qty_cents"),
+        max(when(col("rp") === expr("(n + 1) div 2"), col("price_cents")))
+          .as("p50_price_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** The md5-domain GRADED twin of [[heavyHitters]]: exact top-20
+    * token counts over the deterministic ~12.5% DOCUMENT sample,
+    * scaled back by [[SampleDen]] (an integer multiply — the
+    * estimate stays exact arithmetic). The sample is selected by
+    * doc_id, not token, so a document's tokens stay together — the
+    * unit a crawler dedups and ships. At 100 TB the counted frame is
+    * 1/8 of the corpus and the aggregation is the same two-phase
+    * map-side-combined shape as the exact path.
+    */
+  def heavyHittersMd5(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .filter(h52(col("doc_id")) < 4503599627370496L / SampleDen)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg((count(lit(1)) * SampleDen).as("est_count"))
+      .orderBy(col("est_count").desc, col("token"))
+      .limit(20)
 
   /** The MERGEABILITY contract of distributed sketches, made explicit
     * and measured — the property every 100 TB sketch aggregation

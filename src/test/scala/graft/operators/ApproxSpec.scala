@@ -62,6 +62,39 @@ class ApproxSpec extends SparkSpec {
       Approx.heavyHitters(spark, sf).collect().toSeq)
   }
 
+  test("md5-sample estimators: sample medians track the exact medians; " +
+      "sampled heavy-hitter head overlaps the exact head") {
+    val est = Approx.quantilesMd5(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val exact = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(cast(round(l_quantity*100,0) as bigint), 0.5)")
+          .as("q"),
+        expr("percentile(cast(round(l_extendedprice*100,0) as bigint), 0.5)")
+          .as("p"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    est.foreach { case (k, (q, p)) =>
+      // a ~12.5% uniform sample's median lands near the population
+      // median (binomial concentration) — generous tolerances keep
+      // the pin honest without flaking on the small sf
+      assert(math.abs(q - exact(k)._1) / exact(k)._1 <= 0.15,
+        s"$k qty: sample $q vs exact ${exact(k)._1}")
+      assert(math.abs(p - exact(k)._2) / exact(k)._2 <= 0.15,
+        s"$k price: sample $p vs exact ${exact(k)._2}")
+    }
+    val sampledTop = Approx.heavyHittersMd5(spark, sf).collect()
+      .map(_.getString(0)).toSet
+    val exactTop = Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(20).collect()
+      .map(_.getString(0)).toSet
+    assert((sampledTop & exactTop).size >= 12,
+      s"sampled head shares only ${(sampledTop & exactTop).size}/20 " +
+        "tokens with the exact head")
+  }
+
   test("bloom filter: no false negatives, bounded false positives") {
     val keys = Tables.load(spark, sf, "orders").select(col("o_custkey"))
     val bloom = keys.stat.bloomFilter("o_custkey", 2000, 0.03)
