@@ -238,6 +238,9 @@ object SparkEntry {
     // weighted PageRank over the real trade graph (supplier nation →
     // customer nation, exact revenue-cent weights)
     "graph_pagerank_trade" -> (graft.operators.Graph.graphPagerankTrade _),
+    // per-nation triangle counts + local clustering over the oriented
+    // strong-trade graph (NodeIterator++ two-hop shape)
+    "graph_triangles" -> (graft.operators.Graph.graphTriangles _),
     // the cid connector end-to-end, oracle-verified: distributed write
     // of every document into a fresh CAS (content-addressing dedups
     // identical texts), then a connector read-back — counts and byte
@@ -3078,6 +3081,48 @@ object SparkEntry {
          FROM r3 ORDER BY node""",
     // the weighted variant over the real trade graph: contribution =
     // round(r·w/W_src, 12), w exact revenue cents
+    // oriented triangle enumeration (a<b<c materializes each triangle
+    // once) over the above-mean-volume trade graph; the edge keep
+    // rule is the exact integer cross-multiply w*n > total
+    // MATERIALIZED hints: DuckDB inlines CTEs by default, and `tri`
+    // references `e` three times — each inline re-runs the 4-way
+    // fact join (observed minutes + tens of GB at sf0.1; 0.3s
+    // materialized)
+    "graph_triangles" ->
+      """WITH vol AS MATERIALIZED (
+           SELECT least(CAST(s.s_nationkey AS BIGINT),
+               CAST(c.c_nationkey AS BIGINT)) AS a,
+             greatest(CAST(s.s_nationkey AS BIGINT),
+               CAST(c.c_nationkey AS BIGINT)) AS b,
+             sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS w
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           WHERE s.s_nationkey != c.c_nationkey
+           GROUP BY 1, 2),
+         t AS (SELECT count(*) AS n_pairs, sum(w) AS total_w FROM vol),
+         e AS MATERIALIZED (
+           SELECT a, b FROM vol, t WHERE w * n_pairs > total_w),
+         tri AS (SELECT e1.a, e1.b, e2.b AS c
+           FROM e e1
+           JOIN e e2 ON e2.a = e1.b
+           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         pn AS (SELECT node, count(*) AS triangles FROM (
+             SELECT a AS node FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri) GROUP BY 1),
+         deg AS (SELECT node, count(*) AS degree FROM (
+             SELECT a AS node FROM e
+             UNION ALL SELECT b FROM e) GROUP BY 1)
+         SELECT d.node, d.degree,
+           CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+           CASE WHEN d.degree >= 2 THEN
+             round(CAST(2 AS DOUBLE) * coalesce(p.triangles, 0)
+               / (d.degree * (d.degree - 1)), 6)
+           ELSE 0.0 END AS clustering
+         FROM deg d LEFT JOIN pn p ON p.node = d.node
+         ORDER BY d.node""",
     "graph_pagerank_trade" ->
       """WITH edges AS (
            SELECT CAST(s.s_nationkey AS BIGINT) AS src,

@@ -219,4 +219,68 @@ object Graph {
       .select(col("node"), round(col("r").cast("double"), 9).as("rank"))
       .orderBy(col("node"))
   }
+
+  /** Graded `graph_triangles`: per-nation triangle count and local
+    * clustering coefficient over the UNDIRECTED strong-trade graph —
+    * nation pairs whose traded cents exceed the MEAN pairwise volume
+    * (an above-average-edge rule, so the graph stays non-complete and
+    * data-determined at every scale; the compare is the exact integer
+    * cross-multiply w·n_pairs > Σw, no division — overflow headroom
+    * to 2^63 covers 1e15 cents × thousands of pairs). Triangle
+    * counting is the standard community-density probe; the local
+    * coefficient 2T/(d(d−1)) says how clique-like each nation's
+    * trading neighborhood is.
+    *
+    * Scale shape: the corpus-sized work is the same fact-table
+    * equi-joins as [[graphPagerankTrade]]; the triangle join runs on
+    * the ORIENTED edge list (a < b < c canonical order — each
+    * triangle materializes exactly once, the classic way to avoid
+    * 6× duplication and the join-explosion of unoriented matching).
+    * On a billion-edge graph the oriented two-hop join is the
+    * MapReduce-standard NodeIterator++ (Suri & Vassilvitskii 2011);
+    * degrees and counts are exact integers, the coefficient one IEEE
+    * division under round 6.
+    */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = load(s, dir, "lineitem")
+    val o = load(s, dir, "orders")
+    val c = load(s, dir, "customer")
+    val su = load(s, dir, "supplier")
+    val vol = li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .select(su("s_nationkey").cast("long").as("src"),
+        c("c_nationkey").cast("long").as("dst"),
+        round(li("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("cents"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("cents")).as("w"))
+    val totals = vol.agg(count(lit(1)).as("n_pairs"),
+      sum(col("w")).as("total_w"))
+    val edges = vol.crossJoin(broadcast(totals))
+      .filter(col("w") * col("n_pairs") > col("total_w"))
+      .select(col("a"), col("b")).cache()
+    // oriented two-hop: (a<b) x (b<c) closed by (a<c)
+    val tri = edges.toDF("a", "b")
+      .join(edges.toDF("b", "c"), "b")
+      .join(edges.toDF("a", "c"), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tri.select(explode(array(col("a"), col("b"), col("c")))
+        .as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    val deg = edges.select(col("a").as("node"))
+      .unionByName(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L))
+            / (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+      .orderBy(col("node"))
+  }
 }
