@@ -87,6 +87,11 @@ object SparkEntry {
     // trailing z-score anomaly flags over the daily series (exact
     // integer window sums → bit-identical variance both engines)
     "events_anomaly" -> (Temporal.eventsAnomaly _),
+    // CUSUM change-in-mean localization: argmax over exact scaled
+    // integers K·S_k − k·T, one division for the normalized stat
+    "events_cusum" -> (Temporal.eventsCusum _),
+    // ISO-weekday multiplicative seasonal factors from exact sums
+    "events_seasonality" -> (Temporal.eventsSeasonality _),
     "sample_stratified" -> (Sampling.stratified _),
     "sample_quota" -> (Sampling.quotaSample _),
     // Efraimidis-Spirakis weighted sample: md5-derived uniforms,
@@ -179,6 +184,9 @@ object SparkEntry {
     // feasible); projection/spectrum are trained-model outputs
     // (rows-only, PcaSpec pins orthonormality + subspace recovery)
     "pca_covariance" -> (graft.operators.Pca.covarianceGraded _),
+    // closed-form 2x2 eigensolve: the hash-graded twin that pins the
+    // eigen-semantics the 64-dim driver eigensolve serves rows-only
+    "pca_variance_2d" -> (graft.operators.Pca.variance2d _),
     "pca_project" -> (graft.operators.Pca.project _),
     "pca_variance" -> (graft.operators.Pca.varianceExplained _),
     // ANN through the PCA bottleneck: 8-dim compressed shortlist,
@@ -210,6 +218,9 @@ object SparkEntry {
     // l-diversity: the homogeneity attack k-anonymity misses — QI
     // classes whose sensitive attribute takes < 3 distinct values
     "privacy_ldiv" -> (graft.operators.Privacy.ldivAudit _),
+    // right-to-erasure blast radius: per-table erased/kept counts,
+    // lineitem cascading through the erased orders by one equi-join
+    "privacy_erasure" -> (graft.operators.Privacy.erasureAudit _),
     // robust location/scale: positional exact median + MAD in integer
     // cents, two ranked windows, no collect
     "events_mad" -> (Temporal.eventsMad _),
@@ -241,6 +252,20 @@ object SparkEntry {
     // per-nation triangle counts + local clustering over the oriented
     // strong-trade graph (NodeIterator++ two-hop shape)
     "graph_triangles" -> (graft.operators.Graph.graphTriangles _),
+    // BFS k-hop distances by declarative frontier relaxation (Pregel
+    // superstep = join + min); oracle is DuckDB's recursive CTE
+    "graph_khop" -> (graft.operators.Graph.graphKhop _),
+    // link-prediction features: wedge-enumerated common neighbors +
+    // neighborhood Jaccard + the is-edge label
+    "graph_common_neighbors" ->
+      (graft.operators.Graph.graphCommonNeighbors _),
+    // Newman degree assortativity: normal-equation Pearson over the
+    // directed edge list's endpoint degrees
+    "graph_assortativity" ->
+      (graft.operators.Graph.graphAssortativity _),
+    // calendar-exact lag-1/lag-7 ACF per event type from exact
+    // decimal six-sums
+    "events_autocorr" -> (Temporal.eventsAutocorr _),
     // the cid connector end-to-end, oracle-verified: distributed write
     // of every document into a fresh CAS (content-addressing dedups
     // identical texts), then a connector read-back — counts and byte
@@ -411,7 +436,13 @@ object SparkEntry {
     // counts, mass fractions, and distinct totals
     "profile_categorical" ->
       (graft.operators.Profile.profileCategorical _),
+    // MI(lang; source) per-cell decomposition: exact counts, one
+    // DECIMAL-exact log argument, /ln2 to bits
+    "profile_mutual_info" ->
+      (graft.operators.Profile.mutualInfo _),
     "text_tokens" -> (TextAnalysis.tokenStats _),
+    // per-source lexical diversity: exact N/V, TTR and Herdan's C
+    "text_ttr" -> (TextAnalysis.typeTokenRatio _),
     // token-mass coverage of the top-V vocabulary for a V grid —
     // the tokenizer-design curve, exact integer masses
     "vocab_coverage" -> (TextAnalysis.vocabCoverage _),
@@ -2312,6 +2343,20 @@ object SparkEntry {
            list_reduce(list_transform(regexp_extract_all(text,'[a-z]+'),
              w -> CAST(ceil(len(w)/4.0) AS BIGINT)), (a,b)->a+b) AS n_subwords
          FROM documents ORDER BY doc_id""",
+    // lexical diversity: exact token/type counts per source; TTR one
+    // division, Herdan C = ln V / ln N (ln parity is precedent)
+    "text_ttr" ->
+      """WITH bytok AS (SELECT source, tok, count(*) AS n FROM
+           (SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+           WHERE tok <> '' GROUP BY 1, 2)
+         SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           round(CAST(count(*) AS DOUBLE)
+             / CAST(sum(n) AS DOUBLE), 9) AS ttr,
+           round(ln(CAST(count(*) AS DOUBLE))
+             / ln(CAST(sum(n) AS DOUBLE)), 9) AS herdan_c
+         FROM bytok GROUP BY source ORDER BY source""",
     "text_token_totals" ->
       """SELECT count(*) AS n_docs,
            CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_ws_tokens,
@@ -3123,6 +3168,103 @@ object SparkEntry {
            ELSE 0.0 END AS clustering
          FROM deg d LEFT JOIN pn p ON p.node = d.node
          ORDER BY d.node""",
+    // BFS distances from the smallest connected nation over the same
+    // above-mean edge set as graph_triangles; UNION (not UNION ALL)
+    // dedups (node, d) states so the walk can't blow up on cycles;
+    // d < 6 mirrors the operator's fixed KhopIters rounds
+    "graph_khop" ->
+      """WITH RECURSIVE vol AS MATERIALIZED (
+           SELECT least(CAST(s.s_nationkey AS BIGINT),
+               CAST(c.c_nationkey AS BIGINT)) AS a,
+             greatest(CAST(s.s_nationkey AS BIGINT),
+               CAST(c.c_nationkey AS BIGINT)) AS b,
+             sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS w
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           WHERE s.s_nationkey != c.c_nationkey
+           GROUP BY 1, 2),
+         t AS (SELECT count(*) AS n_pairs, sum(w) AS total_w FROM vol),
+         e AS MATERIALIZED (
+           SELECT a AS u, b AS v FROM vol, t WHERE w * n_pairs > total_w
+           UNION ALL
+           SELECT b, a FROM vol, t WHERE w * n_pairs > total_w),
+         walk(node, d) AS (
+           SELECT (SELECT min(u) FROM e), 0
+           UNION
+           SELECT e.v, walk.d + 1 FROM walk JOIN e ON e.u = walk.node
+           WHERE walk.d < 6)
+         SELECT node, CAST(min(d) AS INTEGER) AS hops
+         FROM walk GROUP BY node ORDER BY node""",
+    // wedge-enumerated common neighbors over the above-mean trade
+    // graph; union size by inclusion-exclusion, one division
+    "graph_common_neighbors" ->
+      """WITH vol AS MATERIALIZED (
+           SELECT least(CAST(s.s_nationkey AS BIGINT),
+               CAST(c.c_nationkey AS BIGINT)) AS a,
+             greatest(CAST(s.s_nationkey AS BIGINT),
+               CAST(c.c_nationkey AS BIGINT)) AS b,
+             sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS w
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           WHERE s.s_nationkey != c.c_nationkey
+           GROUP BY 1, 2),
+         t AS (SELECT count(*) AS n_pairs, sum(w) AS total_w FROM vol),
+         e AS MATERIALIZED (
+           SELECT a, b FROM vol, t WHERE w * n_pairs > total_w),
+         adj AS MATERIALIZED (
+           SELECT a AS u, b AS x FROM e
+           UNION ALL SELECT b, a FROM e),
+         deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY 1),
+         wedges AS (SELECT a1.u AS u, a2.u AS v, count(*) AS common
+           FROM adj a1 JOIN adj a2 ON a1.x = a2.x AND a1.u < a2.u
+           GROUP BY 1, 2)
+         SELECT w.u, w.v, w.common,
+           du.deg AS deg_u, dv.deg AS deg_v,
+           round(CAST(w.common AS DOUBLE)
+             / CAST(du.deg + dv.deg - w.common AS DOUBLE), 6) AS jaccard,
+           e.a IS NOT NULL AS is_edge
+         FROM wedges w
+         JOIN deg du ON du.u = w.u
+         JOIN deg dv ON dv.u = w.v
+         LEFT JOIN e ON e.a = w.u AND e.b = w.v
+         ORDER BY w.u, w.v""",
+    // endpoint-degree Pearson over both orientations; exact sums,
+    // two sqrts then one division (same chain as the operator)
+    "graph_assortativity" ->
+      """WITH vol AS MATERIALIZED (
+           SELECT least(CAST(s.s_nationkey AS BIGINT),
+               CAST(c.c_nationkey AS BIGINT)) AS a,
+             greatest(CAST(s.s_nationkey AS BIGINT),
+               CAST(c.c_nationkey AS BIGINT)) AS b,
+             sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS w
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           WHERE s.s_nationkey != c.c_nationkey
+           GROUP BY 1, 2),
+         t AS (SELECT count(*) AS n_pairs, sum(w) AS total_w FROM vol),
+         e AS MATERIALIZED (
+           SELECT a, b FROM vol, t WHERE w * n_pairs > total_w),
+         de AS MATERIALIZED (
+           SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+         deg AS (SELECT u, count(*) AS deg FROM de GROUP BY 1),
+         p AS (SELECT CAST(du.deg AS HUGEINT) AS x,
+             CAST(dv.deg AS HUGEINT) AS y
+           FROM de JOIN deg du ON du.u = de.u
+           JOIN deg dv ON dv.u = de.v),
+         s AS (SELECT count(*) AS n_ends, sum(x) AS sx, sum(y) AS sy,
+           sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM p)
+         SELECT CAST(n_ends AS BIGINT) AS n_ends,
+           round(CAST(n_ends*sxy - sx*sy AS DOUBLE)
+             / (sqrt(CAST(n_ends*sxx - sx*sx AS DOUBLE))
+               * sqrt(CAST(n_ends*syy - sy*sy AS DOUBLE))), 6)
+             AS assortativity
+         FROM s""",
     "graph_pagerank_trade" ->
       """WITH edges AS (
            SELECT CAST(s.s_nationkey AS BIGINT) AS src,
@@ -3325,6 +3467,33 @@ object SparkEntry {
            count(*) >= 3 AS meets_l
          FROM g GROUP BY 1, 2
          ORDER BY 1, 2""",
+    // erasure blast radius: exact per-table erased/kept counts; the
+    // lineitem cascade goes through the erased ORDERS (not custkey —
+    // lineitem carries no customer column, same as the operator)
+    "privacy_erasure" ->
+      """WITH eo AS (SELECT o_orderkey FROM orders
+           WHERE o_custkey % 97 = 0)
+         SELECT 'customer' AS table_name,
+           CAST(sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS rows_erased,
+           CAST(sum(CASE WHEN c_custkey % 97 = 0 THEN 0 ELSE 1 END)
+             AS BIGINT) AS rows_kept
+         FROM customer
+         UNION ALL
+         SELECT 'lineitem',
+           CAST(sum(CASE WHEN eo.o_orderkey IS NULL THEN 0 ELSE 1 END)
+             AS BIGINT),
+           CAST(sum(CASE WHEN eo.o_orderkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT)
+         FROM lineitem l LEFT JOIN eo ON l.l_orderkey = eo.o_orderkey
+         UNION ALL
+         SELECT 'orders',
+           CAST(sum(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey % 97 = 0 THEN 0 ELSE 1 END)
+             AS BIGINT)
+         FROM orders
+         ORDER BY table_name""",
     "privacy_kanon" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nation,
            c_mktsegment AS segment,
@@ -3489,6 +3658,35 @@ object SparkEntry {
              + 0.0 AS cov
          FROM p GROUP BY i, j
          ORDER BY i, j""",
+    // 2x2 eigensolve in closed form: cov entries from the same
+    // exact-decimal sums as pca_covariance, then the identical
+    // scalar chain tr/det/sqrt/division on both engines
+    "pca_variance_2d" ->
+      """WITH p AS (SELECT
+           CAST(e.embedding[1] AS DOUBLE) AS x,
+           CAST(e.embedding[2] AS DOUBLE) AS y
+         FROM embeddings e),
+         s AS (SELECT count(*) AS n,
+           CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(round(y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(round(x*x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(round(x*y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+           CAST(sum(CAST(round(y*y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS syy
+         FROM p),
+         c AS (SELECT n,
+           (sxx * n - sx * sx) / (CAST(n AS DOUBLE) * n) AS cxx,
+           (sxy * n - sx * sy) / (CAST(n AS DOUBLE) * n) AS cxy,
+           (syy * n - sy * sy) / (CAST(n AS DOUBLE) * n) AS cyy
+         FROM s),
+         t AS (SELECT n, cxx, cxy, cyy, cxx + cyy AS tr,
+           cxx * cyy - cxy * cxy AS det FROM c)
+         SELECT n, round(cxx, 9) AS cov_xx, round(cxy, 9) AS cov_xy,
+           round(cyy, 9) AS cov_yy,
+           round((tr + sqrt(tr*tr - 4.0*det)) / 2.0, 9) AS lambda1,
+           round((tr - sqrt(tr*tr - 4.0*det)) / 2.0, 9) AS lambda2,
+           round((tr + sqrt(tr*tr - 4.0*det)) / 2.0 / tr, 9)
+             AS explained_ratio
+         FROM t""",
     // categorical profile: exact counts; frac is one IEEE division of
     // two exact integers
     "profile_categorical" ->
@@ -3507,6 +3705,27 @@ object SparkEntry {
            round(CAST(cnt AS DOUBLE) / n, 6) AS frac
          FROM r JOIN nd ON nd.col_name = r.col_name
          WHERE rank <= 5 ORDER BY r.col_name, rank""",
+    // per-cell PMI/MI terms: the log argument is one division of two
+    // exactly-converted HUGEINT products; ln parity is precedent
+    "profile_mutual_info" ->
+      """WITH cells AS (SELECT lang AS x, source AS y,
+           count(*) AS n_xy FROM documents GROUP BY 1, 2),
+         mx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x
+           FROM cells GROUP BY 1),
+         my AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y
+           FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells)
+         SELECT c.x, c.y, c.n_xy, mx.n_x, my.n_y,
+           round(ln(CAST(CAST(c.n_xy AS HUGEINT) * n AS DOUBLE)
+             / CAST(CAST(mx.n_x AS HUGEINT) * my.n_y AS DOUBLE))
+             / ln(2), 6) AS pmi_bits,
+           round((CAST(c.n_xy AS DOUBLE) / CAST(n AS DOUBLE))
+             * (ln(CAST(CAST(c.n_xy AS HUGEINT) * n AS DOUBLE)
+               / CAST(CAST(mx.n_x AS HUGEINT) * my.n_y AS DOUBLE))
+               / ln(2)), 6) AS mi_contrib_bits
+         FROM cells c JOIN mx ON mx.x = c.x JOIN my ON my.y = c.y,
+           tot
+         ORDER BY c.x, c.y""",
     // rank ties broken by token text so the top-V set is identical;
     // coverage is one division of exact integer masses
     "vocab_coverage" ->
@@ -3970,6 +4189,74 @@ object SparkEntry {
                / (n_win*(n_win-1)))) > 2 AS anomaly
          FROM w WHERE n_win >= 3 AND n_win*s2 - s1*s1 > 0
          ORDER BY event_type, day""",
+    // calendar-exact ACF: day d pairs with d−lag by equi-join; exact
+    // HUGEINT six-sums, two sqrts, one division (normal-equation r)
+    "events_autocorr" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           sum(CAST(round(value*100, 0) AS BIGINT)) AS c
+         FROM events GROUP BY 1, 2),
+         lagged AS (
+           SELECT y.event_type, 1 AS lag,
+             CAST(x.c AS HUGEINT) AS x, CAST(y.c AS HUGEINT) AS y
+           FROM daily y JOIN daily x ON x.event_type = y.event_type
+             AND x.day + 1 = y.day
+           UNION ALL
+           SELECT y.event_type, 7,
+             CAST(x.c AS HUGEINT), CAST(y.c AS HUGEINT)
+           FROM daily y JOIN daily x ON x.event_type = y.event_type
+             AND x.day + 7 = y.day),
+         s AS (SELECT event_type, lag, count(*) AS n_pairs,
+           sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+           sum(x*x) AS sxx, sum(y*y) AS syy
+         FROM lagged GROUP BY 1, 2)
+         SELECT event_type, lag, n_pairs,
+           round(CAST(n_pairs*sxy - sx*sy AS DOUBLE)
+             / (sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE))
+               * sqrt(CAST(n_pairs*syy - sy*sy AS DOUBLE))), 6) AS acf
+         FROM s ORDER BY event_type, lag""",
+    // CUSUM: ranking compares exact HUGEINT |K·S_k − k·T|; the one
+    // IEEE step is the normalized-stat division, closed under round 9
+    "events_cusum" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           sum(CAST(round(value*100, 0) AS BIGINT)) AS c
+         FROM events GROUP BY 1, 2),
+         scored AS (SELECT event_type, day,
+           row_number() OVER w AS k,
+           sum(CAST(c AS HUGEINT)) OVER (PARTITION BY event_type
+             ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_k,
+           count(*) OVER (PARTITION BY event_type) AS n_days,
+           sum(CAST(c AS HUGEINT)) OVER (PARTITION BY event_type) AS total
+         FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         d AS (SELECT *, n_days*s_k - k*total AS d_k FROM scored),
+         p AS (SELECT *, row_number() OVER (PARTITION BY event_type
+           ORDER BY abs(d_k) DESC, day) AS pick FROM d)
+         SELECT event_type, day AS change_day,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(sign(CAST(d_k AS DOUBLE)) AS INTEGER) AS direction,
+           round(CAST(abs(d_k) AS DOUBLE)
+             / CAST(n_days*abs(total) AS DOUBLE), 9) AS cusum_stat
+         FROM p WHERE pick = 1 ORDER BY event_type""",
+    // seasonal index (Σ_d·N)/(n_d·T): one division of two exact
+    // products; ISO weekday parity: isodow ≡ Spark weekday()+1
+    "events_seasonality" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           sum(CAST(round(value*100, 0) AS BIGINT)) AS c
+         FROM events GROUP BY 1, 2),
+         dowd AS (SELECT event_type,
+           CAST(isodow(day) AS INTEGER) AS dow, c FROM daily),
+         bydow AS (SELECT event_type, dow, count(*) AS n_days,
+           sum(CAST(c AS HUGEINT)) AS dow_cents
+         FROM dowd GROUP BY 1, 2),
+         ov AS (SELECT event_type, count(*) AS tot_days,
+           sum(CAST(c AS HUGEINT)) AS tot_cents FROM dowd GROUP BY 1)
+         SELECT b.event_type, b.dow, b.n_days,
+           round(CAST(b.dow_cents AS DOUBLE)
+             / CAST(b.n_days AS DOUBLE) / 100.0, 6) AS avg_daily,
+           round(CAST(b.dow_cents*o.tot_days AS DOUBLE)
+             / CAST(o.tot_cents*b.n_days AS DOUBLE), 9) AS season_index
+         FROM bydow b JOIN ov o USING (event_type)
+         ORDER BY 1, 2""",
     "events_sessions" ->
       """SELECT user_id, min(ts) AS session_start, count(*) AS n_events
          FROM (

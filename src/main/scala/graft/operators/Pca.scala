@@ -87,6 +87,51 @@ object Pca {
           .as("cov"))
       .orderBy(col("i"), col("j"))
 
+  /** Graded `pca_variance_2d`: the 2×2 eigenproblem in CLOSED FORM —
+    * a hash-oracled twin of the driver eigensolve, pinning the
+    * eigen-semantics ([[varianceExplained]] can only grade rows-only
+    * because a 64×64 eigensolve has no SQL form; the 2×2 case DOES:
+    * λ± = (tr ± √(tr² − 4·det))/2). Covariance of embedding dims
+    * (0, 1) comes from the identical exact-decimal cell aggregation
+    * training uses ([[covCells]]); the eigen chain then runs on the
+    * three cov entries — multiply, subtract, one `sqrt`
+    * (correctly-rounded IEEE), one division for the explained-
+    * variance ratio λ₁/(λ₁+λ₂) = λ₁/tr — a fixed scalar chain,
+    * identical op-for-op in the DuckDB oracle, closed under round 9.
+    *
+    * Scale shape: ONE map-side-combinable aggregation over two
+    * coordinates (narrower than the graded 16-dim slice); everything
+    * after is a 1-row scalar computation.
+    */
+  def variance2d(s: SparkSession, dir: String): DataFrame = {
+    val cells = covCells(load(s, dir, "embeddings"), 2)
+    // pivot the 3 cells (0,0) (0,1) (1,1) into one row of doubles
+    def cov(i: Int, j: Int): Column =
+      max(when(col("i") === i && col("j") === j,
+        (col("sxij").cast("double") * col("n")
+          - col("sxi").cast("double") * col("sxj").cast("double"))
+          / (col("n").cast("double") * col("n").cast("double"))))
+    val one = cells.agg(max(col("n")).as("n"), cov(0, 0).as("cxx"),
+      cov(0, 1).as("cxy"), cov(1, 1).as("cyy"))
+    one.select(col("n"),
+        (col("cxx") + col("cyy")).as("tr"),
+        (col("cxx") * col("cyy") - col("cxy") * col("cxy")).as("det"),
+        col("cxx"), col("cxy"), col("cyy"))
+      .select(col("n"),
+        round(col("cxx"), 9).as("cov_xx"),
+        round(col("cxy"), 9).as("cov_xy"),
+        round(col("cyy"), 9).as("cov_yy"),
+        round((col("tr")
+          + sqrt(col("tr") * col("tr") - lit(4.0) * col("det")))
+          / 2.0, 9).as("lambda1"),
+        round((col("tr")
+          - sqrt(col("tr") * col("tr") - lit(4.0) * col("det")))
+          / 2.0, 9).as("lambda2"),
+        round((col("tr")
+          + sqrt(col("tr") * col("tr") - lit(4.0) * col("det")))
+          / 2.0 / col("tr"), 9).as("explained_ratio"))
+  }
+
   /** Trained model: (eigenvalues descending, components as rows),
     * from the exact-decimal covariance of an md5-deterministic quarter
     * sample — bit-stable input ⇒ bit-stable eigensolve.

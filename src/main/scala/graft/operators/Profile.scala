@@ -160,4 +160,60 @@ object Profile {
         round(col("cnt").cast("double") / col("n"), 6).as("frac"))
       .orderBy(col("col_name"), col("rank"))
   }
+
+  /** Graded `profile_mutual_info`: mutual information (in bits)
+    * between two categorical columns — the dependence measure a
+    * feature-selection / leakage audit runs where correlation only
+    * sees numerics: MI(X;Y) = Σ p(x,y)·log₂(p(x,y)/(p(x)p(y))),
+    * here between `documents.lang` and `documents.source` (is
+    * language distribution independent of the crawl source?). Emits
+    * the per-cell decomposition (the analyst's readout: WHICH
+    * (x, y) cell carries the dependence) plus each cell's PMI and
+    * contribution; the MI total is the contributions' sum, recovered
+    * by the reader or a trailing agg.
+    *
+    * Exactness: all counts exact integers off ONE corpus pass;
+    * p(x,y) is one IEEE division; the log argument n_xy·N/(n_x·n_y)
+    * is ONE division of two exactly-converted integer products
+    * (DECIMAL, so the products never overflow long at any scale);
+    * ln parity between engines is established precedent (tf-idf,
+    * LM-score oracles) and /ln2 rescales to bits. Each output value
+    * is a fixed scalar chain → deterministic both engines; rounding
+    * closes at 6.
+    *
+    * Scale shape: one map-side-combinable groupBy over (x, y); the
+    * marginals are re-aggregations of the CELL table (vocab-sized,
+    * broadcast both ways), so the corpus is read exactly once.
+    */
+  def mutualInfo(s: SparkSession, dir: String): DataFrame =
+    mutualInfoFor(load(s, dir, "documents")
+      .select(col("lang").as("x"), col("source").as("y")))
+
+  /** [[mutualInfo]]'s algebra over any (x, y) pair frame — the seam
+    * the planted independence/determinism specs drive. */
+  private[operators] def mutualInfoFor(pairs: DataFrame): DataFrame = {
+    // engine-evaluated like Drift's: both sides compute ln(2) with
+    // their own libm rather than one engine inlining a Scala constant
+    val ln2 = log(lit(2.0))
+    val cells = pairs
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val mx = cells.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
+    val my = cells.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
+    val tot = cells.agg(sum(col("n_xy")).as("n"))
+    // cast operands to DECIMAL BEFORE multiplying — long×long would
+    // overflow silently in non-ANSI mode at large N
+    val num = (col("n_xy").cast("decimal(38,0)")
+      * col("n").cast("decimal(38,0)")).cast("double")
+    val den = (col("n_x").cast("decimal(38,0)")
+      * col("n_y").cast("decimal(38,0)")).cast("double")
+    val pmi = log(num / den) / ln2
+    cells.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        round(pmi, 6).as("pmi_bits"),
+        round((col("n_xy").cast("double") / col("n").cast("double"))
+          * pmi, 6).as("mi_contrib_bits"))
+      .orderBy(col("x"), col("y"))
+  }
 }

@@ -483,4 +483,169 @@ object Temporal {
         col("v").isNull.as("filled"))
       .orderBy(col("user_id"), col("d"))
   }
+
+  /** Graded `events_cusum`: CUSUM changepoint localization per event
+    * type over the daily spend series — the standard offline
+    * change-in-mean detector (Page 1954): the changepoint estimate is
+    * the day k maximizing |S_k − (k/K)·T|, the cumulative deviation
+    * from the global mean. Exactly the statistic a data-quality
+    * monitor runs when a drift alarm fires and someone asks WHEN the
+    * distribution moved.
+    *
+    * Exactness: daily sums are exact cents; the statistic is kept in
+    * the SCALED integer form D_k = K·S_k − k·T (multiply both sides
+    * by K — argmax is invariant), so ranking rows by |D_k| compares
+    * exact DECIMAL(38,0) integers and the winner cannot move under
+    * reassociation. The reported normalized statistic
+    * |D_k| / (K·T) ∈ [0,1) is ONE IEEE division of two
+    * exactly-converted integers, closed under round 9. Tie rule:
+    * earliest day wins (|D| DESC, day ASC).
+    *
+    * Scale shape: one map-side-combinable daily aggregation collapses
+    * the stream to types×days rows; everything after (prefix sum,
+    * rank) is two windows over that tiny frame. The 100 TB cost is
+    * the first aggregation — exactly one shuffle of partial sums.
+    * DECIMAL(38,0) headroom: K·S needs days × total-cents < 10^38 —
+    * at 10^5 days and 10^18 cents that is 10^23; never binds.
+    */
+  def eventsCusum(s: SparkSession, dir: String): DataFrame =
+    cusumFor(Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("c")))
+
+  /** [[eventsCusum]]'s algebra over any (event_type, day, c) daily
+    * frame — the seam the planted-changepoint spec drives. */
+  private[operators] def cusumFor(daily: DataFrame): DataFrame = {
+    val part = Window.partitionBy(col("event_type"))
+    val wPrefix = part.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily
+      .withColumn("k", row_number().over(part.orderBy(col("day"))))
+      .withColumn("s_k",
+        sum(col("c").cast("decimal(38,0)")).over(wPrefix))
+      .withColumn("n_days", count(lit(1)).over(part))
+      .withColumn("total", sum(col("c").cast("decimal(38,0)")).over(part))
+      .withColumn("d_k",
+        col("n_days") * col("s_k") - col("k") * col("total"))
+    scored
+      .withColumn("pick",
+        row_number().over(part.orderBy(abs(col("d_k")).desc, col("day"))))
+      .filter(col("pick") === 1)
+      .select(col("event_type"), col("day").as("change_day"),
+        col("n_days"),
+        signum(col("d_k").cast("double")).cast("int").as("direction"),
+        round(abs(col("d_k")).cast("double")
+          / (col("n_days") * abs(col("total"))).cast("double"), 9)
+          .as("cusum_stat"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Graded `events_seasonality`: day-of-week seasonality index per
+    * event type — mean daily spend on each ISO weekday divided by the
+    * overall mean daily spend, the multiplicative seasonal factor a
+    * forecaster divides out before trend fitting (and the first
+    * sanity profile run on any business-activity stream).
+    *
+    * Exactness: with per-(type, dow) exact sums Σ_d and day counts
+    * n_d, and per-type totals T over N days, the index
+    * (Σ_d/n_d)/(T/N) is computed as the single division
+    * (Σ_d·N)/(n_d·T) of two exact DECIMAL products — ONE IEEE step,
+    * closed under round 9. The weekday key is ISO (1 = Monday):
+    * Spark `weekday()+1` ≡ DuckDB `isodow()`.
+    *
+    * Scale shape: the same one-shuffle daily collapse as
+    * [[eventsCusum]]; both aggregation levels after it are
+    * bounded by types×7 — driver-negligible, executor-trivial.
+    */
+  def eventsSeasonality(s: SparkSession, dir: String): DataFrame =
+    seasonalityFor(Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("c")))
+
+  /** Autocorrelation lags (days) reported by [[eventsAutocorr]]:
+    * adjacent-day persistence and the weekly cycle. */
+  val AutocorrLags = Seq(1, 7)
+
+  /** Graded `events_autocorr`: calendar-lag autocorrelation of the
+    * daily spend series per event type — the ACF diagnostic read
+    * before any forecasting choice (lag 1 ⇒ momentum/persistence,
+    * lag 7 ⇒ weekly cycle; pairs with [[eventsSeasonality]], which
+    * measures the cycle's SHAPE while this measures its strength).
+    *
+    * Lag alignment is CALENDAR-exact: day d pairs with day d−lag by
+    * an equi-join on (type, day), so a missing day drops its pairs
+    * instead of silently shifting the series (the ROWS-lag bug class
+    * [[eventsAnomaly]]'s scaladoc warns about). Pearson r comes from
+    * the normal-equation identity on exact DECIMAL sums — numerator
+    * n·Σxy − Σx·Σy exactly, denominator √(n·Σxx−Σx²)·√(n·Σyy−Σy²)
+    * as two separate sqrts (their product can overflow the exact
+    * domain; two IEEE sqrts then one multiply is the same fixed
+    * chain in both engines), one division, round 6.
+    *
+    * Scale shape: one daily collapse (the only corpus-sized shuffle),
+    * then per lag one equi-join of the tiny daily frame with itself
+    * and a map-side-combinable six-sum aggregation — |types|·|lags|
+    * output rows.
+    */
+  def eventsAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("c"))
+    autocorrFor(daily)
+  }
+
+  /** [[eventsAutocorr]]'s algebra over any (event_type, day, c)
+    * frame. */
+  private[operators] def autocorrFor(daily: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val lagged = AutocorrLags.map { l =>
+      daily.select(col("event_type"), col("day"), col("c").as("y"))
+        .join(daily.select(col("event_type"),
+          date_add(col("day"), l).as("day"), col("c").as("x")),
+          Seq("event_type", "day"))
+        .select(col("event_type"), lit(l).as("lag"), col("x"), col("y"))
+    }.reduce(_ unionByName _)
+    lagged.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        round((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+          / (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))
+            * sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy"))
+              .cast("double"))), 6).as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** [[eventsSeasonality]]'s algebra over any (event_type, day, c)
+    * daily frame. */
+  private[operators] def seasonalityFor(dailyIn: DataFrame): DataFrame = {
+    val daily = dailyIn
+      .select(col("event_type"), (weekday(col("day")) + 1).as("dow"),
+        col("c"))
+    val byDow = daily.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("c")).cast("decimal(38,0)").as("dow_cents"))
+    val overall = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("tot_days"),
+        sum(col("c")).cast("decimal(38,0)").as("tot_cents"))
+    byDow.join(broadcast(overall), "event_type")
+      .select(col("event_type"), col("dow"), col("n_days"),
+        round(col("dow_cents").cast("double")
+          / col("n_days").cast("double") / 100.0, 6).as("avg_daily"),
+        round((col("dow_cents") * col("tot_days")).cast("double")
+          / (col("tot_cents") * col("n_days")).cast("double"), 9)
+          .as("season_index"))
+      .orderBy(col("event_type"), col("dow"))
+  }
 }

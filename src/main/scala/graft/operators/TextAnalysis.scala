@@ -849,4 +849,39 @@ object TextAnalysis {
       round(num / den, 6).as("slope"),
       round((num * num) / (den * deny), 6).as("r2"))
   }
+
+  /** Graded `text_ttr`: lexical-diversity profile per source — the
+    * vocabulary-richness curation signal that catches templated or
+    * machine-generated sources a quality score misses (they read
+    * "fluent" but cycle a tiny vocabulary). Per source: token mass N,
+    * type count V, type-token ratio V/N, and Herdan's C = ln V / ln N
+    * — the size-robust form (TTR alone decays with N, so comparing
+    * differently-sized sources on raw TTR misleads; C is the
+    * power-law exponent and comparable across sizes).
+    *
+    * Exactness: N and V are exact integers (one corpus pass to
+    * (source, token) grain, map-side combinable, then a count per
+    * source); TTR is ONE IEEE division and C one division of two lns
+    * of exactly-converted integers — fixed scalar chains, closed
+    * under round 9.
+    *
+    * Scale shape: the (source, token) collapse is the only shuffle
+    * and the heaviest it gets is vocab-per-source rows; no windows,
+    * no joins, report sized by |sources|.
+    */
+  def typeTokenRatio(s: SparkSession, dir: String): DataFrame = {
+    val byTok = load(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    byTok.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_types"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double")
+          / col("n_tokens").cast("double"), 9).as("ttr"),
+        round(log(col("n_types").cast("double"))
+          / log(col("n_tokens").cast("double")), 9).as("herdan_c"))
+      .orderBy(col("source"))
+  }
 }
