@@ -263,6 +263,11 @@ object SparkEntry {
     // directed edge list's endpoint degrees
     "graph_assortativity" ->
       (graft.operators.Graph.graphAssortativity _),
+    // fixed-round distributed peeling to the 3-core backbone
+    "graph_kcore" -> (graft.operators.Graph.graphKcore _),
+    // RFM quintile segmentation: positional ntile over total orders,
+    // 125-cell segment matrix with exact counts and one division
+    "orders_rfm" -> (graft.operators.Rfm.ordersRfm _),
     // calendar-exact lag-1/lag-7 ACF per event type from exact
     // decimal six-sums
     "events_autocorr" -> (Temporal.eventsAutocorr _),
@@ -3232,6 +3237,63 @@ object SparkEntry {
          JOIN deg dv ON dv.u = w.v
          LEFT JOIN e ON e.a = w.u AND e.b = w.v
          ORDER BY w.u, w.v""",
+    // six unrolled peel rounds (the operator's fixed-iteration
+    // contract), then surviving degrees — all exact integers
+    "graph_kcore" ->
+      """WITH vol AS MATERIALIZED (
+           SELECT least(CAST(s.s_nationkey AS BIGINT),
+               CAST(c.c_nationkey AS BIGINT)) AS a,
+             greatest(CAST(s.s_nationkey AS BIGINT),
+               CAST(c.c_nationkey AS BIGINT)) AS b,
+             sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS w
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           WHERE s.s_nationkey != c.c_nationkey
+           GROUP BY 1, 2),
+         t AS (SELECT count(*) AS n_pairs, sum(w) AS total_w FROM vol),
+         e0 AS MATERIALIZED (
+           SELECT a, b FROM vol, t WHERE w * n_pairs > total_w),
+         k1 AS (SELECT node FROM (SELECT a AS node FROM e0
+             UNION ALL SELECT b FROM e0) GROUP BY 1
+           HAVING count(*) >= 3),
+         e1 AS MATERIALIZED (SELECT a, b FROM e0
+           WHERE a IN (SELECT node FROM k1)
+             AND b IN (SELECT node FROM k1)),
+         k2 AS (SELECT node FROM (SELECT a AS node FROM e1
+             UNION ALL SELECT b FROM e1) GROUP BY 1
+           HAVING count(*) >= 3),
+         e2 AS MATERIALIZED (SELECT a, b FROM e1
+           WHERE a IN (SELECT node FROM k2)
+             AND b IN (SELECT node FROM k2)),
+         k3 AS (SELECT node FROM (SELECT a AS node FROM e2
+             UNION ALL SELECT b FROM e2) GROUP BY 1
+           HAVING count(*) >= 3),
+         e3 AS MATERIALIZED (SELECT a, b FROM e2
+           WHERE a IN (SELECT node FROM k3)
+             AND b IN (SELECT node FROM k3)),
+         k4 AS (SELECT node FROM (SELECT a AS node FROM e3
+             UNION ALL SELECT b FROM e3) GROUP BY 1
+           HAVING count(*) >= 3),
+         e4 AS MATERIALIZED (SELECT a, b FROM e3
+           WHERE a IN (SELECT node FROM k4)
+             AND b IN (SELECT node FROM k4)),
+         k5 AS (SELECT node FROM (SELECT a AS node FROM e4
+             UNION ALL SELECT b FROM e4) GROUP BY 1
+           HAVING count(*) >= 3),
+         e5 AS MATERIALIZED (SELECT a, b FROM e4
+           WHERE a IN (SELECT node FROM k5)
+             AND b IN (SELECT node FROM k5)),
+         k6 AS (SELECT node FROM (SELECT a AS node FROM e5
+             UNION ALL SELECT b FROM e5) GROUP BY 1
+           HAVING count(*) >= 3),
+         e6 AS MATERIALIZED (SELECT a, b FROM e5
+           WHERE a IN (SELECT node FROM k6)
+             AND b IN (SELECT node FROM k6))
+         SELECT node, count(*) AS core_degree FROM (
+           SELECT a AS node FROM e6 UNION ALL SELECT b FROM e6)
+         GROUP BY 1 HAVING count(*) >= 3 ORDER BY node""",
     // endpoint-degree Pearson over both orientations; exact sums,
     // two sqrts then one division (same chain as the operator)
     "graph_assortativity" ->
@@ -3467,6 +3529,33 @@ object SparkEntry {
            count(*) >= 3 AS meets_l
          FROM g GROUP BY 1, 2
          ORDER BY 1, 2""",
+    // RFM: positional ntile quintiles over total orders (metric,
+    // custkey) — remainder-to-early-buckets is SQL-standard in both
+    // engines; segment stats are exact ints + one division
+    "orders_rfm" ->
+      """WITH o AS (SELECT CAST(o_custkey AS BIGINT) AS custkey,
+           o_orderdate,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+         FROM orders),
+         per AS (SELECT custkey, max(o_orderdate) AS last_order,
+           count(*) AS frequency, sum(cents) AS monetary_cents
+         FROM o GROUP BY 1),
+         mx AS (SELECT max(o_orderdate) AS corpus_last FROM o),
+         scored AS (SELECT custkey,
+           date_diff('day', last_order, corpus_last) AS recency_days,
+           frequency, monetary_cents,
+           CAST(ntile(5) OVER (ORDER BY
+             date_diff('day', last_order, corpus_last), custkey)
+             AS INTEGER) AS r,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey)
+             AS INTEGER) AS f,
+           CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, custkey)
+             AS INTEGER) AS m
+         FROM per, mx)
+         SELECT r, f, m, count(*) AS n_customers,
+           round(CAST(sum(monetary_cents) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 100.0, 6) AS avg_spend
+         FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     // erasure blast radius: exact per-table erased/kept counts; the
     // lineitem cascade goes through the erased ORDERS (not custkey —
     // lineitem carries no customer column, same as the operator)

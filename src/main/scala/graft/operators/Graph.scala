@@ -442,6 +442,59 @@ object Graph {
               .cast("double"))), 6).as("assortativity"))
   }
 
+  /** Core order for [[graphKcore]]. */
+  val CoreK = 3
+
+  /** Peeling rounds for [[graphKcore]] — the same fixed-iteration
+    * contract as [[PrIters]]/[[KhopIters]]: enough to converge on the
+    * nation graph; the general bound is the graph's degeneracy-peel
+    * depth, and the spec pins that one extra round is a no-op. */
+  val KcoreRounds = 6
+
+  /** Graded `graph_kcore`: the k-core of the trade graph (Seidman
+    * 1983) — the maximal subgraph where every node keeps ≥ k
+    * neighbors, the standard "dense backbone" extraction run before
+    * community/robustness analysis (and the cheapest useful
+    * decomposition on billion-edge graphs: peeling is
+    * degree-threshold filtering, no search).
+    *
+    * Distributed peeling, fixed [[KcoreRounds]] rounds: each round
+    * recomputes degrees over the SURVIVING edge set and drops every
+    * node below [[CoreK]] with its edges — a monotone shrink, so
+    * rounds beyond convergence are no-ops (all integer arithmetic;
+    * the DuckDB oracle unrolls the same rounds as CTE stages).
+    * Readout: surviving nodes with their in-core degree.
+    *
+    * Scale shape: per round one map-side-combinable degree count
+    * plus two semi-join-shaped filters of the edge list against the
+    * kept-node frame (broadcast when nodes fit, shuffle otherwise) —
+    * the Pregel peel. The edge list only ever shrinks.
+    */
+  def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    val e0 = tradeEdges(s, dir).cache()
+    kcoreFor(e0)
+  }
+
+  /** [[graphKcore]]'s peel over any canonical (a < b) undirected edge
+    * frame. */
+  private[operators] def kcoreFor(e0: DataFrame,
+      k: Int = CoreK, rounds: Int = KcoreRounds): DataFrame = {
+    val survived = (1 to rounds).foldLeft(e0) { (e, _) =>
+      val deg = e.select(col("a").as("node"))
+        .unionByName(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val kept = deg.filter(col("deg") >= k).select(col("node"))
+      e.join(kept.toDF("a"), Seq("a"), "left_semi")
+        .join(kept.toDF("b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+    }
+    survived.select(col("a").as("node"))
+      .unionByName(survived.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
+      .filter(col("core_degree") >= k)
+      .orderBy(col("node"))
+  }
+
   /** [[graphKhop]]'s frontier relaxation over any DIRECTED (u, v)
     * edge frame (callers pass both orientations for undirected
     * graphs) — the seam the planted-chain spec drives. */

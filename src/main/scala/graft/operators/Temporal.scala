@@ -517,7 +517,7 @@ object Temporal {
 
   /** [[eventsCusum]]'s algebra over any (event_type, day, c) daily
     * frame — the seam the planted-changepoint spec drives. */
-  private[operators] def cusumFor(daily: DataFrame): DataFrame = {
+  private[graft] def cusumFor(daily: DataFrame): DataFrame = {
     val part = Window.partitionBy(col("event_type"))
     val wPrefix = part.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
