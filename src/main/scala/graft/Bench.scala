@@ -315,11 +315,19 @@ object Bench {
       selected.map { case (name, fn) =>
         var err: String = null
         var lastDf: DataFrame = null
+        // watchdog-bounded (the r11 lesson: one analyzer-hanging query
+        // turned the whole official bench into an rc=124 timeout with
+        // zero per-query rows — a bounded run yields N results + one
+        // named "Timeout" row instead)
         def once(): Double = {
           val t0 = System.nanoTime()
-          try { val df = fn(spark, sfDir); df.count(); lastDf = df }
-          catch { case t: Throwable => err = t.getClass.getSimpleName; return -1 }
-          (System.nanoTime() - t0) / 1e9
+          Verify.bounded(name, Verify.timeoutSec) {
+            val df = fn(spark, sfDir); df.count(); df
+          } match {
+            case Right(df) => lastDf = df; (System.nanoTime() - t0) / 1e9
+            case Left("timeout") => err = "Timeout"; -1
+            case Left(msg) => err = msg.takeWhile(_ != ':'); -1
+          }
         }
         val (a, b) = (once(), once())
         // fingerprint from the last executed frame — best-effort, a
@@ -329,7 +337,9 @@ object Bench {
         // must never fail the bench
         def sha: String =
           try {
-            lastDf.queryExecution.toRdd.foreachPartition(_ => ())
+            Verify.bounded(name, Verify.timeoutSec) {
+              lastDf.queryExecution.toRdd.foreachPartition(_ => ())
+            }.left.foreach(m => throw new RuntimeException(m))
             // fingerprint-debug hook: dump the exact canonicalized
             // text the sha hashes, one file per query, for diffing
             sys.env.get("SPARK_GRAFT_DUMP_PLANS").foreach { d =>
@@ -398,10 +408,10 @@ object Bench {
       results.map {
         case (name, Right((sec, runs, sha))) if suspects.contains(name) =>
           val t0 = System.nanoTime()
-          val replay = try {
+          val replay = Verify.bounded(name, Verify.timeoutSec) {
             selected(name)(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9
-          } catch { case _: Throwable => Double.MaxValue }
+          }.getOrElse(Double.MaxValue)
           spark.catalog.clearCache()
           System.err.println(f"[bench] noise replay $name: " +
             f"$sec%.2fs -> ${math.min(sec, replay)}%.2fs " +

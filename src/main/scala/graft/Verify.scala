@@ -2,8 +2,45 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Failure containment (the r11 lesson — one query with an
+  * exponential-lineage plan hung the Catalyst ANALYZER, which no
+  * `catch Throwable` can interrupt, and the round's whole correctness
+  * artifact came out empty):
+  *   - `oracle_sql.json` is written BEFORE the query loop, so a
+  *     mid-loop death still leaves every already-dumped result
+  *     gradable;
+  *   - each query body runs on a watchdog-bounded daemon thread; on
+  *     expiry the query is recorded as a timeout and the loop MOVES
+  *     ON (the stuck thread is abandoned — it burns one core until
+  *     process exit, which is the acceptable price for 227 green
+  *     results + 1 named timeout instead of zero results).
+  */
 object Verify {
+
+  /** Per-query wall-clock bound, seconds. Generous: the sf0.01 sweep's
+    * slowest healthy query is ~15 s cold; only a plan that will NEVER
+    * finish should trip this. Overridable for local iteration. */
+  def timeoutSec: Long =
+    sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
+
+  /** Run `body` on a daemon thread, at most `sec` seconds. Left(msg)
+    * on timeout or throw; the timed-out thread is abandoned, never
+    * joined again. */
+  def bounded[A](name: String, sec: Long)(body: => A): Either[String, A] = {
+    @volatile var out: Either[String, A] = Left("timeout")
+    val t = new Thread(() => {
+      out = try Right(body)
+      catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: " +
+        s"${String.valueOf(e.getMessage).take(200)}") }
+    }, s"verify-$name")
+    t.setDaemon(true)
+    t.start()
+    t.join(sec * 1000)
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: comma-separated query-name filter for cheap
     // iteration (the driver always passes exactly two)
@@ -22,20 +59,6 @@ object Verify {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // release any frames an operator cached internally: CacheManager
-      // entries are plan-keyed and never auto-dropped, so 80 queries in
-      // one session would otherwise pin blocks until execution memory
-      // starves (observed as 10-30x slowdowns late in the run)
-      spark.catalog.clearCache()
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -51,6 +74,22 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+      bounded(name, timeoutSec) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } match {
+        case Left(msg) => System.err.println(s"[verify] $name failed: $msg")
+        case Right(_) => ()
+      }
+      // release any frames an operator cached internally: CacheManager
+      // entries are plan-keyed and never auto-dropped, so 80 queries in
+      // one session would otherwise pin blocks until execution memory
+      // starves (observed as 10-30x slowdowns late in the run)
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

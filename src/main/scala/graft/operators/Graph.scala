@@ -319,11 +319,13 @@ object Graph {
     * The heavy work is building the edge list from the fact tables
     * (one aggregation shuffle); each round then touches frames
     * bounded by nodes + edges, never the fact tables again. The
-    * edge frame is cached (every round joins it); the dist lineage
-    * grows LINEARLY with rounds (each round references the previous
-    * once), so no checkpoint is needed at a fixed small hop radius —
-    * an unbounded-iteration variant would localCheckpoint the
-    * frontier per round like any iterative Spark algorithm.
+    * edge frame is cached (every round joins it); the dist frame is
+    * `localCheckpoint`ed per round — the union references the
+    * previous dist TWICE per round (join leg + union leg), so an
+    * un-cut fold grows the logical plan GEOMETRICALLY (2^rounds), not
+    * linearly, and re-analysis alone cost 13.5 s at sf0.1 before the
+    * cut. Checkpointing the hop-count frame (12 bytes/node) per round
+    * keeps the analyzed plan one round deep.
     */
   def graphKhop(s: SparkSession, dir: String): DataFrame = {
     val kept = tradeEdges(s, dir)
@@ -476,7 +478,20 @@ object Graph {
   }
 
   /** [[graphKcore]]'s peel over any canonical (a < b) undirected edge
-    * frame. */
+    * frame.
+    *
+    * Lineage discipline: each round references the previous round's
+    * edge frame ~5× (degree union ×2 + two left_semi probes), so an
+    * un-cut fold grows the LOGICAL plan geometrically — 5^rounds
+    * copies of the upstream subtree, which stalls the ANALYZER before
+    * a single task runs (the r11 failure: 5⁶ ≈ 15.6k copies of the
+    * 4-table tradeEdges join hung Catalyst's tree walks for >20 min).
+    * `localCheckpoint(eager = true)` on each round's survivor frame
+    * truncates lineage to the materialized partitions — the same
+    * per-round cut [[rootsFor]] applies — so the plan Catalyst sees
+    * is always one round deep. The checkpoint is the narrow 16-byte
+    * edge frame, never the fact tables.
+    */
   private[operators] def kcoreFor(e0: DataFrame,
       k: Int = CoreK, rounds: Int = KcoreRounds): DataFrame = {
     val survived = (1 to rounds).foldLeft(e0) { (e, _) =>
@@ -487,6 +502,7 @@ object Graph {
       e.join(kept.toDF("a"), Seq("a"), "left_semi")
         .join(kept.toDF("b"), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
+        .localCheckpoint(eager = true)
     }
     survived.select(col("a").as("node"))
       .unionByName(survived.select(col("b").as("node")))
@@ -505,6 +521,7 @@ object Graph {
         .select(col("v").as("node"), (col("hops") + 1).as("hops"))
       d.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint(eager = true)
     }
     dist.orderBy(col("node"))
   }

@@ -461,7 +461,13 @@ object Similarity {
           struct(col("score"), -col("nid"))).as("p"))
         .select(col("query_id"), col("p.nid").as("nid"),
           col("p.score").as("score"), lit(r).as("rank"))
-      sel = sel.unionByName(pick)
+      // lineage cut: each round references `sel` THREE times (msim
+      // join, anti-join, union), so an un-cut loop grows the logical
+      // plan 3×/round — 3^(k-1) copies by round k, and Catalyst
+      // re-analysis (not execution) dominated the bench at 13.4 s
+      // before the cut. The checkpointed frame is queries×rank rows —
+      // tiny — so the eager materialization per round is free.
+      sel = sel.unionByName(pick).localCheckpoint(eager = true)
     }
     sel.select(col("query_id"), col("nid").as("neighbor_id"), col("rank"),
         round(col("score"), 6).as("score"))

@@ -1,17 +1,27 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 
-/** Mechanical guard on the driver grading surface: every registered
-  * query must produce a scalar-only top-level schema. The r8 red row
-  * happened exactly here — `sq_codes` shipped an `array<bigint>`
-  * column that broke the driver's pandas sort-before-hash, turning a
-  * correct result into a graded failure; the fix was per-query. This
-  * spec makes the failure class impossible to reintroduce: it
-  * enumerates `SparkEntry.queries`, builds each frame (plan analysis
-  * only — nothing executes), and rejects any top-level array / map /
-  * struct column unless the query is explicitly whitelisted with a
-  * reason.
+/** Mechanical guards on the driver grading surface.
+  *
+  * 1. Schema: every registered query must produce a scalar-only
+  *    top-level schema. The r8 red row happened exactly here —
+  *    `sq_codes` shipped an `array<bigint>` column that broke the
+  *    driver's pandas sort-before-hash.
+  * 2. Plan size: every query's ANALYZED logical plan must stay under
+  *    a hard node-count bound. The r11 zero-round happened exactly
+  *    here — `graph_kcore`'s un-checkpointed 6-round peel folded
+  *    ~5^6 copies of its 4-table upstream into ONE logical tree and
+  *    Catalyst's analysis walks never returned, killing BOTH driver
+  *    artifacts. A linear node count at test time catches the next
+  *    lineage bomb before it reaches the graded surface.
+  * 3. Provenance: every registered query must carry a committed
+  *    `plans/<name>.txt` executed-plan artifact and a
+  *    `BENCH_QUERIES.jsonl` timing row — i.e. it has actually been
+  *    RUN at bench scale before shipping. 19 of r11's 22 new queries
+  *    were registered without a single execution; this makes that
+  *    impossible to repeat silently.
   */
 class GradingSurfaceSpec extends SparkSpec {
 
@@ -22,27 +32,81 @@ class GradingSurfaceSpec extends SparkSpec {
     */
   private val nestedWhitelist: Map[String, String] = Map.empty
 
+  /** Hard bound on analyzed-logical-plan node count per query. The
+    * fleet's largest healthy plan (the capstone pipeline) sits well
+    * under 1000 nodes; a geometric lineage bomb blows past this by
+    * round 4 of any fold. Headroom is deliberate — the guard exists
+    * to catch runaway growth, not to punish a wide-but-linear plan.
+    */
+  private val MaxPlanNodes = 2000
+
+  /** One frame per query, built once and shared by the schema and
+    * plan-size tests (construction is analysis — and, for operators
+    * with eager per-round checkpoints, small sf0.001 executions — so
+    * building the 228-query fleet twice would double the suite's
+    * dominant cost).
+    */
+  private lazy val frames: Seq[(String, DataFrame)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sf)
+    }
+
   test("every registered query's schema is scalar at top level " +
       "(driver pandas sort-before-hash compatibility)") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val bad = fn(spark, sf).schema.fields.collect {
-          case f if f.dataType.isInstanceOf[ArrayType] ||
-              f.dataType.isInstanceOf[MapType] ||
-              f.dataType.isInstanceOf[StructType] =>
-            s"$name.${f.name}: ${f.dataType.simpleString}"
-        }
-        if (bad.nonEmpty && !nestedWhitelist.contains(name)) bad
-        else Nil
+    val offenders = frames.flatMap { case (name, df) =>
+      val bad = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+      if (bad.nonEmpty && !nestedWhitelist.contains(name)) bad
+      else Nil
     }
     assert(offenders.isEmpty,
       s"nested top-level columns would break the driver's pandas " +
         s"sort (the r8 sq_codes failure):\n  ${offenders.mkString("\n  ")}")
   }
 
+  test("every registered query's logical plan stays under the " +
+      "analyzer-bomb node bound (the r11 graph_kcore failure)") {
+    val sizes = frames.map { case (name, df) =>
+      name -> df.queryExecution.logical.collect { case _ => 1 }.sum
+    }
+    val over = sizes.filter(_._2 > MaxPlanNodes).sortBy(-_._2)
+    assert(over.isEmpty,
+      s"logical plans over $MaxPlanNodes nodes — geometric lineage " +
+        s"growth; cut it with localCheckpoint per round:\n  " +
+        over.map { case (n, c) => s"$n: $c nodes" }.mkString("\n  "))
+  }
+
   test("queries and oracleSql agree: every oracle names a registered " +
       "query") {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"oracles without queries: $unknown")
+  }
+
+  test("no query ships unrun: every registered query has a committed " +
+      "plans/ artifact and a BENCH_QUERIES.jsonl timing row") {
+    val names = SparkEntry.queries.keySet
+    val planless = names.filterNot(n =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get("plans", s"$n.txt")))
+    val benchRows: Set[String] = {
+      val p = java.nio.file.Paths.get("BENCH_QUERIES.jsonl")
+      if (!java.nio.file.Files.exists(p)) Set.empty
+      else {
+        val re = "\"query\":\"([^\"]+)\"".r
+        scala.jdk.CollectionConverters
+          .IteratorHasAsScala(java.nio.file.Files.lines(p).iterator())
+          .asScala.flatMap(l => re.findFirstMatchIn(l).map(_.group(1)))
+          .toSet
+      }
+    }
+    val benchless = names -- benchRows
+    assert(planless.isEmpty && benchless.isEmpty,
+      s"queries registered without execution evidence (regenerate with " +
+        s"SPARK_GRAFT_DUMP_PLANS=plans sbt 'runMain graft.Bench'):\n" +
+        s"  missing plans/: ${planless.toSeq.sorted.mkString(", ")}\n" +
+        s"  missing bench row: ${benchless.toSeq.sorted.mkString(", ")}")
   }
 }

@@ -79,6 +79,63 @@ class GraphSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "BNLJ in pagerank plan")
   }
 
+  test("kcore: a clique with a pendant chain peels to exactly the clique") {
+    // K4 on {0,1,2,3} plus the chain 3—10—11—12: the 3-core is the
+    // clique (each member keeps degree 3); the chain is below k at
+    // every node and peels away. One extra round is a no-op (the
+    // KcoreRounds convergence contract).
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 10L), (10L, 11L), (11L, 12L)).toDF("a", "b")
+    val core = Graph.kcoreFor(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), core)
+    val extra = Graph.kcoreFor(e, rounds = Graph.KcoreRounds + 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(extra == core, "an extra peel round moved a converged core")
+  }
+
+  test("kcore: cascading peel empties a path, keeps a cycle (k=2)") {
+    // path 0—1—2—3—4: endpoints fall round 1, their neighbors round 2,
+    // the center round 3 — the multi-round cascade a single-round
+    // degree filter gets wrong. A 5-cycle is its own 2-core.
+    val path = (0L to 3L).map(i => (i, i + 1)).toDF("a", "b")
+    assert(Graph.kcoreFor(path, k = 2).count() == 0)
+    val cycle = ((0L to 3L).map(i => (i, i + 1)) :+ ((0L, 4L)))
+      .toDF("a", "b")
+    val core = Graph.kcoreFor(cycle, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == (0L to 4L).map(_ -> 2L).toMap, core)
+  }
+
+  test("kcore/khop: per-round checkpoints keep the analyzed plan flat") {
+    // the r11 analyzer bomb: an un-cut 6-round fold references its
+    // predecessor ~5x per round, so the final LOGICAL plan carries
+    // 5^6 copies of the upstream. With the per-round localCheckpoint
+    // the final plan is one round deep — a few dozen nodes.
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("a", "b")
+    val kcoreNodes = Graph.kcoreFor(e, k = 2)
+      .queryExecution.logical.collect { case _ => 1 }.sum
+    assert(kcoreNodes < 50, s"kcore plan has $kcoreNodes nodes")
+    val edges = e.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+    val khopNodes = Graph.khopFor(edges)
+      .queryExecution.logical.collect { case _ => 1 }.sum
+    assert(khopNodes < 50, s"khop plan has $khopNodes nodes")
+  }
+
+  test("khop: hop distances on a planted chain, unreachable stays absent") {
+    // undirected chain 0—1—2—3 (both orientations passed, per the
+    // khopFor contract) plus the disconnected edge 10—11: BFS from
+    // the smallest present node (0) labels the chain 0,1,2,3 and
+    // never reaches the island.
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L))
+    val edges = und.toDF("u", "v")
+      .unionByName(und.map(_.swap).toDF("u", "v"))
+    val d = Graph.khopFor(edges).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3), d)
+  }
+
   test("doubling equals the one-edge-at-a-time walk on the graded forest") {
     // parents are strictly smaller, so a key-prefix slice is closed
     // under ancestors (limit() would not be)
