@@ -51,6 +51,62 @@ class CusumStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a vacuumed-tick replay and a crash mid-write both land on " +
+    "the same changepoint (IvmStream discipline, pinned end-to-end)") {
+    val root = java.nio.file.Files.createTempDirectory("cusum_vac")
+      .toString
+    CusumStream.bootstrap(spark, root)
+    def delta(rows: Seq[(String, Date, Long)]) =
+      rows.toDF("event_type", "day", "c")
+        .select(col("event_type"), col("day"), lit(1L).as("m"), col("c"))
+    def change(): (String, Long) = {
+      val r = CusumStream.changepoints(spark, root).collect().head
+      (r.getAs[Date]("change_day").toString, r.getAs[Long]("n_days"))
+    }
+    IvmStream.applyTick(root, Seq("event_type", "day"), Seq("c"),
+      delta(series.take(10)), 0L)
+    IvmStream.applyTick(root, Seq("event_type", "day"), Seq("c"),
+      delta(series.slice(10, 15)), 1L)
+    IvmStream.applyTick(root, Seq("event_type", "day"), Seq("c"),
+      delta(series.drop(15)), 2L)
+    assert(change() == (("2024-01-10", 20L)))
+
+    // retention: vacuum deletes every snapshot but the frontier —
+    // the readout must keep reporting the same changepoint
+    IvmStream.vacuum(spark, root, keep = 1)
+    assert(change() == (("2024-01-10", 20L)), "vacuum moved the alarm")
+
+    // restart window: an OLDER committed batch replays AFTER vacuum
+    // deleted its snapshot — idempotent skip (-1 = committed, vacuumed),
+    // and the changepoint must not drift
+    val st = IvmStream.applyTick(root, Seq("event_type", "day"),
+      Seq("c"), delta(series.take(10)), 0L)
+    assert(st.nGroups == -1L, st.toString)
+    assert(change() == (("2024-01-10", 20L)),
+      "a vacuumed replay mutated the maintained view")
+
+    // crash mid-write: tick 3 dies after a garbled half-snapshot
+    // landed but BEFORE its marker — the frontier stays authoritative
+    IvmStream.currentOf(spark, root).limit(1)
+      .write.mode("overwrite").parquet(s"$root/cur/tick=3")
+    assert(IvmStream.lastApplied(spark, root) == 2L)
+    assert(change() == (("2024-01-10", 20L)),
+      "a half-written snapshot leaked into the readout")
+
+    // the replayed tick 3 overwrites its own dir and commits; the
+    // extra high-side cents keep the change-in-mean at day 10
+    IvmStream.applyTick(root, Seq("event_type", "day"), Seq("c"),
+      delta(Seq(("a", day(20), 400L))), 3L)
+    val batch = Temporal.cusumFor(
+      (series :+ (("a", day(20), 400L))).toDF("event_type", "day", "c")
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("c")).as("c"))).collect().head
+    assert(change() ==
+      ((batch.getAs[Date]("change_day").toString,
+        batch.getAs[Long]("n_days"))),
+      "healed replay diverged from the batch operator")
+  }
+
   test("a replayed committed tick folds exactly once") {
     val root = java.nio.file.Files.createTempDirectory("cusum_replay")
       .toString
