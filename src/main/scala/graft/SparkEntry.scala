@@ -265,6 +265,35 @@ object SparkEntry {
       (graft.operators.Graph.graphAssortativity _),
     // fixed-round distributed peeling to the 3-core backbone
     "graph_kcore" -> (graft.operators.Graph.graphKcore _),
+    // connected components by min-label propagation (Pregel CC),
+    // localCheckpoint per round; oracle = recursive reachability min
+    "graph_labelprop" -> (graft.operators.Graph.graphLabelprop _),
+    // bounded Bellman-Ford over (w mod 7)+1 edge costs; khop is the
+    // cost=1 special case; oracle unrolls the relaxation rounds
+    "graph_sssp" -> (graft.operators.Graph.graphSssp _),
+    // 30-min-gap sessionization: one user-partitioned lag+cumsum
+    // window, microsecond-exact boundaries and engaged time
+    "events_sessionize" -> (graft.operators.Behavior.sessionize _),
+    // strict-order first-touch funnel: per-step min-agg + equi-join
+    // chain on user_id, step-over-step conversion (distinct from
+    // events_funnel, the streaming click-to-buy conversion readout)
+    "events_funnel_steps" -> (graft.operators.Behavior.funnel _),
+    // last-touch revenue attribution within a 7-day lookback, exact
+    // cents per channel, 'direct' when no touch qualifies
+    "events_attribution" -> (graft.operators.Behavior.attribution _),
+    // cohort retention matrix keyed on integer month indexes: one
+    // min-agg + co-partitioned join-back, nothing windowed
+    "orders_cohort_retention" ->
+      (graft.operators.Behavior.cohortRetention _),
+    // Benford first-digit conformance of order cents against literal
+    // log10(1+1/d) expectations — no runtime transcendental
+    "dq_benford" -> (graft.operators.DataQuality.benford _),
+    // per-nation Gini of customer spend: ONE global DistributedPrefix
+    // rank + broadcast nation offsets (never a 25-partition window)
+    "profile_gini" -> (graft.operators.Profile.giniSpend _),
+    // collocation lift of the top bigrams: exact integer cross-ratio
+    // in decimal, one division — PMI's ranking without the log
+    "text_bigram_lift" -> (TextAnalysis.bigramLift _),
     // RFM quintile segmentation: positional ntile over total orders,
     // 125-cell segment matrix with exact counts and one division
     "orders_rfm" -> (graft.operators.Rfm.ordersRfm _),
@@ -352,6 +381,9 @@ object SparkEntry {
     "embed_stats_scale" -> (Similarity.embedStatsScale _),
     "ann_brute_topk" -> (Similarity.bruteTopK _),
     "ann_blocked_topk" -> (Similarity.bruteTopKBlocked _),
+    // fixed-radius near-neighbor: one corpus scan vs the broadcast
+    // query set; membership decided on the ROUNDED cosine
+    "ann_range_search" -> (Similarity.rangeSearch _),
     "ann_lsh_topk" -> (Similarity.lshTopK _),
     // md5-domain graded twin: ±1 sign-projection planes derived from
     // md5 parities (no RNG) make the bucket bits — not just the final
@@ -1394,6 +1426,23 @@ object SparkEntry {
          FROM v GROUP BY label ORDER BY label""",
     "ann_brute_topk" -> annExactOracle,
     "ann_blocked_topk" -> annExactOracle,
+    // the radius twin: same scoring chain, set membership on the
+    // rounded cosine (never the raw float)
+    "ann_range_search" ->
+      """WITH n AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q))
+             AS nrm
+         FROM embeddings),
+         s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_reduce(list_transform(
+               list_zip(q.embedding, c.embedding),
+               x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),
+               (p,q2)->p+q2)/q.nrm/c.nrm, 6) AS cos
+         FROM n q, n c
+         WHERE q.vec_id % 100 = 0 AND c.vec_id != q.vec_id)
+         SELECT query_id, neighbor_id, cos FROM s WHERE cos >= 0.4
+         ORDER BY query_id, neighbor_id""",
     // SQ8: per-dimension [min,max] grid, floor-bucketed 8-bit codes
     // (floor, not round — half-way ties are engine-dependent)
     "sq_codes" ->
@@ -3377,6 +3426,251 @@ object SparkEntry {
            CROSS JOIN nn LEFT JOIN f3 ON n2.node = f3.node)
          SELECT node, round(CAST(r AS DOUBLE), 9) AS rank
          FROM r3 ORDER BY node""",
+    // min-label propagation's fixpoint as a recursive reachability
+    // min: label(n) = smallest id reachable from n — the fixed-round
+    // fold converges to exactly this on any component with diameter
+    // <= rounds (spec-pinned)
+    "graph_labelprop" ->
+      """WITH RECURSIVE vol AS MATERIALIZED (
+           SELECT least(CAST(s.s_nationkey AS BIGINT),
+               CAST(c.c_nationkey AS BIGINT)) AS a,
+             greatest(CAST(s.s_nationkey AS BIGINT),
+               CAST(c.c_nationkey AS BIGINT)) AS b,
+             sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS w
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           WHERE s.s_nationkey != c.c_nationkey
+           GROUP BY 1, 2),
+         t AS (SELECT count(*) AS n_pairs, sum(w) AS total_w FROM vol),
+         e AS MATERIALIZED (
+           SELECT a AS u, b AS v FROM vol, t WHERE w * n_pairs > total_w
+           UNION ALL
+           SELECT b, a FROM vol, t WHERE w * n_pairs > total_w),
+         nd AS (SELECT DISTINCT u AS node FROM e),
+         reach(src, node) AS (
+           SELECT node, node FROM nd
+           UNION
+           SELECT reach.src, e.v FROM reach JOIN e ON e.u = reach.node),
+         lab AS (SELECT src AS node, min(node) AS label FROM reach
+           GROUP BY 1),
+         siz AS (SELECT label, count(*) AS component_size FROM lab
+           GROUP BY 1)
+         SELECT lab.node, lab.label, siz.component_size
+         FROM lab JOIN siz USING (label) ORDER BY lab.node""",
+    // six unrolled Bellman-Ford relaxations (the operator's
+    // fixed-round contract) over (w mod 7)+1 costs — all exact
+    // integers
+    "graph_sssp" ->
+      """WITH vol AS MATERIALIZED (
+           SELECT least(CAST(s.s_nationkey AS BIGINT),
+               CAST(c.c_nationkey AS BIGINT)) AS a,
+             greatest(CAST(s.s_nationkey AS BIGINT),
+               CAST(c.c_nationkey AS BIGINT)) AS b,
+             sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS w
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           WHERE s.s_nationkey != c.c_nationkey
+           GROUP BY 1, 2),
+         t AS (SELECT count(*) AS n_pairs, sum(w) AS total_w FROM vol),
+         e AS MATERIALIZED (
+           SELECT a AS u, b AS v, CAST(w % 7 + 1 AS BIGINT) AS cost
+           FROM vol, t WHERE w * n_pairs > total_w
+           UNION ALL
+           SELECT b, a, CAST(w % 7 + 1 AS BIGINT) FROM vol, t
+           WHERE w * n_pairs > total_w),
+         d0 AS (SELECT (SELECT min(u) FROM e) AS node,
+           CAST(0 AS BIGINT) AS dist),
+         d1 AS (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d0 UNION ALL
+           SELECT e.v, d0.dist + e.cost FROM d0 JOIN e ON e.u = d0.node)
+           GROUP BY 1),
+         d2 AS (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d1 UNION ALL
+           SELECT e.v, d1.dist + e.cost FROM d1 JOIN e ON e.u = d1.node)
+           GROUP BY 1),
+         d3 AS (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d2 UNION ALL
+           SELECT e.v, d2.dist + e.cost FROM d2 JOIN e ON e.u = d2.node)
+           GROUP BY 1),
+         d4 AS (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d3 UNION ALL
+           SELECT e.v, d3.dist + e.cost FROM d3 JOIN e ON e.u = d3.node)
+           GROUP BY 1),
+         d5 AS (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d4 UNION ALL
+           SELECT e.v, d4.dist + e.cost FROM d4 JOIN e ON e.u = d4.node)
+           GROUP BY 1),
+         d6 AS (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d5 UNION ALL
+           SELECT e.v, d5.dist + e.cost FROM d5 JOIN e ON e.u = d5.node)
+           GROUP BY 1)
+         SELECT node, dist FROM d6 ORDER BY node""",
+    // 30-min-gap sessionization in whole microseconds: lag marks the
+    // boundary, a running sum numbers the session, two hash aggs
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+           FROM events),
+         m AS (SELECT user_id, event_id, ts_us,
+           CASE WHEN lag(ts_us) OVER w IS NULL
+             OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+             ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id
+             ORDER BY ts_us, event_id)),
+         s AS (SELECT user_id, ts_us,
+           sum(is_new) OVER (PARTITION BY user_id
+             ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+             AS session_seq FROM m),
+         g AS (SELECT user_id, session_seq, count(*) AS n_events,
+           max(ts_us) - min(ts_us) AS dur_us FROM s GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           max(n_events) AS max_session_events,
+           CAST(sum(dur_us) // 1000000 AS BIGINT) AS total_dur_s
+         FROM g GROUP BY 1 ORDER BY user_id""",
+    // strict-order first-touch funnel: each step anchors on the
+    // previous step's earliest qualifying time; the 3-row lag window
+    // prices the conversions
+    "events_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+           FROM events),
+         s1 AS (SELECT user_id, min(us) AS anchor_us FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.us) AS anchor_us FROM e
+           JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.us > s1.anchor_us
+           GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.us) AS anchor_us FROM e
+           JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.us > s2.anchor_us
+           GROUP BY 1),
+         c AS (
+           SELECT 1 AS step_idx, 'view' AS step, count(*) AS n_users
+           FROM s1
+           UNION ALL SELECT 2, 'click', count(*) FROM s2
+           UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+         SELECT step_idx, step, n_users,
+           CASE WHEN step_idx = 1 THEN CAST(1.0 AS DOUBLE)
+             ELSE round(CAST(n_users AS DOUBLE)
+               / CAST(lag(n_users) OVER (ORDER BY step_idx) AS DOUBLE),
+               6) END AS p_conv
+         FROM c ORDER BY step_idx""",
+    // last-touch attribution: IGNORE NULLS last_value over the
+    // strictly-preceding frame, 7-day lookback, exact cents
+    "events_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+           epoch_us(ts) AS us FROM events),
+         d AS (SELECT *,
+           last_value(CASE WHEN event_type <> 'purchase'
+               THEN event_type END IGNORE NULLS) OVER w AS last_touch,
+           last_value(CASE WHEN event_type <> 'purchase'
+               THEN us END IGNORE NULLS) OVER w AS last_touch_us
+           FROM e WINDOW w AS (PARTITION BY user_id
+             ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         p AS (SELECT CASE WHEN last_touch IS NOT NULL
+               AND us - last_touch_us <= 604800000000 THEN last_touch
+               ELSE 'direct' END AS channel,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM d WHERE event_type = 'purchase')
+         SELECT channel, count(*) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+         FROM p GROUP BY 1 ORDER BY channel""",
+    // cohort retention on integer month indexes year*12+(month-1):
+    // offsets are pure integer subtraction in both engines
+    "orders_cohort_retention" ->
+      """WITH o AS (SELECT o_custkey,
+           CAST(date_part('year', o_orderdate) * 12
+             + date_part('month', o_orderdate) - 1 AS BIGINT) AS ym
+           FROM orders),
+         f AS (SELECT o_custkey, min(ym) AS cohort_ym FROM o
+           GROUP BY 1),
+         sz AS (SELECT cohort_ym, count(*) AS cohort_n FROM f
+           GROUP BY 1),
+         act AS (SELECT DISTINCT o.o_custkey, f.cohort_ym,
+             o.ym - f.cohort_ym AS offset_m
+           FROM o JOIN f ON f.o_custkey = o.o_custkey),
+         r AS (SELECT cohort_ym, offset_m, count(*) AS n_active
+           FROM act GROUP BY 1, 2)
+         SELECT CAST(r.cohort_ym // 12 AS BIGINT) AS cohort_year,
+           CAST(r.cohort_ym % 12 + 1 AS BIGINT) AS cohort_month,
+           r.offset_m, r.n_active, sz.cohort_n,
+           round(CAST(n_active AS DOUBLE) / CAST(cohort_n AS DOUBLE), 6)
+             AS retention
+         FROM r JOIN sz USING (cohort_ym)
+         ORDER BY cohort_year, cohort_month, offset_m""",
+    // Benford conformance: digit = string head of exact cents;
+    // expectations are the same 6-decimal literals the operator pins
+    "dq_benford" ->
+      """WITH c AS (SELECT CAST(substr(CAST(CAST(round(
+             o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1)
+             AS INTEGER) AS digit FROM orders),
+         n AS (SELECT digit, count(*) AS n FROM c GROUP BY 1),
+         t AS (SELECT sum(n) AS n_total FROM n),
+         bexp AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
+           unnest([0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+             0.066947, 0.057992, 0.051153, 0.045757]) AS p_exp)
+         SELECT n.digit, n.n,
+           round(CAST(n.n AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6)
+             AS p_obs,
+           CAST(bexp.p_exp AS DOUBLE) AS p_exp,
+           round(abs(round(CAST(n.n AS DOUBLE)
+               / CAST(t.n_total AS DOUBLE), 6)
+             - CAST(bexp.p_exp AS DOUBLE)), 6) AS abs_dev
+         FROM n JOIN bexp ON bexp.digit = n.digit CROSS JOIN t
+         ORDER BY n.digit""",
+    // per-nation Gini: row_number within nation (the operator's
+    // two-phase rank computes the same order), exact HUGEINT sums,
+    // one division
+    "profile_gini" ->
+      """WITH spend AS (SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         x AS (SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+             s.cents, s.o_custkey AS cust
+           FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+         rk AS (SELECT nation, cents,
+           row_number() OVER (PARTITION BY nation
+             ORDER BY cents, cust) AS r FROM x),
+         g AS (SELECT nation, count(*) AS n_cust,
+           sum(CAST(cents AS HUGEINT)) AS sx,
+           sum(CAST(r AS HUGEINT) * CAST(cents AS HUGEINT)) AS srx
+           FROM rk GROUP BY 1)
+         SELECT nation, n_cust,
+           round(CAST(2 * srx - (n_cust + 1) * sx AS DOUBLE)
+             / CAST(n_cust * sx AS DOUBLE), 6) AS gini
+         FROM g ORDER BY nation""",
+    // collocation lift: exact integer cross-ratio n_xy*N_uni^2 /
+    // (N_bi*n_x*n_y) in HUGEINT, one division; selection by exact
+    // (count desc, bigram)
+    "text_bigram_lift" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks
+           FROM documents),
+         u AS (SELECT tok, count(*) AS n_tok FROM (
+           SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+         nu AS (SELECT CAST(sum(n_tok) AS HUGEINT) AS n_uni FROM u),
+         bc AS (SELECT bigram, count(*) AS n FROM (
+           SELECT unnest([toks[i]||' '||toks[i+1]
+             for i in range(1, len(toks))]) AS bigram
+           FROM t WHERE len(toks) >= 2) GROUP BY 1),
+         nb AS (SELECT CAST(sum(n) AS HUGEINT) AS n_bi FROM bc),
+         tp AS (SELECT bigram, n FROM bc WHERE n >= 5
+           ORDER BY n DESC, bigram LIMIT 50),
+         dx AS (SELECT bigram, n,
+           string_split(bigram, ' ')[1] AS x,
+           string_split(bigram, ' ')[2] AS y FROM tp)
+         SELECT d.bigram, d.n, ux.n_tok AS n_x, uy.n_tok AS n_y,
+           round(CAST(CAST(d.n AS HUGEINT) * n_uni * n_uni AS DOUBLE)
+             / CAST(n_bi * CAST(ux.n_tok AS HUGEINT)
+               * CAST(uy.n_tok AS HUGEINT) AS DOUBLE), 6) AS lift
+         FROM dx d JOIN u ux ON ux.tok = d.x
+         JOIN u uy ON uy.tok = d.y
+         CROSS JOIN nu CROSS JOIN nb
+         ORDER BY d.n DESC, d.bigram""",
     // per-user daily grid over the user's own span; interior gaps get
     // vp + (vn−vp)·frac with frac one IEEE division of exact integer
     // day distances, closed under round 6

@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Product-analytics operators over the event stream and order
+  * history — sessionization, funnel conversion, last-touch
+  * attribution, cohort retention. These are the behavioral queries a
+  * reference user runs downstream of ingest (the reference's own
+  * `/find` + extraction surface stops at retrieval; this pack is the
+  * analysis layer a lakehouse adds on top), and each is also the
+  * batch twin of a streaming monitor (SessionStream).
+  *
+  * Shared exactness discipline: every timestamp enters arithmetic as
+  * WHOLE MICROSECONDS (`unix_micros` here, `epoch_us` in the DuckDB
+  * oracle) — never seconds-as-double, the classic cross-engine
+  * rounding hazard. Orders within a user are totalized by
+  * (ts_us, event_id) — event_id is unique — so session boundaries,
+  * funnel step times and attribution picks are deterministic in both
+  * engines.
+  */
+object Behavior {
+
+  /** Session gap: a new session starts after 30 minutes of
+    * inactivity (the industry-standard cut, in microseconds). */
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** Graded `events_sessionize`: per-user session statistics under
+    * the [[SessionGapUs]] inactivity rule — session count, event
+    * volume, the largest session, and total engaged seconds. The
+    * boundary marker is one `lag` + one running `sum` over the SAME
+    * user-partitioned window (a billion users = a billion small
+    * partitions — the partition key does the scaling; nothing here
+    * is a global window), then two hash aggregations.
+    *
+    * Engaged time sums per-session (last − first) microsecond spans
+    * exactly and converts to whole seconds with ONE integer
+    * division at the end — summing per-session seconds instead
+    * would compound truncation error across sessions.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionizeFor(Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us")))
+
+  /** [[sessionize]] over any (user_id, event_id, ts_us) frame — the
+    * planted-boundary spec seam (a gap of EXACTLY [[SessionGapUs]]
+    * stays in-session; the rule is strictly greater). */
+  private[operators] def sessionizeFor(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = events
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(run))
+    val sessions = marked
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+    sessions.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"),
+        expr("sum(dur_us) div 1000000").as("total_dur_s"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The ordered funnel steps [[funnel]] measures. */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Graded `events_funnel`: strict-order funnel conversion — how
+    * many users performed view, then click strictly after their
+    * FIRST view, then purchase strictly after that first qualifying
+    * click (the standard first-touch funnel semantics: each step
+    * anchors on the earliest event that satisfies the previous
+    * step). Output is one row per step with the user count and the
+    * step-over-step conversion rate.
+    *
+    * Scale shape: one per-user min-aggregation per step plus one
+    * equi-join on user_id per step — all map-side combinable, all
+    * shuffles on the same key (co-partitioned chain); no window over
+    * the corpus, no self-join of events against events at event
+    * grain. The closing 3-row lag window is a constant-size frame.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    funnelFor(Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")))
+
+  /** [[funnel]] over any (user_id, event_type, us) frame — the spec
+    * seam (a click BEFORE the user's first view must not count). */
+  private[operators] def funnelFor(e: DataFrame): DataFrame = {
+    val steps = FunnelSteps.zipWithIndex
+    val counts = steps.foldLeft(
+        (Option.empty[DataFrame], Seq.empty[DataFrame])) {
+      case ((prev, acc), (step, idx)) =>
+        val hits = e.filter(col("event_type") === step)
+        val anchored = prev match {
+          case None => hits
+          case Some(p) =>
+            hits.join(p.select(col("user_id"), col("anchor_us")),
+                Seq("user_id"))
+              .filter(col("us") > col("anchor_us"))
+        }
+        val users = anchored.groupBy(col("user_id"))
+          .agg(min(col("us")).as("anchor_us"))
+        val row = users.agg(count(lit(1)).as("n_users"))
+          .select(lit(idx + 1).as("step_idx"), lit(step).as("step"),
+            col("n_users"))
+        (Some(users), acc :+ row)
+    }._2
+    val all = counts.reduce(_ unionByName _)
+    val w3 = Window.orderBy(col("step_idx")) // 3 rows — constant frame
+    all
+      .withColumn("p_conv",
+        when(col("step_idx") === 1, lit(1.0))
+          .otherwise(round(col("n_users").cast("double")
+            / lag(col("n_users"), 1).over(w3).cast("double"), 6)))
+      .orderBy(col("step_idx"))
+  }
+
+  /** Attribution lookback: a purchase converts for a touch at most
+    * this many microseconds earlier (7 days). */
+  val AttributionWindowUs: Long = 7L * 24 * 3600 * 1000000
+
+  /** Graded `events_attribution`: last-touch revenue attribution —
+    * every purchase is credited to the user's most recent
+    * NON-purchase event within [[AttributionWindowUs]], or to
+    * `direct` when none qualifies. One user-partitioned window pass
+    * (two `last(_, ignoreNulls)` over the strictly-preceding frame)
+    * plus one channel aggregation; revenue is exact cents.
+    */
+  def attribution(s: SparkSession, dir: String): DataFrame =
+    attributionFor(Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us")))
+
+  /** [[attribution]] over any (user_id, event_id, event_type, value,
+    * us) frame — the spec seam (a touch older than the lookback, or
+    * a purchase-only history, must credit `direct`). */
+  private[operators] def attributionFor(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("touch_type",
+        when(col("event_type") =!= "purchase", col("event_type")))
+      .withColumn("touch_us",
+        when(col("event_type") =!= "purchase", col("us")))
+      .withColumn("last_touch", last(col("touch_type"), true).over(w))
+      .withColumn("last_touch_us", last(col("touch_us"), true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("last_touch").isNotNull &&
+          col("us") - col("last_touch_us") <= AttributionWindowUs,
+          col("last_touch")).otherwise(lit("direct")).as("channel"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("channel"))
+  }
+
+  /** Graded `orders_cohort_retention`: the classic cohort-retention
+    * matrix — customers grouped by the month of their FIRST order
+    * (the cohort), counted per month-offset they placed any later
+    * order. Months are carried as the exact integer index
+    * `year·12 + (month−1)`, so the offset is pure integer
+    * subtraction in both engines (never `months_between`, whose
+    * fractional semantics differ).
+    *
+    * Scale shape: first-order month is one min-aggregation on
+    * o_custkey; activity joins back on the SAME key (co-partitioned,
+    * AQE broadcasts the months-sized cohort frame when it fits);
+    * the (customer, cohort, offset) distinct and the closing counts
+    * are hash aggregations. Nothing is windowed over the order
+    * corpus.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ym = (year(col("o_orderdate")) * 12 +
+      month(col("o_orderdate")) - 1).cast("long")
+    cohortRetentionFor(Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), ym.as("ym")))
+  }
+
+  /** [[cohortRetention]] over any (o_custkey, ym) frame — the spec
+    * seam (planted cohorts with known retention cells). */
+  private[operators] def cohortRetentionFor(o: DataFrame): DataFrame = {
+    val first = o.groupBy(col("o_custkey"))
+      .agg(min(col("ym")).as("cohort_ym"))
+    val sizes = first.groupBy(col("cohort_ym"))
+      .agg(count(lit(1)).as("cohort_n"))
+    val active = o.join(first, Seq("o_custkey"))
+      .select(col("o_custkey"), col("cohort_ym"),
+        (col("ym") - col("cohort_ym")).as("offset_m"))
+      .distinct()
+      .groupBy(col("cohort_ym"), col("offset_m"))
+      .agg(count(lit(1)).as("n_active"))
+    active.join(sizes, Seq("cohort_ym"))
+      .select(
+        expr("cohort_ym div 12").as("cohort_year"),
+        (col("cohort_ym") % 12 + 1).as("cohort_month"),
+        col("offset_m"), col("n_active"), col("cohort_n"),
+        round(col("n_active").cast("double")
+          / col("cohort_n").cast("double"), 6).as("retention"))
+      .orderBy(col("cohort_year"), col("cohort_month"), col("offset_m"))
+  }
+}

@@ -83,4 +83,45 @@ object DataQuality {
         rate(col("n_violations"), col("n_checked")).as("violation_rate"))
       .orderBy(col("check"))
   }
+
+  /** Benford first-digit expectations log10(1 + 1/d), d = 1..9,
+    * pinned as 6-decimal LITERALS (the identical constants appear in
+    * the DuckDB oracle) — literal tables, not runtime log10, are
+    * what keeps a transcendental out of the hash-graded path. */
+  val BenfordExpected: Seq[Double] = Seq(
+    0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+    0.066947, 0.057992, 0.051153, 0.045757)
+
+  /** Graded `dq_benford`: Benford's-law conformance of order totals —
+    * the observed first-significant-digit distribution against the
+    * log10(1 + 1/d) expectation, with per-digit absolute deviation
+    * (the fraud/synthetic-data smell test auditors run on financial
+    * columns; Nigrini 1996). Amounts enter as exact cents, the digit
+    * is string head of the integer — no floating-point extraction.
+    *
+    * Scale shape: one narrow projection + one 9-key map-side-combined
+    * count; the total joins back by broadcast. Deviation compares the
+    * ROUNDED observed share against the literal expectation, so every
+    * reported number is deterministic in both engines.
+    */
+  def benford(s: SparkSession, dir: String): DataFrame = {
+    val digit = substring(
+      round(col("o_totalprice") * 100, 0).cast("long").cast("string"),
+      1, 1).cast("int")
+    val counts = load(s, dir, "orders")
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("n_total"))
+    val pExp = BenfordExpected.zipWithIndex.foldLeft(lit(null)
+        .cast("double")) { case (acc, (p, i)) =>
+      when(col("digit") === (i + 1), lit(p)).otherwise(acc)
+    }
+    counts.crossJoin(broadcast(total))
+      .withColumn("p_obs",
+        round(col("n").cast("double") / col("n_total").cast("double"), 6))
+      .withColumn("p_exp", pExp)
+      .select(col("digit"), col("n"), col("p_obs"), col("p_exp"),
+        round(abs(col("p_obs") - col("p_exp")), 6).as("abs_dev"))
+      .orderBy(col("digit"))
+  }
 }

@@ -525,4 +525,134 @@ object Graph {
     }
     dist.orderBy(col("node"))
   }
+
+  /** [[tradeEdges]] with an exact small-integer edge cost kept: the
+    * same above-mean canonical (a < b) pairs, each carrying
+    * `cost = (w mod 7) + 1` derived from the cents volume — a
+    * deterministic weight in 1..7 that both engines compute with one
+    * integer op. A SEPARATE builder (not a projection of a shared
+    * weighted frame) so [[tradeEdges]]' committed query plans stay
+    * byte-identical.
+    */
+  private[operators] def tradeEdgesWeighted(s: SparkSession,
+      dir: String): DataFrame = {
+    val li = load(s, dir, "lineitem")
+    val o = load(s, dir, "orders")
+    val c = load(s, dir, "customer")
+    val su = load(s, dir, "supplier")
+    val vol = li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .select(su("s_nationkey").cast("long").as("src"),
+        c("c_nationkey").cast("long").as("dst"),
+        round(li("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("cents"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("cents")).as("w"))
+    val totals = vol.agg(count(lit(1)).as("n_pairs"),
+      sum(col("w")).as("total_w"))
+    vol.crossJoin(broadcast(totals))
+      .filter(col("w") * col("n_pairs") > col("total_w"))
+      .select(col("a"), col("b"), (col("w") % 7 + 1).as("cost"))
+  }
+
+  /** Propagation rounds for [[graphLabelprop]] — the [[KhopIters]]
+    * contract: after r rounds each node holds the min id within r
+    * hops, so `rounds ≥ component diameter` converges to connected
+    * components; the spec pins that one extra round is a no-op on a
+    * planted path. */
+  val LabelpropRounds = 6
+
+  /** Graded `graph_labelprop`: connected components by min-label
+    * propagation (the Pregel/GraphX "connected components" algorithm
+    * — each node repeatedly adopts the smallest label in its closed
+    * neighborhood) over the above-mean trade graph, with component
+    * sizes. The DuckDB oracle computes the same fixpoint as a
+    * recursive reachability min, so the fixed-round fold is
+    * hash-graded against the true component structure.
+    *
+    * Scale shape: per round one equi-join of the node-sized label
+    * frame against the edge list + one min aggregation — the
+    * label-propagation step every bulk-synchronous graph engine
+    * runs. Lineage discipline: the label frame is referenced twice
+    * per round (join leg + union leg), so each round ends in
+    * `localCheckpoint(eager = true)` — the [[kcoreFor]] cut; the
+    * checkpoint is the 16-byte-per-node label frame.
+    */
+  def graphLabelprop(s: SparkSession, dir: String): DataFrame = {
+    val e = tradeEdges(s, dir)
+    val edges = e.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      .cache()
+    labelpropFor(edges)
+  }
+
+  /** [[graphLabelprop]]'s fold over any DIRECTED (u, v) edge frame
+    * (pass both orientations for undirected) — the spec seam. */
+  private[operators] def labelpropFor(edges: DataFrame,
+      rounds: Int = LabelpropRounds): DataFrame = {
+    val init = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val labels = (1 to rounds).foldLeft(init) { (l, _) =>
+      val viaNbr = l.join(edges, l("node") === edges("u"))
+        .select(col("v").as("node"), col("label"))
+      l.unionByName(viaNbr)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(eager = true)
+    }
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("component_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("node"), col("label"), col("component_size"))
+      .orderBy(col("node"))
+  }
+
+  /** Relaxation rounds for [[graphSssp]] — Bellman–Ford's bound is
+    * the longest minimal path in EDGES; after r rounds every node
+    * holds the exact min cost over paths of ≤ r edges (the spec pins
+    * the weighted-chain case where the cheap path is the LONG way
+    * around). */
+  val SsspRounds = 6
+
+  /** Graded `graph_sssp`: single-source shortest paths by bounded
+    * Bellman–Ford over the weighted trade graph ([[tradeEdgesWeighted]],
+    * both orientations), seeded like [[khopSeed]] at the smallest
+    * present node. [[graphKhop]] is the cost≡1 special case; the
+    * weighted form is the real blast-radius/logistics query.
+    *
+    * Scale shape and lineage discipline are [[khopFor]]'s: per round
+    * one frontier equi-join + one min aggregation over the
+    * node-sized dist frame, `localCheckpoint(eager = true)` per
+    * round because the fold references `d` twice (geometric growth
+    * otherwise — the r11 lesson, pre-applied).
+    */
+  def graphSssp(s: SparkSession, dir: String): DataFrame = {
+    val kept = tradeEdgesWeighted(s, dir)
+    val edges = kept
+      .select(col("a").as("u"), col("b").as("v"), col("cost"))
+      .unionByName(
+        kept.select(col("b").as("u"), col("a").as("v"), col("cost")))
+      .cache()
+    ssspFor(edges)
+  }
+
+  /** [[graphSssp]]'s relaxation over any DIRECTED (u, v, cost)
+    * frame — the spec seam. */
+  private[operators] def ssspFor(edges: DataFrame,
+      rounds: Int = SsspRounds): DataFrame = {
+    val seed = edges.agg(min(col("u")).as("node"))
+      .select(col("node"), lit(0L).as("dist"))
+    val dist = (1 to rounds).foldLeft(seed) { (d, _) =>
+      val relaxed = d.join(edges, d("node") === edges("u"))
+        .select(col("v").as("node"),
+          (col("dist") + col("cost")).as("dist"))
+      d.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = true)
+    }
+    dist.orderBy(col("node"))
+  }
 }

@@ -38,30 +38,46 @@ object Profile {
   private val Cols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
-  /** x scaled to an exact scale-0 decimal: all profiled columns carry
-    * ≤ 4 fractional digits, so round(x·10⁴) is an unambiguous
-    * integer (the product lands within 1e-6 of it).
+  /** x scaled to exact micro-units as a LONG: all profiled columns
+    * carry ≤ 4 fractional digits and |x| < 2·10⁵, so v = round(x·10⁴)
+    * < 2·10⁹ and v² < 4·10¹⁸ BOTH fit int64 — per-row arithmetic
+    * stays in long registers (the previous decimal(38,0) form made
+    * the per-row v·v multiply a wide-decimal op, the scan's dominant
+    * cost: ~4.4 s of the sf0.1 bench). Only the SUMS are decimal,
+    * where overflow is real (10¹² rows × 10¹⁸ ≫ int64); the summed
+    * integers are identical, so the hash-oracled output is unchanged.
     */
   private def vint(c: String): Column =
-    round(col(c) * 10000, 0).cast("decimal(38,0)")
+    round(col(c) * 10000, 0).cast("long")
+
+  /** The exact decimal sum of a long column (cast per row — one
+    * widening, not a wide multiply). */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(38,0)"))
 
   def profileNumeric(s: SparkSession, dir: String): DataFrame = {
-    // micro-unit values pre-projected ONCE per row: referencing
-    // vint(c) inside each aggregate argument makes the partial
-    // aggregate evaluate the decimal round/cast up to three times per
-    // (row, column) — decimal(38) arithmetic is the scan's dominant
-    // per-row cost, so the single projection is the cheap form
-    val projected = load(s, dir, "lineitem")
+    // Two 1-row aggregations crossed at the end, NOT one combined
+    // agg: a multi-column countDistinct plans through Expand (every
+    // input row replicated once per distinct column), and a combined
+    // agg drags the moment sums through that ×5 replication — each
+    // replica re-evaluates the decimal widenings, which measured
+    // SLOWER than the pre-Expand decimal projection it replaced. The
+    // split leaves the moment pass Expand-free and whole-stage
+    // codegen'd (long multiply + one widening per row) and the
+    // distinct pass replicating only the four source columns.
+    val base = load(s, dir, "lineitem").select(Cols.map(col): _*)
+    val projected = base
       .select(Cols.map(col) ++ Cols.map(c => vint(c).as(s"v_$c")): _*)
-    val aggs = count(lit(1)).as("n") +: Cols.flatMap { c =>
+    val momentAggs = count(lit(1)).as("n") +: Cols.flatMap { c =>
       Seq(
-        countDistinct(col(c)).as(s"nd_$c"),
         min(col(c)).as(s"min_$c"),
         max(col(c)).as(s"max_$c"),
-        sum(col(s"v_$c")).as(s"sx_$c"),
-        sum(col(s"v_$c") * col(s"v_$c")).as(s"sxx_$c"))
+        dsum(col(s"v_$c")).as(s"sx_$c"),
+        dsum(col(s"v_$c") * col(s"v_$c")).as(s"sxx_$c"))
     }
-    val a = projected.agg(aggs.head, aggs.tail: _*)
+    val distinctAggs = Cols.map(c => countDistinct(col(c)).as(s"nd_$c"))
+    val a = projected.agg(momentAggs.head, momentAggs.tail: _*)
+      .crossJoin(broadcast(
+        base.agg(distinctAggs.head, distinctAggs.tail: _*)))
     // one row per column out of the single aggregate row: an inline'd
     // struct array, so the aggregation runs once (not once per column)
     val rows = Cols.map { c =>
@@ -102,8 +118,8 @@ object Profile {
         approx_count_distinct(col(c), 0.01).as(s"nd_$c"),
         min(col(c)).as(s"min_$c"),
         max(col(c)).as(s"max_$c"),
-        sum(col(s"v_$c")).as(s"sx_$c"),
-        sum(col(s"v_$c") * col(s"v_$c")).as(s"sxx_$c"))
+        dsum(col(s"v_$c")).as(s"sx_$c"),
+        dsum(col(s"v_$c") * col(s"v_$c")).as(s"sxx_$c"))
     }
     val a = projected.agg(aggs.head, aggs.tail: _*)
     val rows = Cols.map { c =>
@@ -215,5 +231,56 @@ object Profile {
         round((col("n_xy").cast("double") / col("n").cast("double"))
           * pmi, 6).as("mi_contrib_bits"))
       .orderBy(col("x"), col("y"))
+  }
+
+  /** Graded `profile_gini`: the Gini concentration coefficient of
+    * customer spend per nation — the inequality profile a curation /
+    * marketplace-health dashboard tracks (is revenue concentrating
+    * into a few whales?). Closed form over the per-group sorted
+    * order: G = (2·Σ rᵢ·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with rᵢ the
+    * 1-based rank of xᵢ within its nation — Σ terms exact DECIMAL
+    * over integer cents, one double division + round at the end.
+    * Equal spends permute freely within tied ranks without changing
+    * Σ r·x, so the tiebreak (custkey) is for determinism only.
+    *
+    * Scale discipline — the rank is NOT a per-nation window: with
+    * ~25 nations a `Window.partitionBy(nation)` serializes ~1/25 of
+    * a billion-customer frame through single tasks (the r11
+    * `orders_rfm` defect class). Instead ONE global
+    * [[DistributedPrefix]] exclusive rank over the total order
+    * (nation, cents, cust) plus a broadcast 25-row per-nation offset
+    * subtraction yields the in-nation rank with the range exchange as
+    * the only corpus-wide movement.
+    */
+  def giniSpend(s: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val spend = load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .as("cents"))
+    val x = spend.join(load(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("cents"), col("o_custkey").as("cust"))
+    val ranked = DistributedPrefix.exclusiveSum(x,
+      Seq(col("nation"), col("cents"), col("cust")), lit(1L), "rk0")
+    val offw = Window.orderBy(col("nation"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // 25-row frame: the unpartitioned window is over nation COUNTS
+    val offs = x.groupBy(col("nation"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("nation"),
+        coalesce(sum(col("cnt")).over(offw), lit(0L)).as("noff"))
+    ranked.join(broadcast(offs), Seq("nation"))
+      .withColumn("r", col("rk0") - col("noff") + 1)
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(dec(col("cents"))).as("sx"),
+        sum(dec(col("r")) * dec(col("cents"))).as("srx"))
+      .select(col("nation"), col("n_cust"),
+        round((lit(2) * col("srx") - (col("n_cust") + 1) * col("sx"))
+            .cast("double")
+          / (col("n_cust") * col("sx")).cast("double"), 6).as("gini"))
+      .orderBy(col("nation"))
   }
 }

