@@ -285,6 +285,9 @@ object SparkEntry {
     // min-agg + co-partitioned join-back, nothing windowed
     "orders_cohort_retention" ->
       (graft.operators.Behavior.cohortRetention _),
+    // DAU/WAU stickiness: bounded 7x explode of distinct (user, day)
+    // pairs — never a per-day windowed COUNT DISTINCT
+    "events_stickiness" -> (graft.operators.Behavior.stickiness _),
     // Benford first-digit conformance of order cents against literal
     // log10(1+1/d) expectations — no runtime transcendental
     "dq_benford" -> (graft.operators.DataQuality.benford _),
@@ -3554,10 +3557,12 @@ object SparkEntry {
            UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
          SELECT step_idx, step, n_users,
            CASE WHEN step_idx = 1 THEN CAST(1.0 AS DOUBLE)
+             WHEN prev_n = 0 THEN CAST(0.0 AS DOUBLE)
              ELSE round(CAST(n_users AS DOUBLE)
-               / CAST(lag(n_users) OVER (ORDER BY step_idx) AS DOUBLE),
-               6) END AS p_conv
-         FROM c ORDER BY step_idx""",
+               / CAST(prev_n AS DOUBLE), 6) END AS p_conv
+         FROM (SELECT *, lag(n_users) OVER (ORDER BY step_idx)
+             AS prev_n FROM c)
+         ORDER BY step_idx""",
     // last-touch attribution: IGNORE NULLS last_value over the
     // strictly-preceding frame, 7-day lookback, exact cents
     "events_attribution" ->
@@ -3602,6 +3607,22 @@ object SparkEntry {
              AS retention
          FROM r JOIN sz USING (cohort_ym)
          ORDER BY cohort_year, cohort_month, offset_m""",
+    // the WAU range join — the oracle form of the operator's bounded
+    // explode; both count distinct users per trailing 7-day window
+    "events_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+           FROM events),
+         days AS (SELECT DISTINCT day FROM ud),
+         dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+         wau AS (SELECT d.day, count(DISTINCT u.user_id) AS wau
+           FROM days d JOIN ud u
+             ON u.day BETWEEN d.day - 6 AND d.day
+           GROUP BY 1)
+         SELECT dau.day, dau.dau, wau.wau,
+           round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+             AS stickiness
+         FROM dau JOIN wau ON dau.day = wau.day
+         ORDER BY dau.day""",
     // Benford conformance: digit = string head of exact cents;
     // expectations are the same 6-decimal literals the operator pins
     "dq_benford" ->

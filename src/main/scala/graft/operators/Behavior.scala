@@ -119,10 +119,15 @@ object Behavior {
     val all = counts.reduce(_ unionByName _)
     val w3 = Window.orderBy(col("step_idx")) // 3 rows — constant frame
     all
+      .withColumn("prev_n", lag(col("n_users"), 1).over(w3))
       .withColumn("p_conv",
         when(col("step_idx") === 1, lit(1.0))
+          // a dead previous step converts nobody — 0.0, not a
+          // divide-by-zero (ANSI mode throws on an empty corpus)
+          .when(col("prev_n") === 0, lit(0.0))
           .otherwise(round(col("n_users").cast("double")
-            / lag(col("n_users"), 1).over(w3).cast("double"), 6)))
+            / col("prev_n").cast("double"), 6)))
+      .drop("prev_n")
       .orderBy(col("step_idx"))
   }
 
@@ -166,6 +171,43 @@ object Behavior {
       .agg(count(lit(1)).as("n_purchases"),
         sum(col("cents")).as("revenue_cents"))
       .orderBy(col("channel"))
+  }
+
+  /** Days in the rolling active-user window (WAU). */
+  val StickinessWindowDays = 7
+
+  /** Graded `events_stickiness`: DAU / WAU engagement — per observed
+    * day, the distinct users active that day, the distinct users
+    * active in the trailing [[StickinessWindowDays]]-day window, and
+    * their ratio (the classic stickiness KPI).
+    *
+    * Scale shape — no windowed COUNT DISTINCT (which would serialize
+    * per-day windows over the user corpus): the (user, day) activity
+    * pairs are distinct-collapsed once, then each pair EXPLODES into
+    * the ≤ 7 window-ending days it contributes to (a bounded narrow
+    * fanout), is semi-join-pruned to observed days, and one more
+    * distinct + count per day yields the WAU exactly. Two hash
+    * shuffles, both on high-cardinality keys; the DuckDB oracle runs
+    * the equivalent range join.
+    */
+  def stickiness(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val days = ud.select(col("day")).distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(col("day"),
+        date_add(col("day"), StickinessWindowDays - 1))).as("wday"))
+      .join(days.toDF("wday"), Seq("wday"), "left_semi")
+      .distinct()
+      .groupBy(col("wday")).agg(count(lit(1)).as("wau"))
+      .withColumnRenamed("wday", "day")
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("stickiness"))
+      .orderBy(col("day"))
   }
 
   /** Graded `orders_cohort_retention`: the classic cohort-retention

@@ -96,6 +96,31 @@ class BehaviorSpec extends SparkSpec {
       "direct" -> ((2L, 5000L))), out.toString)
   }
 
+  test("stickiness replays a driver recount of DAU and trailing-7 WAU") {
+    val pairs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = pairs.map(_._2).distinct
+    val expected = days.map { d =>
+      val dau = pairs.count(_._2 == d).toLong
+      val wau = pairs.filter { case (_, ad) =>
+        !ad.isAfter(d) && ad.isAfter(d.minusDays(7))
+      }.map(_._1).distinct.length.toLong
+      d.toString -> ((dau, wau,
+        BigDecimal(dau.toDouble / wau.toDouble).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val got = Behavior.stickiness(spark, sf).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (d, (dau, wau, st)) =>
+      assert(got(d)._1 == dau && got(d)._2 == wau, s"day $d counts")
+      assert(math.abs(got(d)._3 - st) <= 1e-6, s"day $d stickiness")
+    }
+  }
+
   test("cohort retention: planted two-cohort matrix") {
     // cohort 0: custs 1,2 (cust 1 returns in months 1 and 2, cust 2
     // only month 0). cohort 1: cust 3, returns month 3 (offset 2).

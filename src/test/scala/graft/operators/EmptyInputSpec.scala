@@ -2,6 +2,7 @@ package graft.operators
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.SparkSpec
@@ -124,7 +125,33 @@ class EmptyInputSpec extends SparkSpec {
       "ivm_maintain" -> (() => Ivm.ivmMaintain(spark, emptyDir).count()),
       "basket_rules" -> (() => Basket.basketRules(spark, emptyDir).count()),
       "privacy_kanon" -> (() => Privacy.kanonAudit(spark, emptyDir).count()),
-      "dedup_canonical" -> (() => Dedup.canonical(spark, emptyDir).count()))
+      "dedup_canonical" -> (() => Dedup.canonical(spark, emptyDir).count()),
+      // r12 pack: behavior analytics, weighted graph, statistics
+      "events_sessionize" -> (() =>
+        Behavior.sessionize(spark, emptyDir).count()),
+      "events_funnel_steps_users" -> (() =>
+        // the 3 step rows survive with n_users = 0 — pin the counts
+        Behavior.funnel(spark, emptyDir).collect()
+          .map(_.getLong(2)).sum),
+      "events_attribution" -> (() =>
+        Behavior.attribution(spark, emptyDir).count()),
+      "orders_cohort_retention" -> (() =>
+        Behavior.cohortRetention(spark, emptyDir).count()),
+      "events_stickiness" -> (() =>
+        Behavior.stickiness(spark, emptyDir).count()),
+      "graph_labelprop" -> (() =>
+        Graph.graphLabelprop(spark, emptyDir).count()),
+      "graph_sssp_reached" -> (() =>
+        // the seed row is min(u) of an EMPTY edge set -> null node;
+        // nothing must survive with a real node id
+        Graph.graphSssp(spark, emptyDir)
+          .filter(col("node").isNotNull).count()),
+      "dq_benford" -> (() => DataQuality.benford(spark, emptyDir).count()),
+      "profile_gini" -> (() => Profile.giniSpend(spark, emptyDir).count()),
+      "text_bigram_lift" -> (() =>
+        TextAnalysis.bigramLift(spark, emptyDir).count()),
+      "ann_range_search" -> (() =>
+        Similarity.rangeSearch(spark, emptyDir).count()))
     ops.foreach { case (name, run) =>
       val n = try run() catch {
         case e: Throwable => fail(s"$name threw on empty input: $e")
