@@ -111,17 +111,28 @@ object Profile {
     * hash-oracled exact profile.
     */
   def profileNumericScale(s: SparkSession, dir: String): DataFrame = {
-    val projected = load(s, dir, "lineitem")
+    // Same two-pass split as [[profileNumeric]], for a different
+    // reason: HLL++ is an imperative aggregate, and one imperative
+    // function in the agg knocks the WHOLE moment scan out of
+    // whole-stage codegen. Separated, the moment pass is the same
+    // codegen'd long-arithmetic scan as the exact profile's, and the
+    // sketch pass reads only the four source columns into O(1)
+    // registers.
+    val base = load(s, dir, "lineitem").select(Cols.map(col): _*)
+    val projected = base
       .select(Cols.map(col) ++ Cols.map(c => vint(c).as(s"v_$c")): _*)
-    val aggs = count(lit(1)).as("n") +: Cols.flatMap { c =>
+    val momentAggs = count(lit(1)).as("n") +: Cols.flatMap { c =>
       Seq(
-        approx_count_distinct(col(c), 0.01).as(s"nd_$c"),
         min(col(c)).as(s"min_$c"),
         max(col(c)).as(s"max_$c"),
         dsum(col(s"v_$c")).as(s"sx_$c"),
         dsum(col(s"v_$c") * col(s"v_$c")).as(s"sxx_$c"))
     }
-    val a = projected.agg(aggs.head, aggs.tail: _*)
+    val sketchAggs = Cols.map(c =>
+      approx_count_distinct(col(c), 0.01).as(s"nd_$c"))
+    val a = projected.agg(momentAggs.head, momentAggs.tail: _*)
+      .crossJoin(broadcast(
+        base.agg(sketchAggs.head, sketchAggs.tail: _*)))
     val rows = Cols.map { c =>
       val n = col("n")
       val sx = col(s"sx_$c")
