@@ -288,6 +288,9 @@ object SparkEntry {
     // DAU/WAU stickiness: bounded 7x explode of distinct (user, day)
     // pairs — never a per-day windowed COUNT DISTINCT
     "events_stickiness" -> (graft.operators.Behavior.stickiness _),
+    // within-session path mining: session-grain collect bounded by
+    // session length, then a vocab-sized path count + top-k
+    "events_top_paths" -> (graft.operators.Behavior.topPaths _),
     // Benford first-digit conformance of order cents against literal
     // log10(1+1/d) expectations — no runtime transcendental
     "dq_benford" -> (graft.operators.DataQuality.benford _),
@@ -3614,6 +3617,27 @@ object SparkEntry {
              AS stickiness
          FROM dau JOIN wau ON dau.day = wau.day
          ORDER BY dau.day""",
+    // per-session ordered type paths via string_agg; exact counts,
+    // top-k with a total (count desc, path) tiebreak
+    "events_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+           epoch_us(ts) AS ts_us FROM events),
+         m AS (SELECT user_id, event_id, event_type, ts_us,
+           CASE WHEN lag(ts_us) OVER w IS NULL
+             OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+             ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id
+             ORDER BY ts_us, event_id)),
+         s AS (SELECT user_id, event_id, event_type, ts_us,
+           sum(is_new) OVER (PARTITION BY user_id
+             ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+             AS session_seq FROM m),
+         p AS (SELECT user_id, session_seq,
+           string_agg(event_type, '>' ORDER BY ts_us, event_id)
+             AS path
+           FROM s GROUP BY 1, 2)
+         SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+         ORDER BY n_sessions DESC, path LIMIT 20""",
     // Benford conformance: digit = string head of exact cents;
     // expectations are the same 6-decimal literals the operator pins
     "dq_benford" ->

@@ -173,6 +173,53 @@ object Behavior {
       .orderBy(col("channel"))
   }
 
+  /** Paths reported by [[topPaths]]. */
+  val PathTop = 20
+
+  /** Graded `events_top_paths`: the most common within-session
+    * event-type sequences — path analysis, the product-analytics
+    * staple one level up from [[graft.operators.Temporal]]'s
+    * first-order transition matrix (which only sees adjacent pairs;
+    * paths see the whole session). Sessions are cut by the
+    * [[SessionGapUs]] rule, each session's types are joined in
+    * (ts, event_id) order into a `>`-separated path, and the top
+    * [[PathTop]] paths are reported with exact counts.
+    *
+    * Scale shape: the session cut is the [[sessionizeFor]] window
+    * pass (user-partitioned); the path build is one aggregation to
+    * SESSION grain whose `collect_list` is bounded by session length
+    * — the one structurally-bounded collect in the pack (a session
+    * is minutes of one human's events; a pathological bot session is
+    * the upstream rate-limiter's problem, and a `slice` cap composes
+    * here if one is wanted). Path counts are then a Zipf-light
+    * vocab-sized table and the top-k a TakeOrderedAndProject.
+    */
+  def topPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(run))
+    val paths = marked
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(concat_ws(">",
+        transform(
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(PathTop)
+  }
+
   /** Days in the rolling active-user window (WAU). */
   val StickinessWindowDays = 7
 

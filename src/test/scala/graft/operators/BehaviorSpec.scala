@@ -96,6 +96,31 @@ class BehaviorSpec extends SparkSpec {
       "direct" -> ((2L, 5000L))), out.toString)
   }
 
+  test("top paths replays a driver session-path recount") {
+    val raw = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val paths = raw.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      val sessions = sorted.tail.foldLeft(List(List(sorted.head))) {
+        case (cur :: done, e) =>
+          if (e._4 - cur.head._4 > Behavior.SessionGapUs)
+            List(e) :: cur :: done
+          else (e :: cur) :: done
+        case (Nil, _) => sys.error("unreachable")
+      }
+      sessions.map(ss => ss.reverse.map(_._3).mkString(">"))
+    }
+    val counts = paths.groupBy(identity).view.mapValues(_.size.toLong)
+    val expected = counts.toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(Behavior.PathTop)
+    val got = Behavior.topPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
   test("stickiness replays a driver recount of DAU and trailing-7 WAU") {
     val pairs = graft.Tables.events(spark, sf)
       .select(col("user_id"), to_date(col("ts")).as("day"))
