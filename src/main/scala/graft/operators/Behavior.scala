@@ -11,8 +11,11 @@ import graft.Tables
   * attribution, cohort retention. These are the behavioral queries a
   * reference user runs downstream of ingest (the reference's own
   * `/find` + extraction surface stops at retrieval; this pack is the
-  * analysis layer a lakehouse adds on top), and each is also the
-  * batch twin of a streaming monitor (SessionStream).
+  * analysis layer a lakehouse adds on top). The attribution and
+  * funnel operators have continuous twins
+  * ([[graft.streaming.AttributionStream]],
+  * [[graft.streaming.FunnelStream]]); sessions stream through
+  * `EventStream.sessionAgg`.
   *
   * Shared exactness discipline: every timestamp enters arithmetic as
   * WHOLE MICROSECONDS (`unix_micros` here, `epoch_us` in the DuckDB
