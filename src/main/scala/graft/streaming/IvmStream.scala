@@ -118,4 +118,24 @@ object IvmStream {
   /** The current view: the highest marked tick's snapshot. */
   def currentOf(s: SparkSession, path: String): DataFrame =
     s.read.parquet(s"$path/cur/tick=${lastApplied(s, path)}")
+
+  /** Time travel: the view AS OF a committed tick — per-tick
+    * snapshots double as a retained history (the Iceberg/Delta
+    * `VERSION AS OF` shape), so "what did the aggregate say when
+    * tick t was the frontier" is a direct read with no replay.
+    * Committed-but-vacuumed and never-committed ticks both refuse
+    * LOUDLY (named errors) instead of silently serving a neighbor's
+    * snapshot; [[vacuum]]'s `keep` is therefore the time-travel
+    * horizon.
+    */
+  def asOf(s: SparkSession, path: String, tick: Long): DataFrame = {
+    val f = fsOf(s, markerDir(path))
+    require(f.exists(new Path(markerDir(path), tick.toString)),
+      s"ivm asOf: tick $tick was never committed at $path")
+    val snap = new Path(s"$path/cur/tick=$tick")
+    require(fsOf(s, path).exists(snap),
+      s"ivm asOf: tick $tick is committed but vacuumed — raise " +
+        s"vacuum(keep) to retain a longer time-travel horizon")
+    s.read.parquet(snap.toString)
+  }
 }

@@ -62,6 +62,33 @@ class IvmStreamSpec extends SparkSpec {
       "replay double-applied the delta")
   }
 
+  test("asOf time-travels to any retained committed tick and refuses " +
+      "loudly otherwise") {
+    val path = Files.createTempDirectory("ivmt").toString + "/view"
+    IvmStream.bootstrap(view0, path)
+    IvmStream.applyTick(path, Seq("cust"), Seq("s"),
+      d0.toDF("cust", "m", "s"), 0L)
+    IvmStream.applyTick(path, Seq("cust"), Seq("s"),
+      d1.toDF("cust", "m", "s"), 1L)
+    // tick 0's world: cust 3 still present, cust 9 not yet born
+    val at0 = asMap(IvmStream.asOf(spark, path, 0L))
+    assert(at0.contains(3L) && !at0.contains(9L), at0.toString)
+    // the bootstrap snapshot is tick -1 and also reachable
+    assert(asMap(IvmStream.asOf(spark, path, -1L)) == asMap(view0))
+    // frontier asOf == currentOf
+    assert(asMap(IvmStream.asOf(spark, path, 1L)) ==
+      asMap(IvmStream.currentOf(spark, path)))
+    // never-committed tick: named error
+    val e1 = intercept[IllegalArgumentException](
+      IvmStream.asOf(spark, path, 7L))
+    assert(e1.getMessage.contains("never committed"))
+    // committed-but-vacuumed tick: named error pointing at keep
+    IvmStream.vacuum(spark, path, keep = 1)
+    val e2 = intercept[IllegalArgumentException](
+      IvmStream.asOf(spark, path, 0L))
+    assert(e2.getMessage.contains("vacuumed"))
+  }
+
   test("a crash between the snapshot write and the marker heals; " +
       "vacuum keeps the replay frontier") {
     val path = Files.createTempDirectory("ivmc").toString + "/view"
