@@ -238,6 +238,9 @@ object SparkEntry {
     // pairwise association rules: basket-bounded self-join fanout,
     // exact supports, lift/confidence one division each
     "basket_rules" -> (graft.operators.Basket.basketRules _),
+    // item-item CF: basket-bounded pair join + per-item top-k on the
+    // ROUNDED cosine (WindowGroupLimit keeps the shuffle survivor-sized)
+    "orders_item_cf" -> (graft.operators.Basket.itemCf _),
     // hierarchy flattening by pointer doubling (O(log depth) shuffled
     // self-joins) vs DuckDB's one-edge-per-iteration recursive CTE —
     // identical flattening through structurally different algorithms
@@ -4033,6 +4036,28 @@ object SparkEntry {
          JOIN pp y ON pr.pb = y.part
          CROSS JOIN nn
          ORDER BY pa, pb""",
+    // item-item CF: same co-occurrence core as basket_rules, both
+    // orientations, per-item top-k ranked on the ROUNDED cosine
+    "orders_item_cf" ->
+      """WITH items AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS ok,
+           CAST(l_partkey AS BIGINT) AS part FROM lineitem),
+         pp AS (SELECT part, count(*) AS n FROM items GROUP BY 1),
+         pr AS (SELECT a.part AS pa, b.part AS pb, count(*) AS n_ab
+           FROM items a JOIN items b ON a.ok = b.ok AND a.part < b.part
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         bo AS (
+           SELECT pa AS i, pb AS j, n_ab FROM pr
+           UNION ALL SELECT pb, pa, n_ab FROM pr),
+         sc AS (SELECT b.i, b.j, b.n_ab,
+           round(CAST(b.n_ab AS DOUBLE)
+             / sqrt(CAST(ni.n * nj.n AS DOUBLE)), 6) AS cos
+           FROM bo b JOIN pp ni ON ni.part = b.i
+           JOIN pp nj ON nj.part = b.j),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY i
+             ORDER BY cos DESC, j) AS rank FROM sc)
+         SELECT i AS part, j AS neighbor, CAST(rank AS INTEGER) AS rank,
+           n_ab, cos
+         FROM rk WHERE rank <= 5 ORDER BY part, rank""",
     // grouped OLS: six exact integer sums (HUGEINT in DuckDB, scale-0
     // DECIMAL in Spark), then slope/intercept/R² as identical IEEE
     // chains; intercept uses the ROUNDED slope so both engines agree

@@ -67,6 +67,44 @@ class AnalyticsR12Spec extends SparkSpec {
     }
   }
 
+  test("item-item CF replays a driver cosine recount; neighbors are " +
+    "symmetric pairs") {
+    val items = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = items.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val co = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    items.groupBy(_._1).values.foreach { basket =>
+      val parts = basket.map(_._2).sorted
+      for (a <- parts.indices; b <- a + 1 until parts.length)
+        co((parts(a), parts(b))) = co.getOrElse((parts(a), parts(b)), 0L) + 1
+    }
+    val expected = co.toSeq.filter(_._2 >= Basket.MinSupport)
+      .flatMap { case ((a, b), c) => Seq((a, b, c), (b, a, c)) }
+      .map { case (i, j, c) =>
+        val cos = BigDecimal(c.toDouble / math.sqrt((n(i) * n(j)).toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (i, j, c, cos)
+      }
+      .groupBy(_._1).flatMap { case (_, xs) =>
+        xs.sortBy(x => (-x._4, x._2)).take(Basket.CfK).zipWithIndex
+          .map { case ((i, j, c, cos), r) => (i, j, r + 1, c, cos) }
+      }.toSet
+    val got = Basket.itemCf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    // the driver's HALF_UP on a BigDecimal of the IEEE double can
+    // differ in the 6th decimal exactly at a rounding boundary;
+    // compare the full tuples with cosine at 1e-6 tolerance
+    assert(got.size == expected.size)
+    val gotByKey = got.map(t => (t._1, t._2) -> t).toMap
+    expected.foreach { case (i, j, r, c, cos) =>
+      val g = gotByKey((i, j))
+      assert(g._3 == r && g._4 == c, s"($i,$j) rank/count")
+      assert(math.abs(g._5 - cos) <= 1e-6, s"($i,$j) cosine")
+    }
+  }
+
   test("bigram lift replays against driver counts on the corpus " +
     "top-50") {
     val texts = graft.Tables.load(spark, sf, "documents")
