@@ -329,7 +329,11 @@ object Bench {
             case Left(msg) => err = msg.takeWhile(_ != ':'); -1
           }
         }
-        val (a, b) = (once(), once())
+        val a = once()
+        // a failed/timed-out first run short-circuits: re-running a
+        // hang would pay a SECOND full watchdog expiry (and park a
+        // second abandoned thread) just to learn the same thing
+        val b = if (a < 0) a else once()
         // fingerprint from the last executed frame — best-effort, a
         // fingerprinting failure must never fail the bench
         // one untimed pass over the frame's OWN plan so AQE finalizes
