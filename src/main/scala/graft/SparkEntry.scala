@@ -269,7 +269,7 @@ object SparkEntry {
     // fixed-round distributed peeling to the 3-core backbone
     "graph_kcore" -> (graft.operators.Graph.graphKcore _),
     // connected components by min-label propagation (Pregel CC),
-    // localCheckpoint per round; oracle = recursive reachability min
+    // localCheckpoint per round; oracle unrolls the same six rounds
     "graph_labelprop" -> (graft.operators.Graph.graphLabelprop _),
     // bounded Bellman-Ford over (w mod 7)+1 edge costs; khop is the
     // cost=1 special case; oracle unrolls the relaxation rounds
@@ -3426,12 +3426,12 @@ object SparkEntry {
            CROSS JOIN nn LEFT JOIN f3 ON n2.node = f3.node)
          SELECT node, round(CAST(r AS DOUBLE), 9) AS rank
          FROM r3 ORDER BY node""",
-    // min-label propagation's fixpoint as a recursive reachability
-    // min: label(n) = smallest id reachable from n — the fixed-round
-    // fold converges to exactly this on any component with diameter
-    // <= rounds (spec-pinned)
+    // six unrolled min-label rounds — the operator's EXACT
+    // fixed-round contract (a fixpoint oracle would silently diverge
+    // the moment a component's eccentricity exceeds the round count;
+    // the sssp/khop oracles set this precedent)
     "graph_labelprop" ->
-      """WITH RECURSIVE vol AS MATERIALIZED (
+      """WITH vol AS MATERIALIZED (
            SELECT least(CAST(s.s_nationkey AS BIGINT),
                CAST(c.c_nationkey AS BIGINT)) AS a,
              greatest(CAST(s.s_nationkey AS BIGINT),
@@ -3448,17 +3448,35 @@ object SparkEntry {
            SELECT a AS u, b AS v FROM vol, t WHERE w * n_pairs > total_w
            UNION ALL
            SELECT b, a FROM vol, t WHERE w * n_pairs > total_w),
-         nd AS (SELECT DISTINCT u AS node FROM e),
-         reach(src, node) AS (
-           SELECT node, node FROM nd
-           UNION
-           SELECT reach.src, e.v FROM reach JOIN e ON e.u = reach.node),
-         lab AS (SELECT src AS node, min(node) AS label FROM reach
+         l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
+         l1 AS (SELECT node, min(label) AS label FROM (
+           SELECT node, label FROM l0 UNION ALL
+           SELECT e.v, l0.label FROM l0 JOIN e ON e.u = l0.node)
            GROUP BY 1),
-         siz AS (SELECT label, count(*) AS component_size FROM lab
+         l2 AS (SELECT node, min(label) AS label FROM (
+           SELECT node, label FROM l1 UNION ALL
+           SELECT e.v, l1.label FROM l1 JOIN e ON e.u = l1.node)
+           GROUP BY 1),
+         l3 AS (SELECT node, min(label) AS label FROM (
+           SELECT node, label FROM l2 UNION ALL
+           SELECT e.v, l2.label FROM l2 JOIN e ON e.u = l2.node)
+           GROUP BY 1),
+         l4 AS (SELECT node, min(label) AS label FROM (
+           SELECT node, label FROM l3 UNION ALL
+           SELECT e.v, l3.label FROM l3 JOIN e ON e.u = l3.node)
+           GROUP BY 1),
+         l5 AS (SELECT node, min(label) AS label FROM (
+           SELECT node, label FROM l4 UNION ALL
+           SELECT e.v, l4.label FROM l4 JOIN e ON e.u = l4.node)
+           GROUP BY 1),
+         l6 AS (SELECT node, min(label) AS label FROM (
+           SELECT node, label FROM l5 UNION ALL
+           SELECT e.v, l5.label FROM l5 JOIN e ON e.u = l5.node)
+           GROUP BY 1),
+         siz AS (SELECT label, count(*) AS component_size FROM l6
            GROUP BY 1)
-         SELECT lab.node, lab.label, siz.component_size
-         FROM lab JOIN siz USING (label) ORDER BY lab.node""",
+         SELECT l6.node, l6.label, siz.component_size
+         FROM l6 JOIN siz USING (label) ORDER BY l6.node""",
     // six unrolled Bellman-Ford relaxations (the operator's
     // fixed-round contract) over (w mod 7)+1 costs — all exact
     // integers

@@ -49,21 +49,30 @@ object Behavior {
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us")))
 
-  /** [[sessionize]] over any (user_id, event_id, ts_us) frame — the
-    * planted-boundary spec seam (a gap of EXACTLY [[SessionGapUs]]
-    * stays in-session; the rule is strictly greater). */
-  private[operators] def sessionizeFor(events: DataFrame): DataFrame = {
+  /** The session-boundary marking [[sessionizeFor]] and [[topPaths]]
+    * share — ONE definition of the session rule, so the two graded
+    * views can never silently cut sessions differently. Input must
+    * carry (user_id, event_id, ts_us); other columns pass through;
+    * output adds `session_seq` (1-based per user). A gap of EXACTLY
+    * [[SessionGapUs]] stays in-session; the rule is strictly greater.
+    */
+  private def sessionMarked(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val marked = events
+    events
       .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
       .withColumn("is_new",
         when(col("prev_us").isNull ||
           col("ts_us") - col("prev_us") > SessionGapUs, 1L)
           .otherwise(0L))
       .withColumn("session_seq", sum(col("is_new")).over(run))
-    val sessions = marked
+  }
+
+  /** [[sessionize]] over any (user_id, event_id, ts_us) frame — the
+    * planted-boundary spec seam. */
+  private[operators] def sessionizeFor(events: DataFrame): DataFrame = {
+    val sessions = sessionMarked(events)
       .groupBy(col("user_id"), col("session_seq"))
       .agg(count(lit(1)).as("n_events"),
         (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
@@ -198,19 +207,9 @@ object Behavior {
     * vocab-sized table and the top-k a TakeOrderedAndProject.
     */
   def topPaths(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("event_id"))
-    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val marked = Tables.events(s, dir)
+    val paths = sessionMarked(Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("ts_us"))
-      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
-      .withColumn("is_new",
-        when(col("prev_us").isNull ||
-          col("ts_us") - col("prev_us") > SessionGapUs, 1L)
-          .otherwise(0L))
-      .withColumn("session_seq", sum(col("is_new")).over(run))
-    val paths = marked
+        unix_micros(col("ts")).as("ts_us")))
       .groupBy(col("user_id"), col("session_seq"))
       .agg(concat_ws(">",
         transform(

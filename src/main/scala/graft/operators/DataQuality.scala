@@ -110,6 +110,10 @@ object DataQuality {
       1, 1).cast("int")
     val counts = load(s, dir, "orders")
       .select(digit.as("digit"))
+      // first SIGNIFICANT digit is 1..9 by definition: a zero-cent or
+      // null amount has none, and keeping such a row here would
+      // diverge from the oracle, whose expectation join drops it
+      .filter(col("digit").between(1, 9))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
     val total = counts.agg(sum(col("n")).as("n_total"))
     val pExp = BenfordExpected.zipWithIndex.foldLeft(lit(null)

@@ -570,9 +570,10 @@ object Graph {
     * propagation (the Pregel/GraphX "connected components" algorithm
     * — each node repeatedly adopts the smallest label in its closed
     * neighborhood) over the above-mean trade graph, with component
-    * sizes. The DuckDB oracle computes the same fixpoint as a
-    * recursive reachability min, so the fixed-round fold is
-    * hash-graded against the true component structure.
+    * sizes. The DuckDB oracle unrolls the SAME [[LabelpropRounds]]
+    * bounded rounds as CTE stages (the [[kcoreFor]]/[[ssspFor]]
+    * precedent) — a fixpoint oracle would silently diverge the
+    * moment a component's eccentricity exceeds the round count.
     *
     * Scale shape: per round one equi-join of the node-sized label
     * frame against the edge list + one min aggregation — the

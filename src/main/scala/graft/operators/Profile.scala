@@ -273,12 +273,17 @@ object Profile {
         col("o_custkey") === col("c_custkey"))
       .select(col("c_nationkey").cast("long").as("nation"),
         col("cents"), col("o_custkey").as("cust"))
-    val ranked = DistributedPrefix.exclusiveSum(x,
-      Seq(col("nation"), col("cents"), col("cust")), lit(1L), "rk0")
+    // the ..AndRel form hands back the CACHED ranged frame, so the
+    // 25-row nation counts aggregate THAT instead of re-running the
+    // whole orders aggregation + customer join a second time (the
+    // exact auxiliary-aggregate case the helper's doc prescribes)
+    val (ranked, rel) = DistributedPrefix.exclusiveSumsAndRel(x,
+      Seq(col("nation"), col("cents"), col("cust")),
+      Seq((lit(1L), "rk0")))
     val offw = Window.orderBy(col("nation"))
       .rowsBetween(Window.unboundedPreceding, -1)
     // 25-row frame: the unpartitioned window is over nation COUNTS
-    val offs = x.groupBy(col("nation"))
+    val offs = rel.groupBy(col("nation"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("nation"),
         coalesce(sum(col("cnt")).over(offw), lit(0L)).as("noff"))

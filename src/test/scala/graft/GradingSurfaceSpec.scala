@@ -40,16 +40,37 @@ class GradingSurfaceSpec extends SparkSpec {
     */
   private val MaxPlanNodes = 2000
 
+  /** Per-query construction bound: normal builders return in
+    * milliseconds-to-seconds (analysis plus, for checkpointing
+    * operators, small sf0.001 executions); only a plan whose ANALYSIS
+    * never returns should trip this. */
+  private val FrameBoundSec = 120L
+
   /** One frame per query, built once and shared by the schema and
     * plan-size tests (construction is analysis — and, for operators
     * with eager per-round checkpoints, small sf0.001 executions — so
-    * building the 228-query fleet twice would double the suite's
-    * dominant cost).
+    * building the fleet twice would double the suite's dominant
+    * cost). Construction runs under the SAME watchdog as the driver
+    * mains: the node-count test below only sees a plan that finished
+    * analyzing, so a true geometric bomb (the r11 class) would
+    * otherwise hang HERE, nameless, instead of failing the guard —
+    * the bound turns it into a failure that names the query.
     */
-  private lazy val frames: Seq[(String, DataFrame)] =
+  private lazy val frames: Seq[(String, DataFrame)] = {
+    // force the session OUTSIDE the watchdog thread: same-object lazy
+    // vals share the instance monitor, so a daemon thread initializing
+    // `spark` while this thread initializes `frames` would deadlock
+    // (observed as the very first query "timing out" at construction)
+    val s = spark
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> fn(spark, sf)
+      Verify.bounded(name, FrameBoundSec)(fn(s, sf)) match {
+        case Right(df) => name -> df
+        case Left(msg) => fail(s"query $name did not construct within " +
+          s"$FrameBoundSec s ($msg) — an analyzer bomb (cut the fold's " +
+          "lineage with localCheckpoint per round) or a broken builder")
+      }
     }
+  }
 
   test("every registered query's schema is scalar at top level " +
       "(driver pandas sort-before-hash compatibility)") {
