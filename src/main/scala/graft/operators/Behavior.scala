@@ -239,10 +239,16 @@ object Behavior {
     * shuffles, both on high-cardinality keys; the DuckDB oracle runs
     * the equivalent range join.
     */
-  def stickiness(s: SparkSession, dir: String): DataFrame = {
-    val ud = Tables.events(s, dir)
+  def stickiness(s: SparkSession, dir: String): DataFrame =
+    stickinessFor(Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
-      .distinct()
+      .distinct())
+
+  /** [[stickiness]] over any DISTINCT (user_id, day) activity frame —
+    * the seam the streamed view composes with
+    * ([[graft.streaming.StickinessStream]] maintains exactly this
+    * frame incrementally and reuses this readout verbatim). */
+  def stickinessFor(ud: DataFrame): DataFrame = {
     val days = ud.select(col("day")).distinct()
     val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     val wau = ud
