@@ -451,4 +451,55 @@ class PlanSpec extends SparkSpec {
       assert(share >= 0.0 && share <= 1.0, s"share $share")
     }
   }
+
+  private def windowsOf(df: org.apache.spark.sql.DataFrame) = {
+    df.collect()
+    outerPlanNodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+  }
+
+  test("sessionize/top_paths: every window is user-partitioned (a " +
+      "billion small partitions, never a global sort)") {
+    Seq("events_sessionize" -> Behavior.sessionize(spark, sf),
+        "events_top_paths" -> Behavior.topPaths(spark, sf)).foreach {
+      case (name, df) =>
+        val ws = windowsOf(df)
+        assert(ws.nonEmpty, s"$name: expected session windows")
+        ws.foreach { w =>
+          assert(w.partitionSpec.exists(
+            _.references.exists(_.name == "user_id")),
+            s"$name: window not partitioned by user_id:\n$w")
+        }
+    }
+  }
+
+  test("profile_gini: the only windows sit on the P-row offsets or " +
+      "the 25-row nation counts, never the customer frame") {
+    windowsOf(Profile.giniSpend(spark, sf)).foreach { w =>
+      val onTinyAgg = outerPlanNodes(w).exists {
+        case a: org.apache.spark.sql.execution.aggregate
+            .BaseAggregateExec =>
+          a.output.exists(x => x.name == "pid" || x.name == "cnt")
+        case _ => false
+      }
+      assert(onTinyAgg, s"Window over a non-tiny frame:\n$w")
+    }
+  }
+
+  test("orders_item_cf: pair enumeration stays an equi-join and the " +
+      "top-k window is partitioned by the item key") {
+    val df = Basket.itemCf(spark, sf)
+    val ws = windowsOf(df)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "pair join degenerated to a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "pair join degenerated to a nested loop")
+    assert(ws.nonEmpty)
+    ws.foreach { w =>
+      assert(w.partitionSpec.exists(_.references.exists(_.name == "i")),
+        s"top-k window not partitioned by item:\n$w")
+    }
+  }
 }
