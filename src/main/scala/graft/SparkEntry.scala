@@ -160,6 +160,20 @@ object SparkEntry {
     // (never undercounts, ε·N overcount, shard-merge ≡ direct —
     // ApproxSpec pins all three)
     "approx_cms_freq" -> (graft.operators.Approx.cmsFreqAudit _),
+    // md5-domain HLL: register index + bin-string first-1-bit rank +
+    // 2^(52-M) integer register sum — the whole harmonic-mean
+    // estimator replays bit-identically in DuckDB (hash-graded twin
+    // of the engine-native HLL forms above)
+    "approx_distinct_hll_md5" ->
+      (graft.operators.Approx.hllDistinctMd5 _),
+    // md5-domain HLL shard merge: per-source register maxes union-
+    // merged (register-wise max) vs one-pass vs exact — the
+    // mergeability identity as a hash-graded row
+    "approx_hll_merge_md5" -> (graft.operators.Approx.hllMergeMd5 _),
+    // md5-domain CMS: d hashed-row counters + min-probe over the
+    // exact top-20 tokens — group-by + min is plain SQL, so the
+    // sketch itself hash-oracles; est_cms >= n_exact visible in rows
+    "approx_cms_freq_md5" -> (graft.operators.Approx.cmsFreqMd5 _),
     "approx_distinct_kmv" -> ((s, dir) => Tables.load(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(graft.functions.KMVDistinct(col("l_orderkey"), 256).as("est_orders"))
@@ -363,6 +377,9 @@ object SparkEntry {
     "qast_overlap" -> (QastQueries.overlapFilter _),
     "qast_props" -> (QastQueries.jsonPropsFilter _),
     "qast_logic" -> (QastQueries.logicFilter _),
+    // the beyond-reference GROUP verb: ["group", pred, keys, agg...]
+    // compiled to filter -> groupBy -> agg; every exact agg exercised
+    "qast_group" -> (QastQueries.groupRollup _),
     "meta_search" -> (QastQueries.metaSearch _),
     // --- dedup pack (training-data pipeline ops) ---
     "dedup_exact" -> (Dedup.exact _),
@@ -1203,6 +1220,17 @@ object SparkEntry {
          FROM nation JOIN region ON n_regionkey=r_regionkey
          WHERE NOT (r_name='ASIA' OR r_name='EUROPE') AND n_nationkey != 0
          ORDER BY n_nationkey""",
+    // the GROUP verb's rollup: chained-comparison filter, two keys,
+    // all exact aggs. sum(l_quantity) is exact despite the double
+    // column (integral values, sums far below 2^53)
+    "qast_group" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           sum(l_quantity) AS sum_l_quantity,
+           min(l_extendedprice) AS min_l_extendedprice,
+           max(l_discount) AS max_l_discount,
+           count(DISTINCT l_orderkey) AS count_distinct_l_orderkey
+         FROM lineitem WHERE 3 < l_quantity AND l_quantity < 26
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "meta_search" ->
       """WITH f AS (
            SELECT doc_id id, 'cid-'||doc_id file, source, lang, n_chars
@@ -3052,6 +3080,98 @@ object SparkEntry {
          FROM t GROUP BY 1
          ORDER BY est_count DESC, token LIMIT 20"""
     },
+    // md5-domain HLL: low byte = register, first 1-bit of the top 44
+    // bits = rank (fixed-width bin/lpad/instr — identical semantics
+    // in both engines), exact-integer register sums, alpha pinned to
+    // the 6dp literal Approx.HllAlpha, ONE IEEE division, round 4
+    "approx_distinct_hll_md5" ->
+      s"""WITH h AS (SELECT l_returnflag,
+           CAST(list_sum([ (strpos('0123456789abcdef',
+               substr(md5(CAST(l_orderkey AS VARCHAR)), i, 1)) - 1)
+             * power(16, 13-i) for i in range(1,14) ]) AS BIGINT) AS h
+         FROM lineitem),
+         r AS (SELECT l_returnflag, h % 256 AS reg,
+           CASE WHEN instr(lpad(bin(h >> 8), 44, '0'), '1') = 0 THEN 45
+                ELSE instr(lpad(bin(h >> 8), 44, '0'), '1') END AS rho
+           FROM h),
+         mx AS (SELECT l_returnflag, reg, max(rho) AS rmax
+           FROM r GROUP BY 1, 2),
+         grid AS (SELECT f.l_returnflag, g.range AS reg
+           FROM (SELECT DISTINCT l_returnflag FROM lineitem) f
+           CROSS JOIN range(256) g),
+         filled AS (SELECT grid.l_returnflag, coalesce(mx.rmax, 0) AS rmax
+           FROM grid LEFT JOIN mx ON mx.l_returnflag = grid.l_returnflag
+             AND mx.reg = grid.reg),
+         sums AS (SELECT l_returnflag,
+           CAST(sum(1::BIGINT << (52 - rmax)) AS BIGINT) AS reg_sum
+           FROM filled GROUP BY 1)
+         SELECT l_returnflag, reg_sum,
+           round((CAST(${graft.operators.Approx.HllAlpha} AS DOUBLE)
+               * 65536.0 * 4503599627370496.0)
+             / CAST(reg_sum AS DOUBLE), 4) AS est_orders
+         FROM sums ORDER BY l_returnflag""",
+    // md5-domain HLL shard merge: per-source register maxes, merged =
+    // register-wise max of shard maxes = the global max by
+    // construction — DuckDB confirms est_merged = est_direct
+    "approx_hll_merge_md5" ->
+      s"""WITH h AS (SELECT source,
+           CAST(list_sum([ (strpos('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+             * power(16, 13-i) for i in range(1,14) ]) AS BIGINT) AS h
+         FROM documents),
+         r AS (SELECT source, h % 256 AS reg,
+           CASE WHEN instr(lpad(bin(h >> 8), 44, '0'), '1') = 0 THEN 45
+                ELSE instr(lpad(bin(h >> 8), 44, '0'), '1') END AS rho
+           FROM h),
+         shard AS (SELECT source, reg, max(rho) AS rmax
+           FROM r GROUP BY 1, 2),
+         dreg AS (SELECT coalesce(mx.rmax, 0) AS rmax
+           FROM range(256) g LEFT JOIN (SELECT reg, max(rho) AS rmax
+             FROM r GROUP BY 1) mx ON mx.reg = g.range),
+         mreg AS (SELECT coalesce(mx.rmax, 0) AS rmax
+           FROM range(256) g LEFT JOIN (SELECT reg, max(rmax) AS rmax
+             FROM shard GROUP BY 1) mx ON mx.reg = g.range),
+         de AS (SELECT round((CAST(${graft.operators.Approx.HllAlpha}
+               AS DOUBLE) * 65536.0 * 4503599627370496.0)
+             / CAST(CAST(sum(1::BIGINT << (52 - rmax)) AS BIGINT)
+               AS DOUBLE), 4) AS est_direct FROM dreg),
+         me AS (SELECT round((CAST(${graft.operators.Approx.HllAlpha}
+               AS DOUBLE) * 65536.0 * 4503599627370496.0)
+             / CAST(CAST(sum(1::BIGINT << (52 - rmax)) AS BIGINT)
+               AS DOUBLE), 4) AS est_merged FROM mreg),
+         ex AS (SELECT count(DISTINCT doc_id) AS exact_distinct
+           FROM documents),
+         ns AS (SELECT count(DISTINCT source) AS n_shards FROM documents)
+         SELECT ex.exact_distinct, ns.n_shards, de.est_direct,
+           me.est_merged
+         FROM ex CROSS JOIN ns CROSS JOIN de CROSS JOIN me""",
+    // md5-domain CMS: depth-i bucket = md5-52(tok||'#cms'||i) mod
+    // width; counters = (i, bucket) counts; probe = min over the d
+    // counters of each exact-top-20 token
+    "approx_cms_freq_md5" ->
+      """WITH t0 AS (SELECT unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         t AS (SELECT tok FROM t0 WHERE len(tok) > 0),
+         d AS (SELECT unnest([0,1,2,3]) AS i),
+         hashed AS (SELECT i, CAST(list_sum([ (strpos('0123456789abcdef',
+               substr(md5(tok || '#cms' || CAST(i AS VARCHAR)), j, 1)) - 1)
+             * power(16, 13-j) for j in range(1,14) ]) AS BIGINT) % 8192
+             AS bucket
+           FROM t CROSS JOIN d),
+         counters AS (SELECT i, bucket, count(*) AS cnt
+           FROM hashed GROUP BY 1, 2),
+         top AS (SELECT tok, count(*) AS n_exact FROM t GROUP BY 1
+           ORDER BY n_exact DESC, tok LIMIT 20),
+         probes AS (SELECT tok, n_exact, i,
+           CAST(list_sum([ (strpos('0123456789abcdef',
+               substr(md5(tok || '#cms' || CAST(i AS VARCHAR)), j, 1)) - 1)
+             * power(16, 13-j) for j in range(1,14) ]) AS BIGINT) % 8192
+             AS bucket
+           FROM top CROSS JOIN d)
+         SELECT p.tok, p.n_exact, CAST(min(c.cnt) AS BIGINT) AS est_cms
+         FROM probes p JOIN counters c ON c.i = p.i
+           AND c.bucket = p.bucket
+         GROUP BY 1, 2 ORDER BY n_exact DESC, tok""",
     "approx_distinct_kmv_md5" ->
       """WITH h AS (SELECT DISTINCT l_returnflag,
            list_sum([ (strpos('0123456789abcdef',
@@ -3653,19 +3773,22 @@ object SparkEntry {
            sum(is_new) OVER (PARTITION BY user_id
              ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
              AS session_seq FROM m),
+         c AS (SELECT *, row_number() OVER (PARTITION BY user_id,
+             session_seq ORDER BY ts_us, event_id) AS pos FROM s),
          p AS (SELECT user_id, session_seq,
            string_agg(event_type, '>' ORDER BY ts_us, event_id)
              AS path
-           FROM s GROUP BY 1, 2)
+           FROM c WHERE pos <= 64 GROUP BY 1, 2)
          SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
          ORDER BY n_sessions DESC, path LIMIT 20""",
     // Benford conformance: digit = string head of exact cents;
     // expectations are the same 6-decimal literals the operator pins
     "dq_benford" ->
-      """WITH c AS (SELECT CAST(substr(CAST(CAST(round(
-             o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1)
+      """WITH c AS (SELECT CAST(substr(CAST(abs(CAST(round(
+             o_totalprice * 100, 0) AS BIGINT)) AS VARCHAR), 1, 1)
              AS INTEGER) AS digit FROM orders),
-         n AS (SELECT digit, count(*) AS n FROM c GROUP BY 1),
+         n AS (SELECT digit, count(*) AS n FROM c
+           WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
          t AS (SELECT sum(n) AS n_total FROM n),
          bexp AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
            unnest([0.301030, 0.176091, 0.124939, 0.096910, 0.079181,

@@ -26,19 +26,37 @@ object Verify {
     sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
 
   /** Run `body` on a daemon thread, at most `sec` seconds. Left(msg)
-    * on timeout or throw; the timed-out thread is abandoned, never
-    * joined again. */
-  def bounded[A](name: String, sec: Long)(body: => A): Either[String, A] = {
+    * on timeout or throw. When `cancelIn` is given, the body runs
+    * under a per-query Spark job group that is CANCELLED on expiry —
+    * the abandoned thread's in-flight jobs die instead of burning
+    * executor cores and skewing every subsequent query's timing. The
+    * completion latch counts down strictly AFTER `out` is written, so
+    * a true `await` can never observe a half-written result; a timed-
+    * out body that finishes just after expiry is still reported as a
+    * timeout (one verdict per query, decided at the deadline). */
+  def bounded[A](name: String, sec: Long,
+      cancelIn: Option[SparkSession] = None)(body: => A)
+      : Either[String, A] = {
+    val done = new java.util.concurrent.CountDownLatch(1)
     @volatile var out: Either[String, A] = Left("timeout")
+    val group = s"verify-$name"
     val t = new Thread(() => {
-      out = try Right(body)
-      catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: " +
-        s"${String.valueOf(e.getMessage).take(200)}") }
+      try {
+        cancelIn.foreach(_.sparkContext
+          .setJobGroup(group, s"verify $name", interruptOnCancel = true))
+        out = try Right(body)
+        catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: " +
+          s"${String.valueOf(e.getMessage).take(200)}") }
+      } finally done.countDown()
     }, s"verify-$name")
     t.setDaemon(true)
     t.start()
-    t.join(sec * 1000)
-    out
+    val finished = done.await(sec, java.util.concurrent.TimeUnit.SECONDS)
+    if (finished) out
+    else {
+      cancelIn.foreach(_.sparkContext.cancelJobGroup(group))
+      Left("timeout")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -77,7 +95,7 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      bounded(name, timeoutSec) {
+      bounded(name, timeoutSec, Some(spark)) {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
       } match {

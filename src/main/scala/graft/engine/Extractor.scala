@@ -53,8 +53,10 @@ final class Extractor(spark: SparkSession, store: ContentStore,
   private def baseMime(mime: String): String =
     mime.split(';').head.trim.toLowerCase
 
-  /** `POST /extract/{cid}`: rows matching a QAST predicate. The
-    * predicate is parsed/compiled BEFORE the cid resolves, matching the
+  /** `POST /extract/{cid}`: rows matching a QAST predicate — or, when
+    * the query's top-level verb is the beyond-reference `group`
+    * extension, the rollup `filter → groupBy → agg` (key-ordered). The
+    * query is parsed/compiled BEFORE the cid resolves, matching the
     * reference's error precedence (`HttpHandler.java:219-229` calls
     * `parseAstFn` first): a malformed query against an unknown or
     * unsupported cid is "malformed query", not "failed query".
@@ -62,10 +64,13 @@ final class Extractor(spark: SparkSession, store: ContentStore,
   def extract(cid: String, qastJson: String)
       : Either[ExtractError, DataFrame] =
     for {
-      pred <- Compiler.fromJson(qastJson).left
-        .map(e => ExtractError.Malformed(e))
+      ast <- Ast.parse(qastJson).left.map(e => ExtractError.Malformed(e))
+      plan <- (ast match {
+        case Ast.QOp("group", _) => Compiler.compileGroup(ast).map(Right(_))
+        case _ => Compiler.compile(ast).map(Left(_))
+      }).left.map(e => ExtractError.Malformed(e))
       df <- rows(cid)
-    } yield df.filter(pred)
+    } yield plan.fold(df.filter, group => group(df))
 
   def extractWith(cid: String, pred: Column): Either[ExtractError, DataFrame] =
     rows(cid).map(_.filter(pred))

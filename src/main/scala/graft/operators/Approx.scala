@@ -115,6 +115,161 @@ object Approx {
       .orderBy(col("est_count").desc, col("token"))
       .limit(20)
 
+  // --- md5-domain HLL: the hash-GRADED twin of the HLL family -------
+
+  /** Registers in the md5-domain HLL (p = 8 index bits). */
+  val HllRegisters = 256
+
+  /** alpha_m for m = 256 — 0.7213/(1 + 1.079/m) (Flajolet et al.,
+    * 2007), PINNED to 6 decimals so both engines multiply the same
+    * literal (the no-runtime-transcendentals rule: the constant is
+    * data-independent, so pinning loses nothing). */
+  val HllAlpha = 0.718273
+
+  /** Rank of the first 1-bit in the low 44 bits of the md5-52 hash
+    * (1-based; 45 when all-zero) — leading-zero count via a FIXED-
+    * WIDTH binary string, because `bin`/`lpad`/`instr` have identical
+    * semantics in Spark and DuckDB while a log2-based rank would put
+    * a transcendental in the hash-graded path. */
+  private def hllRho(rem: Column): Column = {
+    val first = instr(lpad(bin(rem), 44, "0"), "1")
+    when(first === 0, lit(45)).otherwise(first)
+  }
+
+  /** (reg, rho) of a 52-bit md5-domain hash: low 8 bits index the
+    * register, the remaining 44 bits carry the rank. */
+  private def hllRegRho(h: Column): (Column, Column) =
+    ((h % HllRegisters).as("reg"), hllRho(shiftright(h, 8)).as("rho"))
+
+  /** Scaled register sum → raw-HLL estimate, both engine-exact: the
+    * per-register term 2^(52−M_j) is an exact BIGINT (M ≤ 45, m = 256
+    * terms ⇒ the sum spans ≤ 53 significand bits, so even its double
+    * cast is exact), and the estimate α·m²·2⁵²/S is literal products
+    * + ONE IEEE division, closed under round 4. */
+  private def hllEstimate(regSum: Column): Column =
+    round((lit(HllAlpha) * lit(65536.0) * lit(4503599627370496.0)) /
+      regSum.cast("double"), 4)
+
+  /** The md5-domain GRADED twin of [[hllDistinct]] (the KMV-recipe
+    * discipline extended from k-min sketches to HLL): per return
+    * flag, every distinct-order hash feeds 256 registers (register =
+    * low byte, rank = first 1-bit of the remaining 44), and the RAW
+    * HLL harmonic-mean estimate is reported next to the scaled
+    * register sum. Every step — md5, shift, bin-string rank, register
+    * max, 2^(52−M) sum, one division — is a deterministic integer/
+    * literal computation both engines replay bit-identically, so the
+    * whole ESTIMATOR hash-oracles, not just its inputs. (The
+    * small-range linear-counting correction needs ln(m/V) at query
+    * time — a runtime transcendental — so it stays on the engine-
+    * native rows-only form this twin grades the semantics of.)
+    *
+    * Scale shape: one map-side-combinable (flag, reg) max over a
+    * projection — state is 256 registers per flag, independent of
+    * corpus size; the untouched-register fill joins against a
+    * |flags|×256 broadcast grid.
+    */
+  def hllDistinctMd5(s: SparkSession, dir: String): DataFrame = {
+    val (reg, rho) = hllRegRho(col("h"))
+    val regs = load(s, dir, "lineitem")
+      .select(col("l_returnflag"), h52(col("l_orderkey")).as("h"))
+      .select(col("l_returnflag"), reg, rho)
+      .groupBy(col("l_returnflag"), col("reg"))
+      .agg(max(col("rho")).as("rmax"))
+    val grid = load(s, dir, "lineitem").select(col("l_returnflag"))
+      .distinct()
+      .crossJoin(s.range(HllRegisters).select(col("id").as("reg")))
+    grid.join(regs, Seq("l_returnflag", "reg"), "left")
+      .select(col("l_returnflag"), coalesce(col("rmax"), lit(0)).as("rmax"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(expr("shiftleft(cast(1 as bigint), 52 - rmax)"))
+        .as("reg_sum"))
+      .select(col("l_returnflag"), col("reg_sum"),
+        hllEstimate(col("reg_sum")).as("est_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** The md5-domain GRADED twin of [[hllMergeAudit]]: per-source
+    * shard sketches over document ids are union-merged (register-wise
+    * max — the HLL merge IS a max, which is why per-partition partials
+    * never reshuffle raw ids at 100 TB), and the merged estimate is
+    * reported next to the one-pass estimate and the exact count. The
+    * mergeability identity est_merged = est_direct now sits in a
+    * hash-graded row rather than only in a spec: max-of-shard-maxes
+    * equals the global max REGISTER BY REGISTER, so the two estimates
+    * are equal by construction and DuckDB confirms it independently.
+    */
+  def hllMergeMd5(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val (reg, rho) = hllRegRho(col("h"))
+    val rhos = docs.select(col("source"), h52(col("doc_id")).as("h"))
+      .select(col("source"), reg, rho)
+    val shards = rhos.groupBy(col("source"), col("reg"))
+      .agg(max(col("rho")).as("rmax"))
+    def estOf(regs: DataFrame, name: String): DataFrame =
+      s.range(HllRegisters).select(col("id").as("reg"))
+        .join(regs, Seq("reg"), "left")
+        .select(coalesce(col("rmax"), lit(0)).as("rmax"))
+        .agg(sum(expr("shiftleft(cast(1 as bigint), 52 - rmax)"))
+          .as("s"))
+        .select(hllEstimate(col("s")).as(name))
+    val direct = estOf(rhos.groupBy(col("reg"))
+      .agg(max(col("rho")).as("rmax")), "est_direct")
+    val merged = estOf(shards.groupBy(col("reg"))
+      .agg(max(col("rmax")).as("rmax")), "est_merged")
+    docs.agg(countDistinct(col("doc_id")).as("exact_distinct"))
+      .crossJoin(broadcast(docs.select(col("source")).distinct()
+        .agg(count(lit(1)).as("n_shards"))))
+      .crossJoin(broadcast(direct))
+      .crossJoin(broadcast(merged))
+  }
+
+  // --- md5-domain CMS: the hash-GRADED twin of the CMS audit --------
+
+  /** Count-min depth (independent hash rows). */
+  val CmsDepth = 4
+
+  /** Count-min width (counters per row). */
+  val CmsWidth = 8192
+
+  /** The md5-domain GRADED twin of [[cmsFreqAudit]]: a count-min
+    * sketch is nothing but d hashed-row counters — group-by + min is
+    * plain SQL once the hash is engine-reproducible. Depth-i bucket
+    * of a token is md5-52(token‖"#cms"‖i) mod [[CmsWidth]]; the
+    * counter table is the (i, bucket) count; a probe's estimate is
+    * the MIN over its d counters. Probes are the exact top-20 corpus
+    * tokens, so the classic CMS contract (never undercounts: every
+    * probed counter saw all of the token's increments) is visible in
+    * the graded rows as est_cms ≥ n_exact (ApproxSpec pins it).
+    *
+    * Scale shape: counter state is d×w rows regardless of corpus
+    * size (the sketch property), built by one map-side-combinable
+    * count over a d-way bounded fanout; the probe stage broadcasts
+    * 20×d rows. The exact top-k the audit compares against is the
+    * same (token, count) aggregation the exact path runs anyway.
+    */
+  def cmsFreqMd5(s: SparkSession, dir: String): DataFrame = {
+    val toks = load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    def buckets: Column = explode(array((0 until CmsDepth).map(i =>
+      struct(lit(i).as("i"),
+        (h52(concat(col("tok"), lit(s"#cms$i"))) % CmsWidth)
+          .as("bucket"))): _*))
+    val counters = toks.select(buckets.as("e"))
+      .select(col("e.i").as("i"), col("e.bucket").as("bucket"))
+      .groupBy(col("i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val probes = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok")).limit(20)
+      .select(col("tok"), col("n_exact"), buckets.as("e"))
+      .select(col("tok"), col("n_exact"),
+        col("e.i").as("i"), col("e.bucket").as("bucket"))
+    counters.join(broadcast(probes), Seq("i", "bucket"))
+      .groupBy(col("tok"), col("n_exact"))
+      .agg(min(col("cnt")).as("est_cms"))
+      .orderBy(col("n_exact").desc, col("tok"))
+  }
+
   /** The MERGEABILITY contract of distributed sketches, made explicit
     * and measured — the property every 100 TB sketch aggregation
     * rests on (map-side partials merge into the same answer as a

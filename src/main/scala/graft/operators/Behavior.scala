@@ -162,7 +162,7 @@ object Behavior {
   /** [[attribution]] over any (user_id, event_id, event_type, value,
     * us) frame — the spec seam (a touch older than the lookback, or
     * a purchase-only history, must credit `direct`). */
-  private[operators] def attributionFor(events: DataFrame): DataFrame = {
+  private[graft] def attributionFor(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -188,28 +188,48 @@ object Behavior {
   /** Paths reported by [[topPaths]]. */
   val PathTop = 20
 
+  /** Hard cap on events contributing to one session's path: a human
+    * session is dozens of events; past this many the PREFIX is the
+    * path (identical truncation pinned in the DuckDB oracle). The cap
+    * exists for the adversarial key — a bot/replay session with 10⁵+
+    * events is exactly the skew shape the rest of the repo defends
+    * against (`SemCellCap`, `MaxShingleDf`), and an uncapped
+    * per-session collect would hand it an executor OOM. */
+  val PathMaxLen = 64
+
   /** Graded `events_top_paths`: the most common within-session
     * event-type sequences — path analysis, the product-analytics
     * staple one level up from [[graft.operators.Temporal]]'s
     * first-order transition matrix (which only sees adjacent pairs;
     * paths see the whole session). Sessions are cut by the
-    * [[SessionGapUs]] rule, each session's types are joined in
-    * (ts, event_id) order into a `>`-separated path, and the top
-    * [[PathTop]] paths are reported with exact counts.
+    * [[SessionGapUs]] rule, each session's FIRST [[PathMaxLen]]
+    * events' types are joined in (ts, event_id) order into a
+    * `>`-separated path, and the top [[PathTop]] paths are reported
+    * with exact counts.
     *
     * Scale shape: the session cut is the [[sessionizeFor]] window
-    * pass (user-partitioned); the path build is one aggregation to
-    * SESSION grain whose `collect_list` is bounded by session length
-    * — the one structurally-bounded collect in the pack (a session
-    * is minutes of one human's events; a pathological bot session is
-    * the upstream rate-limiter's problem, and a `slice` cap composes
-    * here if one is wanted). Path counts are then a Zipf-light
-    * vocab-sized table and the top-k a TakeOrderedAndProject.
+    * pass (user-partitioned); rows are then rank-filtered to the
+    * first [[PathMaxLen]] per session BEFORE the path aggregation,
+    * so the `collect_list` buffer is bounded by construction — a
+    * hot bot session costs a (disk-spillable) window sort, never an
+    * unbounded agg buffer (BehaviorSpec plants a 100k-event session
+    * to prove both the truncation and the completion). Path counts
+    * are then a Zipf-light vocab-sized table and the top-k a
+    * TakeOrderedAndProject.
     */
-  def topPaths(s: SparkSession, dir: String): DataFrame = {
-    val paths = sessionMarked(Tables.events(s, dir)
+  def topPaths(s: SparkSession, dir: String): DataFrame =
+    topPathsFor(Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us")))
+
+  /** [[topPaths]] over any (user_id, event_id, event_type, ts_us)
+    * frame — the planted-bot-session spec seam. */
+  private[operators] def topPathsFor(events: DataFrame): DataFrame = {
+    val inSession = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val paths = sessionMarked(events)
+      .withColumn("pos", row_number().over(inSession))
+      .filter(col("pos") <= PathMaxLen)
       .groupBy(col("user_id"), col("session_seq"))
       .agg(concat_ws(">",
         transform(

@@ -105,14 +105,18 @@ object DataQuality {
     * reported number is deterministic in both engines.
     */
   def benford(s: SparkSession, dir: String): DataFrame = {
+    // abs() before the string head: a negative amount's head would be
+    // '-', which ANSI mode refuses to cast — sign never carries
+    // first-digit information anyway
     val digit = substring(
-      round(col("o_totalprice") * 100, 0).cast("long").cast("string"),
+      abs(round(col("o_totalprice") * 100, 0).cast("long")).cast("string"),
       1, 1).cast("int")
     val counts = load(s, dir, "orders")
       .select(digit.as("digit"))
       // first SIGNIFICANT digit is 1..9 by definition: a zero-cent or
-      // null amount has none, and keeping such a row here would
-      // diverge from the oracle, whose expectation join drops it
+      // null amount has none. The oracle applies the SAME 1..9 filter
+      // before ITS total, so the two denominators agree by
+      // construction — not merely because totals happen to be positive
       .filter(col("digit").between(1, 9))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
     val total = counts.agg(sum(col("n")).as("n_total"))

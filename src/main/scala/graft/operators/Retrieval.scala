@@ -493,7 +493,12 @@ object Retrieval {
             coalesce(sum(col("dl")), lit(0L)).as("dl_del")))
         .select((col("n") - col("n_del")).as("n"),
           (col("sumdl") - col("dl_del")).as("sumdl")))
-    del.coalesce(1).write.mode("append").parquet(s"$path.tombstones")
+    // partitioned append — a coalesce(1) here would serialize every
+    // delete batch through one task, which at a 100 TB index (where a
+    // policy purge can tombstone millions of ids) is a single-writer
+    // bottleneck. Small-file buildup is the existing compaction
+    // verb's job: compactBm25 drops the whole tombstone sidecar.
+    del.write.mode("append").parquet(s"$path.tombstones")
     delPost.unpersist()
     del.unpersist()
   }

@@ -52,7 +52,27 @@ object Ast {
     "&&" -> (_ == 2),
     "&" -> (_ >= 0),
     "|" -> (_ >= 0),
-    "!" -> (_ == 1))
+    "!" -> (_ == 1),
+    // beyond-reference extension (the reference QAST is predicate-only):
+    // ["group", pred, [key...], agg...] — relational rollup. Only legal
+    // at the TOP of a query; in value position it is malformed, like a
+    // bare ["$"]. Aggregate specs are plain arrays (["count"] /
+    // ["sum", expr] / ...), NOT operators — their heads stay ordinary
+    // strings so data arrays containing "count" etc. are unaffected.
+    "group" -> (_ >= 3))
+
+  /** Deterministic output name of a group key/agg expression — SHARED
+    * by both backends so their rollup schemas can never drift: the
+    * last string segment of a plain row path, else the positional
+    * fallback; `prefix` carries the aggregate name.
+    */
+  def pathName(ast: Ast, fallback: String, prefix: String = ""): String =
+    ast match {
+      case QOp(".", parts) =>
+        parts.reverse.collectFirst { case QStr(s) => prefix + s }
+          .getOrElse(prefix + fallback)
+      case _ => prefix + fallback
+    }
 
   private val mapper = new ObjectMapper()
 

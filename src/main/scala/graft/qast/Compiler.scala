@@ -99,8 +99,92 @@ object Compiler {
       }
     case "!" => compile(args.head).map(c => !c)
 
+    // frame-level verb in value position — like a bare ["$"], it has
+    // no meaning as a Column (use compileGroup at the query top)
+    case "group" => Left(QastError("malformed query"))
+
     case _ => Left(QastError("malformed query"))
   }
+
+  /** Compiled form of the top-level `group` verb: filter → groupBy →
+    * agg, each half an ordinary Catalyst expression list. Key/agg
+    * output names are deterministic so callers (and oracles) can
+    * address them: a plain path keeps its LAST segment; anything else
+    * is positional (`k0…`/`a0…`); `["count"]` is `n`; `[fn, path]` is
+    * `fn_<segment>`. [[GroupQuery.apply]] runs the rollup on any frame
+    * with a key-ordered output (deterministic endpoint streaming).
+    */
+  final case class GroupQuery(pred: Column, keyNames: List[String],
+      keys: List[Column], aggs: List[Column]) {
+    def apply(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      df.filter(pred).groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+        .orderBy(keyNames.map(col): _*)
+  }
+
+  /** Compile the beyond-reference rollup verb
+    * `["group", pred, [key...], agg...]`:
+    *
+    *   - `pred`: any QAST predicate (`true` for "no filter") — the
+    *     same compiler as `/find`/`/extract`, so pushdown through the
+    *     scan is unchanged;
+    *   - `[key...]`: grouping expressions (usually paths);
+    *   - `agg...` (≥ 1): `["count"]`, or `[fn, expr]` with fn ∈
+    *     count_distinct | sum | min | max | avg.
+    *
+    * Anything else is "malformed query" — arity is validated at parse
+    * time like every reference operator, shapes here. Returns the
+    * pieces rather than a DataFrame: the engine applies them to
+    * whatever frame the endpoint serves (content extraction or the
+    * metadata snapshot), exactly as predicate compilation is
+    * frame-agnostic.
+    */
+  def compileGroup(ast: Ast): Either[QastError, GroupQuery] = ast match {
+    case QOp("group", predAst :: QArr(keyAsts) :: aggAsts)
+        if keyAsts.nonEmpty && aggAsts.nonEmpty =>
+      for {
+        pred <- compile(predAst)
+        names = keyAsts.zipWithIndex.map { case (k, i) =>
+          Ast.pathName(k, s"k$i")
+        }
+        keys <- mapEither(keyAsts.zip(names)) { case (k, n) =>
+          compile(k).map(_.as(n))
+        }
+        aggs <- mapEither(aggAsts.zipWithIndex) { case (a, i) =>
+          compileAgg(a, i)
+        }
+      } yield GroupQuery(pred, names, keys, aggs)
+    case _ => Left(QastError("malformed query"))
+  }
+
+  /** Parse + compile a group query in one step. */
+  def groupFromJson(json: String): Either[QastError, GroupQuery] =
+    Ast.parse(json).flatMap(compileGroup)
+
+  /** The aggregate functions the group verb exposes — exact-arithmetic
+    * first (count/sum/min/max are engine-deterministic; avg is the one
+    * IEEE division of a deterministic sum).
+    */
+  val aggFns: Set[String] =
+    Set("count", "count_distinct", "sum", "min", "max", "avg")
+
+  private def compileAgg(ast: Ast, i: Int): Either[QastError, Column] =
+    ast match {
+      case QArr(QStr("count") :: Nil) => Right(count(lit(1)).as("n"))
+      case QArr(QStr(fn) :: arg :: Nil) if aggFns.contains(fn) =>
+        compile(arg).map { c =>
+          val agged = fn match {
+            case "count" => count(c)
+            case "count_distinct" => count_distinct(c)
+            case "sum" => sum(c)
+            case "min" => min(c)
+            case "max" => max(c)
+            case "avg" => avg(c)
+          }
+          agged.as(Ast.pathName(arg, s"a$i", prefix = fn + "_"))
+        }
+      case _ => Left(QastError("malformed query"))
+    }
 
   /** `[".", ["$"], "a", "b", ...]` — nested field access rooted at the
     * row (reference `getter-psql`, `qast.clj:23-29`; closure

@@ -60,6 +60,84 @@ object Evaluator {
   def filter(rows: Seq[Row], json: String): Either[QastError, Seq[Row]] =
     fromJson(json).map(f => rows.filter(r => f(r) == true))
 
+  /** The closure-backend twin of `Compiler.compileGroup` — the group
+    * verb over materialized rows (the `/find` metadata snapshot),
+    * QastBackendsSpec pins it row-equal to the Column backend.
+    * Aggregate null semantics match SQL: `count(expr)`/`distinct`/
+    * `sum`/`min`/`max`/`avg` ignore nulls; sum/min/max of an all-null
+    * group is null; `["count"]` counts rows. Grouping normalizes
+    * Long/Double numerically (SQL equality), but emits each key's
+    * first raw value.
+    */
+  def group(rows: Seq[Row], json: String): Either[QastError, Seq[Row]] =
+    Ast.parse(json).flatMap(groupOf).map(f => f(rows))
+
+  private def groupOf(ast: Ast)
+      : Either[QastError, Seq[Row] => Seq[Row]] = ast match {
+    case QOp("group", predAst :: QArr(keyAsts) :: aggAsts)
+        if keyAsts.nonEmpty && aggAsts.nonEmpty =>
+      for {
+        pred <- compile(predAst)
+        keys <- mapEither(keyAsts.zipWithIndex) { case (k, i) =>
+          compile(k).map((Ast.pathName(k, s"k$i"), _))
+        }
+        aggs <- mapEither(aggAsts.zipWithIndex) { case (a, i) =>
+          compileAgg(a, i)
+        }
+      } yield (rows: Seq[Row]) => {
+        import scala.math.Ordering.Implicits._
+        val kept = rows.filter(r => pred(r) == true)
+        kept.groupBy(r => keys.map { case (_, f) => norm(f(r)) })
+          .toSeq.map { case (_, grp) =>
+            (keys.map { case (n, f) => n -> f(grp.head) } ++
+              aggs.map { case (n, f) => n -> f(grp) }).toMap
+          }
+          // key-ordered like the Column backend's orderBy
+          .sortBy(r => keys.map { case (n, _) => ordKey(r(n)) })
+      }
+    case _ => Left(QastError("malformed query"))
+  }
+
+  private def compileAgg(ast: Ast, i: Int)
+      : Either[QastError, (String, Seq[Row] => Any)] = ast match {
+    case QArr(QStr("count") :: Nil) =>
+      Right(("n", grp => grp.size.toLong))
+    case QArr(QStr(fn) :: arg :: Nil)
+        if Set("count", "count_distinct", "sum", "min", "max", "avg")(fn) =>
+      compile(arg).map { f =>
+        val name = Ast.pathName(arg, s"a$i", prefix = fn + "_")
+        val agg: Seq[Row] => Any = grp => {
+          val vals = grp.map(f).filter(_ != null)
+          fn match {
+            case "count" => vals.size.toLong
+            case "count_distinct" => vals.map(norm).distinct.size.toLong
+            case "sum" =>
+              if (vals.isEmpty) null
+              else {
+                val d = vals.flatMap(num).sum
+                if (vals.forall(isIntegral)) d.toLong else d
+              }
+            case "avg" =>
+              if (vals.isEmpty) null
+              else vals.flatMap(num).sum / vals.size
+            case "min" => if (vals.isEmpty) null else vals.minBy(ordKey)
+            case "max" => if (vals.isEmpty) null else vals.maxBy(ordKey)
+          }
+        }
+        (name, agg)
+      }
+    case _ => Left(QastError("malformed query"))
+  }
+
+  /** Numeric-or-string sort key for min/max (mixed groups don't
+    * happen on real columns; numbers order before strings). */
+  private def ordKey(a: Any): (Int, Double, String) = num(a) match {
+    case Some(d) => (0, d, "")
+    case None => (1, 0.0, String.valueOf(a))
+  }
+
+  private def norm(a: Any): Any = num(a).getOrElse(a)
+
   private def compileOp(op: String, args: List[Ast])
       : Either[QastError, Row => Any] = op match {
     case "$" => Left(QastError("malformed query"))

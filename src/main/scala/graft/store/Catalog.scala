@@ -506,7 +506,15 @@ final class Catalog(spark: SparkSession, root: Path,
     * in both scans.
     */
   def search(qastJson: String): Either[graft.qast.Ast.QastError, DataFrame] =
-    Compiler.fromJson(qastJson).map(searchWith)
+    graft.qast.Ast.parse(qastJson).flatMap {
+      // beyond-reference rollup verb: the group's own predicate filters
+      // the PROJECTED search row (where `extra` is the merged map), so
+      // rollups see exactly the row shape `/find` returns
+      case ast @ graft.qast.Ast.QOp("group", _) =>
+        Compiler.compileGroup(ast)
+          .map(g => g(searchWith(org.apache.spark.sql.functions.lit(true))))
+      case ast => Compiler.compile(ast).map(searchWith)
+    }
 
   /** Driver-local metadata search — the closure backend of the QAST
     * "query polymorphism" (reference `qast->fn`): the joined+projected
@@ -520,17 +528,41 @@ final class Catalog(spark: SparkSession, root: Path,
     */
   def searchLocal(qastJson: String)
       : Either[graft.qast.Ast.QastError, Seq[Evaluator.Row]] =
-    snapshot match {
-      case Some(rows) =>
-        Evaluator.fromJson(qastJson).map(pred => rows.filter(pred(_) == true))
-      case None =>
-        // Above the cap the full relation must not live on the driver:
-        // run the SAME predicate through the Catalyst backend (the two
-        // backends are equivalence-tested in QastBackendsSpec) so the
-        // filter executes distributed and only MATCHES are collected.
-        Compiler.fromJson(qastJson).map(pred =>
-          searchWith(pred).collect().toSeq.map(searchRowToMap))
+    graft.qast.Ast.parse(qastJson).flatMap {
+      case ast @ graft.qast.Ast.QOp("group", _) => snapshot match {
+        case Some(rows) => Evaluator.group(rows, qastJson)
+        case None =>
+          // distributed rollup, tiny grouped result collected — a
+          // rollup output is |groups| rows, never the relation
+          Compiler.compileGroup(ast).map(g =>
+            g(searchWith(org.apache.spark.sql.functions.lit(true)))
+              .collect().toSeq.map(genericRowToMap))
+      }
+      case _ => snapshot match {
+        case Some(rows) =>
+          Evaluator.fromJson(qastJson)
+            .map(pred => rows.filter(pred(_) == true))
+        case None =>
+          // Above the cap the full relation must not live on the
+          // driver: run the SAME predicate through the Catalyst
+          // backend (the two backends are equivalence-tested in
+          // QastBackendsSpec) so the filter executes distributed and
+          // only MATCHES are collected.
+          Compiler.fromJson(qastJson).map(pred =>
+            searchWith(pred).collect().toSeq.map(searchRowToMap))
+      }
     }
+
+  /** Schema-generic Row → Map (rollup outputs vary by query, unlike
+    * the fixed search row shape). */
+  private def genericRowToMap(r: org.apache.spark.sql.Row): Evaluator.Row =
+    r.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+      n -> (r.get(i) match {
+        case s: scala.collection.Seq[_] => s.toList
+        case m: scala.collection.Map[_, _] => m.toMap
+        case v => v
+      })
+    }.toMap
 
   private def searchRowToMap(r: org.apache.spark.sql.Row): Evaluator.Row =
     Map[String, Any](

@@ -57,8 +57,14 @@ object AttributionStream {
                 if (st != null && r._5 - st.touch_us <= LookbackUs)
                   st.touch_type
                 else "direct"
-              // positive amounts: HALF_UP round == math.round
-              out += Attributed(uid, r._2, ch, math.round(r._4 * 100))
+              // EXACTLY the batch operator's round(value*100, 0):
+              // Spark's Round on a double is BigDecimal.valueOf +
+              // HALF_UP (half away from zero for BOTH signs) —
+              // math.round would diverge on negative halves (refunds),
+              // silently breaking the streamed≡batch parity contract
+              out += Attributed(uid, r._2, ch,
+                java.math.BigDecimal.valueOf(r._4 * 100)
+                  .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
             }
           }
           if (st != null) state.update(st)

@@ -31,9 +31,16 @@ case class StepCompletion(user_id: Long, step_idx: Int, us: Long)
   * contract as [[AttributionStream]] (intra-batch disorder absorbed
   * by a sort, cross-batch order required).
   *
-  * At scale: state is 12 bytes per active user (and a user at the
-  * terminal step could be dropped entirely), emissions are at most
-  * |steps| per user EVER, and the single shuffle is the groupByKey.
+  * At scale: state is 12 bytes per user who has ENTERED the funnel —
+  * users who have never matched step 1 leave NO state behind (their
+  * implicit state is the default, so nothing is written for them),
+  * which at 100 TB is the difference between state ∝ funnel entrants
+  * and state ∝ every user id ever observed. Terminal-step users MUST
+  * stay in state: dropping them would let a returning converted user
+  * restart the funnel and double-count (batch semantics anchor each
+  * user at most once per step — FunnelStreamSpec pins the
+  * no-recount case). Emissions are at most |steps| per user EVER,
+  * and the single shuffle is the groupByKey.
   */
 object FunnelStream {
 
@@ -55,7 +62,12 @@ object FunnelStream {
               out += StepCompletion(uid, st.step, r._4)
             }
           }
-          state.update(st)
+          // write only for funnel ENTRANTS: a step-0 state is the
+          // default and reconstructs for free, so persisting it would
+          // grow state with every user ever seen instead of every
+          // user who matched step 1. NEVER remove a terminal-step
+          // state — see the object doc.
+          if (st.step > 0) state.update(st)
           out.result().iterator
       }
   }

@@ -177,6 +177,42 @@ class LakeServerSpec extends SparkSpec with BeforeAndAfterAll {
       json(fail).get("error").asText == "failed query")
   }
 
+  test("group verb over HTTP: /extract rollup and /find rollup") {
+    val cid = addFile(csv, "text/csv")
+    // rollup the CSV rows: one group per country_code (strings stay
+    // strings in extraction, so count/min are the type-safe aggs)
+    val r = post(s"/extract/$cid",
+      """["group", true, [[".", ["$"], "country_code"]],
+          ["count"], ["min", [".", ["$"], "country_name"]]]""".getBytes)
+    assert(r.statusCode == 200, new String(r.body))
+    val arr = json(r)
+    assert(arr.size == 2)
+    assert(arr.get(0).get("country_code").asText == "TCD" &&
+      arr.get(0).get("n").asLong == 1 &&
+      arr.get(0).get("min_country_name").asText == "Chad")
+    assert(arr.get(1).get("country_code").asText == "VNM")
+    // malformed rollups are "malformed query" like any bad QAST
+    val bad = post(s"/extract/$cid",
+      """["group", true, [], ["count"]]""".getBytes)
+    assert(bad.statusCode == 400 &&
+      json(bad).get("error").asText == "malformed query")
+    // metadata rollup through /find
+    json(post("/dataset",
+      s"""{"file":"$cid","description":"g1","source":"rollup-src",
+          "topics":["g"]}""".getBytes))
+    json(post("/dataset",
+      s"""{"file":"$cid","description":"g2","source":"rollup-src",
+          "topics":["g"]}""".getBytes))
+    val found = post("/find",
+      """["group", ["==", [".", ["$"], "source"], "rollup-src"],
+          [[".", ["$"], "source"]], ["count"]]""".getBytes)
+    assert(found.statusCode == 200)
+    val rows = json(found)
+    assert(rows.size == 1 &&
+      rows.get(0).get("source").asText == "rollup-src" &&
+      rows.get(0).get("n").asLong == 2, rows.toString)
+  }
+
   test("GET /query lists the analytic inventory sorted") {
     val r = get("/query")
     assert(r.statusCode == 200)

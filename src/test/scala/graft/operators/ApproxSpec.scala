@@ -179,6 +179,57 @@ class ApproxSpec extends SparkSpec {
       s"union_est ${r.getDouble(5)} too far from 750")
   }
 
+  test("md5-domain HLL: estimates land within the m=256 error " +
+      "envelope of exact, registers sum sanely") {
+    val exact = graft.Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Approx.hllDistinctMd5(spark, sf).collect()
+    assert(got.length == exact.size)
+    got.foreach { r =>
+      val (flag, regSum, est) =
+        (r.getString(0), r.getLong(1), r.getDouble(2))
+      // 256 registers: rsd = 1.04/sqrt(256) = 6.5%; allow 4 sigma
+      assert(math.abs(est - exact(flag)) / exact(flag) < 0.26,
+        s"$flag: est $est vs exact ${exact(flag)}")
+      // every register term is in [2^7, 2^52]
+      assert(regSum >= 256L * 128 && regSum <= (256L << 52),
+        s"$flag regSum")
+    }
+  }
+
+  test("md5-domain HLL merge: est_merged equals est_direct exactly " +
+      "(register-wise max merge), both within envelope of exact") {
+    val r = Approx.hllMergeMd5(spark, sf).collect().head
+    val (exact, nShards, direct, merged) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    assert(nShards > 1, "need real shards for a merge audit")
+    assert(direct == merged,
+      s"register merge must be exact: $direct vs $merged")
+    assert(math.abs(direct - exact) / exact < 0.26,
+      s"est $direct vs exact $exact")
+  }
+
+  test("md5-domain CMS: never undercounts, overcount within eps*N " +
+      "on the top-20 probes") {
+    val rows = Approx.cmsFreqMd5(spark, sf).collect()
+    assert(rows.length == 20)
+    val nTokens = graft.Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0).count()
+    // classic CMS bound with w = 8192: overcount <= e/w * N w.h.p.
+    // per row; min over d=4 rows makes exceeding it vanishingly rare
+    val bound = math.ceil(math.E / Approx.CmsWidth * nTokens).toLong
+    rows.foreach { r =>
+      val (tok, nExact, est) =
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(est >= nExact, s"CMS undercounted $tok: $est < $nExact")
+      assert(est - nExact <= bound,
+        s"$tok overcount ${est - nExact} > eps*N $bound")
+    }
+  }
+
   test("KMV Jaccard mergeability: per-source k-min sketches alone " +
       "reproduce the pairwise matrix (K(A∪B) ⊆ K(A) ∪ K(B))") {
     val sigs = ((0 until 300).map(i => ("A", s"x$i")) ++

@@ -111,7 +111,8 @@ class BehaviorSpec extends SparkSpec {
           else (e :: cur) :: done
         case (Nil, _) => sys.error("unreachable")
       }
-      sessions.map(ss => ss.reverse.map(_._3).mkString(">"))
+      sessions.map(ss =>
+        ss.reverse.map(_._3).take(Behavior.PathMaxLen).mkString(">"))
     }
     val counts = paths.groupBy(identity).view.mapValues(_.size.toLong)
     val expected = counts.toSeq
@@ -119,6 +120,31 @@ class BehaviorSpec extends SparkSpec {
     val got = Behavior.topPaths(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == expected)
+  }
+
+  test("top paths: a planted 100k-event bot session is truncated to " +
+    "the PathMaxLen prefix and the operator completes") {
+    // one bot key (a replay attack / runaway client: 100k events one
+    // second apart, all in ONE session) next to two normal humans —
+    // exactly the skew shape the PathMaxLen rank-filter defends
+    // against. The bot path must be the 64-event PREFIX, and the
+    // human paths must be untouched.
+    val bot = (1L to 100000L).map(i =>
+      (99L, i, if (i % 2 == 0) "click" else "view", i * 1000000L))
+    val humans = Seq(
+      (1L, 200001L, "view", 0L), (1L, 200002L, "click", M),
+      (2L, 200003L, "view", 0L), (2L, 200004L, "click", M))
+    val got = Behavior.topPathsFor(
+      (bot ++ humans).toDF("user_id", "event_id", "event_type", "ts_us"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val botPath = (1L to Behavior.PathMaxLen.toLong)
+      .map(i => if (i % 2 == 0) "click" else "view").mkString(">")
+    assert(got.contains(("view>click", 2L)), got.map(_._1).toString)
+    assert(got.contains((botPath, 1L)),
+      s"bot path truncated to ${Behavior.PathMaxLen}: " +
+        got.map(p => (p._1.take(40), p._2)).toString)
+    // nothing longer than the cap survives
+    assert(got.forall(_._1.split(">").length <= Behavior.PathMaxLen))
   }
 
   test("stickiness replays a driver recount of DAU and trailing-7 WAU") {

@@ -23,6 +23,33 @@ class CompilerSpec extends SparkSpec {
     assert(Ast.parse("""not json""").isLeft)
   }
 
+  test("group verb: rollup over a frame; malformed shapes rejected") {
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 30.0), ("b", 3L, 20.0))
+      .toDF("k", "id", "v")
+    val got = Compiler.groupFromJson(
+      """["group", true, [[".", ["$"], "k"]],
+          ["count"], ["sum", [".", ["$"], "id"]],
+          ["avg", [".", ["$"], "v"]]]""")
+      .fold(e => throw e, identity).apply(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(("a", 2L, 3L, 20.0), ("b", 1L, 3L, 20.0)))
+    // arity is parse-time, like every reference operator
+    assert(Ast.parse("""["group", true, [[".", ["$"], "a"]]]""").isLeft)
+    // empty key list, unknown aggregate, bare agg array: malformed
+    assert(Compiler.groupFromJson(
+      """["group", true, [], ["count"]]""").isLeft)
+    assert(Compiler.groupFromJson(
+      """["group", true, [[".", ["$"], "a"]],
+          ["median", [".", ["$"], "b"]]]""").isLeft)
+    assert(Compiler.groupFromJson(
+      """["group", true, [[".", ["$"], "a"]], "count"]""").isLeft)
+    // group in VALUE position is malformed, like a bare ["$"]
+    assert(Compiler.fromJson(
+      """["&", ["group", true, [[".", ["$"], "a"]], ["count"]],
+          true]""").isLeft)
+  }
+
   test("reference qast_test regex AST: [~ [. [$] email] .*@(.*)]") {
     val df = Seq(("a@x.com", 1), ("nope", 2)).toDF("email", "id")
     val got = eval("""["~", [".", ["$"], "email"], ".*@(.*)"]""", df)

@@ -52,6 +52,27 @@ class QastBackendsSpec extends SparkSpec {
     assert(sel.nonEmpty && sel.size < 4)
   }
 
+  test("group verb: both backends produce the same rollup rows") {
+    val g = """["group",
+         ["~", [".", ["$"], "type"], "text/.*"],
+         [[".", ["$"], "source"]],
+         ["count"],
+         ["count_distinct", [".", ["$"], "file"]],
+         ["min", [".", ["$"], "id"]],
+         ["max", [".", ["$"], "description"]]]"""
+    val dist = lake.find(g).toOption.get.collect().toSeq
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n"),
+        r.getAs[Long]("count_distinct_file"), r.getAs[Long]("min_id"),
+        r.getAs[String]("max_description")))
+    val local = lake.findLocal(g).toOption.get
+      .map(r => (r("source"), r("n"), r("count_distinct_file"),
+        r("min_id"), r("max_description")))
+    assert(dist.nonEmpty, "rollup must produce groups")
+    assert(local == dist, s"group backends diverge: $local vs $dist")
+    // and the rollup actually aggregates (some group has n > 1)
+    assert(dist.exists(_._2 > 1))
+  }
+
   test("closure backend: literals, arithmetic, nulls behave like Spark") {
     def eval(json: String, row: Evaluator.Row = Map.empty): Any =
       Evaluator.fromJson(json).toOption.get(row)

@@ -77,4 +77,33 @@ class AttributionStreamSpec extends SparkSpec {
         4L -> (("direct", 3000L))), got.toString)
     } finally q.stop()
   }
+
+  test("negative amounts (refunds) round half-away-from-zero, " +
+    "identically to the batch operator's round(value*100, 0)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double, Long)]
+    val q = AttributionStream.attributed(mem.toDS())
+      .writeStream.format("memory").queryName("attr_neg")
+      .outputMode("append").start()
+    try {
+      // -0.125*100 = -12.5 cents: HALF_UP (away from zero) → -13,
+      // where math.round(-12.5) would give -12 — the exact divergence
+      // the parity contract forbids
+      mem.addData((1L, 1L, "click", 0.0, 0L),
+        (1L, 2L, "purchase", -0.125, 10L),
+        (1L, 3L, "purchase", 0.125, 20L))
+      q.processAllAvailable()
+      val got = spark.table("attr_neg").as[Attributed].collect()
+        .map(a => a.event_id -> a.cents).toMap
+      assert(got == Map(2L -> -13L, 3L -> 13L), got.toString)
+      // and the batch operator agrees on the same frame
+      val batch = Behavior.attributionFor(Seq(
+        (1L, 1L, "click", 0.0, 0L),
+        (1L, 2L, "purchase", -0.125, 10L),
+        (1L, 3L, "purchase", 0.125, 20L))
+        .toDF("user_id", "event_id", "event_type", "value", "us"))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(batch == Map("click" -> 0L), batch.toString)
+    } finally q.stop()
+  }
 }

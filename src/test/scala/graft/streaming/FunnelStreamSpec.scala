@@ -76,4 +76,29 @@ class FunnelStreamSpec extends SparkSpec {
       assert(all == Map(1 -> 10L, 2 -> 11L, 3 -> 12L), all.toString)
     } finally q.stop()
   }
+
+  test("a converted user returning in a later batch never re-enters " +
+    "the funnel (terminal state is retained, not dropped)") {
+    // the case that forbids state.remove() at the terminal step: if
+    // the converted user's state were dropped, this second visit
+    // would restart at step 0 and double-count every step, breaking
+    // streamed ≡ batch (batch anchors each user at most once/step)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val q = FunnelStream.completions(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_return")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 1L, "view", 10L), (1L, 2L, "click", 20L),
+        (1L, 3L, "purchase", 30L))
+      q.processAllAvailable()
+      assert(spark.table("funnel_return").count() == 3)
+      // the user comes back next week and browses again
+      mem.addData((1L, 4L, "view", 1000L), (1L, 5L, "click", 1010L),
+        (1L, 6L, "purchase", 1020L))
+      q.processAllAvailable()
+      val n = spark.table("funnel_return").count()
+      assert(n == 3, s"returning converted user re-emitted: $n rows")
+    } finally q.stop()
+  }
 }
