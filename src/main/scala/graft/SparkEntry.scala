@@ -603,6 +603,12 @@ object SparkEntry {
     // rows-only: probes the trainer's data-dependent centroids;
     // recall measured against bruteTopK in SimilaritySpec
     "ann_ivf_trained_topk" -> (Similarity.ivfTrainedTopK _),
+    // the FROZEN trained quantizer (committed literal centroids):
+    // hash-grades the trained-serving path the live form can't
+    "ann_ivf_frozen_topk" -> (Similarity.ivfFrozenTopK _),
+    // FROZEN OPQ (literal rotation + codebook): the rotate->encode->
+    // LUT->ADC pipeline under a shipped model, hash-oracled
+    "ann_opq_frozen_topk" -> (graft.operators.Opq.adcOpqFrozenTopK _),
     "contamination_check" -> (TextAnalysis.contamination _),
     // --- PII scrubbing + mixture sampling (see Pii/Mix scaladoc) ---
     "pii_scrub" -> (Pii.scrub _),
@@ -1869,6 +1875,83 @@ object SparkEntry {
          SELECT query_id, neighbor_id, rank, round(cos,6) AS cos FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cos DESC, neighbor_id) AS rank FROM cand)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    // the frozen trained quantizer: same IVF probe SQL as ann_ivf_topk
+    // but the centroid table is the committed literal model
+    // (FrozenAnn.ivfCentroidSql — each float as its exact double), so
+    // the TRAINED serving path hash-grades end to end
+    "ann_ivf_frozen_topk" ->
+      s"""WITH n AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
+         FROM embeddings),
+         cent AS (SELECT cent_id, cvec,
+           sqrt(list_reduce(list_transform(cvec,
+             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS cnrm
+           FROM (VALUES ${graft.operators.FrozenAnn.ivfCentroidSql})
+             AS c(cent_id, cvec)),
+         sc AS (SELECT v.vec_id, c.cent_id,
+           list_reduce(list_transform(list_zip(v.embedding,c.cvec),
+             x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
+             /v.nrm/c.cnrm AS cs
+         FROM n v, cent c),
+         assign AS (SELECT vec_id, cent_id AS cell FROM (
+           SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cent_id) AS r FROM sc) WHERE r = 1),
+         probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM (
+           SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cent_id) AS r FROM sc WHERE vec_id % 100 = 0)
+           WHERE r <= 2),
+         cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+           list_reduce(list_transform(list_zip(q.embedding,v.embedding),
+             x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
+             /q.nrm/v.nrm AS cos
+         FROM probes p JOIN assign a ON a.cell = p.cell
+           JOIN n q ON q.vec_id = p.query_id
+           JOIN n v ON v.vec_id = a.vec_id
+         WHERE a.vec_id != p.query_id)
+         SELECT query_id, neighbor_id, rank, round(cos,6) AS cos FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS rank FROM cand)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    // frozen OPQ: rotate by the committed literal matrix (one fold per
+    // output coordinate, same left-to-right order as the Spark
+    // expression), then the ann_pq_adc_topk pipeline against the
+    // committed literal codebook — DECIMAL-exact ADC sums, round 6
+    "ann_opq_frozen_topk" ->
+      s"""WITH rot AS (SELECT ${graft.operators.FrozenAnn.rotSql} AS r),
+         rv AS (SELECT vec_id, list_transform(r.r, ri ->
+             list_reduce(list_transform(list_zip(ri, embedding),
+               x -> x[1] * CAST(x[2] AS DOUBLE)), (p,q) -> p + q)) AS rv
+           FROM embeddings, rot r),
+         cbs AS (SELECT subspace, code, cvec_sub
+           FROM (VALUES ${graft.operators.FrozenAnn.codebookSql})
+             AS c(subspace, code, cvec_sub)),
+         subs AS (SELECT vec_id, CAST(m AS BIGINT) AS subspace,
+             rv[m*8+1:m*8+8] AS sub
+           FROM rv, unnest(range(0, 8)) AS u(m)),
+         sc AS (SELECT s.vec_id, s.subspace, c.code,
+             list_reduce(list_transform(list_zip(s.sub, c.cvec_sub),
+               x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                  * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+               (p,q) -> p + q) AS d2
+           FROM subs s JOIN cbs c ON c.subspace = s.subspace),
+         codes AS (SELECT vec_id, subspace, code FROM (
+           SELECT vec_id, subspace, code, row_number() OVER (
+             PARTITION BY vec_id, subspace ORDER BY d2, code) AS r
+           FROM sc) WHERE r = 1),
+         lut AS (SELECT vec_id AS query_id, subspace, code, d2
+           FROM sc WHERE vec_id % 100 = 0),
+         scored AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+             CAST(sum(CAST(round(l.d2, 6) AS DECIMAL(38,6))) AS DOUBLE)
+               AS adc_d2
+           FROM codes co JOIN lut l
+             ON l.subspace = co.subspace AND l.code = co.code
+           WHERE l.query_id != co.vec_id
+           GROUP BY l.query_id, co.vec_id)
+         SELECT query_id, neighbor_id, rank, adc_d2 FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_d2, neighbor_id) AS rank FROM scored)
          WHERE rank <= 5 ORDER BY query_id, rank""",
     // cell population balance under the seed quantizer; imbalance =
     // max population / mean population (probe cost and directory skew

@@ -192,9 +192,32 @@ object Opq {
   private def opqCandidates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = model(s, dir)
-    val cb = m.codebook.toDF("subspace", "code", "cvec_sub")
+    candidatesWith(s, dir, m.rot,
+      m.codebook.toDF("subspace", "code", "cvec_sub"))
+  }
+
+  /** Graded `ann_opq_frozen_topk`: ADC search under the FROZEN OPQ
+    * model ([[FrozenAnn.rot]] + [[FrozenAnn.codebook]] — the
+    * committed literal output of [[model]] at sf0.01, rotation
+    * rounded to 7 decimals by the freeze contract). The serving
+    * pipeline is identical to [[adcOpqTopK]]; only the model source
+    * differs — which is the production shape (train once, ship the
+    * rotation+codebook, serve any corpus). Literal model ⇒ the whole
+    * rotate → encode → LUT → ADC-rank path hash-oracles in DuckDB;
+    * OpqSpec pins the frozen search against the live-trained one on
+    * the training corpus.
+    */
+  def adcOpqFrozenTopK(s: SparkSession, dir: String): DataFrame =
+    Pq.adcRank(candidatesWith(s, dir, FrozenAnn.rot,
+      FrozenAnn.codebookFrame(s)))
+
+  /** [[opqCandidates]] under ANY (rotation, codebook) — the seam the
+    * frozen form shares with the live-trained one.
+    */
+  private def candidatesWith(s: SparkSession, dir: String,
+      rot: Seq[Seq[Double]], cb: DataFrame): DataFrame = {
     val rv = load(s, dir, "embeddings")
-      .select(col("vec_id"), rotate(col("embedding"), m.rot).as("rv"))
+      .select(col("vec_id"), rotate(col("embedding"), rot).as("rv"))
     val luts = Pq.slicedFrame(rv.filter(queryPred), "vec_id", "rv",
       "query_id", "qsub")
       .join(cb, Seq("subspace"))

@@ -348,6 +348,22 @@ object Similarity {
   def ivfTrainedTopK(s: SparkSession, dir: String): DataFrame =
     ivfTopKWith(s, dir, KMeans.trainedCentroids(s, dir))
 
+  /** Graded `ann_ivf_frozen_topk`: the SAME probe over the FROZEN
+    * trained quantizer ([[FrozenAnn.ivfCentroids]] — the committed
+    * literal output of `KMeans.trainedCentroids` at sf0.01, the
+    * `bpe_tokenize_frozen` recipe applied to vector quantizers). This
+    * is exactly how a production IVF index serves: the quantizer is
+    * trained once, shipped as an artifact, and outlives corpus growth
+    * — so the query is meaningful at every sf while the model stays
+    * fixed. Because the frozen centroids are plain literals, the
+    * whole trained-serving path (assign → route → probe → exact rank)
+    * HASH-ORACLES in DuckDB, which the live trained form (a trainer
+    * output with no SQL twin) never could; SimilaritySpec pins frozen
+    * ≡ live-trained bit-identically on the training corpus itself.
+    */
+  def ivfFrozenTopK(s: SparkSession, dir: String): DataFrame =
+    ivfTopKWith(s, dir, FrozenAnn.ivfCentroidFrame(s))
+
   /** Cell assignment under the TRAINED quantizer — what
     * [[graft.operators.Layout.writeIvfTrainedPartitioned]] turns into
     * the on-disk directory structure, making training → layout →

@@ -126,4 +126,48 @@ class OpqSpec extends SparkSpec {
     assert(r >= base,
       f"refined OPQ recall $r%.3f below unrefined $base%.3f")
   }
+
+  test("frozen OPQ model: shape and near-orthogonality of the " +
+      "committed literals; frozen search tracks the live-trained one " +
+      "on the training corpus") {
+    // model shape: full 64x64 rotation, M*K codebook of SubDim slices
+    assert(FrozenAnn.rot.length == Opq.Dim &&
+      FrozenAnn.rot.forall(_.length == Opq.Dim))
+    assert(FrozenAnn.codebook.length == Pq.M * Pq.K)
+    assert(FrozenAnn.codebook.forall(_._3.length == Pq.SubDim))
+    // the 7dp rounding keeps R orthonormal to ~1e-5 (64 terms x 1e-7):
+    // max |R·Rᵀ − I| bounded, so rotated distances stay faithful
+    val r = FrozenAnn.rot.map(_.toArray).toArray
+    val n = Opq.Dim
+    var worst = 0.0
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        var s = 0.0
+        var k = 0
+        while (k < n) { s += r(i)(k) * r(j)(k); k += 1 }
+        val target = if (i == j) 1.0 else 0.0
+        worst = math.max(worst, math.abs(s - target))
+        j += 1
+      }
+      i += 1
+    }
+    assert(worst < 1e-4, f"frozen rotation drifted from orthonormal: " +
+      f"max |RRᵀ-I| = $worst%.2e")
+    // frozen-vs-live on the corpus the model was trained on (sf0.01):
+    // the rotation differs only in the 7th decimal, so the two ADC
+    // searches must agree on the vast majority of (query, neighbor)
+    // pairs (near-ties at the 1e-6 ADC rounding may flip)
+    val dir = "/root/testdata/sf0.01"
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getAs[Long]("query_id"), x.getAs[Long]("neighbor_id")))
+      .toSet
+    val live = pairs(Opq.adcOpqTopK(spark, dir))
+    val frozen = pairs(Opq.adcOpqFrozenTopK(spark, dir))
+    val overlap = (live & frozen).size.toDouble / live.size
+    info(f"frozen-vs-live OPQ overlap = $overlap%.3f")
+    assert(overlap >= 0.8,
+      f"frozen OPQ diverged from its own training run: $overlap%.3f")
+  }
 }

@@ -185,6 +185,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.05, f"recall $recall%.3f below floor")
   }
 
+  test("frozen IVF quantizer: the committed literals ARE the trained " +
+      "model — frozen search equals live-trained search bit-for-bit " +
+      "on the training corpus") {
+    // the freeze keeps centroid float32s verbatim (only OPQ's rotation
+    // is rounded), so on sf0.01 — the corpus the model was trained on —
+    // the frozen probe must reproduce the live-trained probe EXACTLY;
+    // any drift means the committed literals are not the trainer output
+    val dir = "/root/testdata/sf0.01"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"), r.getAs[Double]("cos"))).toSeq
+    val frozen = rows(Similarity.ivfFrozenTopK(spark, dir))
+    val live = rows(Similarity.ivfTrainedTopK(spark, dir))
+    assert(frozen.nonEmpty && frozen == live,
+      s"frozen != live-trained on the training corpus " +
+        s"(${frozen.size} vs ${live.size} rows)")
+    // and the frozen model serves OTHER corpora (the production story:
+    // a shipped quantizer outlives corpus growth) — sane contract here
+    val small = Similarity.ivfFrozenTopK(spark, sf).collect()
+    assert(small.nonEmpty)
+  }
+
   test("filtered search: every neighbor satisfies the predicate, ranks " +
       "stay dense, and ranking is PRE-filter (deep candidates promote)") {
     val rows = Similarity.ivfFilteredTopK(spark, sf).collect()
