@@ -640,6 +640,11 @@ object SparkEntry {
     "media_stats" -> (Multimodal.mediaStats _),
     "media_frames" -> (Multimodal.mediaFrames _),
     "media_decode" -> (Multimodal.mediaDecode _),
+    // REAL AVI containers round-tripped: write (AviCodec.encodeAvi),
+    // re-index by a generic RIFF walk, grade the parsed frame
+    // directory against first-principles layout arithmetic — the
+    // video-metadata half of the multimodal stub, codec-free
+    "media_video_index" -> (Multimodal.videoIndex _),
     // --- streaming logic, batch-applied (same plan both modes) ---
     "events_window" -> ((s, dir) =>
       graft.streaming.EventStream.windowedAgg(Tables.events(s, dir))
@@ -4765,6 +4770,25 @@ object SparkEntry {
            CAST(ceil(octet_length(encode(text))/256.0) AS INT) AS n_frames,
            CAST(floor((ceil(octet_length(encode(text))/256.0)+1)/2) AS INT) AS n_sampled
          FROM documents ORDER BY media_id""",
+    // the AVI layout from first principles: fixed 232-byte preamble
+    // (RIFF 12 + LIST hdrl 200 + movi LIST header 12 + first chunk
+    // header 8), 264-byte stride per full 256-byte frame chunk; the
+    // Spark side reads every number from the PARSED container
+    "media_video_index" ->
+      """WITH v AS (SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS len,
+           least(CAST(ceil(len(text)/16.0) AS INT), 16) AS height
+         FROM documents
+         WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0),
+         f AS (SELECT media_id, len, height,
+           CAST((len + 255) // 256 AS INT) AS n FROM v)
+         SELECT media_id, n AS n_frames, n AS idx_entries,
+           100000 AS us_per_frame, 16 AS width, height,
+           CAST(len AS BIGINT) AS movi_bytes,
+           CAST(232 AS BIGINT) AS first_offset,
+           CAST(232 + (n-1)*264 AS BIGINT) AS last_offset,
+           CAST(len - (n-1)*256 AS INT) AS last_frame_size
+         FROM f ORDER BY media_id""",
     // the distributed two-phase prefix sum must equal the sequential
     // one: a plain ordered window cumsum (what a single box would run)
     "pack_chunks" ->
