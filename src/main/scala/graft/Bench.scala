@@ -372,7 +372,7 @@ object Bench {
         // dropped, so pinned blocks accumulate across 80 queries and
         // starve execution memory. Cleared AFTER the runs so later
         // runs still reuse the cache run 1 populated.
-        spark.catalog.clearCache()
+        Verify.safeClearCache(spark)
         name -> best
       }
     // --- committed-record noise adjudication -------------------------
@@ -424,7 +424,7 @@ object Bench {
             selected(name)(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9
           }.getOrElse(Double.MaxValue)
-          spark.catalog.clearCache()
+          Verify.safeClearCache(spark)
           val kept = math.min(sec, replay)
           noiseVerdict(name) = kept <= 1.5 * prior(name)._1
           System.err.println(f"[bench] noise replay $name: " +

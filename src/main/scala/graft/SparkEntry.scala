@@ -606,9 +606,19 @@ object SparkEntry {
     // the FROZEN trained quantizer (committed literal centroids):
     // hash-grades the trained-serving path the live form can't
     "ann_ivf_frozen_topk" -> (Similarity.ivfFrozenTopK _),
+    // kmeans_train's per-cell readout under the frozen quantizer:
+    // count + decimal-exact mean cosine, hash-oracled
+    "kmeans_frozen_stats" -> (graft.operators.KMeans.frozenStats _),
+    // pca_project under the frozen committed basis: the trained-PCA
+    // serving path hash-graded
+    "pca_frozen_project" -> (graft.operators.Pca.frozenProject _),
     // FROZEN OPQ (literal rotation + codebook): the rotate->encode->
     // LUT->ADC pipeline under a shipped model, hash-oracled
     "ann_opq_frozen_topk" -> (graft.operators.Opq.adcOpqFrozenTopK _),
+    // frozen OPQ + exact re-rank: the full compressed-shortlist ->
+    // refine production search, hash-oracled end to end
+    "ann_opq_frozen_refined_topk" ->
+      (graft.operators.Opq.adcOpqFrozenRefinedTopK _),
     "contamination_check" -> (TextAnalysis.contamination _),
     // --- PII scrubbing + mixture sampling (see Pii/Mix scaladoc) ---
     "pii_scrub" -> (Pii.scrub _),
@@ -1919,6 +1929,50 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cos DESC, neighbor_id) AS rank FROM cand)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // the frozen quantizer's per-cell training stats: argmax assign
+    // against the literal centroids, count + decimal-exact mean cos
+    "kmeans_frozen_stats" ->
+      s"""WITH n AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
+         FROM embeddings),
+         cent AS (SELECT cent_id, cvec,
+           sqrt(list_reduce(list_transform(cvec,
+             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS cnrm
+           FROM (VALUES ${graft.operators.FrozenAnn.ivfCentroidSql})
+             AS c(cent_id, cvec)),
+         sc AS (SELECT v.vec_id, c.cent_id,
+           list_reduce(list_transform(list_zip(v.embedding,c.cvec),
+             x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
+             /v.nrm/c.cnrm AS cs
+         FROM n v, cent c),
+         assign AS (SELECT vec_id, cent_id AS cell, cs FROM (
+           SELECT vec_id, cent_id, cs, row_number() OVER (
+             PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS r
+           FROM sc) WHERE r = 1)
+         SELECT cell, count(*) AS n_members,
+           round(CAST(sum(CAST(round(cs, 6) AS DECIMAL(38,6)))
+             AS DOUBLE) / count(*), 6) AS mean_cos
+         FROM assign GROUP BY 1 ORDER BY cell""",
+    // projection onto the frozen committed PCA basis: one fold per
+    // component, multiplication commutes exactly so comp*emb == emb*comp
+    "pca_frozen_project" ->
+      s"""WITH comp AS (SELECT c, cvec
+           FROM (VALUES ${graft.operators.FrozenAnn.pcaSql}) AS t(c, cvec)),
+         p AS (SELECT e.vec_id, c.c,
+           round(list_reduce(list_transform(list_zip(c.cvec, e.embedding),
+             x -> x[1] * CAST(x[2] AS DOUBLE)), (p2,q2)->p2+q2), 6) AS pc
+         FROM embeddings e, comp c)
+         SELECT vec_id,
+           max(CASE WHEN c=0 THEN pc END) AS pc0,
+           max(CASE WHEN c=1 THEN pc END) AS pc1,
+           max(CASE WHEN c=2 THEN pc END) AS pc2,
+           max(CASE WHEN c=3 THEN pc END) AS pc3,
+           max(CASE WHEN c=4 THEN pc END) AS pc4,
+           max(CASE WHEN c=5 THEN pc END) AS pc5,
+           max(CASE WHEN c=6 THEN pc END) AS pc6,
+           max(CASE WHEN c=7 THEN pc END) AS pc7
+         FROM p GROUP BY vec_id ORDER BY vec_id""",
     // frozen OPQ: rotate by the committed literal matrix (one fold per
     // output coordinate, same left-to-right order as the Spark
     // expression), then the ann_pq_adc_topk pipeline against the
@@ -1957,6 +2011,59 @@ object SparkEntry {
          SELECT query_id, neighbor_id, rank, adc_d2 FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY adc_d2, neighbor_id) AS rank FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    // frozen OPQ shortlist (20-deep, same scored CTE) -> exact-cosine
+    // re-rank on ORIGINAL embeddings (rotation is orthogonal-ish, and
+    // refine never trusts the compressed space anyway)
+    "ann_opq_frozen_refined_topk" ->
+      s"""WITH rot AS (SELECT ${graft.operators.FrozenAnn.rotSql} AS r),
+         n AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
+         FROM embeddings),
+         rv AS (SELECT vec_id, list_transform(r.r, ri ->
+             list_reduce(list_transform(list_zip(ri, embedding),
+               x -> x[1] * CAST(x[2] AS DOUBLE)), (p,q) -> p + q)) AS rv
+           FROM embeddings, rot r),
+         cbs AS (SELECT subspace, code, cvec_sub
+           FROM (VALUES ${graft.operators.FrozenAnn.codebookSql})
+             AS c(subspace, code, cvec_sub)),
+         subs AS (SELECT vec_id, CAST(m AS BIGINT) AS subspace,
+             rv[m*8+1:m*8+8] AS sub
+           FROM rv, unnest(range(0, 8)) AS u(m)),
+         sc AS (SELECT s.vec_id, s.subspace, c.code,
+             list_reduce(list_transform(list_zip(s.sub, c.cvec_sub),
+               x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                  * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+               (p,q) -> p + q) AS d2
+           FROM subs s JOIN cbs c ON c.subspace = s.subspace),
+         codes AS (SELECT vec_id, subspace, code FROM (
+           SELECT vec_id, subspace, code, row_number() OVER (
+             PARTITION BY vec_id, subspace ORDER BY d2, code) AS r
+           FROM sc) WHERE r = 1),
+         lut AS (SELECT vec_id AS query_id, subspace, code, d2
+           FROM sc WHERE vec_id % 100 = 0),
+         scored AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+             CAST(sum(CAST(round(l.d2, 6) AS DECIMAL(38,6))) AS DOUBLE)
+               AS adc_d2
+           FROM codes co JOIN lut l
+             ON l.subspace = co.subspace AND l.code = co.code
+           WHERE l.query_id != co.vec_id
+           GROUP BY l.query_id, co.vec_id),
+         short AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS r
+           FROM scored) WHERE r <= 20),
+         rer AS (SELECT s.query_id, s.neighbor_id,
+             list_reduce(list_transform(list_zip(q.embedding, v.embedding),
+               x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
+               /q.nrm/v.nrm AS cos
+           FROM short s JOIN n q ON q.vec_id = s.query_id
+             JOIN n v ON v.vec_id = s.neighbor_id)
+         SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM (
+           SELECT query_id, neighbor_id, cos, row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM rer)
          WHERE rank <= 5 ORDER BY query_id, rank""",
     // cell population balance under the seed quantizer; imbalance =
     // max population / mean population (probe cost and directory skew

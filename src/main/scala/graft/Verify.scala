@@ -59,6 +59,26 @@ object Verify {
     }
   }
 
+  /** `spark.catalog.clearCache()` under its own short watchdog.
+    *
+    * Why: a TIMED-OUT query's abandoned thread can still be inside
+    * `CachedRDDBuilder.buildBuffers` (holding the builder monitor,
+    * waiting on the CacheManager), while a bare clearCache on the
+    * main thread takes the CacheManager and waits on that builder —
+    * a lock-order inversion observed as a PERMANENT deadlock in the
+    * r13 scale replay (jstack: main in `CachedRDDBuilder.clearCache`,
+    * watchdog thread in `recacheByCondition`). One hung query must
+    * cost its own timeout, never the rest of the run — so the clear
+    * itself is bounded and simply skipped (caches stay pinned, the
+    * lesser evil) if it cannot finish.
+    */
+  def safeClearCache(spark: SparkSession): Unit =
+    bounded("clear-cache", 30) {
+      spark.catalog.clearCache()
+    }.left.foreach(msg =>
+      System.err.println(s"[verify] clearCache skipped: $msg " +
+        "(a timed-out query is still holding cache locks)"))
+
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: comma-separated query-name filter for cheap
     // iteration (the driver always passes exactly two)
@@ -105,8 +125,10 @@ object Verify {
       // release any frames an operator cached internally: CacheManager
       // entries are plan-keyed and never auto-dropped, so 80 queries in
       // one session would otherwise pin blocks until execution memory
-      // starves (observed as 10-30x slowdowns late in the run)
-      spark.catalog.clearCache()
+      // starves (observed as 10-30x slowdowns late in the run).
+      // Bounded: see safeClearCache (deadlocks against a timed-out
+      // query's abandoned cache build otherwise)
+      safeClearCache(spark)
     }
     spark.stop()
   }

@@ -119,6 +119,34 @@ object KMeans {
     rows.toDF("cent_id", "cvec")
   }
 
+  /** Graded `kmeans_frozen_stats`: [[train]]'s per-cell statistics
+    * under the FROZEN quantizer ([[FrozenAnn.ivfCentroids]] — the
+    * committed literal output of [[trainedCentroids]] at sf0.01).
+    * Because the centroids are literals, the assignment argmax and the
+    * per-cell readout (member count, mean member cosine) replay in
+    * DuckDB — hash-grading the trainer's SERVE semantics, where
+    * `kmeans_train` itself stays rows-only (live training has no SQL
+    * twin; KMeansSpec replays it bit-for-bit instead). Mean cosine is
+    * exact: 6dp-rounded cosines summed in DECIMAL, ONE IEEE division
+    * at the end.
+    *
+    * Scale shape: corpus × broadcast(C literals) scored, argmax folded
+    * map-side at vec grain, then a C-row aggregation.
+    */
+  def frozenStats(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(FrozenAnn.ivfCentroidFrame(s)))
+      .withColumn("cs", Dedup.cosine(col("embedding"), col("cvec")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("cs"), -col("cent_id")))
+        .as("cell"), max(col("cs")).as("cos"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(round(col("cos"), 6).cast("decimal(38,6)"))
+          .cast("double") / count(lit(1)), 6).as("mean_cos"))
+      .orderBy(col("cell"))
+
   def train(s: SparkSession, dir: String): DataFrame = {
     val corpus = load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))

@@ -211,6 +211,18 @@ object Opq {
     Pq.adcRank(candidatesWith(s, dir, FrozenAnn.rot,
       FrozenAnn.codebookFrame(s)))
 
+  /** Graded `ann_opq_frozen_refined_topk`: the two-stage refined
+    * search under the frozen model — ADC shortlist in the frozen
+    * rotated space, exact-cosine re-rank on original embeddings
+    * through the same [[Pq.refineRank]] tail every compressed family
+    * shares. With the model literal, the FULL production search
+    * (compressed shortlist → exact refine) hash-oracles; the live
+    * `ann_opq_refined_topk` keeps its recall pins.
+    */
+  def adcOpqFrozenRefinedTopK(s: SparkSession, dir: String): DataFrame =
+    Pq.refineRank(s, dir, Pq.adcScoresOf(candidatesWith(s, dir,
+      FrozenAnn.rot, FrozenAnn.codebookFrame(s))))
+
   /** [[opqCandidates]] under ANY (rotation, codebook) — the seam the
     * frozen form shares with the live-trained one.
     */

@@ -167,7 +167,7 @@ object Pca {
   /** The graded trained model: quarter sample (md5 digit of vec_id),
     * full width, memoized per process like every trained artifact.
     */
-  private[operators] def trained(s: SparkSession,
+  private[graft] def trained(s: SparkSession,
       dir: String): (Array[Double], Array[Array[Double]]) =
     OperatorCaches.trainedMemo(s"pca:$dir") {
       principalComponentsFor(
@@ -182,6 +182,26 @@ object Pca {
     */
   def project(s: SparkSession, dir: String): DataFrame = {
     val comps = trained(s, dir)._2
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pcs = (0 until K).map(c =>
+      round(graft.functions.vecDot(col("v"), lit(comps(c))), 6).as(s"pc$c"))
+    e.select(col("vec_id") +: pcs: _*).orderBy(col("vec_id"))
+  }
+
+  /** Graded `pca_frozen_project`: [[project]] under the FROZEN basis
+    * ([[graft.operators.FrozenAnn.pcaComponents]] — the committed
+    * top-[[K]] components of [[trained]] at sf0.01, rounded to 7
+    * decimals by the freeze contract). The projection is the same
+    * codegen dot against plan literals; because the literals are
+    * committed, DuckDB replays it and the trained-PCA serving path
+    * hash-grades, where `pca_project` itself stays rows-only (its
+    * basis is live-trainer output). The production story is
+    * identical to the frozen quantizers: a dimensionality-reduction
+    * model is fit once and shipped; corpus growth does not refit it.
+    */
+  def frozenProject(s: SparkSession, dir: String): DataFrame = {
+    val comps = graft.operators.FrozenAnn.pcaComponents
     val e = load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val pcs = (0 until K).map(c =>

@@ -110,4 +110,23 @@ class KMeansSpec extends SparkSpec {
       }
     }
   }
+
+  test("frozen stats: the committed quantizer reproduces the live " +
+      "trainer's per-cell readout on the training corpus") {
+    val dir = "/root/testdata/sf0.01"
+    // centroid literals are the trainer output VERBATIM (floats not
+    // rounded), so assignment — and therefore membership — is
+    // identical; mean_cos differs only by decimal-vs-sorted-fold
+    // summation of the same 6dp values
+    val live = KMeans.train(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val frozen = KMeans.frozenStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(frozen.keySet == live.keySet && frozen.nonEmpty)
+    frozen.foreach { case (cell, (n, mc)) =>
+      assert(n == live(cell)._1, s"cell $cell members: $n vs ${live(cell)._1}")
+      assert(math.abs(mc - live(cell)._2) <= 1e-5,
+        s"cell $cell mean_cos: $mc vs ${live(cell)._2}")
+    }
+  }
 }

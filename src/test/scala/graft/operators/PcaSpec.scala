@@ -93,4 +93,20 @@ class PcaSpec extends SparkSpec {
       || n.isInstanceOf[ShuffledHashJoinExec]
       || n.isInstanceOf[SortMergeJoinExec]), "projection plans a join")
   }
+
+  test("frozen basis: committed literals track the live trainer on " +
+      "the training corpus within the 7dp freeze rounding") {
+    val dir = "/root/testdata/sf0.01"
+    def grab(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (1 until r.length).map(r.getDouble)).toMap
+    val live = grab(Pca.project(spark, dir))
+    val frozen = grab(Pca.frozenProject(spark, dir))
+    assert(frozen.keySet == live.keySet && frozen.nonEmpty)
+    frozen.foreach { case (id, pcs) =>
+      pcs.zip(live(id)).zipWithIndex.foreach { case ((f, l), c) =>
+        // 64 terms x 1e-7 component rounding, then both sides round 6
+        assert(math.abs(f - l) <= 2e-5, s"vec $id pc$c: $f vs $l")
+      }
+    }
+  }
 }
