@@ -172,6 +172,11 @@ object Opq {
     */
   def adcOpqTopK(s: SparkSession, dir: String): DataFrame =
     Pq.adcRank(opqCandidates(s, dir))
+  // NOTE: like Pq.adcTopK, every OPQ ADC form here is the EXHAUSTIVE
+  // compressed scan — cost Q×N by design, measured superlinear on the
+  // 10× replay (SCALE_r13.json: ×12-31 with queries ∝ corpus). The
+  // rotation composes with IVF pruning unchanged (FAISS OPQ+IVFPQ);
+  // the cell-pruned ivfpq family is the declared 100 TB path.
 
   /** Two-stage refined OPQ search (`ann_opq_refined_topk`): ADC
     * shortlist in the learned rotated space, exact-cosine re-rank of

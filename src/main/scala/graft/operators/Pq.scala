@@ -257,6 +257,14 @@ object Pq {
     * [[Similarity.bruteTopK]] is additionally measured in PqSpec
     * (approximation quality is the operator's value, exactness of
     * the pipeline is the oracle's).
+    *
+    * Declared cost model — EXHAUSTIVE compressed scan (the FAISS
+    * IndexPQ shape): every query ADC-scores every corpus code, so
+    * cost is Q×N; with the query set ∝ corpus (vec_id % 100) the 10×
+    * scale replay measures it superlinear BY DESIGN (SCALE_r13.json:
+    * ×15.8). The compression pays in bytes scanned, not candidates
+    * pruned; [[ivfpqTopK]] is the cell-pruned 100 TB path (measured
+    * ×1.6 on the same replay).
     */
   def adcTopK(s: SparkSession, dir: String): DataFrame =
     adcTopKWith(s, dir, codebooks(s, dir))

@@ -587,6 +587,16 @@ object Similarity {
     * projections instead of the seeded gaussian hyperplanes, so the
     * WHOLE pipeline (bucket bits included) is hash-oracled in DuckDB
     * rather than pinned by a recall spec.
+    *
+    * Declared cost model: at FIXED (tables × bits) the bucket space
+    * is constant, so per-bucket population grows ∝ N and the
+    * candidate join is Q×N/2^bits — with queries ∝ corpus the 10×
+    * replay measures it superlinear by design (SCALE_r13.json:
+    * ×30.6). At 100 TB the parameter, not the plan, scales: bits grow
+    * with log N (bucket count ∝ N keeps per-bucket population
+    * constant, the standard LSH capacity rule), or the IVF family
+    * takes over — the bucket join SHAPE (equi-join, no broadcast
+    * ceiling) is already the scale-correct one.
     */
   def lshMd5TopK(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir)
