@@ -418,6 +418,10 @@ object SparkEntry {
     // md5 parities (no RNG) make the bucket bits — not just the final
     // cosines — hash-oracled in DuckDB
     "ann_lsh_md5_topk" -> (Similarity.lshMd5TopK _),
+    // LSH with the CAPACITY RULE: bits-per-table grows with log2(N)
+    // so mean bucket population stays constant — the design answer to
+    // the fixed-parameter form's measured x30 at 10x (SCALE_r13)
+    "ann_lsh_scaled_topk" -> (Similarity.lshScaledTopK _),
     // MMR diversity rerank of the top-10 cosine pool: greedy
     // lambda*rel - mu*max-sim-to-picked, selection (not just scores)
     // hash-oracled via unrolled rounds
@@ -1450,6 +1454,7 @@ object SparkEntry {
     // Its md5-plane twin below hash-grades the same pipeline shape
     // end to end, bucket bits included.
     "ann_lsh_md5_topk" -> lshMd5Oracle,
+    "ann_lsh_scaled_topk" -> lshScaledOracle,
     // greedy MMR selection replayed round-by-round (unrolled CTEs)
     "ann_mmr_topk" -> mmrOracle,
     // same exact contract under two physical plans: the labelled
@@ -5250,6 +5255,58 @@ object SparkEntry {
              (u,v2)->u+v2) > 0
            THEN CAST(1 AS BIGINT) << p.b ELSE 0 END AS bit
          FROM embeddings e, pl p),
+       bk AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket
+         FROM bits GROUP BY 1, 2),
+       cand AS (SELECT DISTINCT q.vec_id AS query_id,
+           c.vec_id AS neighbor_id
+         FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+         WHERE q.vec_id % 100 = 0 AND c.vec_id != q.vec_id),
+       s AS (SELECT cand.query_id, cand.neighbor_id,
+         list_reduce(list_transform(list_zip(qn.embedding, cn.embedding),
+           x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
+           /qn.nrm/cn.nrm AS cos
+         FROM cand
+         JOIN n qn ON qn.vec_id = cand.query_id
+         JOIN n cn ON cn.vec_id = cand.neighbor_id)
+       SELECT query_id, neighbor_id, rank, round(cos,6) AS cos FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
+  /** Oracle for `ann_lsh_scaled_topk` — the same md5-plane pipeline
+    * with the CAPACITY RULE replayed in SQL: bits-per-table derives
+    * from `count(*)` via `bin`/`length` (the engine-neutral ⌈log₂⌉),
+    * so the dynamic plane subset is part of what the hash grades.
+    */
+  private val lshScaledOracle: String = {
+    val planes = (for {
+      t <- 0 until graft.operators.Similarity.NumTables
+      b <- 0 until graft.operators.Similarity.ScaledLshMaxBits
+    } yield {
+      val cs = graft.operators.Similarity.md5Plane(t, b)
+        .map(c => if (c > 0) "1.0" else "-1.0").mkString(",")
+      s"($t, $b, [$cs])"
+    }).mkString(", ")
+    s"""WITH pl(t, b, c) AS (VALUES $planes),
+       nb AS (SELECT least(${graft.operators.Similarity.ScaledLshMaxBits},
+           greatest(${graft.operators.Similarity.BitsPerTable},
+             CASE WHEN cn <= 1 THEN 0 ELSE length(bin(cn - 1)) END))
+           AS bits
+         FROM (SELECT CAST(ceil(count(*)
+             / ${graft.operators.Similarity.ScaledLshTarget}.0)
+           AS BIGINT) AS cn FROM embeddings)),
+       plc AS (SELECT p.t, p.b, p.c FROM pl p, nb WHERE p.b < nb.bits),
+       n AS (SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(embedding,
+           x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
+         FROM embeddings),
+       bits AS (SELECT e.vec_id, p.t,
+           CASE WHEN list_reduce(list_transform(list_zip(e.embedding, p.c),
+             x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),
+             (u,v2)->u+v2) > 0
+           THEN CAST(1 AS BIGINT) << p.b ELSE 0 END AS bit
+         FROM embeddings e, plc p),
        bk AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket
          FROM bits GROUP BY 1, 2),
        cand AS (SELECT DISTINCT q.vec_id AS query_id,

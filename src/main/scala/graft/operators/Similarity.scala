@@ -629,6 +629,80 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Target mean bucket population for the capacity-scaled LSH — the
+    * knob the bits-per-table rule keeps constant as the corpus grows.
+    */
+  val ScaledLshTarget = 32
+
+  /** Plane-budget ceiling for the scaled form (bits ≤ 12 covers a
+    * corpus of 32·2¹² ≈ 131k per... the rule saturates above it). */
+  val ScaledLshMaxBits = 12
+
+  /** ⌈log₂ m⌉ on exact integers (0 for m ≤ 1) — the engine-neutral
+    * capacity rule: both sides compute it from bit LENGTH (`bin` +
+    * `length` in the oracle), never from a transcendental log. */
+  def ceilLog2(m: Long): Int =
+    if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+
+  /** Bits per table for a corpus of `n` vectors: enough buckets that
+    * the MEAN population stays at [[ScaledLshTarget]] — bucket count
+    * ∝ N, the standard LSH capacity rule. */
+  def scaledLshBits(n: Long): Int =
+    math.min(ScaledLshMaxBits,
+      math.max(BitsPerTable, ceilLog2(math.ceil(n / ScaledLshTarget.toDouble).toLong)))
+
+  /** Graded `ann_lsh_scaled_topk`: [[lshMd5TopK]] with the CAPACITY
+    * RULE applied — bits-per-table grows with log₂(N) so bucket count
+    * tracks the corpus and mean bucket population stays at
+    * [[ScaledLshTarget]]. This is the design answer to what the r13
+    * scale replay measured on the fixed-parameter form (×30 at 10×
+    * data, quadratic by construction when bucket space is constant
+    * and queries ∝ corpus): with population pinned, per-query
+    * candidates are ~NumTables·[[ScaledLshTarget]] — CONSTANT — and
+    * total cost is linear in queries. At sf0.01 the rule lands on the
+    * historical 4 bits (the two forms coincide there, which is itself
+    * a graded fact); at sf0.1 it picks 6, at the 10× replica 10.
+    *
+    * The corpus COUNT is one bounded driver action (like a trainer's
+    * model fetch): the rule is STRUCTURAL — it decides how many
+    * hyperplanes enter the plan — so it cannot be a plan-internal
+    * scalar the way the IVF stride is. Planes stay [[md5Plane]]
+    * sign projections, so the whole pipeline (dynamic bit count
+    * included — the oracle re-derives it from `count(*)` with
+    * `bin`/`length`) hash-oracles in DuckDB.
+    */
+  def lshScaledTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val bits = scaledLshBits(e.count())
+    def bucketsOf(v: Column): Column = array((0 until NumTables).map { t =>
+      (0 until bits).map { b =>
+        when(call_function("vec_dot", v,
+          typedLit(md5Plane(t, b))) > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    def withBuckets(df: DataFrame, idCol: String, vecCol: String) =
+      df.select(col(idCol), col(vecCol), posexplode(bucketsOf(col(vecCol))))
+        .toDF(idCol, vecCol, "table", "bucket")
+    val qb = withBuckets(
+      e.filter(queryPred).select(col("vec_id").as("query_id"),
+        col("embedding").as("qv")), "query_id", "qv")
+    val cb = withBuckets(
+      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+      "neighbor_id", "cv")
+    val cands = cb.join(broadcast(qb), Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cos")).as("cos"))
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir)
     def withBuckets(df: DataFrame, idCol: String, vecCol: String) =

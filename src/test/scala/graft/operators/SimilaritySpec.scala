@@ -185,6 +185,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.05, f"recall $recall%.3f below floor")
   }
 
+  test("capacity-scaled LSH: the bits rule tracks log2(N), reduces to " +
+      "the fixed form at small N, and keeps the candidate contract") {
+    // the rule itself: ceil-log2 via bit length, floor at the fixed
+    // form's 4 bits, ceiling at the plane budget
+    assert(Similarity.ceilLog2(1) == 0 && Similarity.ceilLog2(2) == 1)
+    assert(Similarity.ceilLog2(16) == 4 && Similarity.ceilLog2(17) == 5)
+    assert(Similarity.scaledLshBits(500) == 4)   // sf0.01 -> fixed form
+    assert(Similarity.scaledLshBits(2000) == 6)  // sf0.1
+    assert(Similarity.scaledLshBits(20000) == 10) // 10x replica corpus
+    assert(Similarity.scaledLshBits(10000000) == 12) // budget ceiling
+    // at test scale the rule lands on 4 bits, so scaled == md5 form
+    // row for row — the reduction is itself part of the contract
+    val scaled = Similarity.lshScaledTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val fixedF = Similarity.lshMd5TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(scaled.nonEmpty && scaled.toSeq == fixedF.toSeq)
+  }
+
   test("frozen IVF quantizer: the committed literals ARE the trained " +
       "model — frozen search equals live-trained search bit-for-bit " +
       "on the training corpus") {
