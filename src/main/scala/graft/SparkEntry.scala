@@ -3296,15 +3296,10 @@ object SparkEntry {
            FROM h),
          mx AS (SELECT l_returnflag, reg, max(rho) AS rmax
            FROM r GROUP BY 1, 2),
-         grid AS (SELECT f.l_returnflag, g.range AS reg
-           FROM (SELECT DISTINCT l_returnflag FROM lineitem) f
-           CROSS JOIN range(256) g),
-         filled AS (SELECT grid.l_returnflag, coalesce(mx.rmax, 0) AS rmax
-           FROM grid LEFT JOIN mx ON mx.l_returnflag = grid.l_returnflag
-             AND mx.reg = grid.reg),
          sums AS (SELECT l_returnflag,
-           CAST(sum(1::BIGINT << (52 - rmax)) AS BIGINT) AS reg_sum
-           FROM filled GROUP BY 1)
+           CAST(sum(1::BIGINT << (52 - rmax))
+             + (256 - count(*)) * (1::BIGINT << 52) AS BIGINT) AS reg_sum
+           FROM mx GROUP BY 1)
          SELECT l_returnflag, reg_sum,
            round((CAST(${graft.operators.Approx.HllAlpha} AS DOUBLE)
                * 65536.0 * 4503599627370496.0)
@@ -3325,19 +3320,17 @@ object SparkEntry {
            FROM h),
          shard AS (SELECT source, reg, max(rho) AS rmax
            FROM r GROUP BY 1, 2),
-         dreg AS (SELECT coalesce(mx.rmax, 0) AS rmax
-           FROM range(256) g LEFT JOIN (SELECT reg, max(rho) AS rmax
-             FROM r GROUP BY 1) mx ON mx.reg = g.range),
-         mreg AS (SELECT coalesce(mx.rmax, 0) AS rmax
-           FROM range(256) g LEFT JOIN (SELECT reg, max(rmax) AS rmax
-             FROM shard GROUP BY 1) mx ON mx.reg = g.range),
+         dreg AS (SELECT reg, max(rho) AS rmax FROM r GROUP BY 1),
+         mreg AS (SELECT reg, max(rmax) AS rmax FROM shard GROUP BY 1),
          de AS (SELECT round((CAST(${graft.operators.Approx.HllAlpha}
                AS DOUBLE) * 65536.0 * 4503599627370496.0)
-             / CAST(CAST(sum(1::BIGINT << (52 - rmax)) AS BIGINT)
+             / CAST(CAST(sum(1::BIGINT << (52 - rmax))
+               + (256 - count(*)) * (1::BIGINT << 52) AS BIGINT)
                AS DOUBLE), 4) AS est_direct FROM dreg),
          me AS (SELECT round((CAST(${graft.operators.Approx.HllAlpha}
                AS DOUBLE) * 65536.0 * 4503599627370496.0)
-             / CAST(CAST(sum(1::BIGINT << (52 - rmax)) AS BIGINT)
+             / CAST(CAST(sum(1::BIGINT << (52 - rmax))
+               + (256 - count(*)) * (1::BIGINT << 52) AS BIGINT)
                AS DOUBLE), 4) AS est_merged FROM mreg),
          ex AS (SELECT count(DISTINCT doc_id) AS exact_distinct
            FROM documents),

@@ -54,7 +54,11 @@ object Verify {
     val finished = done.await(sec, java.util.concurrent.TimeUnit.SECONDS)
     if (finished) out
     else {
-      cancelIn.foreach(_.sparkContext.cancelJobGroup(group))
+      // AndFutureJobs: plain cancelJobGroup only kills jobs ACTIVE at
+      // the deadline — an abandoned body caught BETWEEN two Spark jobs
+      // (a driver-side count, then the main job) would submit its next
+      // job into the cancelled group and run it to completion anyway
+      cancelIn.foreach(_.sparkContext.cancelJobGroupAndFutureJobs(group))
       Left("timeout")
     }
   }

@@ -170,18 +170,18 @@ object Approx {
     */
   def hllDistinctMd5(s: SparkSession, dir: String): DataFrame = {
     val (reg, rho) = hllRegRho(col("h"))
-    val regs = load(s, dir, "lineitem")
+    load(s, dir, "lineitem")
       .select(col("l_returnflag"), h52(col("l_orderkey")).as("h"))
       .select(col("l_returnflag"), reg, rho)
       .groupBy(col("l_returnflag"), col("reg"))
       .agg(max(col("rho")).as("rmax"))
-    val grid = load(s, dir, "lineitem").select(col("l_returnflag"))
-      .distinct()
-      .crossJoin(s.range(HllRegisters).select(col("id").as("reg")))
-    grid.join(regs, Seq("l_returnflag", "reg"), "left")
-      .select(col("l_returnflag"), coalesce(col("rmax"), lit(0)).as("rmax"))
       .groupBy(col("l_returnflag"))
-      .agg(sum(expr("shiftleft(cast(1 as bigint), 52 - rmax)"))
+      // untouched registers contribute 2^(52-0) each — a CLOSED FORM
+      // ((m − |present|)·2^52), never a grid join that would re-scan
+      // the fact table (review catch: the grid's distinct() was a
+      // second full lineitem pass)
+      .agg((sum(expr("shiftleft(cast(1 as bigint), 52 - rmax)")) +
+        (lit(HllRegisters.toLong) - count(lit(1))) * lit(1L << 52))
         .as("reg_sum"))
       .select(col("l_returnflag"), col("reg_sum"),
         hllEstimate(col("reg_sum")).as("est_orders"))
@@ -206,10 +206,9 @@ object Approx {
     val shards = rhos.groupBy(col("source"), col("reg"))
       .agg(max(col("rho")).as("rmax"))
     def estOf(regs: DataFrame, name: String): DataFrame =
-      s.range(HllRegisters).select(col("id").as("reg"))
-        .join(regs, Seq("reg"), "left")
-        .select(coalesce(col("rmax"), lit(0)).as("rmax"))
-        .agg(sum(expr("shiftleft(cast(1 as bigint), 52 - rmax)"))
+      regs
+        .agg((sum(expr("shiftleft(cast(1 as bigint), 52 - rmax)")) +
+          (lit(HllRegisters.toLong) - count(lit(1))) * lit(1L << 52))
           .as("s"))
         .select(hllEstimate(col("s")).as(name))
     val direct = estOf(rhos.groupBy(col("reg"))

@@ -54,12 +54,19 @@ object Ast {
     "|" -> (_ >= 0),
     "!" -> (_ == 1),
     // beyond-reference extension (the reference QAST is predicate-only):
-    // ["group", pred, [key...], agg...] — relational rollup. Only legal
-    // at the TOP of a query; in value position it is malformed, like a
-    // bare ["$"]. Aggregate specs are plain arrays (["count"] /
-    // ["sum", expr] / ...), NOT operators — their heads stay ordinary
-    // strings so data arrays containing "count" etc. are unaffected.
+    // ["group", pred, [key...], agg...] — relational rollup. Recognized
+    // as an operator ONLY at the ROOT of a query (fromJson's `root`
+    // flag): below the root, ["group", ...] stays an ordinary array
+    // literal, so existing predicates whose DATA arrays happen to start
+    // with the word "group" keep parsing exactly as before — "group" is
+    // plain English in a way "$"/"~" are not, and reserving it
+    // everywhere would be a silent compatibility break. Aggregate
+    // specs are plain arrays (["count"] / ["sum", expr] / ...), NOT
+    // operators, for the same reason.
     "group" -> (_ >= 3))
+
+  /** Operators legal only as the OUTERMOST form of a query. */
+  private val rootOnly: Set[String] = Set("group")
 
   /** Deterministic output name of a group key/agg expression — SHARED
     * by both backends so their rollup schemas can never drift: the
@@ -82,9 +89,11 @@ object Ast {
   def parse(json: String): Either[QastError, Ast] =
     Try(mapper.readTree(json)).toEither.left
       .map(_ => malformed)
-      .flatMap(n => if (n == null) Left(malformed) else fromJson(n))
+      .flatMap(n => if (n == null) Left(malformed)
+                    else fromJson(n, root = true))
 
-  def fromJson(node: JsonNode): Either[QastError, Ast] = node match {
+  def fromJson(node: JsonNode, root: Boolean = false)
+      : Either[QastError, Ast] = node match {
     case n if n.isNull => Right(QNull)
     case n if n.isBoolean => Right(QBool(n.asBoolean))
     case n if n.isNumber =>
@@ -96,11 +105,13 @@ object Ast {
     case n if n.isArray =>
       val items = n.elements.asScala.toList
       items match {
-        case head :: rest if head.isTextual && arities.contains(head.asText) =>
+        case head :: rest if head.isTextual &&
+            arities.contains(head.asText) &&
+            (root || !rootOnly.contains(head.asText)) =>
           val op = head.asText
           if (!arities(op)(rest.length)) Left(malformed)
-          else sequence(rest.map(fromJson)).map(QOp(op, _))
-        case _ => sequence(items.map(fromJson)).map(QArr(_))
+          else sequence(rest.map(fromJson(_))).map(QOp(op, _))
+        case _ => sequence(items.map(fromJson(_))).map(QArr(_))
       }
     case _ => Left(malformed)
   }

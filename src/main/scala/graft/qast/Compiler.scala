@@ -153,6 +153,15 @@ object Compiler {
         aggs <- mapEither(aggAsts.zipWithIndex) { case (a, i) =>
           compileAgg(a, i)
         }
+        all = names ++ aggAsts.zipWithIndex.map { case (a, i) =>
+          aggName(a, i)
+        }
+        // output-name collisions (two keys with the same last segment,
+        // a key named "n" next to ["count"], ...) must be a 400
+        // "malformed query" at compile, not an AMBIGUOUS_REFERENCE 500
+        // when the rollup's orderBy executes
+        _ <- if (all.distinct.length == all.length) Right(())
+             else Left(QastError("malformed query"))
       } yield GroupQuery(pred, names, keys, aggs)
     case _ => Left(QastError("malformed query"))
   }
@@ -168,6 +177,15 @@ object Compiler {
   val aggFns: Set[String] =
     Set("count", "count_distinct", "sum", "min", "max", "avg")
 
+  /** Output name of an aggregate spec — shared by [[compileAgg]], the
+    * collision check, and the closure backend. */
+  private[qast] def aggName(ast: Ast, i: Int): String = ast match {
+    case QArr(QStr("count") :: Nil) => "n"
+    case QArr(QStr(fn) :: arg :: Nil) =>
+      Ast.pathName(arg, s"a$i", prefix = fn + "_")
+    case _ => s"a$i"
+  }
+
   private def compileAgg(ast: Ast, i: Int): Either[QastError, Column] =
     ast match {
       case QArr(QStr("count") :: Nil) => Right(count(lit(1)).as("n"))
@@ -181,7 +199,7 @@ object Compiler {
             case "max" => max(c)
             case "avg" => avg(c)
           }
-          agged.as(Ast.pathName(arg, s"a$i", prefix = fn + "_"))
+          agged.as(aggName(ast, i))
         }
       case _ => Left(QastError("malformed query"))
     }

@@ -84,6 +84,11 @@ object Evaluator {
         aggs <- mapEither(aggAsts.zipWithIndex) { case (a, i) =>
           compileAgg(a, i)
         }
+        all = keys.map(_._1) ++ aggs.map(_._1)
+        // same collision rule as the Column backend (a dup would also
+        // silently collapse in the row Map below)
+        _ <- if (all.distinct.length == all.length) Right(())
+             else Left(QastError("malformed query"))
       } yield (rows: Seq[Row]) => {
         import scala.math.Ordering.Implicits._
         val kept = rows.filter(r => pred(r) == true)
@@ -102,24 +107,31 @@ object Evaluator {
       : Either[QastError, (String, Seq[Row] => Any)] = ast match {
     case QArr(QStr("count") :: Nil) =>
       Right(("n", grp => grp.size.toLong))
-    case QArr(QStr(fn) :: arg :: Nil)
-        if Set("count", "count_distinct", "sum", "min", "max", "avg")(fn) =>
+    case QArr(QStr(fn) :: arg :: Nil) if Compiler.aggFns(fn) =>
       compile(arg).map { f =>
-        val name = Ast.pathName(arg, s"a$i", prefix = fn + "_")
+        val name = Compiler.aggName(ast, i)
         val agg: Seq[Row] => Any = grp => {
           val vals = grp.map(f).filter(_ != null)
+          // numeric aggs operate on the NUMERIC subset only, like the
+          // Column backend (a non-castable value is null there and
+          // drops out of numerator AND denominator)
+          lazy val nums = vals.flatMap(num)
           fn match {
             case "count" => vals.size.toLong
             case "count_distinct" => vals.map(norm).distinct.size.toLong
             case "sum" =>
-              if (vals.isEmpty) null
-              else {
-                val d = vals.flatMap(num).sum
-                if (vals.forall(isIntegral)) d.toLong else d
-              }
+              if (nums.isEmpty) null
+              // exact Long arithmetic for integral inputs — a Double
+              // detour would round above 2^53 where sum(LongType)
+              // stays exact
+              else if (vals.forall(isIntegral))
+                vals.collect {
+                  case l: Long => l
+                  case x: Int => x.toLong
+                }.sum
+              else nums.sum
             case "avg" =>
-              if (vals.isEmpty) null
-              else vals.flatMap(num).sum / vals.size
+              if (nums.isEmpty) null else nums.sum / nums.size
             case "min" => if (vals.isEmpty) null else vals.minBy(ordKey)
             case "max" => if (vals.isEmpty) null else vals.maxBy(ordKey)
           }
@@ -129,11 +141,14 @@ object Evaluator {
     case _ => Left(QastError("malformed query"))
   }
 
-  /** Numeric-or-string sort key for min/max (mixed groups don't
-    * happen on real columns; numbers order before strings). */
-  private def ordKey(a: Any): (Int, Double, String) = num(a) match {
-    case Some(d) => (0, d, "")
-    case None => (1, 0.0, String.valueOf(a))
+  /** Sort key for min/max and the key ordering: nulls FIRST (Spark's
+    * ascending default), then numbers, then strings. */
+  private def ordKey(a: Any): (Int, Double, String) = a match {
+    case null => (-1, 0.0, "")
+    case _ => num(a) match {
+      case Some(d) => (0, d, "")
+      case None => (1, 0.0, String.valueOf(a))
+    }
   }
 
   private def norm(a: Any): Any = num(a).getOrElse(a)

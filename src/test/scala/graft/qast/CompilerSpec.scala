@@ -44,10 +44,26 @@ class CompilerSpec extends SparkSpec {
           ["median", [".", ["$"], "b"]]]""").isLeft)
     assert(Compiler.groupFromJson(
       """["group", true, [[".", ["$"], "a"]], "count"]""").isLeft)
-    // group in VALUE position is malformed, like a bare ["$"]
-    assert(Compiler.fromJson(
-      """["&", ["group", true, [[".", ["$"], "a"]], ["count"]],
-          true]""").isLeft)
+    // BELOW the root, "group" is NOT an operator: a data array that
+    // happens to start with the word keeps parsing as a literal, so
+    // pre-extension predicates cannot silently break (the head-
+    // collision hazard "$"/"~" don't have but an English word does)
+    val lit = Ast.parse(
+      """["==", [".", ["$"], "topics"], ["group", "a"]]""")
+    assert(lit.isRight)
+    lit.toOption.get match {
+      case Ast.QOp("==", List(_, Ast.QArr(items))) =>
+        assert(items == List(Ast.QStr("group"), Ast.QStr("a")))
+      case other => fail(s"inner group not a literal: $other")
+    }
+    // duplicate OUTPUT names are rejected at compile (not a 500 at
+    // execution): same last segment twice, and a key colliding with
+    // count's "n"
+    assert(Compiler.groupFromJson(
+      """["group", true, [[".", ["$"], "a", "x"], [".", ["$"], "b", "x"]],
+          ["count"]]""").isLeft)
+    assert(Compiler.groupFromJson(
+      """["group", true, [[".", ["$"], "n"]], ["count"]]""").isLeft)
   }
 
   test("reference qast_test regex AST: [~ [. [$] email] .*@(.*)]") {
