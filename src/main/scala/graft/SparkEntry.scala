@@ -452,6 +452,9 @@ object SparkEntry {
     "ann_pq_trained_topk" -> (Pq.adcTrainedTopK _),
     "ann_ivfpq_topk" -> (Pq.ivfpqTopK _),
     "ann_ivfpq_trained_topk" -> (Pq.ivfpqTrainedTopK _),
+    // residual IVF-PQ under the FROZEN trained coarse quantizer: the
+    // trained composition's serving pipeline, hash-oracled end to end
+    "ann_ivfpq_frozen_topk" -> (Pq.ivfpqFrozenTopK _),
     // two-stage serving shape: ADC shortlist, exact cosine re-rank
     "ann_ivfpq_refined_topk" -> (Pq.ivfpqRefinedTopK _),
     // refined two-stage over PLAIN PQ: ADC shortlist -> exact cosine
@@ -1728,6 +1731,77 @@ object SparkEntry {
          FROM embeddings),
          cent AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
            FROM n WHERE vec_id % (SELECT greatest(37, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings) = 5),
+         sc AS (SELECT v.vec_id, c.cent_id,
+           list_reduce(list_transform(list_zip(v.embedding,c.cvec),
+             x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
+             /v.nrm/c.cnrm AS cs
+         FROM n v, cent c),
+         assign AS (SELECT vec_id, cent_id AS cell FROM (
+           SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cent_id) AS r FROM sc) WHERE r = 1),
+         resid AS (SELECT a.vec_id, a.cell,
+             list_transform(list_zip(v.embedding, c.cvec),
+               x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS rv
+           FROM assign a JOIN n v ON v.vec_id = a.vec_id
+             JOIN cent c ON c.cent_id = a.cell),
+         rcb0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+             AS BIGINT) AS code, rv
+           FROM (SELECT vec_id, rv FROM resid WHERE vec_id % 29 = 3
+             ORDER BY vec_id LIMIT 16)),
+         rcbs AS (SELECT code, CAST(m AS BIGINT) AS subspace,
+             rv[m*8+1:m*8+8] AS cvec_sub
+           FROM rcb0, unnest(range(0, 8)) AS u(m)),
+         rsubs AS (SELECT vec_id, cell, CAST(m AS BIGINT) AS subspace,
+             rv[m*8+1:m*8+8] AS sub
+           FROM resid, unnest(range(0, 8)) AS u(m)),
+         scq AS (SELECT s.vec_id, s.cell, s.subspace, c.code,
+             list_reduce(list_transform(list_zip(s.sub, c.cvec_sub),
+               x -> (x[1] - x[2]) * (x[1] - x[2])), (p,q) -> p + q) AS d2
+           FROM rsubs s JOIN rcbs c ON c.subspace = s.subspace),
+         codes AS (SELECT vec_id, cell, subspace, code FROM (
+           SELECT vec_id, cell, subspace, code, row_number() OVER (
+             PARTITION BY vec_id, subspace ORDER BY d2, code) AS r
+           FROM scq) WHERE r = 1),
+         probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM (
+           SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cent_id) AS r FROM sc WHERE vec_id % 100 = 0)
+           WHERE r <= 2),
+         qresid AS (SELECT p.query_id, p.cell,
+             list_transform(list_zip(q.embedding, c.cvec),
+               x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS rv
+           FROM probes p JOIN n q ON q.vec_id = p.query_id
+             JOIN cent c ON c.cent_id = p.cell),
+         qsubs AS (SELECT query_id, cell, CAST(m AS BIGINT) AS subspace,
+             rv[m*8+1:m*8+8] AS qsub
+           FROM qresid, unnest(range(0, 8)) AS u(m)),
+         lut AS (SELECT s.query_id, s.cell, s.subspace, c.code,
+             list_reduce(list_transform(list_zip(s.qsub, c.cvec_sub),
+               x -> (x[1] - x[2]) * (x[1] - x[2])), (p,q) -> p + q) AS d2
+           FROM qsubs s JOIN rcbs c ON c.subspace = s.subspace),
+         scored AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+             CAST(sum(CAST(round(l.d2, 6) AS DECIMAL(38,6))) AS DOUBLE)
+               AS adc_d2
+           FROM codes co JOIN lut l ON l.cell = co.cell
+             AND l.subspace = co.subspace AND l.code = co.code
+           WHERE l.query_id != co.vec_id
+           GROUP BY l.query_id, co.vec_id)
+         SELECT query_id, neighbor_id, rank, adc_d2 FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_d2, neighbor_id) AS rank FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    // the SAME residual ivfpq pipeline with the coarse quantizer as
+    // the committed frozen literal (trained centroids); the seed-rule
+    // residual codebook and everything downstream are unchanged
+    "ann_ivfpq_frozen_topk" ->
+      s"""WITH n AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
+         FROM embeddings),
+         cent AS (SELECT cent_id, cvec,
+           sqrt(list_reduce(list_transform(cvec,
+             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS cnrm
+           FROM (VALUES ${graft.operators.FrozenAnn.ivfCentroidSql})
+             AS c(cent_id, cvec)),
          sc AS (SELECT v.vec_id, c.cent_id,
            list_reduce(list_transform(list_zip(v.embedding,c.cvec),
              x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)

@@ -488,6 +488,21 @@ object Pq {
   def ivfpqTrainedTopK(s: SparkSession, dir: String): DataFrame =
     ivfpqTopKWith(s, dir, KMeans.trainedCentroids(s, dir), trained = true)
 
+  /** Graded `ann_ivfpq_frozen_topk`: the full residual IVF-PQ probe
+    * under the FROZEN trained coarse quantizer
+    * ([[FrozenAnn.ivfCentroids]]) with the deterministic seed rule
+    * for the residual codebook — every stage (assign → residual →
+    * codebook → codes → per-cell LUT → DECIMAL-exact ADC) replays in
+    * DuckDB because the one trained input is a committed literal.
+    * This hash-grades the SERVING pipeline of the trained composition
+    * (`ann_ivfpq_trained_topk` stays rows-only: its residual codebook
+    * is live Lloyd's output); it is also the exact shape
+    * [[graft.operators.Layout.writeIvfTrainedPartitioned]] serves
+    * from disk — train once, freeze, probe forever.
+    */
+  def ivfpqFrozenTopK(s: SparkSession, dir: String): DataFrame =
+    ivfpqTopKWith(s, dir, FrozenAnn.ivfCentroidFrame(s), trained = false)
+
   private def ivfpqTopKWith(s: SparkSession, dir: String,
       centsSrc: DataFrame, trained: Boolean): DataFrame =
     adcRank(ivfpqCandidates(s, dir, centsSrc, trained))

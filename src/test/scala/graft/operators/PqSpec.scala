@@ -311,4 +311,27 @@ class PqSpec extends SparkSpec {
       f"trained recall $trainedR%.3f below seed $seedR%.3f")
     assert(trainedR > 0.05, f"trained IVF-PQ recall below noise")
   }
+
+  test("frozen-coarse ivfpq: contract shape holds; recall measured " +
+      "next to the seed composition") {
+    val rows = Pq.ivfpqFrozenTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val ds = sorted.map(_.getAs[Double]("adc_d2"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    }
+    val brute = Similarity.bruteTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val frozen = rows
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val recall = (brute & frozen).size.toDouble / brute.size
+    info(f"frozen-coarse IVF-PQ recall@${Pq.TopK} = $recall%.3f")
+    // nprobe/C pruning + 32x compression on a near-orthogonal corpus:
+    // same floor as the seed composition
+    assert(recall > 0.02, f"recall $recall%.3f below noise")
+  }
 }
