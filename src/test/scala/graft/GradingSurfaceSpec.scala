@@ -23,7 +23,19 @@ import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
   *    were registered without a single execution; this makes that
   *    impossible to repeat silently.
   */
-class GradingSurfaceSpec extends SparkSpec {
+class GradingSurfaceSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  /** Constructing all ~250 query frames caches whatever the operators
+    * cache internally; the shared suite session then serves LATER
+    * suites' scans from InMemoryRelation, breaking their plan-shape
+    * pins (PlanSpec's "no exchange, pruned scan" assertions fail when
+    * this suite runs immediately before it). Leave the session the
+    * way we found it. */
+  override def afterAll(): Unit = {
+    Verify.safeClearCache(spark)
+    super.afterAll()
+  }
 
   /** Queries ALLOWED to ship nested top-level columns, with why.
     * Empty today — add an entry only with a note on how the driver
