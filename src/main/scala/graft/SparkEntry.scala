@@ -380,6 +380,11 @@ object SparkEntry {
     // the beyond-reference GROUP verb: ["group", pred, keys, agg...]
     // compiled to filter -> groupBy -> agg; every exact agg exercised
     "qast_group" -> (QastQueries.groupRollup _),
+    // the TOP frame verb: order+limit over the rollup, executed as
+    // TakeOrderedAndProject (per-partition heap top-k, no global sort)
+    "qast_top" -> (QastQueries.topRollup _),
+    // the HAVING frame verb + the hash-graded exact avg
+    "qast_group_having" -> (QastQueries.groupHaving _),
     "meta_search" -> (QastQueries.metaSearch _),
     // --- dedup pack (training-data pipeline ops) ---
     "dedup_exact" -> (Dedup.exact _),
@@ -457,6 +462,17 @@ object SparkEntry {
     "ann_ivfpq_frozen_topk" -> (Pq.ivfpqFrozenTopK _),
     // two-stage serving shape: ADC shortlist, exact cosine re-rank
     "ann_ivfpq_refined_topk" -> (Pq.ivfpqRefinedTopK _),
+    // the FAISS OPQ,IVF,PQ composition under the frozen model: coarse
+    // assign on frozen centroids, rotate each residual by the frozen
+    // OPQ rotation, residual-PQ probe — the cell-pruned sibling of the
+    // exhaustive frozen OPQ scan (SCALE_r13: x30.7 at 10x; this one
+    // probes NProbe cells like ann_ivfpq_* at x1.56)
+    "ann_ivfopq_frozen_topk" ->
+      (graft.operators.Opq.ivfOpqFrozenTopK _),
+    // ... and its full production search: pruned rotated-residual ADC
+    // shortlist -> exact-cosine re-rank on original embeddings
+    "ann_ivfopq_frozen_refined_topk" ->
+      (graft.operators.Opq.ivfOpqFrozenRefinedTopK _),
     // refined two-stage over PLAIN PQ: ADC shortlist -> exact cosine
     // re-rank — recovers the 32x-compression recall floor for the
     // uncelled quantizer too
@@ -590,6 +606,12 @@ object SparkEntry {
     // merge list, so the DuckDB oracle replays the greedy
     // segmentation exactly (bounded string-rewriting recursion)
     "bpe_tokenize_frozen" -> (Bpe.tokenizeFrozen _),
+    // the trainer's per-round dynamics (segment, count, apply) graded
+    // on the frozen list — applied-merge counts per rank
+    "bpe_frozen_stats" -> (Bpe.frozenStats _),
+    // per-code population + quantization error under the frozen OPQ
+    // codebook — the pq_train readout twin
+    "pq_frozen_stats" -> (graft.operators.Opq.pqFrozenStats _),
     "curriculum_order" -> (Curriculum.order _),
     "corpus_shuffle" -> (Shuffle.permute _),
     "split_manifest" -> (Sampling.splitAudit _),
@@ -662,6 +684,11 @@ object SparkEntry {
     // directory against first-principles layout arithmetic — the
     // video-metadata half of the multimodal stub, codec-free
     "media_video_index" -> (Multimodal.videoIndex _),
+    // VIDEO PIXELS through a real codec: MJPEG AVI written with actual
+    // per-frame baseline JPEGs, re-indexed by the RIFF walk, each
+    // frame decoded by javax.imageio and compared to its source chunk
+    // — graded via exact source facts + a pinned DCT tolerance flag
+    "media_video_decode" -> (Multimodal.videoDecode _),
     // --- streaming logic, batch-applied (same plan both modes) ---
     "events_window" -> ((s, dir) =>
       graft.streaming.EventStream.windowedAgg(Tables.events(s, dir))
@@ -694,6 +721,113 @@ object SparkEntry {
           sum(col("value").cast("decimal(12,2)")).cast("double")
             .as("total_value"))
         .orderBy(col("user_id"))))
+
+  /** DuckDB replay of the frozen IVF-OPQ composition (one builder for
+    * the ranked and refined forms — the pipeline through `scored` is
+    * shared verbatim, exactly as the Spark side shares its candidate
+    * join): frozen literal centroids assign cells, each residual is
+    * rotated by the frozen literal matrix (same left-to-right fold
+    * order as the Spark expression), the frozen TRAINED residual
+    * codebook quantizes, queries probe [[graft.operators.Opq.IvfOpqNProbe]]
+    * cells, ADC sums 6-decimal-quantized subspace distances as exact
+    * DECIMAL. refined = the 20-deep shortlist + exact-cosine re-rank
+    * tail on original embeddings.
+    */
+  private def ivfOpqFrozenSql(refined: Boolean): String = {
+    val head =
+      s"""WITH rot AS (SELECT ${graft.operators.FrozenAnn.rotSql} AS r),
+         n AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
+         FROM embeddings),
+         cent AS (SELECT cent_id, cvec,
+           sqrt(list_reduce(list_transform(cvec,
+             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS cnrm
+           FROM (VALUES ${graft.operators.FrozenAnn.ivfCentroidSql})
+             AS c(cent_id, cvec)),
+         sc AS (SELECT v.vec_id, c.cent_id,
+           list_reduce(list_transform(list_zip(v.embedding,c.cvec),
+             x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
+             /v.nrm/c.cnrm AS cs
+         FROM n v, cent c),
+         assign AS (SELECT vec_id, cent_id AS cell FROM (
+           SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cent_id) AS r FROM sc) WHERE r = 1),
+         resid AS (SELECT a.vec_id, a.cell,
+             list_transform(rr.r, ri ->
+               list_reduce(list_transform(list_zip(ri,
+                 list_transform(list_zip(v.embedding, c.cvec),
+                   x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+                 x -> x[1] * x[2]), (p,q) -> p + q)) AS rv
+           FROM assign a JOIN n v ON v.vec_id = a.vec_id
+             JOIN cent c ON c.cent_id = a.cell, rot rr),
+         rcbs AS (SELECT subspace, code, cvec_sub
+           FROM (VALUES ${graft.operators.FrozenAnn.ivfOpqCodebookSql})
+             AS c(subspace, code, cvec_sub)),
+         rsubs AS (SELECT vec_id, cell, CAST(m AS BIGINT) AS subspace,
+             rv[m*8+1:m*8+8] AS sub
+           FROM resid, unnest(range(0, 8)) AS u(m)),
+         scq AS (SELECT s.vec_id, s.cell, s.subspace, c.code,
+             list_reduce(list_transform(list_zip(s.sub, c.cvec_sub),
+               x -> (x[1] - CAST(x[2] AS DOUBLE))
+                  * (x[1] - CAST(x[2] AS DOUBLE))), (p,q) -> p + q) AS d2
+           FROM rsubs s JOIN rcbs c ON c.subspace = s.subspace),
+         codes AS (SELECT vec_id, cell, subspace, code FROM (
+           SELECT vec_id, cell, subspace, code, row_number() OVER (
+             PARTITION BY vec_id, subspace ORDER BY d2, code) AS r
+           FROM scq) WHERE r = 1),
+         probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM (
+           SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, cent_id) AS r FROM sc WHERE vec_id % 100 = 0)
+           WHERE r <= ${graft.operators.Opq.IvfOpqNProbe}),
+         qresid AS (SELECT p.query_id, p.cell,
+             list_transform(rr.r, ri ->
+               list_reduce(list_transform(list_zip(ri,
+                 list_transform(list_zip(q.embedding, c.cvec),
+                   x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+                 x -> x[1] * x[2]), (p,q) -> p + q)) AS rv
+           FROM probes p JOIN n q ON q.vec_id = p.query_id
+             JOIN cent c ON c.cent_id = p.cell, rot rr),
+         qsubs AS (SELECT query_id, cell, CAST(m AS BIGINT) AS subspace,
+             rv[m*8+1:m*8+8] AS qsub
+           FROM qresid, unnest(range(0, 8)) AS u(m)),
+         lut AS (SELECT s.query_id, s.cell, s.subspace, c.code,
+             list_reduce(list_transform(list_zip(s.qsub, c.cvec_sub),
+               x -> (x[1] - CAST(x[2] AS DOUBLE))
+                  * (x[1] - CAST(x[2] AS DOUBLE))), (p,q) -> p + q) AS d2
+           FROM qsubs s JOIN rcbs c ON c.subspace = s.subspace),
+         scored AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+             CAST(sum(CAST(round(l.d2, 6) AS DECIMAL(38,6))) AS DOUBLE)
+               AS adc_d2
+           FROM codes co JOIN lut l ON l.cell = co.cell
+             AND l.subspace = co.subspace AND l.code = co.code
+           WHERE l.query_id != co.vec_id
+           GROUP BY l.query_id, co.vec_id)"""
+    val rankedTail =
+      """
+         SELECT query_id, neighbor_id, rank, adc_d2 FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_d2, neighbor_id) AS rank FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank"""
+    val refinedTail =
+      s""",
+         short AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS r
+           FROM scored) WHERE r <= ${graft.operators.Opq.IvfOpqShortR}),
+         rer AS (SELECT s.query_id, s.neighbor_id,
+             list_reduce(list_transform(list_zip(q.embedding, v.embedding),
+               x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
+               /q.nrm/v.nrm AS cos
+           FROM short s JOIN n q ON q.vec_id = s.query_id
+             JOIN n v ON v.vec_id = s.neighbor_id)
+         SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM (
+           SELECT query_id, neighbor_id, cos, row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM rer)
+         WHERE rank <= 5 ORDER BY query_id, rank"""
+    head + (if (refined) refinedTail else rankedTail)
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1259,6 +1393,24 @@ object SparkEntry {
            count(DISTINCT l_orderkey) AS count_distinct_l_orderkey
          FROM lineitem WHERE 3 < l_quantity AND l_quantity < 26
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // TOP over the rollup = GROUP BY ... ORDER BY metric LIMIT k, the
+    // key as tiebreaker so the delivered order is total
+    "qast_top" ->
+      """SELECT l_partkey, count(*) AS n,
+           sum(l_quantity) AS sum_l_quantity
+         FROM lineitem WHERE l_quantity > 10
+         GROUP BY l_partkey
+         ORDER BY sum_l_quantity DESC, l_partkey LIMIT 15""",
+    // HAVING over the rollup output; avg replays exactly as the one
+    // double division of the exact 6dp-decimal sum by the count (the
+    // group verb's defined mean — see Compiler.aggFns)
+    "qast_group_having" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           sum(l_quantity) AS sum_l_quantity,
+           CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
+             AS DOUBLE) / count(l_extendedprice) AS avg_l_extendedprice
+         FROM lineitem WHERE 0 < l_discount
+         GROUP BY 1, 2 HAVING count(*) > 50 ORDER BY 1, 2""",
     "meta_search" ->
       """WITH f AS (
            SELECT doc_id id, 'cid-'||doc_id file, source, lang, n_chars
@@ -1860,6 +2012,13 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY adc_d2, neighbor_id) AS rank FROM scored)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // frozen IVF-OPQ: the frozen-ivfpq pipeline with each residual
+    // ROTATED by the committed literal matrix before slicing (same
+    // left-to-right fold order as the Spark expression), quantized by
+    // the committed TRAINED residual codebook, probing IvfOpqNProbe
+    // cells; plus its refined two-stage tail — one shared builder
+    "ann_ivfopq_frozen_topk" -> ivfOpqFrozenSql(refined = false),
+    "ann_ivfopq_frozen_refined_topk" -> ivfOpqFrozenSql(refined = true),
     // the ivfpq pipeline through `scored`, then: 20-deep ADC shortlist,
     // exact-cosine re-rank of just those rows (the two-stage serving
     // shape — ADC decides the shortlist, the delivered order is exact)
@@ -2144,6 +2303,34 @@ object SparkEntry {
              PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
            FROM rer)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // per-code readout under the frozen OPQ model: rotate by the
+    // literal matrix, assign each subvector to its nearest literal
+    // sub-centroid, then population + exact mean quantization error
+    "pq_frozen_stats" ->
+      s"""WITH rot AS (SELECT ${graft.operators.FrozenAnn.rotSql} AS r),
+         rv AS (SELECT vec_id, list_transform(r.r, ri ->
+             list_reduce(list_transform(list_zip(ri, embedding),
+               x -> x[1] * CAST(x[2] AS DOUBLE)), (p,q) -> p + q)) AS rv
+           FROM embeddings, rot r),
+         cbs AS (SELECT subspace, code, cvec_sub
+           FROM (VALUES ${graft.operators.FrozenAnn.codebookSql})
+             AS c(subspace, code, cvec_sub)),
+         subs AS (SELECT vec_id, CAST(m AS BIGINT) AS subspace,
+             rv[m*8+1:m*8+8] AS sub
+           FROM rv, unnest(range(0, 8)) AS u(m)),
+         sc AS (SELECT s.vec_id, s.subspace, c.code,
+             list_reduce(list_transform(list_zip(s.sub, c.cvec_sub),
+               x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                  * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+               (p,q) -> p + q) AS d2
+           FROM subs s JOIN cbs c ON c.subspace = s.subspace),
+         best AS (SELECT vec_id, subspace, code, d2 FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             ORDER BY d2, code) AS rk FROM sc) WHERE rk = 1)
+         SELECT subspace, code, count(*) AS n_assigned,
+           round(CAST(sum(CAST(round(d2, 6) AS DECIMAL(38,6))) AS DOUBLE)
+             / count(*), 6) AS mean_d2
+         FROM best GROUP BY 1, 2 ORDER BY 1, 2""",
     // cell population balance under the seed quantizer; imbalance =
     // max population / mean population (probe cost and directory skew
     // are linear in it)
@@ -3202,6 +3389,7 @@ object SparkEntry {
     // rows-only (data-dependent merges); this twin hash-grades the
     // apply machinery end to end.
     "bpe_tokenize_frozen" -> bpeFrozenOracle,
+    "bpe_frozen_stats" -> bpeFrozenStatsOracle,
     // the sequential replay of Curriculum.order's two-phase rank: a
     // plain global window (what a single box would run), decile cut
     // by the same integer arithmetic
@@ -4968,6 +5156,26 @@ object SparkEntry {
            CAST(232 + (n-1)*264 AS BIGINT) AS last_offset,
            CAST(len - (n-1)*256 AS INT) AS last_frame_size
          FROM f ORDER BY media_id""",
+    // MJPEG pixel decode: the oracle replays the EXACT source facts
+    // (container frame count, plane pixel count, source level sum from
+    // character codes) and expects within_tol TRUE — the Spark side
+    // earns it by actually decoding every JPEG frame via javax.imageio
+    // and comparing pixels to the source chunk under the pinned DCT
+    // tolerance (a broken parse/decode flips a graded column)
+    "media_video_decode" ->
+      """WITH v AS (SELECT doc_id AS media_id, text,
+           octet_length(encode(text)) AS len
+         FROM documents
+         WHERE doc_id % 3 = 2
+           AND len(text) = octet_length(encode(text)) AND len(text) > 0),
+         f AS (SELECT media_id, text, len,
+           CAST((len + 255) // 256 AS INT) AS n FROM v)
+         SELECT media_id, n AS n_frames,
+           CAST(n AS BIGINT) * 256 AS n_px,
+           CAST(list_reduce(list_transform(range(1, len + 1),
+             i -> ascii(text[i])), (a,b) -> a+b) AS BIGINT) AS src_sum,
+           TRUE AS within_tol
+         FROM f ORDER BY media_id""",
     // the distributed two-phase prefix sum must equal the sequential
     // one: a plain ordered window cumsum (what a single box would run)
     "pack_chunks" ->
@@ -5259,6 +5467,44 @@ object SparkEntry {
            CAST(coalesce(p.n_pieces, 0) AS BIGINT) AS n_pieces
          FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
          ORDER BY d.doc_id"""
+  }
+
+  /** Oracle for `bpe_frozen_stats` — per-rank APPLIED merge counts.
+    * The recursive rewriting CTE keeps every intermediate state, so
+    * level i's entry/fixpoint piece counts are its max/min (replace
+    * only ever shrinks the string), and the level's applied count is
+    * freq-weighted (entry − fixpoint). Merge rows come from the same
+    * [[graft.operators.Bpe.FrozenMerges]] literal the operator folds.
+    */
+  private val bpeFrozenStatsOracle: String = {
+    val merges = graft.operators.Bpe.FrozenMerges.zipWithIndex
+      .map { case ((a, b), i) =>
+        s"(${i + 1}, '_${a}_${b}_', '_$a$b" + s"_', '$a', '$b')" }
+      .mkString(", ")
+    val m = graft.operators.Bpe.FrozenMerges.size
+    s"""WITH RECURSIVE words AS (
+         SELECT w FROM (SELECT
+             unnest(regexp_extract_all(text, '[a-z]+')) AS w
+           FROM documents) WHERE length(w) >= 2),
+       vocab AS (SELECT w, count(*) AS freq FROM words GROUP BY w),
+       merges(i, pat, rep, l, r) AS (VALUES $merges),
+       seg(w, s, i) AS (
+         SELECT w, regexp_replace(w, '(.)', '_\\1', 'g') || '_', 1
+           FROM vocab
+         UNION ALL
+         SELECT seg.w, replace(seg.s, m.pat, m.rep),
+             CASE WHEN replace(seg.s, m.pat, m.rep) = seg.s
+               THEN seg.i + 1 ELSE seg.i END
+           FROM seg JOIN merges m ON m.i = seg.i),
+       lv AS (SELECT w, i,
+           max(length(s) - length(replace(s, '_', '')) - 1) AS p_in,
+           min(length(s) - length(replace(s, '_', '')) - 1) AS p_out
+         FROM seg WHERE i <= $m GROUP BY w, i)
+       SELECT lv.i AS merge_rank, m.l AS "left", m.r AS "right",
+         CAST(coalesce(sum(v.freq * (lv.p_in - lv.p_out)), 0) AS BIGINT)
+           AS n_applied
+       FROM lv JOIN vocab v USING (w) JOIN merges m ON m.i = lv.i
+       GROUP BY 1, 2, 3 ORDER BY 1"""
   }
 
   /** Oracle for `dedup_simhash_md5` — generated so the 16 per-bit

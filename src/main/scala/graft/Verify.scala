@@ -34,12 +34,20 @@ object Verify {
     * a true `await` can never observe a half-written result; a timed-
     * out body that finishes just after expiry is still reported as a
     * timeout (one verdict per query, decided at the deadline). */
+  /** Monotonic suffix for job-group ids: `cancelJobGroupAndFutureJobs`
+    * keeps the group id in the context's cancelled set for the session,
+    * so REUSING `verify-$name` after a timeout auto-cancels every later
+    * run of the same query (ScaleReplay's big-corpus pass, Bench's
+    * plan-sha fingerprint rerun). Unique-per-invocation ids scope the
+    * cancellation to the one timed-out attempt. */
+  private val boundedSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   def bounded[A](name: String, sec: Long,
       cancelIn: Option[SparkSession] = None)(body: => A)
       : Either[String, A] = {
     val done = new java.util.concurrent.CountDownLatch(1)
     @volatile var out: Either[String, A] = Left("timeout")
-    val group = s"verify-$name"
+    val group = s"verify-$name-${boundedSeq.incrementAndGet()}"
     val t = new Thread(() => {
       try {
         cancelIn.foreach(_.sparkContext

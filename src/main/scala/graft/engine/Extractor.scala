@@ -54,8 +54,9 @@ final class Extractor(spark: SparkSession, store: ContentStore,
     mime.split(';').head.trim.toLowerCase
 
   /** `POST /extract/{cid}`: rows matching a QAST predicate — or, when
-    * the query's top-level verb is the beyond-reference `group`
-    * extension, the rollup `filter → groupBy → agg` (key-ordered). The
+    * the query's top-level verb is one of the beyond-reference frame
+    * extensions (`group` rollup, `having` output filter, `top`
+    * order+limit), the compiled frame transform (key-ordered). The
     * query is parsed/compiled BEFORE the cid resolves, matching the
     * reference's error precedence (`HttpHandler.java:219-229` calls
     * `parseAstFn` first): a malformed query against an unknown or
@@ -66,11 +67,18 @@ final class Extractor(spark: SparkSession, store: ContentStore,
     for {
       ast <- Ast.parse(qastJson).left.map(e => ExtractError.Malformed(e))
       plan <- (ast match {
-        case Ast.QOp("group", _) => Compiler.compileGroup(ast).map(Right(_))
+        case a if Compiler.isFrameVerb(a) =>
+          Compiler.compileFrame(a).map(Right(_))
         case _ => Compiler.compile(ast).map(Left(_))
       }).left.map(e => ExtractError.Malformed(e))
       df <- rows(cid)
-    } yield plan.fold(df.filter, group => group(df))
+      out <- plan.fold(
+        pred => Right(df.filter(pred)),
+        // frame-dependent type errors (group key unorderable for THIS
+        // schema, sum over an array column...) keep the 400 precedent
+        frame => frame.checked(df)
+          .left.map(e => ExtractError.Malformed(e): ExtractError))
+    } yield out
 
   def extractWith(cid: String, pred: Column): Either[ExtractError, DataFrame] =
     rows(cid).map(_.filter(pred))

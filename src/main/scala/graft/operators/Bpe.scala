@@ -236,6 +236,50 @@ object Bpe {
   def tokenizeFrozen(s: SparkSession, dir: String): DataFrame =
     tokenizeWith(s, dir, FrozenMerges)
 
+  /** Graded `bpe_frozen_stats`: the TRAINER's per-round readout under
+    * the frozen vocabulary — for each frozen merge, in application
+    * order, how many times it actually fires across the corpus
+    * (occurrences weighted by word frequency). This is the
+    * `kmeans_frozen_stats`/`pq_frozen_stats` recipe applied to BPE:
+    * the live `bpe_train`/`bpe_train_converged` loops stay rows-only
+    * (the merge LIST is data-dependent), but the loop's per-round
+    * dynamics — segment, count, apply — hash-grade end to end on the
+    * shipped list, because applied-merge counts are pure functions of
+    * (corpus, frozen merges). n_applied differs from `bpe_train`'s
+    * pair_count by convention: pair COUNTS include overlaps ("aaa" →
+    * (a,a) twice), applied merges cannot — the greedy fold merges
+    * once; the graded readout uses the applied (piece-reduction)
+    * definition, which the DuckDB oracle replays as the per-level
+    * piece drop of its fixpoint rewriting.
+    *
+    * Scale shape: vocabulary-sized like every BPE stage — one
+    * projection chains all [[FrozenMerges]] folds per unique word
+    * (no shuffle), one 12-group aggregation ends it.
+    */
+  def frozenStats(s: SparkSession, dir: String): DataFrame = {
+    val base = vocab(s, dir)
+      .select(col("freq"), col("syms").as("s0"),
+        size(col("syms")).as("p0"))
+    val chained = FrozenMerges.zipWithIndex.foldLeft(base) {
+      case (d, ((a, b), i)) =>
+        d.withColumn(s"s${i + 1}", applyMerge(col(s"s$i"), a, b))
+          .withColumn(s"p${i + 1}", size(col(s"s${i + 1}")))
+    }
+    val aggs = FrozenMerges.indices.map(i =>
+      sum(col("freq") * (col(s"p$i") - col(s"p${i + 1}")))
+        .cast("long").as(s"a${i + 1}"))
+    val one = chained.agg(aggs.head, aggs.tail: _*)
+    val rows = FrozenMerges.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i + 1).as("merge_rank"), lit(a).as("left"),
+        lit(b).as("right"),
+        coalesce(col(s"a${i + 1}"), lit(0L)).as("n_applied"))
+    }
+    one.select(explode(array(rows: _*)).as("m"))
+      .select(col("m.merge_rank"), col("m.left"), col("m.right"),
+        col("m.n_applied"))
+      .orderBy(col("merge_rank"))
+  }
+
   private def tokenizeWith(s: SparkSession, dir: String,
       merges: Seq[(String, String)]): DataFrame = {
     val words = load(s, dir, "documents")

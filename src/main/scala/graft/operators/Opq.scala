@@ -228,6 +228,176 @@ object Opq {
     Pq.refineRank(s, dir, Pq.adcScoresOf(candidatesWith(s, dir,
       FrozenAnn.rot, FrozenAnn.codebookFrame(s))))
 
+  /** Graded `ann_ivfopq_frozen_topk` — the FAISS `OPQ,IVF,PQ` serving
+    * composition under the frozen model: coarse-assign on the frozen
+    * trained IVF centroids ([[FrozenAnn.ivfCentroids]], exactly
+    * [[Pq.ivfpqFrozenTopK]]'s quantizer), ROTATE each residual by the
+    * frozen OPQ rotation ([[FrozenAnn.rot]]), then the residual-PQ
+    * probe unchanged: seed-rule codebook over the rotated residuals,
+    * nearest-sub-centroid codes, per-(query, probed-cell) LUTs,
+    * DECIMAL-exact ADC, WindowGroupLimit top-k. Rotating the residual
+    * (R·(v − c)) rather than the space keeps the coarse assignment
+    * identical to the graded IVF forms while the codebook quantizes
+    * the decorrelated distribution OPQ optimizes for.
+    *
+    * This is the sublinear sibling the exhaustive frozen OPQ scan
+    * lacked: SCALE_r13.json measured `ann_opq_frozen_topk` at ×30.7
+    * under 10× data (Q×N compressed scan, queries ∝ corpus ⇒
+    * quadratic), while the cell-pruned residual probe of the same
+    * shape measured ×1.56 (`ann_ivfpq_refined_topk`). Here the ADC
+    * join is pruned to the query's [[Similarity.NProbe]] cells, the
+    * scan reads codes (never raw vectors), and at 100 TB the cell id
+    * is the partition layout — the rotation costs one narrow
+    * 64×64 fold per vector, inside codegen, no join, no shuffle.
+    *
+    * Hash-oracled end to end: both trained inputs (centroids,
+    * rotation) are committed literals, everything downstream is
+    * exact arithmetic, so DuckDB replays assign → rotate → encode →
+    * probe → rank bit-for-bit.
+    */
+  def ivfOpqFrozenTopK(s: SparkSession, dir: String): DataFrame =
+    Pq.adcRank(ivfOpqFrozenCandidates(s, dir))
+
+  /** Graded `ann_ivfopq_frozen_refined_topk`: the full production
+    * search — cell-pruned rotated-residual ADC shortlist
+    * ([[ivfOpqFrozenTopK]]'s candidates), exact-cosine re-rank of the
+    * [[Pq.ShortR]] shortlist against the ORIGINAL embeddings through
+    * the shared [[Pq.refineRank]] tail. This earns the "compressed
+    * shortlist → exact refine" label at scale: stage 1 is the pruned
+    * probe (not the exhaustive scan the frozen OPQ refined form
+    * measures at ×15–31), stage 2 touches ShortR rows per query.
+    */
+  def ivfOpqFrozenRefinedTopK(s: SparkSession, dir: String): DataFrame =
+    Pq.refineRank(s, dir, Pq.adcScoresOf(ivfOpqFrozenCandidates(s, dir)),
+      IvfOpqShortR)
+
+  /** Probe depth of the frozen IVF-OPQ family. Deeper than
+    * [[Similarity.NProbe]] deliberately: this composition REPLACES the
+    * exhaustive frozen OPQ scan (SCALE_r13: ×30.7 at 10×), so its
+    * recall must clear that scan's — the NProbe=2 cell set caps recall
+    * at 0.40 on the training corpus (below the exhaustive scan's
+    * 0.44, measured cell-membership ceiling); 8 probes lift the
+    * ceiling to 0.88 and the refined search delivers 0.76 there —
+    * above both the exhaustive frozen scan (0.44) and its refined
+    * form (0.68), measured in OpqSpec. Still a constant: probe cost
+    * stays nprobe/C ≈ 8/√N of the corpus — sublinear at any scale.
+    */
+  val IvfOpqNProbe = 8
+
+  /** Shortlist depth of the refined frozen IVF-OPQ search — deeper
+    * than [[Pq.ShortR]] because the ADC ordering over residuals is
+    * noisier than the cell-membership ceiling (at 20 the exact
+    * re-rank recovered 0.40 of the 0.88 reachable; at 40 it recovers
+    * 0.76). Constant per query: stage 2 stays a broadcast of
+    * q × 40 rows against the embeddings.
+    */
+  val IvfOpqShortR = 40
+
+  /** Every vector's FROZEN-model rotated residual R·(v − c(v)):
+    * (vec_id, cell, rv) — the distribution the frozen IVF-OPQ
+    * codebook quantizes. Shared by the serving candidates and the
+    * codebook trainer ([[ivfOpqResidualCodebookTrained]]); cached for
+    * the same reason `ivfpqCandidates` caches its residual frame:
+    * codebook, corpus codes and LUTs all read it with projections
+    * different enough to defeat ReuseExchange.
+    */
+  private def frozenRotatedResiduals(s: SparkSession,
+      dir: String): DataFrame = {
+    val centsSrc = FrozenAnn.ivfCentroidFrame(s)
+    val cents = centsSrc.select(col("cent_id").as("cell"), col("cvec"))
+    Similarity.cellAssignmentsWith(s, dir, centsSrc)
+      .join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("cell"),
+        rotate(zip_with(col("cv"), col("cvec"),
+          (x, y) => x.cast("double") - y.cast("double")),
+          FrozenAnn.rot).as("rv"))
+      .cache()
+  }
+
+  /** Lloyd's-TRAINED codebook over the frozen-model rotated residuals
+    * — the real IVF-OPQ codebook (trained on the distribution it
+    * quantizes, Ge et al. §4: coarse quantize, rotate, then train PQ
+    * on the rotated residuals). [[graft.FreezeAnn]] collects this once
+    * at sf0.01 and commits it as [[FrozenAnn.ivfOpqCodebook]]; the
+    * graded queries serve the frozen literal, never this live trainer.
+    */
+  def ivfOpqResidualCodebookTrained(s: SparkSession,
+      dir: String): DataFrame = {
+    val resid = frozenRotatedResiduals(s, dir)
+    Pq.trainedCodebookFrom(s,
+      Pq.slicedFrame(resid, "vec_id", "rv", "vec_id", "sub"),
+      Pq.seedCodebook(resid, "vec_id", "rv"),
+      orderFree = false, memoKey = s"ivfopqcb|$dir")
+  }
+
+  /** The (query LUT × corpus codes) candidate join of the frozen
+    * IVF-OPQ composition — [[Pq]]'s residual `ivfpqCandidates` shape
+    * with the frozen rotation folded into both residual streams and
+    * the frozen TRAINED residual codebook
+    * ([[FrozenAnn.ivfOpqCodebook]]) in place of the seed rule.
+    */
+  private def ivfOpqFrozenCandidates(s: SparkSession,
+      dir: String): DataFrame = {
+    val centsSrc = FrozenAnn.ivfCentroidFrame(s)
+    val cents = centsSrc.select(col("cent_id").as("cell"), col("cvec"))
+    val rcb = FrozenAnn.ivfOpqCodebookFrame(s)
+    val resid = frozenRotatedResiduals(s, dir)
+    val codes = Pq.slicedFrame(resid, "vec_id", "rv", "vec_id", "sub",
+      carry = Seq("cell"))
+      .join(broadcast(rcb), Seq("subspace"))
+      .withColumn("d2", Pq.l2sq(col("sub"), col("cvec_sub")))
+      .groupBy(col("vec_id"), col("subspace"))
+      .agg(first(col("cell")).as("cell"),
+        max_by(col("code"), struct(-col("d2"), -col("code"))).as("code"))
+    val luts = Pq.slicedFrame(
+      Similarity.queryProbesWith(s, dir, centsSrc, IvfOpqNProbe)
+        .join(broadcast(cents), "cell")
+        .select(col("query_id"), col("cell"),
+          rotate(zip_with(col("qv"), col("cvec"),
+            (x, y) => x.cast("double") - y.cast("double")),
+            FrozenAnn.rot).as("qrv")),
+      "query_id", "qrv", "query_id", "qsub", carry = Seq("cell"))
+      .join(rcb, Seq("subspace"))
+      .select(col("query_id"), col("cell"), col("subspace"), col("code"),
+        Pq.l2sq(col("qsub"), col("cvec_sub")).as("d2"))
+    codes.toDF("neighbor_id", "subspace", "cell", "code")
+      .join(broadcast(luts), Seq("cell", "subspace", "code"))
+  }
+
+  /** Graded `pq_frozen_stats`: the trained codebook's per-code READOUT
+    * under the frozen model — every rotated vector's subvectors
+    * assigned to their nearest frozen sub-centroid, then per
+    * (subspace, code): population and mean quantization error. This is
+    * the [[KMeans.frozenStats]] recipe applied to the PQ trainer: the
+    * live `pq_train` stays rows-only (Lloyd's output has no SQL twin),
+    * but its SERVE semantics — what a shipped codebook does to a
+    * corpus — hash-grades end to end because the codebook is a
+    * committed literal. Mean d2 is exact: 6dp-rounded errors summed in
+    * DECIMAL, one IEEE division, rounded 6dp.
+    *
+    * Scale shape: corpus × broadcast(128 literal rows) scored, argmin
+    * folded map-side at (vector, subspace) grain, then an M·K-row
+    * aggregation — codes that win no member drop from the readout
+    * (Lloyd's degeneracy surfaces as a missing row, not a null).
+    */
+  def pqFrozenStats(s: SparkSession, dir: String): DataFrame = {
+    val rv = load(s, dir, "embeddings")
+      .select(col("vec_id"), rotate(col("embedding"), FrozenAnn.rot).as("rv"))
+    Pq.slicedFrame(rv, "vec_id", "rv", "vec_id", "sub")
+      .join(broadcast(FrozenAnn.codebookFrame(s)), Seq("subspace"))
+      .withColumn("d2", Pq.l2sq(col("sub"), col("cvec_sub")))
+      .groupBy(col("vec_id"), col("subspace"))
+      .agg(max_by(struct(col("code"), col("d2")),
+        struct(-col("d2"), -col("code"))).as("b"))
+      .select(col("subspace"), col("b.code").as("code"),
+        col("b.d2").as("d2"))
+      .groupBy(col("subspace"), col("code"))
+      .agg(count(lit(1)).as("n_assigned"),
+        round(sum(round(col("d2"), 6).cast("decimal(38,6)"))
+          .cast("double") / count(lit(1)), 6).as("mean_d2"))
+      .orderBy(col("subspace"), col("code"))
+  }
+
   /** [[opqCandidates]] under ANY (rotation, codebook) — the seam the
     * frozen form shares with the live-trained one.
     */

@@ -604,12 +604,22 @@ object Pq {
     * the raw embeddings.
     */
   private[operators] def refineRank(s: SparkSession, dir: String,
-      scores: DataFrame): DataFrame = {
+      scores: DataFrame): DataFrame =
+    refineRank(s, dir, scores, ShortR)
+
+  /** Shortlist-depth-parameterized form: depth is a serving-time
+    * recall/latency knob like nprobe — a constant per query, so any
+    * depth keeps stage 2 a broadcast of q·depth rows. The frozen
+    * IVF-OPQ search shortlists deeper ([[Opq.IvfOpqShortR]]) to clear
+    * the exhaustive scan's recall bar.
+    */
+  private[operators] def refineRank(s: SparkSession, dir: String,
+      scores: DataFrame, shortR: Int): DataFrame = {
     val byAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_d2"), col("neighbor_id"))
     val shortlist = scores
       .withColumn("r", row_number().over(byAdc))
-      .filter(col("r") <= ShortR)
+      .filter(col("r") <= shortR)
       .select(col("query_id"), col("neighbor_id"))
     val emb = load(s, dir, "embeddings")
     val byCos = Window.partitionBy(col("query_id"))

@@ -123,6 +123,52 @@ object QastQueries {
            ["count_distinct", [".", ["$"], "l_orderkey"]]]""")
       .apply(load(s, dir, "lineitem"))
 
+  /** Unwrap a compiled frame verb or fail loudly. */
+  def qastFrame(json: String): Compiler.FrameQuery =
+    Compiler.frameFromJson(json).fold(e => throw e, identity)
+
+  /** Graded `qast_top`: the TOP frame verb — `["top", k, [sort...],
+    * inner]` = order + limit over an inner frame query (here the
+    * group rollup), compiled to `orderBy(...).limit(k)`, which
+    * Catalyst executes as TakeOrderedAndProject (per-partition heap
+    * top-k + k-row merge, never a global sort — the plan every
+    * dashboard "top N by metric" wants at 100 TB). The sort list
+    * carries the key as an explicit tiebreaker so the delivered order
+    * is total and hash-gradable.
+    */
+  def topRollup(s: SparkSession, dir: String): DataFrame =
+    qastFrame(
+      """["top", 15,
+           [["desc", [".", ["$"], "sum_l_quantity"]],
+            [".", ["$"], "l_partkey"]],
+           ["group",
+             [">", [".", ["$"], "l_quantity"], 10],
+             [[".", ["$"], "l_partkey"]],
+             ["count"],
+             ["sum", [".", ["$"], "l_quantity"]]]]""")
+      .apply(load(s, dir, "lineitem"))
+
+  /** Graded `qast_group_having`: the HAVING frame verb — the rollup's
+    * OUTPUT rows filtered by a second QAST predicate (paths address
+    * the deterministic output names), i.e. SQL HAVING with one
+    * compiler for both the row predicate and the output predicate.
+    * Also the query that hash-grades `avg`: the group verb's mean is
+    * DEFINED as exact-decimal 6dp sum ÷ non-null count (one IEEE
+    * division), so the last formerly-ungraded aggregate replays in
+    * DuckDB bit-for-bit.
+    */
+  def groupHaving(s: SparkSession, dir: String): DataFrame =
+    qastFrame(
+      """["having",
+           ["group",
+             ["<", 0, [".", ["$"], "l_discount"]],
+             [[".", ["$"], "l_returnflag"], [".", ["$"], "l_linestatus"]],
+             ["count"],
+             ["sum", [".", ["$"], "l_quantity"]],
+             ["avg", [".", ["$"], "l_extendedprice"]]],
+           [">", [".", ["$"], "n"], 50]]""")
+      .apply(load(s, dir, "lineitem"))
+
   /** The reference's metadata search (S5/S6): `dataset ⋈ content ON
     * file = cid`, QAST predicate, fixed projection + right-biased merge
     * of the two open `extra` maps (PostgreSQL `dataset.extra ||

@@ -381,11 +381,23 @@ object Similarity {
     queryProbesWith(s, dir, centroids(s, dir))
 
   private[operators] def queryProbesWith(s: SparkSession, dir: String,
-      cents: DataFrame): DataFrame = {
+      cents: DataFrame): DataFrame =
+    queryProbesWith(s, dir, cents, NProbe)
+
+  /** Probe-depth-parameterized form: nprobe is a serving-time
+    * recall/latency knob (FAISS's `nprobe`), constant w.r.t. corpus
+    * size — any constant keeps the probe sublinear (touches
+    * nprobe/C ≈ nprobe/√N of the data); deeper probes buy recall at
+    * a proportional constant factor. The frozen IVF-OPQ family probes
+    * deeper than [[NProbe]] to clear the exhaustive-scan recall bar
+    * it replaces.
+    */
+  private[operators] def queryProbesWith(s: SparkSession, dir: String,
+      cents: DataFrame, nprobe: Int): DataFrame = {
     val pw = Window.partitionBy(col("vec_id"))
       .orderBy(col("cs").desc, col("cent_id"))
     scoredCells(s, dir, cents).filter(queryPred)
-      .withColumn("pr", row_number().over(pw)).filter(col("pr") <= NProbe)
+      .withColumn("pr", row_number().over(pw)).filter(col("pr") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"),
         col("embedding").as("qv"))
   }
@@ -634,8 +646,11 @@ object Similarity {
     */
   val ScaledLshTarget = 32
 
-  /** Plane-budget ceiling for the scaled form (bits ≤ 12 covers a
-    * corpus of 32·2¹² ≈ 131k per... the rule saturates above it). */
+  /** Plane-budget ceiling for the scaled form: bits ≤ 12 keeps the
+    * mean population at [[ScaledLshTarget]] up to 32·2¹² ≈ 131k
+    * vectors per table; above that corpus size the rule saturates
+    * (populations grow linearly again) and the IVF family — whose
+    * cell count tracks √N structurally — is the intended index. */
   val ScaledLshMaxBits = 12
 
   /** ⌈log₂ m⌉ on exact integers (0 for m ≤ 1) — the engine-neutral
@@ -670,6 +685,14 @@ object Similarity {
     * sign projections, so the whole pipeline (dynamic bit count
     * included — the oracle re-derives it from `count(*)` with
     * `bin`/`length`) hash-oracles in DuckDB.
+    *
+    * Declared cost-model bound: CANDIDATE growth is what the capacity
+    * rule fixes; the bucketed join itself shuffles both sides on
+    * (table, bucket) with no forced broadcast — the query side is
+    * queries × NumTables rows (∝ N/100 here), which at some scale
+    * stops being broadcastable, so AQE decides the join strategy at
+    * runtime rather than a hint promising a driver-sized table that
+    * grows with the corpus.
     */
   def lshScaledTopK(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir)
@@ -689,7 +712,10 @@ object Similarity {
     val cb = withBuckets(
       e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
       "neighbor_id", "cv")
-    val cands = cb.join(broadcast(qb), Seq("table", "bucket"))
+    // no broadcast hint: the query-bucket side grows ∝ N/100, so a
+    // forced broadcast would put a corpus-linear table on the driver
+    // at scale — AQE picks broadcast while it fits, shuffle join after
+    val cands = cb.join(qb, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
       .groupBy(col("query_id"), col("neighbor_id"))

@@ -53,20 +53,33 @@ object Ast {
     "&" -> (_ >= 0),
     "|" -> (_ >= 0),
     "!" -> (_ == 1),
-    // beyond-reference extension (the reference QAST is predicate-only):
-    // ["group", pred, [key...], agg...] — relational rollup. Recognized
-    // as an operator ONLY at the ROOT of a query (fromJson's `root`
-    // flag): below the root, ["group", ...] stays an ordinary array
-    // literal, so existing predicates whose DATA arrays happen to start
-    // with the word "group" keep parsing exactly as before — "group" is
-    // plain English in a way "$"/"~" are not, and reserving it
-    // everywhere would be a silent compatibility break. Aggregate
-    // specs are plain arrays (["count"] / ["sum", expr] / ...), NOT
-    // operators, for the same reason.
-    "group" -> (_ >= 3))
+    // beyond-reference extensions (the reference QAST is predicate-only):
+    // ["group", pred, [key...], agg...] — relational rollup;
+    // ["having", group-form, pred] — output-row filter over a rollup;
+    // ["top", k, [sort...], inner] — order + limit over an inner frame
+    // query (a group/having rollup or a plain predicate). Recognized as
+    // operators ONLY at the ROOT of a query (fromJson's `root` flag) or
+    // in the one INNER frame position of having/top: anywhere else,
+    // ["group", ...]/["top", ...] stay ordinary array literals, so
+    // existing predicates whose DATA arrays happen to start with these
+    // plain-English words keep parsing exactly as before. Aggregate and
+    // sort specs are plain arrays (["count"] / ["sum", expr] /
+    // ["desc", expr]), NOT operators, for the same reason.
+    "group" -> (_ >= 3),
+    "having" -> (_ == 2),
+    "top" -> (_ == 3))
 
-  /** Operators legal only as the OUTERMOST form of a query. */
-  private val rootOnly: Set[String] = Set("group")
+  /** Operators legal only as the OUTERMOST form of a query (or in the
+    * inner frame-query slot of another frame verb). */
+  private val rootOnly: Set[String] = Set("group", "having", "top")
+
+  /** Index of the argument that is itself a frame query (parsed with
+    * root = true) — having's rollup, top's inner. -1 = none. */
+  private def innerFrameIdx(op: String, n: Int): Int = op match {
+    case "having" => 0
+    case "top" => n - 1
+    case _ => -1
+  }
 
   /** Deterministic output name of a group key/agg expression — SHARED
     * by both backends so their rollup schemas can never drift: the
@@ -110,7 +123,12 @@ object Ast {
             (root || !rootOnly.contains(head.asText)) =>
           val op = head.asText
           if (!arities(op)(rest.length)) Left(malformed)
-          else sequence(rest.map(fromJson(_))).map(QOp(op, _))
+          else {
+            val inner = innerFrameIdx(op, rest.length)
+            sequence(rest.zipWithIndex.map { case (n, i) =>
+              fromJson(n, root = i == inner)
+            }).map(QOp(op, _))
+          }
         case _ => sequence(items.map(fromJson(_))).map(QArr(_))
       }
     case _ => Left(malformed)

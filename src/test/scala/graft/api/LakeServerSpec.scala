@@ -213,6 +213,49 @@ class LakeServerSpec extends SparkSpec with BeforeAndAfterAll {
       rows.get(0).get("n").asLong == 2, rows.toString)
   }
 
+  test("top and having verbs over HTTP: /extract and /find") {
+    val cid = addFile(csv, "text/csv")
+    // top over raw extracted rows: order by code descending, keep 1
+    val t = post(s"/extract/$cid",
+      """["top", 1, [["desc", [".", ["$"], "country_code"]]], true]"""
+        .getBytes)
+    assert(t.statusCode == 200, new String(t.body))
+    val tArr = json(t)
+    assert(tArr.size == 1 && tArr.get(0).get("country_code").asText ==
+      "VNM", tArr.toString)
+    // having over the rollup: only groups with n > 1 survive
+    val h = post(s"/extract/$cid",
+      """["having",
+          ["group", true, [[".", ["$"], "country_code"]], ["count"]],
+          [">", [".", ["$"], "n"], 1]]""".getBytes)
+    assert(h.statusCode == 200, new String(h.body))
+    assert(json(h).size == 0) // every code is unique in the fixture
+    // a type-invalid frame verb is a 400 "malformed query", not a 500:
+    // ordering by the map-typed `extra` column through /find
+    val bad = post("/find",
+      """["top", 1, [[".", ["$"], "extra"]], true]""".getBytes)
+    assert(bad.statusCode == 400 &&
+      json(bad).get("error").asText == "malformed query",
+      new String(bad.body))
+    // metadata top through /find: the two rollup-src datasets from the
+    // previous test shape — recreate our own to stay order-independent
+    json(post("/dataset",
+      s"""{"file":"$cid","description":"t1","source":"top-src-a",
+          "topics":["t"]}""".getBytes))
+    json(post("/dataset",
+      s"""{"file":"$cid","description":"t2","source":"top-src-b",
+          "topics":["t"]}""".getBytes))
+    val found = post("/find",
+      """["top", 1,
+          [["desc", [".", ["$"], "source"]]],
+          ["group", ["~", [".", ["$"], "source"], "top-src-.*"],
+            [[".", ["$"], "source"]], ["count"]]]""".getBytes)
+    assert(found.statusCode == 200, new String(found.body))
+    val fr = json(found)
+    assert(fr.size == 1 && fr.get(0).get("source").asText == "top-src-b",
+      fr.toString)
+  }
+
   test("GET /query lists the analytic inventory sorted") {
     val r = get("/query")
     assert(r.statusCode == 200)

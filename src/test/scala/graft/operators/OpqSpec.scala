@@ -170,4 +170,59 @@ class OpqSpec extends SparkSpec {
     assert(overlap >= 0.8,
       f"frozen OPQ diverged from its own training run: $overlap%.3f")
   }
+
+  test("frozen IVF-OPQ: the pruned refined search loses no recall vs " +
+      "the exhaustive frozen OPQ scan (plain OR refined) it replaces " +
+      "on the training corpus") {
+    // the scale argument for replacing the Q×N frozen OPQ scan
+    // (SCALE_r13: ×30.7 at 10×) with the pruned composition is only
+    // honest if the replacement does not cost recall on the corpus
+    // the model was trained for — pin exactly that. The production
+    // serving shape is the REFINED search (compressed shortlist →
+    // exact re-rank); the unrefined probe is its cheap stage 1, whose
+    // recall is capped by ADC quantization noise the same way the
+    // exhaustive unrefined scan's is (0.20 vs 0.44 here — ADC noise
+    // over residuals, not the cell pruning: IvfOpqNProbe=8 probes
+    // hold 0.88 of the brute pairs, measured below).
+    val dir = "/root/testdata/sf0.01"
+    val brute = Similarity.bruteTopK(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet match { case p => (brute & p).size.toDouble / brute.size }
+    val ivfopq = recallOf(Opq.ivfOpqFrozenTopK(spark, dir))
+    val refined = recallOf(Opq.ivfOpqFrozenRefinedTopK(spark, dir))
+    val opqExh = recallOf(Opq.adcOpqFrozenTopK(spark, dir))
+    val opqExhRef = recallOf(Opq.adcOpqFrozenRefinedTopK(spark, dir))
+    info(f"recall@${Pq.TopK}: frozen IVF-OPQ refined $refined%.3f " +
+      f"(unrefined $ivfopq%.3f) vs exhaustive frozen OPQ " +
+      f"$opqExh%.3f (refined $opqExhRef%.3f)")
+    assert(refined >= opqExh,
+      f"pruned refined recall $refined%.3f below the exhaustive " +
+        f"unrefined scan's $opqExh%.3f — the ×30 scan is not " +
+        "replaceable yet")
+    assert(refined >= opqExhRef,
+      f"pruned refined recall $refined%.3f below the exhaustive " +
+        f"refined scan's $opqExhRef%.3f")
+    // exact re-rank of a deeper shortlist can only improve on stage 1
+    assert(refined >= ivfopq,
+      f"refined IVF-OPQ recall $refined%.3f below unrefined $ivfopq%.3f")
+    // and the cell ceiling itself: the probed cells must hold most of
+    // the true pairs, or the probe depth is mis-sized for the corpus
+    val probed = Similarity.queryProbesWith(spark, dir,
+      FrozenAnn.ivfCentroidFrame(spark), Opq.IvfOpqNProbe)
+      .select("query_id", "cell").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cell"))).toSet
+    val cells = Similarity.cellAssignmentsWith(spark, dir,
+      FrozenAnn.ivfCentroidFrame(spark))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    val ceiling = brute.count { case (q, nb) =>
+      probed.contains((q, cells(nb))) }.toDouble / brute.size
+    info(f"cell-membership ceiling at nprobe=${Opq.IvfOpqNProbe} = " +
+      f"$ceiling%.3f")
+    assert(ceiling >= 0.8,
+      f"probed cells hold only $ceiling%.3f of true pairs")
+  }
 }

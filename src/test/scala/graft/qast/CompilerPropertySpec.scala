@@ -76,9 +76,54 @@ class CompilerPropertySpec extends AnyFunSuite {
     val badArity: Gen[String] = Gen.oneOf(
       Gen.const("""["%", 1]"""), Gen.const("""["~", "x"]"""),
       Gen.const("""["!", 1, 2]"""), Gen.const("""["$", 9]"""),
-      Gen.const("""["."]"""), Gen.const("""["+"]"""))
+      Gen.const("""["."]"""), Gen.const("""["+"]"""),
+      Gen.const("""["having", 1]"""), Gen.const("""["top", 1, []]"""))
     check(Prop.forAll(badArity) { s =>
       Ast.parse(s) == Left(Ast.malformed)
+    })
+  }
+
+  // --- frame verbs (group / having / top): same totality contract ----
+
+  private def frameAst(depth: Int): Gen[String] = {
+    val key: Gen[String] = field.map(f => s"""[".", ["$$"], "$f"]""")
+    val agg: Gen[String] = Gen.oneOf(
+      Gen.const("""["count"]"""),
+      key.map(k => s"""["sum", $k]"""),
+      key.map(k => s"""["avg", $k]"""),
+      key.map(k => s"""["min", $k]"""),
+      key.map(k => s"""["count_distinct", $k]"""))
+    val group: Gen[String] = for {
+      pred <- validAst(2)
+      k1 <- key
+      a1 <- agg
+      a2 <- agg
+    } yield s"""["group", $pred, [$k1], $a1, $a2]"""
+    val sort: Gen[String] = Gen.oneOf(
+      key, key.map(k => s"""["desc", $k]"""),
+      key.map(k => s"""["asc", $k]"""))
+    if (depth <= 0) group
+    else Gen.frequency(
+      2 -> group,
+      1 -> Gen.zip(frameAst(depth - 1), validAst(1)).map { case (g, p) =>
+        s"""["having", $g, $p]""" },
+      1 -> Gen.zip(Gen.chooseNum(1, 9), sort, frameAst(depth - 1))
+        .map { case (k, so, in) => s"""["top", $k, [$so], $in]""" },
+      1 -> Gen.zip(Gen.chooseNum(1, 9), sort, validAst(1))
+        .map { case (k, so, p) => s"""["top", $k, [$so], $p]""" })
+  }
+
+  test("property: frame verbs parse and compile (or reject as " +
+      "malformed) — compileFrame is total, no throw") {
+    check(Prop.forAll(frameAst(2)) { s =>
+      Ast.parse(s) match {
+        case Left(e) => e.message == "malformed query"
+        case Right(ast) => Compiler.compileFrame(ast) match {
+          case Right(_) => true
+          // duplicate output names etc. reject as malformed
+          case Left(e) => e.message == "malformed query"
+        }
+      }
     })
   }
 }

@@ -73,6 +73,73 @@ class QastBackendsSpec extends SparkSpec {
     assert(dist.exists(_._2 > 1))
   }
 
+  test("having verb: both backends filter the same rollup output rows") {
+    val h = """["having",
+         ["group", true,
+           [[".", ["$"], "source"]],
+           ["count"],
+           ["avg", [".", ["$"], "id"]]],
+         [">", [".", ["$"], "n"], 1]]"""
+    val dist = lake.find(h).toOption.get.collect().toSeq
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n"),
+        r.getAs[Double]("avg_id")))
+    val local = lake.findLocal(h).toOption.get
+      .map(r => (r("source"), r("n"), r("avg_id")))
+    assert(dist.nonEmpty, "having must keep at least one group here")
+    assert(local == dist, s"having backends diverge: $local vs $dist")
+    // the filter actually rejected something: the ungated rollup has
+    // more groups
+    val all = lake.find(h.replace("""[">", [".", ["$"], "n"], 1]""",
+      """[">", [".", ["$"], "n"], 0]""")).toOption.get.collect()
+    assert(all.length > dist.length)
+  }
+
+  test("top verb: both backends deliver the same ordered k rows, over " +
+      "a rollup and over raw rows") {
+    val overGroup = """["top", 2,
+         [["desc", [".", ["$"], "n"]], [".", ["$"], "source"]],
+         ["group", true, [[".", ["$"], "source"]], ["count"]]]"""
+    val dist = lake.find(overGroup).toOption.get.collect().toSeq
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n")))
+    val local = lake.findLocal(overGroup).toOption.get
+      .map(r => (r("source"), r("n")))
+    assert(dist.length == 2 && local == dist,
+      s"top backends diverge: $local vs $dist")
+    // ordered: n descending
+    assert(dist.head._2 >= dist(1)._2)
+    val overRows = """["top", 3,
+         [["desc", [".", ["$"], "id"]]],
+         ["~", [".", ["$"], "type"], "text/.*"]]"""
+    val dr = lake.find(overRows).toOption.get.collect().toSeq
+      .map(_.getAs[Long]("id"))
+    val lr = lake.findLocal(overRows).toOption.get
+      .map(_("id").asInstanceOf[Long])
+    assert(dr.length == 3 && lr == dr,
+      s"raw-row top diverges: $lr vs $dr")
+    assert(dr == dr.sorted.reverse, "ids must come back descending")
+  }
+
+  test("frame-verb type errors are 'malformed query' in both backends " +
+      "(the Column analyzer check and the closure value guard agree)") {
+    // grouping by the open `extra` map: unorderable in Spark
+    val mapKey = """["group", true, [[".", ["$"], "extra"]], ["count"]]"""
+    assert(lake.find(mapKey).left.toOption.get.message == "malformed query")
+    assert(lake.findLocal(mapKey).left.toOption.get.message ==
+      "malformed query")
+    // summing the topics array: analyzer rejection / value guard
+    val sumArr = """["group", true, [[".", ["$"], "source"]],
+         ["sum", [".", ["$"], "topics"]]]"""
+    assert(lake.find(sumArr).left.toOption.get.message == "malformed query")
+    assert(lake.findLocal(sumArr).left.toOption.get.message ==
+      "malformed query")
+    // below-root frame verbs stay array literals: a sort key that IS
+    // a (non-operator) array is fine to parse, and the whole query
+    // still compiles in both backends
+    val nested = """["top", 1, [[".", ["$"], "id"]],
+         ["==", [".", ["$"], "source"], "wb"]]"""
+    assert(lake.find(nested).isRight && lake.findLocal(nested).isRight)
+  }
+
   test("closure backend: literals, arithmetic, nulls behave like Spark") {
     def eval(json: String, row: Evaluator.Row = Map.empty): Any =
       Evaluator.fromJson(json).toOption.get(row)

@@ -1,0 +1,140 @@
+#!/usr/bin/env python3
+"""Single source of truth for round-closing statistics.
+
+The r13 verdict caught the survey and commit messages hand-transcribing
+numbers that disagreed with the committed artifacts (167.1 vs 168.7 s
+total; "8"/"12" vs 10 noise-adjudicated rows). This script derives every
+closing number FROM the artifacts, so SURVEY §-closing stats and commit
+messages can quote its output verbatim.
+
+Usage: python3 tools/closing_numbers.py [round]
+  round defaults to the highest N with a BENCH_r{N}.json present.
+Reads: BENCH_r{N}.json (driver bench) or BENCH_QUERIES.jsonl (local
+dump, with its trailing total line), CORRECTNESS_r{N}.json, SCALE_r{N}
+.json when present.
+"""
+import json
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def latest_round():
+    rounds = []
+    for p in ROOT.glob("BENCH_r*.json"):
+        try:
+            rounds.append(int(p.stem.split("_r")[1]))
+        except ValueError:
+            pass
+    return max(rounds) if rounds else None
+
+
+def bench_stats(n):
+    """Totals from the driver artifact if present, else the local dump."""
+    drv = ROOT / f"BENCH_r{n:02d}.json"
+    if drv.exists():
+        # driver artifact: {"n", "rc", "cpus", "sf", "tail" (per-query
+        # jsonl lines), "parsed" (the final total line)}
+        d = json.loads(drv.read_text())
+        total = d.get("parsed", {})
+        rows = []
+        for line in d.get("tail", "").splitlines():
+            try:
+                r = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "query" in r:
+                rows.append(r)
+        # the driver tail is truncated to ~2KB — the committed sidecar
+        # (BENCH_QUERIES.jsonl) carries the full per-query rows, so
+        # noise adjudication always comes from there
+        sidecar = ROOT / "BENCH_QUERIES.jsonl"
+        noise = []
+        if sidecar.exists():
+            for line in sidecar.read_text().splitlines():
+                r = json.loads(line)
+                if "query" in r and "noise" in r:
+                    noise.append(r)
+        return {
+            "source": drv.name,
+            "rc": d.get("rc"),
+            "total_sec": round(total.get("value", 0.0), 2),
+            "n_queries": total.get("n_queries"),
+            "n_failed": total.get("n_failed"),
+            "failed": total.get("failed", []),
+            "noise_rows": {r["query"]: r["noise"] for r in noise},
+            "n_noise_false": sum(1 for r in noise if r["noise"] is False),
+            "slowest": sorted(((r["query"], r["sec"]) for r in rows
+                               if "sec" in r), key=lambda kv: -kv[1])[:5],
+        }
+    rows, total = [], None
+    for line in (ROOT / "BENCH_QUERIES.jsonl").read_text().splitlines():
+        d = json.loads(line)
+        if "query" in d:
+            rows.append(d)
+        else:
+            total = d
+    noise = [r for r in rows if "noise" in r]
+    return {
+        "source": "BENCH_QUERIES.jsonl",
+        "total_sec": round(total["value"], 2) if total else
+            round(sum(r["sec"] for r in rows), 2),
+        "n_queries": total["n_queries"] if total else len(rows),
+        "n_failed": total.get("n_failed") if total else None,
+        "n_query_rows": len(rows),
+        "noise_rows": {r["query"]: r["noise"] for r in noise},
+        "n_noise_false": sum(1 for r in noise if r["noise"] is False),
+        "slowest": sorted(((r["query"], r["sec"]) for r in rows),
+                          key=lambda kv: -kv[1])[:5],
+    }
+
+
+def correctness_stats(n):
+    p = ROOT / f"CORRECTNESS_r{n:02d}.json"
+    if not p.exists():
+        return None
+    d = json.loads(p.read_text())
+    green = [q for q, r in d.items() if r.get("hash_match") is True]
+    rows_only = [q for q, r in d.items() if r.get("err") == "no_oracle"]
+    failed = [q for q, r in d.items()
+              if r.get("err") not in (None, "no_oracle")
+              or r.get("hash_match") is False]
+    return {
+        "source": p.name,
+        "n_total": len(d),
+        "n_hash_green": len(green),
+        "n_rows_only": len(rows_only),
+        "n_failed": len(failed),
+        "failed": sorted(failed),
+        "rows_only": sorted(rows_only),
+    }
+
+
+def scale_stats(n):
+    p = ROOT / f"SCALE_r{n:02d}.json"
+    if not p.exists():
+        return None
+    rows = json.loads(p.read_text())
+    over = [r for r in rows if not r.get("within_bound", True)]
+    return {
+        "source": p.name,
+        "n_rows": len(rows),
+        "n_over_bound": len(over),
+        "over_bound": {r["query"]: r["ratio"] for r in over},
+    }
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else latest_round()
+    out = {
+        "round": n,
+        "bench": bench_stats(n),
+        "correctness": correctness_stats(n),
+        "scale": scale_stats(n),
+    }
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
