@@ -273,7 +273,12 @@ object Pq {
     * ranking the index ships after training, mirroring
     * [[Similarity.ivfTrainedTopK]]. Rows-only (data-dependent
     * quantizer); PqSpec measures its recall next to the seed form and
-    * pins the trained codebook's lower distortion.
+    * pins the trained codebook's lower distortion. Same EXHAUSTIVE
+    * Q×N cost model as [[adcTopK]], and the same measured consequence:
+    * ×18.7 at 10× data (SCALE_r14.json, over the ×15 linearity bound
+    * by design — queries ∝ corpus makes any exhaustive scan
+    * quadratic); the cell-pruned siblings ([[ivfpqTopK]] family,
+    * [[Opq.ivfOpqFrozenTopK]]) are the 100 TB serving paths.
     */
   def adcTrainedTopK(s: SparkSession, dir: String): DataFrame =
     adcTopKWith(s, dir, trainedCodebooks(s, dir))

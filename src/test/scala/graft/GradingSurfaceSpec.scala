@@ -165,7 +165,9 @@ class GradingSurfaceSpec extends SparkSpec
       .toSet
     val scaled: Set[String] = {
       import scala.jdk.CollectionConverters._
-      val qRe = "\"query\":\"([^\"]+)\"".r
+      // whitespace-tolerant: SCALE_r13 writes `"query": "..."`,
+      // ScaleReplay's own formatter writes `"query":"..."`
+      val qRe = "\"query\":\\s*\"([^\"]+)\"".r
       java.nio.file.Files.list(java.nio.file.Paths.get("."))
         .iterator().asScala
         .filter(_.getFileName.toString.matches("SCALE_r\\d+\\.json"))
