@@ -31,7 +31,12 @@ object RecallReport {
     "ann_pq_refined_topk", "ann_opq_refined_topk",
     "ann_pca_refined_topk",
     "ann_ivfpq_topk", "ann_ivfpq_trained_topk",
-    "ann_ivfpq_refined_topk")
+    "ann_ivfpq_refined_topk",
+    // the frozen OPQ,IVF,PQ composition (r14): the pruned replacement
+    // for the exhaustive frozen OPQ scan — its recall story at bench
+    // scale belongs in the same report as the family it supersedes
+    "ann_opq_frozen_topk", "ann_opq_frozen_refined_topk",
+    "ann_ivfopq_frozen_topk", "ann_ivfopq_frozen_refined_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -252,6 +252,11 @@ object Compiler {
         sorts <- mapEither(sortAsts) {
           case QArr(QStr("desc") :: e :: Nil) => compile(e).map(_.desc)
           case QArr(QStr("asc") :: e :: Nil) => compile(e).map(_.asc)
+          // a direction marker with the wrong arity is a typo, not an
+          // array-literal sort key — reject rather than silently
+          // ordering by a constant
+          case QArr(QStr("desc" | "asc") :: _) =>
+            Left(QastError("malformed query"))
           case e => compile(e).map(_.asc)
         }
         innerFn <-

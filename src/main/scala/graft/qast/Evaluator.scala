@@ -104,6 +104,10 @@ object Evaluator {
         sorts <- mapEither(sortAsts) {
           case QArr(QStr("desc") :: e :: Nil) => compile(e).map((_, false))
           case QArr(QStr("asc") :: e :: Nil) => compile(e).map((_, true))
+          // same wrong-arity direction-marker rejection as the Column
+          // backend — the two must agree on what parses
+          case QArr(QStr("desc" | "asc") :: _) =>
+            Left(QastError("malformed query"))
           case e => compile(e).map((_, true))
         }
         innerFn <- (inner match {
@@ -196,26 +200,40 @@ object Evaluator {
         val name = Compiler.aggName(ast, i)
         val agg: Seq[Row] => Any = grp => {
           val vals = grp.map(f).filter(_ != null)
-          // numeric aggs operate on the NUMERIC subset only, like the
-          // Column backend (a non-castable value is null there and
-          // drops out of numerator AND denominator)
-          lazy val nums = vals.flatMap(num)
+          // numeric aggs operate on the CASTABLE subset only, like
+          // the Column backend: Spark's sum/avg implicitly cast
+          // string columns to double (parse-or-null — reachable here
+          // through the open `extra` map, whose values are strings),
+          // and a non-castable value drops out of numerator AND
+          // denominator
+          lazy val nums = vals.flatMap(castNum)
           // Column-backend type parity: sum/avg over an ARRAY or MAP
           // column and min/max over a MAP are analyzer rejections
           // there ("malformed query" via checked()); a STRING sum is
-          // a cast-null, which the nums filter already models
-          def guardNumeric(): Unit = vals.foreach {
-            case _: Seq[_] | _: Map[_, _] =>
-              throw TypeGuard("malformed query")
-            case _ => ()
-          }
+          // a cast-null, which the nums filter already models. sum
+          // additionally rejects BOOLEANS (Spark's sum takes numeric
+          // only — no implicit boolean cast), while avg accepts them
+          // as 1/0 (its explicit double cast in the Column formula
+          // casts booleans), so the boolean guard is sum-only.
+          def guardNumeric(booleans: Boolean = false): Unit =
+            vals.foreach {
+              case _: Seq[_] | _: Map[_, _] =>
+                throw TypeGuard("malformed query")
+              case _: Boolean if !booleans =>
+                throw TypeGuard("malformed query")
+              case _ => ()
+            }
           def guardOrdered(): Unit = vals.foreach {
             case _: Map[_, _] => throw TypeGuard("malformed query")
             case _ => ()
           }
           fn match {
             case "count" => vals.size.toLong
-            case "count_distinct" => vals.map(norm).distinct.size.toLong
+            case "count_distinct" =>
+              // maps are un-DISTINCT-able in Spark (no equality on
+              // MapType) — same analyzer-rejection parity as min/max
+              guardOrdered()
+              vals.map(norm).distinct.size.toLong
             case "sum" =>
               guardNumeric()
               if (nums.isEmpty) null
@@ -229,15 +247,20 @@ object Evaluator {
                 }.sum
               else nums.sum
             case "avg" =>
-              guardNumeric()
+              guardNumeric(booleans = true)
               // the Column backend's exact-avg contract: 6dp-quantize
               // each value (HALF_UP on the shortest decimal repr —
               // BigDecimal(Double) ≡ Spark round()), sum exactly, ONE
-              // double division by the non-null count
-              if (nums.isEmpty) null
-              else nums.map(BigDecimal(_)
+              // double division by the castable count; booleans cast
+              // 1/0 exactly as the Column formula's double cast does
+              val avgNums = vals.flatMap(v => castNum(v).orElse(v match {
+                case b: Boolean => Some(if (b) 1.0 else 0.0)
+                case _ => None
+              }))
+              if (avgNums.isEmpty) null
+              else avgNums.map(BigDecimal(_)
                 .setScale(6, BigDecimal.RoundingMode.HALF_UP))
-                .sum.toDouble / nums.size
+                .sum.toDouble / avgNums.size
             case "min" =>
               guardOrdered()
               if (vals.isEmpty) null else vals.minBy(ordKey)
@@ -380,6 +403,15 @@ object Evaluator {
     case x: java.math.BigDecimal => Some(x.doubleValue)
     case _ => None
   }
+
+  /** [[num]] plus Spark's implicit string→double CAST (trimmed parse,
+    * null on junk) — aggregates only: sum/avg over a string column
+    * cast in the Column backend, while comparisons deliberately do
+    * NOT (a string beside a number is null there, see [[cmp]]). */
+  private def castNum(a: Any): Option[Double] = num(a).orElse(a match {
+    case s: String => scala.util.Try(s.trim.toDouble).toOption
+    case _ => None
+  })
 
   private def isIntegral(a: Any): Boolean = a match {
     case _: Long | _: Int => true

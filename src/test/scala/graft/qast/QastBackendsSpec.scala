@@ -74,17 +74,23 @@ class QastBackendsSpec extends SparkSpec {
   }
 
   test("having verb: both backends filter the same rollup output rows") {
+    // avg over extra.year exercises Spark's implicit string→double
+    // cast (the open map's values are strings) — the closure must
+    // parse-or-drop identically, and datasets without the key (null
+    // path) drop from numerator AND denominator
     val h = """["having",
          ["group", true,
            [[".", ["$"], "source"]],
            ["count"],
-           ["avg", [".", ["$"], "id"]]],
+           ["avg", [".", ["$"], "id"]],
+           ["avg", [".", ["$"], "extra", "year"]]],
          [">", [".", ["$"], "n"], 1]]"""
     val dist = lake.find(h).toOption.get.collect().toSeq
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("n"),
-        r.getAs[Double]("avg_id")))
+        r.getAs[Double]("avg_id"), Option(r.get(r.fieldIndex("avg_year")))))
     val local = lake.findLocal(h).toOption.get
-      .map(r => (r("source"), r("n"), r("avg_id")))
+      .map(r => (r("source"), r("n"), r("avg_id"),
+        Option(r("avg_year"))))
     assert(dist.nonEmpty, "having must keep at least one group here")
     assert(local == dist, s"having backends diverge: $local vs $dist")
     // the filter actually rejected something: the ungated rollup has
