@@ -730,8 +730,8 @@ object SparkEntry {
     * order as the Spark expression), the frozen TRAINED residual
     * codebook quantizes, queries probe [[graft.operators.Opq.IvfOpqNProbe]]
     * cells, ADC sums 6-decimal-quantized subspace distances as exact
-    * DECIMAL. refined = the 20-deep shortlist + exact-cosine re-rank
-    * tail on original embeddings.
+    * DECIMAL. refined = the [[graft.operators.Opq.IvfOpqShortR]]-deep
+    * shortlist + exact-cosine re-rank tail on original embeddings.
     */
   private def ivfOpqFrozenSql(refined: Boolean): String = {
     val head =
@@ -5500,10 +5500,14 @@ object SparkEntry {
            max(length(s) - length(replace(s, '_', '')) - 1) AS p_in,
            min(length(s) - length(replace(s, '_', '')) - 1) AS p_out
          FROM seg WHERE i <= $m GROUP BY w, i)
-       SELECT lv.i AS merge_rank, m.l AS "left", m.r AS "right",
+       -- LEFT JOIN from the merge table: all $m ranks appear even on
+       -- a vocabulary where a merge never fires (or an empty corpus),
+       -- matching the Spark side's coalesce-to-0 unpivot
+       SELECT m.i AS merge_rank, m.l AS "left", m.r AS "right",
          CAST(coalesce(sum(v.freq * (lv.p_in - lv.p_out)), 0) AS BIGINT)
            AS n_applied
-       FROM lv JOIN vocab v USING (w) JOIN merges m ON m.i = lv.i
+       FROM merges m LEFT JOIN lv ON lv.i = m.i
+         LEFT JOIN vocab v ON v.w = lv.w
        GROUP BY 1, 2, 3 ORDER BY 1"""
   }
 

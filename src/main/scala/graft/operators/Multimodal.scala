@@ -557,15 +557,28 @@ object Multimodal {
     def encodeAvi(payload: Array[Byte], width: Int, height: Int)
         : Array[Byte] = {
       val n = (payload.length + FrameBytes - 1) / FrameBytes
-      val sizes = (0 until n).map(i =>
-        math.min(FrameBytes, payload.length - i * FrameBytes))
+      val chunks = (0 until n).map(i => payload.slice(i * FrameBytes,
+        math.min((i + 1) * FrameBytes, payload.length)))
+      assembleAvi(chunks, width, height, bufSize = FrameBytes)
+    }
+
+    /** The shared RIFF assembly (headers / movi / idx1) from an
+      * explicit frame list — [[encodeAvi]] (raw chunks, fixed
+      * geometry+buffer) and [[encodeAviMjpeg]] (per-frame JPEGs,
+      * 16×16, max-frame buffer) are thin fronts, so a container-layout
+      * fix can never drift between the two writers the same
+      * [[parseAviIndex]] reads.
+      */
+    private def assembleAvi(frames: Seq[Array[Byte]], width: Int,
+        height: Int, bufSize: Int): Array[Byte] = {
+      val n = frames.length
       val out = new java.io.ByteArrayOutputStream()
       val avih = new java.io.ByteArrayOutputStream()
       Seq(UsPerFrame, 0, 0, 0x10 /* AVIF_HASINDEX */, n, 0, 1,
-        FrameBytes, width, height, 0, 0, 0, 0).foreach(v => avih.write(le32(v)))
+        bufSize, width, height, 0, 0, 0, 0).foreach(v => avih.write(le32(v)))
       val strh = new java.io.ByteArrayOutputStream()
       strh.write(fcc("vids")); strh.write(fcc("MJPG"))
-      Seq(0, 0, 0, 1 /* scale */, 10 /* rate */, 0, n, FrameBytes,
+      Seq(0, 0, 0, 1 /* scale */, 10 /* rate */, 0, n, bufSize,
         -1 /* quality */, 0).foreach(v => strh.write(le32(v)))
       strh.write(le32(0)); strh.write(le32(width << 16 | height))
       val strf = new java.io.ByteArrayOutputStream()
@@ -584,17 +597,17 @@ object Multimodal {
       hdrl.write(fcc("LIST")); hdrl.write(le32(strl.size)); strl.writeTo(hdrl)
       val movi = new java.io.ByteArrayOutputStream()
       movi.write(fcc("movi"))
-      val idxOffsets = sizes.zipWithIndex.map { case (sz, i) =>
+      val idxOffsets = frames.map { f =>
         val off = movi.size // relative to movi list data start
-        movi.write(fcc("00dc")); movi.write(le32(sz))
-        movi.write(payload, i * FrameBytes, sz)
-        if (sz % 2 == 1) movi.write(0)
+        movi.write(fcc("00dc")); movi.write(le32(f.length))
+        movi.write(f, 0, f.length)
+        if (f.length % 2 == 1) movi.write(0)
         off
       }
       val idx1 = new java.io.ByteArrayOutputStream()
-      idxOffsets.zip(sizes).foreach { case (off, sz) =>
+      idxOffsets.zip(frames).foreach { case (off, f) =>
         idx1.write(fcc("00dc")); idx1.write(le32(0x10 /* KEYFRAME */))
-        idx1.write(le32(off)); idx1.write(le32(sz))
+        idx1.write(le32(off)); idx1.write(le32(f.length))
       }
       val body = new java.io.ByteArrayOutputStream()
       body.write(fcc("AVI "))
@@ -628,51 +641,7 @@ object Multimodal {
         MediaCodec.encodeJpeg(chunk, MjpegW, MjpegH)
       }
       val maxSz = if (jpegs.isEmpty) 0 else jpegs.map(_.length).max
-      val out = new java.io.ByteArrayOutputStream()
-      val avih = new java.io.ByteArrayOutputStream()
-      Seq(UsPerFrame, 0, 0, 0x10 /* AVIF_HASINDEX */, n, 0, 1,
-        maxSz, MjpegW, MjpegH, 0, 0, 0, 0).foreach(v => avih.write(le32(v)))
-      val strh = new java.io.ByteArrayOutputStream()
-      strh.write(fcc("vids")); strh.write(fcc("MJPG"))
-      Seq(0, 0, 0, 1 /* scale */, 10 /* rate */, 0, n, maxSz,
-        -1 /* quality */, 0).foreach(v => strh.write(le32(v)))
-      strh.write(le32(0)); strh.write(le32(MjpegW << 16 | MjpegH))
-      val strf = new java.io.ByteArrayOutputStream()
-      Seq(40, MjpegW, MjpegH,
-        1 | (24 << 16) /* biPlanes=1, biBitCount=24 */).foreach(v =>
-        strf.write(le32(v)))
-      strf.write(fcc("MJPG"))
-      Seq(MjpegW * MjpegH * 3, 0, 0, 0, 0).foreach(v => strf.write(le32(v)))
-      val strl = new java.io.ByteArrayOutputStream()
-      strl.write(fcc("strl"))
-      strl.write(fcc("strh")); strl.write(le32(56)); strh.writeTo(strl)
-      strl.write(fcc("strf")); strl.write(le32(40)); strf.writeTo(strl)
-      val hdrl = new java.io.ByteArrayOutputStream()
-      hdrl.write(fcc("hdrl"))
-      hdrl.write(fcc("avih")); hdrl.write(le32(56)); avih.writeTo(hdrl)
-      hdrl.write(fcc("LIST")); hdrl.write(le32(strl.size)); strl.writeTo(hdrl)
-      val movi = new java.io.ByteArrayOutputStream()
-      movi.write(fcc("movi"))
-      val idxOffsets = jpegs.map { j =>
-        val off = movi.size
-        movi.write(fcc("00dc")); movi.write(le32(j.length))
-        movi.write(j, 0, j.length)
-        if (j.length % 2 == 1) movi.write(0)
-        off
-      }
-      val idx1 = new java.io.ByteArrayOutputStream()
-      idxOffsets.zip(jpegs).foreach { case (off, j) =>
-        idx1.write(fcc("00dc")); idx1.write(le32(0x10 /* KEYFRAME */))
-        idx1.write(le32(off)); idx1.write(le32(j.length))
-      }
-      val body = new java.io.ByteArrayOutputStream()
-      body.write(fcc("AVI "))
-      body.write(fcc("LIST")); body.write(le32(hdrl.size)); hdrl.writeTo(body)
-      body.write(fcc("LIST")); body.write(le32(movi.size)); movi.writeTo(body)
-      body.write(fcc("idx1")); body.write(le32(idx1.size)); idx1.writeTo(body)
-      out.write(fcc("RIFF")); out.write(le32(body.size))
-      body.writeTo(out)
-      out.toByteArray
+      assembleAvi(jpegs, MjpegW, MjpegH, bufSize = maxSz)
     }
 
     /** Walk the RIFF tree and return the container index. Throws on a

@@ -233,7 +233,9 @@ object Opq {
     * trained IVF centroids ([[FrozenAnn.ivfCentroids]], exactly
     * [[Pq.ivfpqFrozenTopK]]'s quantizer), ROTATE each residual by the
     * frozen OPQ rotation ([[FrozenAnn.rot]]), then the residual-PQ
-    * probe unchanged: seed-rule codebook over the rotated residuals,
+    * probe over the frozen TRAINED residual codebook
+    * ([[FrozenAnn.ivfOpqCodebook]] — Lloyd's on the rotated-residual
+    * distribution, [[ivfOpqResidualCodebookFrom]]):
     * nearest-sub-centroid codes, per-(query, probed-cell) LUTs,
     * DECIMAL-exact ADC, WindowGroupLimit top-k. Rotating the residual
     * (R·(v − c)) rather than the space keeps the coarse assignment
@@ -243,17 +245,18 @@ object Opq {
     * This is the sublinear sibling the exhaustive frozen OPQ scan
     * lacked: SCALE_r13.json measured `ann_opq_frozen_topk` at ×30.7
     * under 10× data (Q×N compressed scan, queries ∝ corpus ⇒
-    * quadratic), while the cell-pruned residual probe of the same
-    * shape measured ×1.56 (`ann_ivfpq_refined_topk`). Here the ADC
-    * join is pruned to the query's [[Similarity.NProbe]] cells, the
-    * scan reads codes (never raw vectors), and at 100 TB the cell id
-    * is the partition layout — the rotation costs one narrow
-    * 64×64 fold per vector, inside codegen, no join, no shuffle.
+    * quadratic); SCALE_r14.json measures THIS probe at ×2.62 with a
+    * byte-identical plan. The ADC join is pruned to the query's
+    * [[IvfOpqNProbe]] cells (8 — sized from the measured
+    * cell-membership ceiling, see the constant's doc), the scan reads
+    * codes (never raw vectors), and at 100 TB the cell id is the
+    * partition layout — the rotation costs one narrow 64×64 fold per
+    * vector, inside codegen, no join, no shuffle.
     *
-    * Hash-oracled end to end: both trained inputs (centroids,
-    * rotation) are committed literals, everything downstream is
-    * exact arithmetic, so DuckDB replays assign → rotate → encode →
-    * probe → rank bit-for-bit.
+    * Hash-oracled end to end: all three trained inputs (centroids,
+    * rotation, residual codebook) are committed literals, everything
+    * downstream is exact arithmetic, so DuckDB replays assign →
+    * rotate → encode → probe → rank bit-for-bit.
     */
   def ivfOpqFrozenTopK(s: SparkSession, dir: String): DataFrame =
     Pq.adcRank(ivfOpqFrozenCandidates(s, dir))
@@ -261,11 +264,12 @@ object Opq {
   /** Graded `ann_ivfopq_frozen_refined_topk`: the full production
     * search — cell-pruned rotated-residual ADC shortlist
     * ([[ivfOpqFrozenTopK]]'s candidates), exact-cosine re-rank of the
-    * [[Pq.ShortR]] shortlist against the ORIGINAL embeddings through
-    * the shared [[Pq.refineRank]] tail. This earns the "compressed
-    * shortlist → exact refine" label at scale: stage 1 is the pruned
-    * probe (not the exhaustive scan the frozen OPQ refined form
-    * measures at ×15–31), stage 2 touches ShortR rows per query.
+    * [[IvfOpqShortR]]-deep (40) shortlist against the ORIGINAL
+    * embeddings through the shared [[Pq.refineRank]] tail. This earns
+    * the "compressed shortlist → exact refine" label at scale: stage 1
+    * is the pruned probe (not the exhaustive scan the frozen OPQ
+    * refined form measures at ×15–31), stage 2 touches IvfOpqShortR
+    * rows per query.
     */
   def ivfOpqFrozenRefinedTopK(s: SparkSession, dir: String): DataFrame =
     Pq.refineRank(s, dir, Pq.adcScoresOf(ivfOpqFrozenCandidates(s, dir)),
@@ -302,32 +306,51 @@ object Opq {
     * different enough to defeat ReuseExchange.
     */
   private def frozenRotatedResiduals(s: SparkSession,
-      dir: String): DataFrame = {
-    val centsSrc = FrozenAnn.ivfCentroidFrame(s)
+      dir: String): DataFrame =
+    rotatedResidualsWith(s, dir, FrozenAnn.ivfCentroidFrame(s),
+      FrozenAnn.rot)
+
+  /** The rotated-residual frame under ANY (coarse quantizer,
+    * rotation) — the seam the freeze-time trainer shares with the
+    * frozen serving path.
+    */
+  private def rotatedResidualsWith(s: SparkSession, dir: String,
+      centsSrc: DataFrame, rot: Seq[Seq[Double]]): DataFrame = {
     val cents = centsSrc.select(col("cent_id").as("cell"), col("cvec"))
     Similarity.cellAssignmentsWith(s, dir, centsSrc)
       .join(broadcast(cents), "cell")
       .select(col("vec_id"), col("cell"),
         rotate(zip_with(col("cv"), col("cvec"),
-          (x, y) => x.cast("double") - y.cast("double")),
-          FrozenAnn.rot).as("rv"))
+          (x, y) => x.cast("double") - y.cast("double")), rot).as("rv"))
       .cache()
   }
 
   /** Lloyd's-TRAINED codebook over the frozen-model rotated residuals
     * — the real IVF-OPQ codebook (trained on the distribution it
     * quantizes, Ge et al. §4: coarse quantize, rotate, then train PQ
-    * on the rotated residuals). [[graft.FreezeAnn]] collects this once
-    * at sf0.01 and commits it as [[FrozenAnn.ivfOpqCodebook]]; the
-    * graded queries serve the frozen literal, never this live trainer.
+    * on the rotated residuals). The graded queries serve the frozen
+    * literal ([[FrozenAnn.ivfOpqCodebook]]), never this live trainer.
     */
   def ivfOpqResidualCodebookTrained(s: SparkSession,
-      dir: String): DataFrame = {
-    val resid = frozenRotatedResiduals(s, dir)
+      dir: String): DataFrame =
+    ivfOpqResidualCodebookFrom(s, dir, FrozenAnn.ivfCentroidFrame(s),
+      FrozenAnn.rot, memoKey = s"ivfopqcb|$dir")
+
+  /** The trainer against EXPLICIT (centroids, rotation) inputs — what
+    * [[graft.FreezeAnn]] calls with the FRESHLY trained quantizer it
+    * is about to emit, so one regeneration after a trainer change
+    * cannot commit a codebook trained on the previous build's stale
+    * compiled literals (the members above would be one generation
+    * behind during the freeze run).
+    */
+  def ivfOpqResidualCodebookFrom(s: SparkSession, dir: String,
+      centsSrc: DataFrame, rot: Seq[Seq[Double]],
+      memoKey: String): DataFrame = {
+    val resid = rotatedResidualsWith(s, dir, centsSrc, rot)
     Pq.trainedCodebookFrom(s,
       Pq.slicedFrame(resid, "vec_id", "rv", "vec_id", "sub"),
       Pq.seedCodebook(resid, "vec_id", "rv"),
-      orderFree = false, memoKey = s"ivfopqcb|$dir")
+      orderFree = false, memoKey = memoKey)
   }
 
   /** The (query LUT × corpus codes) candidate join of the frozen

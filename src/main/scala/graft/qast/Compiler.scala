@@ -252,10 +252,11 @@ object Compiler {
         sorts <- mapEither(sortAsts) {
           case QArr(QStr("desc") :: e :: Nil) => compile(e).map(_.desc)
           case QArr(QStr("asc") :: e :: Nil) => compile(e).map(_.asc)
-          // a direction marker with the wrong arity is a typo, not an
-          // array-literal sort key — reject rather than silently
+          // a direction marker with the wrong arity — or a BARE
+          // "desc"/"asc" string (the user forgot to nest the spec) —
+          // is a typo, not a sort key: reject rather than silently
           // ordering by a constant
-          case QArr(QStr("desc" | "asc") :: _) =>
+          case QArr(QStr("desc" | "asc") :: _) | QStr("desc" | "asc") =>
             Left(QastError("malformed query"))
           case e => compile(e).map(_.asc)
         }

@@ -104,9 +104,9 @@ object Evaluator {
         sorts <- mapEither(sortAsts) {
           case QArr(QStr("desc") :: e :: Nil) => compile(e).map((_, false))
           case QArr(QStr("asc") :: e :: Nil) => compile(e).map((_, true))
-          // same wrong-arity direction-marker rejection as the Column
-          // backend — the two must agree on what parses
-          case QArr(QStr("desc" | "asc") :: _) =>
+          // same wrong-arity / bare direction-marker rejection as the
+          // Column backend — the two must agree on what parses
+          case QArr(QStr("desc" | "asc") :: _) | QStr("desc" | "asc") =>
             Left(QastError("malformed query"))
           case e => compile(e).map((_, true))
         }
@@ -257,8 +257,14 @@ object Evaluator {
                 case b: Boolean => Some(if (b) 1.0 else 0.0)
                 case _ => None
               }))
-              if (avgNums.isEmpty) null
-              else avgNums.map(BigDecimal(_)
+              // NaN/Infinity match the Column formula exactly: the
+              // decimal cast nulls them (they leave the NUMERATOR;
+              // BigDecimal(NaN) would throw here) while count(q)
+              // still counts them in the DENOMINATOR; an all-nonfinite
+              // group has a null decimal sum -> null mean
+              val finite = avgNums.filter(d => !d.isNaN && !d.isInfinite)
+              if (avgNums.isEmpty || finite.isEmpty) null
+              else finite.map(BigDecimal(_)
                 .setScale(6, BigDecimal.RoundingMode.HALF_UP))
                 .sum.toDouble / avgNums.size
             case "min" =>
@@ -405,11 +411,18 @@ object Evaluator {
   }
 
   /** [[num]] plus Spark's implicit string→double CAST (trimmed parse,
-    * null on junk) — aggregates only: sum/avg over a string column
-    * cast in the Column backend, while comparisons deliberately do
-    * NOT (a string beside a number is null there, see [[cmp]]). */
+    * null on junk, and Cast's case-insensitive special floating-point
+    * literals) — aggregates only: sum/avg over a string column cast
+    * in the Column backend, while comparisons deliberately do NOT
+    * (a string beside a number is null there, see [[cmp]]). */
   private def castNum(a: Any): Option[Double] = num(a).orElse(a match {
-    case s: String => scala.util.Try(s.trim.toDouble).toOption
+    case s: String => s.trim.toLowerCase match {
+      case "inf" | "+inf" | "infinity" | "+infinity" =>
+        Some(Double.PositiveInfinity)
+      case "-inf" | "-infinity" => Some(Double.NegativeInfinity)
+      case "nan" => Some(Double.NaN)
+      case t => scala.util.Try(t.toDouble).toOption
+    }
     case _ => None
   })
 

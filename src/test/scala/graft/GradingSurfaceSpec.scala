@@ -155,25 +155,25 @@ class GradingSurfaceSpec extends SparkSpec
     // invisible until the first scale replay measured it; this gate
     // makes a new heavy query without a scaling row unshippable, the
     // way the plans/ + bench-row gate above ended register-without-run
+    import scala.jdk.CollectionConverters._
     val secRe = "\"query\":\"([^\"]+)\",\"sec\":([0-9.]+)".r
     val benchPath = java.nio.file.Paths.get("BENCH_QUERIES.jsonl")
-    val heavy = scala.jdk.CollectionConverters
-      .IteratorHasAsScala(java.nio.file.Files.lines(benchPath).iterator())
+    val heavy = java.nio.file.Files.readAllLines(benchPath)
       .asScala.flatMap(l => secRe.findFirstMatchIn(l))
       .collect { case m if m.group(2).toDouble > ScaleGateSec &&
         SparkEntry.queries.contains(m.group(1)) => m.group(1) }
       .toSet
     val scaled: Set[String] = {
-      import scala.jdk.CollectionConverters._
       // whitespace-tolerant: SCALE_r13 writes `"query": "..."`,
       // ScaleReplay's own formatter writes `"query":"..."`
       val qRe = "\"query\":\\s*\"([^\"]+)\"".r
-      java.nio.file.Files.list(java.nio.file.Paths.get("."))
-        .iterator().asScala
-        .filter(_.getFileName.toString.matches("SCALE_r\\d+\\.json"))
-        .flatMap(p => qRe.findAllMatchIn(
-          java.nio.file.Files.readString(p)).map(_.group(1)))
-        .toSet
+      val dir = java.nio.file.Paths.get(".")
+      val files = scala.util.Using.resource(
+        java.nio.file.Files.list(dir))(_.iterator().asScala
+          .filter(_.getFileName.toString.matches("SCALE_r\\d+\\.json"))
+          .toList)
+      files.flatMap(p => qRe.findAllMatchIn(
+        java.nio.file.Files.readString(p)).map(_.group(1))).toSet
     }
     val ungated = heavy -- scaled
     assert(ungated.isEmpty,
