@@ -383,6 +383,8 @@ object SparkEntry {
     // the TOP frame verb: order+limit over the rollup, executed as
     // TakeOrderedAndProject (per-partition heap top-k, no global sort)
     "qast_top" -> (QastQueries.topRollup _),
+    // ... and its raw-row mode: predicate inner, filter->order->limit
+    "qast_top_rows" -> (QastQueries.topRows _),
     // the HAVING frame verb + the hash-graded exact avg
     "qast_group_having" -> (QastQueries.groupHaving _),
     "meta_search" -> (QastQueries.metaSearch _),
@@ -1401,6 +1403,11 @@ object SparkEntry {
          FROM lineitem WHERE l_quantity > 10
          GROUP BY l_partkey
          ORDER BY sum_l_quantity DESC, l_partkey LIMIT 15""",
+    // TOP over raw rows = WHERE ... ORDER BY ... LIMIT k on the table
+    "qast_top_rows" ->
+      """SELECT * FROM documents
+         WHERE lang = 'en' AND n_chars > 100
+         ORDER BY n_chars DESC, doc_id LIMIT 20""",
     // HAVING over the rollup output; avg replays exactly as the one
     // double division of the exact 6dp-decimal sum by the count (the
     // group verb's defined mean — see Compiler.aggFns)

@@ -148,6 +148,20 @@ object QastQueries {
              ["sum", [".", ["$"], "l_quantity"]]]]""")
       .apply(load(s, dir, "lineitem"))
 
+  /** Graded `qast_top_rows`: the TOP verb's RAW-ROW mode — inner is a
+    * plain predicate, so the frame query is filter → order → limit
+    * over the table itself (the "20 longest English documents" shape).
+    * Same TakeOrderedAndProject execution as the rollup mode; the
+    * unique doc_id tiebreaker makes the delivered order total.
+    */
+  def topRows(s: SparkSession, dir: String): DataFrame =
+    qastFrame(
+      """["top", 20,
+           [["desc", [".", ["$"], "n_chars"]], [".", ["$"], "doc_id"]],
+           ["&", ["==", [".", ["$"], "lang"], "en"],
+                 [">", [".", ["$"], "n_chars"], 100]]]""")
+      .apply(load(s, dir, "documents"))
+
   /** Graded `qast_group_having`: the HAVING frame verb — the rollup's
     * OUTPUT rows filtered by a second QAST predicate (paths address
     * the deterministic output names), i.e. SQL HAVING with one
