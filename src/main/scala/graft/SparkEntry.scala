@@ -611,6 +611,10 @@ object SparkEntry {
     // the trainer's per-round dynamics (segment, count, apply) graded
     // on the frozen list — applied-merge counts per rank
     "bpe_frozen_stats" -> (Bpe.frozenStats _),
+    // the converged trainer's TERMINATION contract graded: exact
+    // threshold numbers + booleans earned by re-deriving the final
+    // state and re-counting pairs
+    "bpe_converged_cert" -> (Bpe.convergedCert _),
     // per-code population + quantization error under the frozen OPQ
     // codebook — the pq_train readout twin
     "pq_frozen_stats" -> (graft.operators.Opq.pqFrozenStats _),
@@ -3397,6 +3401,22 @@ object SparkEntry {
     // apply machinery end to end.
     "bpe_tokenize_frozen" -> bpeFrozenOracle,
     "bpe_frozen_stats" -> bpeFrozenStatsOracle,
+    // the convergence certificate: threshold numbers recomputed from
+    // the corpus; the booleans are literals the Spark side must EARN
+    // (they come from the live trainer's argmax rows + a from-scratch
+    // re-count of the final segmentation state)
+    "bpe_converged_cert" ->
+      s"""WITH words AS (SELECT w FROM (SELECT
+             unnest(regexp_extract_all(text, '[a-z]+')) AS w
+           FROM documents) WHERE length(w) >= 2),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS total_freq FROM words)
+         SELECT total_freq,
+           greatest(2, CAST(ceil(total_freq * ${graft.operators.Bpe.StopFrac})
+             AS BIGINT)) AS min_count,
+           TRUE AS n_merges_capped,
+           TRUE AS all_above_threshold,
+           TRUE AS converged
+         FROM t""",
     // the sequential replay of Curriculum.order's two-phase rank: a
     // plain global window (what a single box would run), decile cut
     // by the same integer arithmetic

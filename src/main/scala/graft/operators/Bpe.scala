@@ -280,6 +280,51 @@ object Bpe {
       .orderBy(col("merge_rank"))
   }
 
+  /** Graded `bpe_converged_cert`: the CONVERGENCE CERTIFICATE of the
+    * data-dependent trainer — the one row that proves
+    * [[trainConverged]]'s stop rule held, with every claim either
+    * oracle-exact or earned by live computation (the
+    * `media_video_decode` within_tol recipe applied to a trainer):
+    *
+    *   - `total_freq` and `min_count` are pure functions of the
+    *     corpus (Σ trainable-word occurrences; max(2, ⌈·StopFrac⌉)) —
+    *     the oracle recomputes both exactly;
+    *   - `n_merges_capped` = trained merge count ≤ [[MaxRounds]]
+    *     (the safety cap held);
+    *   - `all_above_threshold` = every trained merge's argmax count
+    *     ≥ min_count (no merge was taken past convergence);
+    *   - `converged` = at the cap, OR one more pair count over the
+    *     FINAL segmentation state finds no pair ≥ min_count — the
+    *     stop was genuine, verified by re-deriving the final state
+    *     from scratch (segment the vocabulary under the trained list,
+    *     count pairs, take the max) rather than trusting the loop.
+    *
+    * The merge LIST stays rows-only (data-dependent); this row makes
+    * the trainer's TERMINATION contract hash-graded: a stop-rule
+    * regression flips a boolean and fails the driver compare.
+    */
+  def convergedCert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = trainedMergesConverged(s, dir)
+    val words = vocab(s, dir)
+    val totalFreq = words.agg(coalesce(sum(col("freq")), lit(0L)))
+      .head.getLong(0)
+    val minCount = math.max(2L, math.ceil(totalFreq * StopFrac).toLong)
+    // final segmentation state re-derived from scratch: fold ALL
+    // trained merges over the vocabulary, then one pair count
+    val finalWords = words.select(
+      merges.foldLeft(col("syms")) { case (syms, (_, a, b, _)) =>
+        applyMerge(syms, a, b)
+      }.as("syms"), col("freq"))
+    val bestAfter = pairCounts(finalWords)
+      .agg(coalesce(max(col("n")), lit(0L))).head.getLong(0)
+    Seq((totalFreq, minCount, merges.length <= MaxRounds,
+      merges.forall(_._4 >= minCount),
+      merges.length == MaxRounds || bestAfter < minCount))
+      .toDF("total_freq", "min_count", "n_merges_capped",
+        "all_above_threshold", "converged")
+  }
+
   private def tokenizeWith(s: SparkSession, dir: String,
       merges: Seq[(String, String)]): DataFrame = {
     val words = load(s, dir, "documents")
