@@ -151,12 +151,49 @@ class EmptyInputSpec extends SparkSpec {
       "text_bigram_lift" -> (() =>
         TextAnalysis.bigramLift(spark, emptyDir).count()),
       "ann_range_search" -> (() =>
-        Similarity.rangeSearch(spark, emptyDir).count()))
+        Similarity.rangeSearch(spark, emptyDir).count()),
+      // r14 pack: frozen IVF-OPQ serving, frozen PQ readout, MJPEG
+      // video decode, QAST frame verbs
+      "ann_ivfopq_frozen_topk" -> (() =>
+        Opq.ivfOpqFrozenTopK(spark, emptyDir).count()),
+      "ann_ivfopq_frozen_refined_topk" -> (() =>
+        Opq.ivfOpqFrozenRefinedTopK(spark, emptyDir).count()),
+      "pq_frozen_stats" -> (() =>
+        Opq.pqFrozenStats(spark, emptyDir).count()),
+      "media_video_decode" -> (() =>
+        Multimodal.videoDecode(spark, emptyDir).count()),
+      "qast_top_rollup" -> (() =>
+        QastQueries.topRollup(spark, emptyDir).count()),
+      "qast_top_rows" -> (() =>
+        QastQueries.topRows(spark, emptyDir).count()),
+      "qast_group_having" -> (() =>
+        QastQueries.groupHaving(spark, emptyDir).count()))
     ops.foreach { case (name, run) =>
       val n = try run() catch {
         case e: Throwable => fail(s"$name threw on empty input: $e")
       }
       assert(n == 0, s"$name returned $n rows on empty input")
     }
+  }
+
+  test("fixed-shape readouts keep their full row set on empty input " +
+      "(zeros, not vanishing rows)") {
+    // the frozen merge list has 12 ranks whether or not any fires —
+    // the readout's SHAPE is part of its contract (and the oracle's
+    // LEFT JOIN reproduces it)
+    val stats = Bpe.frozenStats(spark, emptyDir).collect()
+    assert(stats.length == Bpe.FrozenMerges.size,
+      s"frozen-stats rows: ${stats.length}")
+    assert(stats.forall(_.getAs[Long]("n_applied") == 0L))
+    // the convergence certificate is one row always: zero merges
+    // trained, threshold floor 2, vacuously capped/above, converged
+    val cert = Bpe.convergedCert(spark, emptyDir).collect()
+    assert(cert.length == 1)
+    val c = cert.head
+    assert(c.getAs[Long]("total_freq") == 0L &&
+      c.getAs[Long]("min_count") == 2L &&
+      c.getAs[Boolean]("n_merges_capped") &&
+      c.getAs[Boolean]("all_above_threshold") &&
+      c.getAs[Boolean]("converged"))
   }
 }
