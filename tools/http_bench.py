@@ -127,8 +127,31 @@ def main():
         body = r.read()
         return r.status == 200 and body.startswith(b"[")
 
+    # beyond-parity frame verbs over the metadata surface: the rollup
+    # and top-k run per request through the same /find path (snapshot
+    # closure backend when the relation is small) — the reference has
+    # no analog (its /find is predicate-only)
+    GROUP_Q = (b'["group", ["==", [".", ["$"], "source"], "http_bench"],'
+               b' [[".", ["$"], "source"]], ["count"],'
+               b' ["avg", [".", ["$"], "id"]]]')
+    TOP_Q = (b'["top", 5, [["desc", [".", ["$"], "id"]]],'
+             b' ["==", [".", ["$"], "source"], "http_bench"]]')
+
+    def do_find_group(c):
+        c.request("POST", "/find", GROUP_Q)
+        r = c.getresponse()
+        body = r.read()
+        return r.status == 200 and body.startswith(b"[")
+
+    def do_find_top(c):
+        c.request("POST", "/find", TOP_Q)
+        r = c.getresponse()
+        body = r.read()
+        return r.status == 200 and body.startswith(b"[")
+
     results = [run("add", do_add), run("find", do_find), run("get", do_get),
-               run("query", do_query)]
+               run("find_group", do_find_group),
+               run("find_top", do_find_top), run("query", do_query)]
     print(json.dumps({"summary": {r["surface"]: r["req_s"] for r in results},
                       "reference": {"add": 357.28, "find": 5575.89,
                                     "get": 6238.30}}), flush=True)
