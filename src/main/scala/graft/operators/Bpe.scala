@@ -306,23 +306,32 @@ object Bpe {
   def convergedCert(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val merges = trainedMergesConverged(s, dir)
-    val words = vocab(s, dir)
-    val totalFreq = words.agg(coalesce(sum(col("freq")), lit(0L)))
-      .head.getLong(0)
-    val minCount = math.max(2L, math.ceil(totalFreq * StopFrac).toLong)
-    // final segmentation state re-derived from scratch: fold ALL
-    // trained merges over the vocabulary, then one pair count
-    val finalWords = words.select(
-      merges.foldLeft(col("syms")) { case (syms, (_, a, b, _)) =>
-        applyMerge(syms, a, b)
-      }.as("syms"), col("freq"))
-    val bestAfter = pairCounts(finalWords)
-      .agg(coalesce(max(col("n")), lit(0L))).head.getLong(0)
-    Seq((totalFreq, minCount, merges.length <= MaxRounds,
-      merges.forall(_._4 >= minCount),
-      merges.length == MaxRounds || bestAfter < minCount))
-      .toDF("total_freq", "min_count", "n_merges_capped",
-        "all_above_threshold", "converged")
+    // two corpus actions read the vocabulary (total count + the
+    // re-derived final-state pair count) — cache it like the trainer
+    // loop does; the returned frame is a local literal, so unpersist
+    // is safe before returning
+    val words = vocab(s, dir).cache()
+    try {
+      val totalFreq = words.agg(coalesce(sum(col("freq")), lit(0L)))
+        .head.getLong(0)
+      val minCount = math.max(2L, math.ceil(totalFreq * StopFrac).toLong)
+      val capped = merges.length == MaxRounds
+      // at the cap the || short-circuits — skip the re-count entirely
+      val converged = capped || {
+        // final segmentation state re-derived from scratch: fold ALL
+        // trained merges over the vocabulary, then one pair count
+        val finalWords = words.select(
+          merges.foldLeft(col("syms")) { case (syms, (_, a, b, _)) =>
+            applyMerge(syms, a, b)
+          }.as("syms"), col("freq"))
+        pairCounts(finalWords)
+          .agg(coalesce(max(col("n")), lit(0L))).head.getLong(0) < minCount
+      }
+      Seq((totalFreq, minCount, merges.length <= MaxRounds,
+        merges.forall(_._4 >= minCount), converged))
+        .toDF("total_freq", "min_count", "n_merges_capped",
+          "all_above_threshold", "converged")
+    } finally words.unpersist()
   }
 
   private def tokenizeWith(s: SparkSession, dir: String,

@@ -257,16 +257,20 @@ object Evaluator {
                 case b: Boolean => Some(if (b) 1.0 else 0.0)
                 case _ => None
               }))
-              // NaN/Infinity match the Column formula exactly: the
-              // decimal cast nulls them (they leave the NUMERATOR;
-              // BigDecimal(NaN) would throw here) while count(q)
-              // still counts them in the DENOMINATOR; an all-nonfinite
-              // group has a null decimal sum -> null mean
-              val finite = avgNums.filter(d => !d.isNaN && !d.isInfinite)
-              if (avgNums.isEmpty || finite.isEmpty) null
-              else finite.map(BigDecimal(_)
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP))
-                .sum.toDouble / avgNums.size
+              // the Column formula's decimal cast NULLs three classes
+              // out of the NUMERATOR while count(q) keeps them in the
+              // DENOMINATOR: NaN, Infinity (BigDecimal would throw on
+              // both here), and finite values OVERFLOWING decimal(38,6)
+              // (|v| >= 1e32: 32 integer digits + 6 scale digits busts
+              // precision 38, non-ANSI cast -> null). An all-dropped
+              // group has a null decimal sum -> null mean.
+              val summable = avgNums
+                .filter(d => !d.isNaN && !d.isInfinite)
+                .map(BigDecimal(_)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+                .filter(_.precision <= 38)
+              if (avgNums.isEmpty || summable.isEmpty) null
+              else summable.sum.toDouble / avgNums.size
             case "min" =>
               guardOrdered()
               if (vals.isEmpty) null else vals.minBy(ordKey)
@@ -410,19 +414,26 @@ object Evaluator {
     case _ => None
   }
 
-  /** [[num]] plus Spark's implicit string→double CAST (trimmed parse,
-    * null on junk, and Cast's case-insensitive special floating-point
-    * literals) — aggregates only: sum/avg over a string column cast
-    * in the Column backend, while comparisons deliberately do NOT
-    * (a string beside a number is null there, see [[cmp]]). */
+  /** [[num]] plus Spark's implicit string→double CAST — aggregates
+    * only: sum/avg over a string column cast in the Column backend,
+    * while comparisons deliberately do NOT (a string beside a number
+    * is null there, see [[cmp]]). Mirrors Cast's ORDER exactly:
+    * Double.parseDouble on the trimmed original FIRST (Java's grammar
+    * accepts signed NaN/Infinity case-sensitively, e.g. "-NaN"), then
+    * the case-insensitive special literals under Locale.ROOT (a
+    * default-locale lowercase would mis-fold "INF" on Turkish-family
+    * hosts), null on everything else. */
   private def castNum(a: Any): Option[Double] = num(a).orElse(a match {
-    case s: String => s.trim.toLowerCase match {
-      case "inf" | "+inf" | "infinity" | "+infinity" =>
-        Some(Double.PositiveInfinity)
-      case "-inf" | "-infinity" => Some(Double.NegativeInfinity)
-      case "nan" => Some(Double.NaN)
-      case t => scala.util.Try(t.toDouble).toOption
-    }
+    case s: String =>
+      val t = s.trim
+      scala.util.Try(t.toDouble).toOption.orElse(
+        t.toLowerCase(java.util.Locale.ROOT) match {
+          case "inf" | "+inf" | "infinity" | "+infinity" =>
+            Some(Double.PositiveInfinity)
+          case "-inf" | "-infinity" => Some(Double.NegativeInfinity)
+          case "nan" => Some(Double.NaN)
+          case _ => None
+        })
     case _ => None
   })
 
