@@ -440,11 +440,58 @@ object Bench {
     // parses as null. Individual lines keep the detail in the log
     // while the FINAL line stays a compact (<500B) summary that always
     // survives the tail capture.
+    //
+    // cross_session self-adjudication (the r14 lesson made automatic):
+    // the decisive noise instrument is comparing drift flags ACROSS
+    // sessions at the same plan_sha, not one session's replay — r13's
+    // 10 noise:false rows all recovered in r14 while a disjoint 10
+    // appeared, i.e. both sets were host variance. Per row:
+    //   "persistent" — drifted THIS session and the committed record's
+    //     row already carried noise:false (same sha twice over the
+    //     drift gate): the only class that demands a human look;
+    //   "new"        — drifted this session, committed row clean:
+    //     first sighting, expect it to recover next session;
+    //   "recovered"  — clean this session where the committed row had
+    //     noise:false: the prior drift was host variance, case closed.
+    val priorNoise: Map[String, Boolean] = {
+      val re = ("\"query\":\"([^\"]+)\".*\"plan_sha\":\"([0-9a-f]*)\"" +
+        ".*\"noise\":(true|false)").r
+      if (sys.env.contains("SPARK_GRAFT_NO_REPLAY")) Map.empty
+      else try {
+        val p = java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BASELINE_SIDECAR", "BENCH_QUERIES.jsonl"))
+        if (!java.nio.file.Files.exists(p)) Map.empty
+        else scala.jdk.CollectionConverters
+          .IteratorHasAsScala(java.nio.file.Files.lines(p).iterator())
+          .asScala.flatMap(l => re.findFirstMatchIn(l).collect {
+            // only a sha that still matches this session's plan speaks
+            // to the same query shape
+            case m if adjudicated.get(m.group(1)).exists {
+              case Right((_, _, sha)) => sha == m.group(2)
+              case _ => false
+            } => m.group(1) -> m.group(3).toBoolean
+          }).toMap
+      } catch { case _: Exception => Map.empty }
+    }
+    def crossSession(k: String): Option[String] =
+      (noiseVerdict.get(k), priorNoise.get(k)) match {
+        // noise=false = drift SURVIVED this session's warm replay;
+        // only then does the committed record's verdict grade it up
+        // to persistent. A noise=true row recovered in-session, so
+        // cross-session it can only close out a prior flag.
+        case (Some(false), Some(false)) => Some("persistent")
+        case (Some(false), _) => Some("new")
+        case (_, Some(false)) => Some("recovered")
+        case _ => None
+      }
     val perQuery = adjudicated.toSeq.sortBy(_._1).map {
       case (k, Right((sec, runs, sha))) =>
         val noise = noiseVerdict.get(k)
           .map(v => s""","noise":$v""").getOrElse("")
-        s"""{"query":"$k","sec":$sec,"runs":$runs,"plan_sha":"$sha"$noise}"""
+        val cross = crossSession(k)
+          .map(v => s""","cross_session":"$v"""").getOrElse("")
+        s"""{"query":"$k","sec":$sec,"runs":$runs,""" +
+          s""""plan_sha":"$sha"$noise$cross}"""
       case (k, Left(e)) =>
         s"""{"query":"$k","error":"$e"}"""
     }

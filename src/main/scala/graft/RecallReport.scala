@@ -29,7 +29,9 @@ object RecallReport {
     "ann_sq8_topk", "ann_ivfsq_topk",
     "ann_pq_adc_topk", "ann_pq_trained_topk", "ann_opq_topk",
     "ann_pq_refined_topk", "ann_opq_refined_topk",
-    "ann_pca_refined_topk",
+    // ann_pca_refined_topk (live basis) is retired from the graded
+    // registry — measured here via the direct mapping below
+    "ann_pca_refined_topk", "ann_pca_frozen_refined_topk",
     "ann_ivfpq_topk", "ann_ivfpq_trained_topk",
     "ann_ivfpq_refined_topk",
     // the frozen OPQ,IVF,PQ composition (r14): the pruned replacement
@@ -52,9 +54,16 @@ object RecallReport {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // variants measured here that are no longer in the graded
+    // registry (retired in favor of a hash-graded serving twin)
+    val direct: Map[String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "ann_pca_refined_topk" ->
+        ((s, d) => graft.operators.Pca.annPcaRefinedTopK(s, d)))
+
     def audit(dir: String, corpus: String): Unit = {
       def pairs(name: String): Map[Long, Set[Long]] =
-        SparkEntry.queries(name)(spark, dir)
+        SparkEntry.queries.getOrElse(name, direct(name))(spark, dir)
           .select("query_id", "neighbor_id").collect()
           .groupBy(_.getLong(0))
           .view.mapValues(_.map(_.getLong(1)).toSet).toMap

@@ -203,9 +203,13 @@ object SparkEntry {
     "pca_variance_2d" -> (graft.operators.Pca.variance2d _),
     "pca_project" -> (graft.operators.Pca.project _),
     "pca_variance" -> (graft.operators.Pca.varianceExplained _),
-    // ANN through the PCA bottleneck: 8-dim compressed shortlist,
-    // exact re-rank via the shared refine tail
-    "ann_pca_refined_topk" -> (graft.operators.Pca.annPcaRefinedTopK _),
+    // The LIVE-basis PCA bottleneck search (Pca.annPcaRefinedTopK) is
+    // RETIRED from the graded registry (r15): its serving twin
+    // `ann_pca_frozen_refined_topk` hash-grades the identical
+    // two-stage search end to end under the committed basis, and
+    // PcaSpec pins the live form's recall against the frozen one on
+    // the training corpus — the live query graded nothing the twin +
+    // spec don't. RecallReport still measures it directly.
     // grouped closed-form OLS: per-nation order-value trend from one
     // 6-sum exact-decimal aggregation; slope/intercept/R² each one
     // IEEE chain over exact integers (the events_anomaly discipline)
@@ -383,6 +387,7 @@ object SparkEntry {
     // the TOP frame verb: order+limit over the rollup, executed as
     // TakeOrderedAndProject (per-partition heap top-k, no global sort)
     "qast_top" -> (QastQueries.topRollup _),
+    "qast_project" -> (QastQueries.projectRollup _),
     // ... and its raw-row mode: predicate inner, filter->order->limit
     "qast_top_rows" -> (QastQueries.topRows _),
     // the HAVING frame verb + the hash-graded exact avg
@@ -644,6 +649,12 @@ object SparkEntry {
     // kmeans_train's per-cell readout under the frozen quantizer:
     // count + decimal-exact mean cosine, hash-oracled
     "kmeans_frozen_stats" -> (graft.operators.KMeans.frozenStats _),
+    // the k-means trainer's TERMINATION QUALITY graded: per-cell
+    // population + exact stationarity residual of the frozen
+    // centroids, `stationary` bound earned by live computation
+    "kmeans_converged_cert" -> (graft.operators.KMeans.convergedCert _),
+    // likewise per (subspace, code) for the frozen OPQ codebook
+    "pq_converged_cert" -> (graft.operators.Opq.pqConvergedCert _),
     // pca_project under the frozen committed basis: the trained-PCA
     // serving path hash-graded
     "pca_frozen_project" -> (graft.operators.Pca.frozenProject _),
@@ -654,6 +665,10 @@ object SparkEntry {
     // refine production search, hash-oracled end to end
     "ann_opq_frozen_refined_topk" ->
       (graft.operators.Opq.adcOpqFrozenRefinedTopK _),
+    // PCA-bottleneck search under the frozen committed basis + exact
+    // re-rank: the ann_pca_refined serving twin, hash-oracled
+    "ann_pca_frozen_refined_topk" ->
+      (graft.operators.Pca.annPcaFrozenRefinedTopK _),
     "contamination_check" -> (TextAnalysis.contamination _),
     // --- PII scrubbing + mixture sampling (see Pii/Mix scaladoc) ---
     "pii_scrub" -> (Pii.scrub _),
@@ -1407,6 +1422,17 @@ object SparkEntry {
          FROM lineitem WHERE l_quantity > 10
          GROUP BY l_partkey
          ORDER BY sum_l_quantity DESC, l_partkey LIMIT 15""",
+    // PROJECT over the top-of-rollup: renames + one computed per-row
+    // expression (exact IEEE division of two exact values)
+    "qast_project" ->
+      """SELECT l_partkey AS part, n AS orders_seen,
+           sum_l_quantity AS total_qty, sum_l_quantity / n AS mean_qty
+         FROM (SELECT l_partkey, count(*) AS n,
+             sum(l_quantity) AS sum_l_quantity
+           FROM lineitem WHERE l_quantity > 10
+           GROUP BY l_partkey
+           ORDER BY sum_l_quantity DESC, l_partkey LIMIT 15)
+         ORDER BY total_qty DESC, part""",
     // TOP over raw rows = WHERE ... ORDER BY ... LIMIT k on the table
     "qast_top_rows" ->
       """SELECT * FROM documents
@@ -2203,6 +2229,48 @@ object SparkEntry {
            round(CAST(sum(CAST(round(cs, 6) AS DECIMAL(38,6)))
              AS DOUBLE) / count(*), 6) AS mean_cos
          FROM assign GROUP BY 1 ORDER BY cell""",
+    // stationarity certificate of the frozen k-means quantizer:
+    // re-derive the assignment, then per cell the exact residual of
+    // one more Lloyd's update (7dp-rounded coords DECIMAL-summed, one
+    // IEEE division; squared diffs 14dp-rounded DECIMAL-summed) and
+    // the pinned stationary boolean
+    "kmeans_converged_cert" ->
+      s"""WITH n AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
+         FROM embeddings),
+         cent AS (SELECT cent_id, cvec,
+           sqrt(list_reduce(list_transform(cvec,
+             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS cnrm
+           FROM (VALUES ${graft.operators.FrozenAnn.ivfCentroidSql})
+             AS c(cent_id, cvec)),
+         sc AS (SELECT v.vec_id, c.cent_id,
+           list_reduce(list_transform(list_zip(v.embedding,c.cvec),
+             x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
+             /v.nrm/c.cnrm AS cs
+         FROM n v, cent c),
+         assign AS (SELECT vec_id, cent_id AS cell FROM (
+           SELECT vec_id, cent_id, row_number() OVER (
+             PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS r
+           FROM sc) WHERE r = 1),
+         mdims AS (SELECT a.cell, u.d,
+             CAST(sum(CAST(round(CAST(e.embedding[u.d+1] AS DOUBLE), 7)
+               AS DECIMAL(38,7))) AS DOUBLE) / count(*) AS m,
+             count(*) AS n
+           FROM assign a JOIN embeddings e USING (vec_id),
+             unnest(range(0, 64)) AS u(d)
+           GROUP BY 1, 2),
+         cdims AS (SELECT cent_id AS cell, u.d,
+             round(CAST(cvec[u.d+1] AS DOUBLE), 7) AS c
+           FROM cent, unnest(range(0, 64)) AS u(d))
+         SELECT m.cell, max(m.n) AS n_members,
+           round(sqrt(CAST(sum(CAST(round((m.m-c.c)*(m.m-c.c), 14)
+             AS DECIMAL(38,14))) AS DOUBLE)), 6) AS residual,
+           round(sqrt(CAST(sum(CAST(round((m.m-c.c)*(m.m-c.c), 14)
+             AS DECIMAL(38,14))) AS DOUBLE)), 6)
+             <= ${graft.operators.KMeans.StationarityBound} AS stationary
+         FROM mdims m JOIN cdims c ON c.cell = m.cell AND c.d = m.d
+         GROUP BY m.cell ORDER BY m.cell""",
     // projection onto the frozen committed PCA basis: one fold per
     // component, multiplication commutes exactly so comp*emb == emb*comp
     "pca_frozen_project" ->
@@ -2314,6 +2382,46 @@ object SparkEntry {
              PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
            FROM rer)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // PCA-bottleneck two-stage search under the frozen basis: stage 1
+    // cosine in the 8-dim projected space (same literal components,
+    // same left fold), stage 2 the shared exact-cosine re-rank tail
+    "ann_pca_frozen_refined_topk" ->
+      s"""WITH comp AS (SELECT c, cvec
+           FROM (VALUES ${graft.operators.FrozenAnn.pcaSql}) AS t(c, cvec)),
+         n AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (p,q)->p+q)) AS nrm
+         FROM embeddings),
+         p AS (SELECT e.vec_id, c.c,
+           list_reduce(list_transform(list_zip(c.cvec, e.embedding),
+             x -> x[1] * CAST(x[2] AS DOUBLE)), (p2,q2)->p2+q2) AS pc
+         FROM embeddings e, comp c),
+         pv AS (SELECT vec_id, list(pc ORDER BY c) AS pv
+           FROM p GROUP BY vec_id),
+         scored AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             -(list_reduce(list_transform(list_zip(q.pv, v.pv),
+                 x -> x[1]*x[2]), (p2,q2)->p2+q2)
+               / sqrt(list_reduce(list_transform(q.pv, x -> x*x),
+                 (p2,q2)->p2+q2))
+               / sqrt(list_reduce(list_transform(v.pv, x -> x*x),
+                 (p2,q2)->p2+q2))) AS adc_d2
+           FROM pv q, pv v
+           WHERE q.vec_id % 100 = 0 AND v.vec_id != q.vec_id),
+         short AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS r
+           FROM scored) WHERE r <= 20),
+         rer AS (SELECT s.query_id, s.neighbor_id,
+             list_reduce(list_transform(list_zip(q.embedding, v.embedding),
+               x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),(p2,q2)->p2+q2)
+               /q.nrm/v.nrm AS cos
+           FROM short s JOIN n q ON q.vec_id = s.query_id
+             JOIN n v ON v.vec_id = s.neighbor_id)
+         SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM (
+           SELECT query_id, neighbor_id, cos, row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM rer)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     // per-code readout under the frozen OPQ model: rotate by the
     // literal matrix, assign each subvector to its nearest literal
     // sub-centroid, then population + exact mean quantization error
@@ -2342,6 +2450,49 @@ object SparkEntry {
            round(CAST(sum(CAST(round(d2, 6) AS DECIMAL(38,6))) AS DOUBLE)
              / count(*), 6) AS mean_d2
          FROM best GROUP BY 1, 2 ORDER BY 1, 2""",
+    // stationarity certificate of the frozen OPQ codebook: the
+    // kmeans_converged_cert recipe per (subspace, code) in rotated
+    // space — exact residual of one more Lloyd's update vs the
+    // committed codeword, pinned stationary boolean
+    "pq_converged_cert" ->
+      s"""WITH rot AS (SELECT ${graft.operators.FrozenAnn.rotSql} AS r),
+         rv AS (SELECT vec_id, list_transform(r.r, ri ->
+             list_reduce(list_transform(list_zip(ri, embedding),
+               x -> x[1] * CAST(x[2] AS DOUBLE)), (p,q) -> p + q)) AS rv
+           FROM embeddings, rot r),
+         cbs AS (SELECT subspace, code, cvec_sub
+           FROM (VALUES ${graft.operators.FrozenAnn.codebookSql})
+             AS c(subspace, code, cvec_sub)),
+         subs AS (SELECT vec_id, CAST(m AS BIGINT) AS subspace,
+             rv[m*8+1:m*8+8] AS sub
+           FROM rv, unnest(range(0, 8)) AS u(m)),
+         sc AS (SELECT s.vec_id, s.subspace, s.sub, c.code,
+             list_reduce(list_transform(list_zip(s.sub, c.cvec_sub),
+               x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                  * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+               (p,q) -> p + q) AS d2
+           FROM subs s JOIN cbs c ON c.subspace = s.subspace),
+         best AS (SELECT vec_id, subspace, sub, code FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             ORDER BY d2, code) AS rk FROM sc) WHERE rk = 1),
+         mdims AS (SELECT subspace, code, u.d,
+             CAST(sum(CAST(round(sub[u.d+1], 7) AS DECIMAL(38,7)))
+               AS DOUBLE) / count(*) AS m,
+             count(*) AS n
+           FROM best, unnest(range(0, 8)) AS u(d)
+           GROUP BY 1, 2, 3),
+         cdims AS (SELECT subspace, code, u.d,
+             round(CAST(cvec_sub[u.d+1] AS DOUBLE), 7) AS c
+           FROM cbs, unnest(range(0, 8)) AS u(d))
+         SELECT m.subspace, m.code, max(m.n) AS n_assigned,
+           round(sqrt(CAST(sum(CAST(round((m.m-c.c)*(m.m-c.c), 14)
+             AS DECIMAL(38,14))) AS DOUBLE)), 6) AS residual,
+           round(sqrt(CAST(sum(CAST(round((m.m-c.c)*(m.m-c.c), 14)
+             AS DECIMAL(38,14))) AS DOUBLE)), 6)
+             <= ${graft.operators.Opq.PqStationarityBound} AS stationary
+         FROM mdims m JOIN cdims c ON c.subspace = m.subspace
+           AND c.code = m.code AND c.d = m.d
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // cell population balance under the seed quantizer; imbalance =
     // max population / mean population (probe cost and directory skew
     // are linear in it)

@@ -226,6 +226,20 @@ object Bpe {
     * delimiter only defers — never changes — the next disjoint
     * merge). The trained list stays rows-only (data-dependent);
     * BpeSpec pins the two-form equivalence on the real corpus vocab.
+    *
+    * ORACLE CONSTRAINT on regenerating this list (applies to the
+    * `bpe_tokenize_frozen` AND `bpe_frozen_stats` oracles): the SQL
+    * replace-to-fixpoint is NOT the greedy fold on one corner — a
+    * run of 5+ IDENTICAL symbols under a self-merge (a,a), because a
+    * replace pass consumes the shared `_` delimiter and segments
+    * `aaaaa` as [aa, a, aa] where the greedy fold gives [aa, aa, a].
+    * Per-merge counts agree at that level, but a LATER merge chained
+    * onto the run's output (e.g. (a,a) then (a,aa)) would count
+    * differently and fail the hash compare. The committed list has no
+    * self-merge feeding a chained merge, and English [a-z]+ words
+    * rarely carry 5-symbol runs; keep that property when regenerating
+    * (no chained merges over same-symbol runs), or rewrite the oracle
+    * recursion to single-occurrence-per-step replacement first.
     */
   val FrozenMerges: Seq[(String, String)] = Seq(
     "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r",

@@ -147,6 +147,72 @@ object KMeans {
           .cast("double") / count(lit(1)), 6).as("mean_cos"))
       .orderBy(col("cell"))
 
+  /** Pinned stationarity bound for [[convergedCert]]: the measured
+    * max per-cell Lloyd's-update displacement of the frozen quantizer
+    * on its own training corpus (0.0498 at sf0.01, cells spanning
+    * 0.0–0.0498 against centroid coordinates of O(0.05–0.1)), plus
+    * ~20% headroom. The frozen centroids are [[Rounds]]-round
+    * outputs, not a fixed point — the cert claims the training MOVED
+    * the quantizer to near-stationarity (one more update step
+    * displaces every centroid by at most this), which a trainer or
+    * freeze regression breaks long before it breaks a recall number.
+    */
+  val StationarityBound = 0.06
+
+  /** Graded `kmeans_converged_cert`: the CONVERGENCE CERTIFICATE of
+    * the k-means trainer — the `bpe_converged_cert` recipe applied to
+    * Lloyd's. From the committed frozen centroids
+    * ([[FrozenAnn.ivfCentroids]]), re-derive the assignment from
+    * scratch, then grade per cell:
+    *
+    *   - `n_members`: the cell's population under the frozen argmax
+    *     (oracle recomputes it exactly — same literals, same argmax);
+    *   - `residual`: the EXACT stationarity residual — the L2 norm of
+    *     (mean of assigned members − frozen centroid), i.e. how far
+    *     one more Lloyd's update would move this centroid. Per-dim
+    *     means are 7dp-rounded member coordinates summed in DECIMAL
+    *     with ONE IEEE division; squared diffs 14dp-rounded and
+    *     DECIMAL-summed, so both engines fold the identical numbers;
+    *   - `stationary`: residual ≤ [[StationarityBound]] — the pinned
+    *     claim the live computation must earn (the `within_tol`
+    *     discipline of `media_video_decode`).
+    *
+    * The trained centroid VALUES stay rows-only (`kmeans_train`);
+    * this row set makes the trainer's termination QUALITY
+    * hash-graded: a regression that ships an under-trained quantizer
+    * flips booleans and fails the driver compare.
+    *
+    * Scale shape: corpus × broadcast(C literals) argmax folded
+    * map-side, then a (C·dims)-row aggregation — no stage carries
+    * more than corpus rows.
+    */
+  def convergedCert(s: SparkSession, dir: String): DataFrame = {
+    val cents = FrozenAnn.ivfCentroidFrame(s)
+    val assigned = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(cents))
+      .withColumn("cs", Dedup.cosine(col("embedding"), col("cvec")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("cs"), -col("cent_id")))
+        .as("cell"), first(col("embedding")).as("v"))
+    val means = assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("cell"), col("d"))
+      .agg((sum(round(col("x").cast("double"), 7).cast("decimal(38,7)"))
+        .cast("double") / count(lit(1))).as("m"),
+        count(lit(1)).as("n"))
+    val centDims = cents.select(col("cent_id").as("cell"),
+      posexplode(col("cvec")).as(Seq("d", "c")))
+    means.join(broadcast(centDims), Seq("cell", "d"))
+      .withColumn("dd", col("m") - round(col("c").cast("double"), 7))
+      .groupBy(col("cell"))
+      .agg(first(col("n")).as("n_members"),
+        round(sqrt(sum(round(col("dd") * col("dd"), 14)
+          .cast("decimal(38,14)")).cast("double")), 6).as("residual"))
+      .withColumn("stationary", col("residual") <= lit(StationarityBound))
+      .orderBy(col("cell"))
+  }
+
   def train(s: SparkSession, dir: String): DataFrame = {
     val corpus = load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))

@@ -192,6 +192,16 @@ object Multimodal {
       * codec's hardest case) is 1 level (quality 0.95 → 9, 0.9 → 17);
       * pinned at 2 for headroom. A decode exceeding it flips the
       * graded `within_tol` column and fails the hash compare.
+      *
+      * ENVIRONMENT ASSUMPTION: the measurement is of the JDK's own
+      * `javax.imageio` JPEG plugin (Temurin/OpenJDK 17 here — both
+      * encode and decode sides). The headroom covers DCT rounding
+      * spread between conformant decoders, but a JDK whose JPEG
+      * plugin takes a different IDCT path could exceed it: if
+      * `media_video_decode` fails on a NEW host with every other
+      * media query green, suspect environment drift first — re-run
+      * MultimodalSpec's measured-worst-case test (it prints the
+      * observed max error) before treating it as a decode regression.
       */
     val JpegTol = 2
 

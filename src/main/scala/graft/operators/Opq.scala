@@ -421,6 +421,64 @@ object Opq {
       .orderBy(col("subspace"), col("code"))
   }
 
+  /** Pinned per-code stationarity bound for [[pqConvergedCert]] —
+    * the measured max (subspace, code) Lloyd's-update displacement of
+    * the frozen OPQ codebook on its training corpus (0.0185 at
+    * sf0.01, all 128 codes under it), plus ~35% headroom. Subvector
+    * coordinates live at ~1/√8 the full-vector scale, so the bound
+    * sits below [[KMeans.StationarityBound]]'s.
+    */
+  val PqStationarityBound = 0.025
+
+  /** Graded `pq_converged_cert`: the CONVERGENCE CERTIFICATE of the
+    * PQ codebook trainer — [[KMeans.convergedCert]]'s recipe per
+    * (subspace, code). Rotate the corpus by the frozen literal
+    * matrix, assign every subvector to its nearest frozen
+    * sub-centroid (the [[pqFrozenStats]] argmin), then grade per
+    * (subspace, code): population, the EXACT stationarity residual
+    * ‖mean(assigned subvectors) − codeword‖ (7dp-rounded coordinates
+    * DECIMAL-summed, one IEEE division; squared diffs 14dp-rounded
+    * and DECIMAL-summed), and the pinned `stationary` boolean the
+    * live numbers must earn. The trained codebook VALUES stay
+    * rows-only (`pq_train`); this hash-grades the trainer's
+    * termination quality — an under-trained codebook ships with
+    * visibly non-stationary codewords and flips the booleans.
+    *
+    * Scale shape: corpus × broadcast(M·K literal rows) argmin folded
+    * map-side at (vector, subspace) grain, then an (M·K·SubDim)-row
+    * aggregation.
+    */
+  def pqConvergedCert(s: SparkSession, dir: String): DataFrame = {
+    val cb = FrozenAnn.codebookFrame(s)
+    val rv = load(s, dir, "embeddings")
+      .select(col("vec_id"), rotate(col("embedding"), FrozenAnn.rot).as("rv"))
+    val assigned = Pq.slicedFrame(rv, "vec_id", "rv", "vec_id", "sub")
+      .join(broadcast(cb), Seq("subspace"))
+      .withColumn("d2", Pq.l2sq(col("sub"), col("cvec_sub")))
+      .groupBy(col("vec_id"), col("subspace"))
+      .agg(max_by(struct(col("code"), col("sub")),
+        struct(-col("d2"), -col("code"))).as("b"))
+      .select(col("subspace"), col("b.code").as("code"),
+        col("b.sub").as("sub"))
+    val means = assigned
+      .select(col("subspace"), col("code"),
+        posexplode(col("sub")).as(Seq("d", "x")))
+      .groupBy(col("subspace"), col("code"), col("d"))
+      .agg((sum(round(col("x"), 7).cast("decimal(38,7)"))
+        .cast("double") / count(lit(1))).as("m"),
+        count(lit(1)).as("n"))
+    val cbDims = cb.select(col("subspace"), col("code"),
+      posexplode(col("cvec_sub")).as(Seq("d", "c")))
+    means.join(broadcast(cbDims), Seq("subspace", "code", "d"))
+      .withColumn("dd", col("m") - round(col("c").cast("double"), 7))
+      .groupBy(col("subspace"), col("code"))
+      .agg(first(col("n")).as("n_assigned"),
+        round(sqrt(sum(round(col("dd") * col("dd"), 14)
+          .cast("decimal(38,14)")).cast("double")), 6).as("residual"))
+      .withColumn("stationary", col("residual") <= lit(PqStationarityBound))
+      .orderBy(col("subspace"), col("code"))
+  }
+
   /** [[opqCandidates]] under ANY (rotation, codebook) — the seam the
     * frozen form shares with the live-trained one.
     */

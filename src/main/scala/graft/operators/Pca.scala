@@ -209,8 +209,12 @@ object Pca {
     e.select(col("vec_id") +: pcs: _*).orderBy(col("vec_id"))
   }
 
-  /** ANN through the PCA bottleneck (graded `ann_pca_refined_topk`,
-    * rows-only like every trained artifact): stage 1 scores queries
+  /** ANN through the PCA bottleneck under the LIVE-trained basis
+    * (retired from the graded registry in r15 — the serving twin
+    * `ann_pca_frozen_refined_topk` hash-grades this exact two-stage
+    * search under the committed basis, and PcaSpec pins this form's
+    * recall against it on the training corpus; RecallReport still
+    * measures both): stage 1 scores queries
     * against the corpus in the [[K]]-dim PCA space (an 8×64-byte
     * projection is what a 100 TB scan reads — 8× the IO reduction of
     * raw vectors, FAISS's PCAMatrix,Flat recipe), stage 2 re-ranks the
@@ -223,6 +227,40 @@ object Pca {
     */
   def annPcaRefinedTopK(s: SparkSession, dir: String): DataFrame = {
     val comps = trained(s, dir)._2.take(K)
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val proj = e.select(col("vec_id"),
+      array((0 until K).map(c =>
+        graft.functions.vecDot(col("v"), lit(comps(c)))): _*).as("pv"))
+    val q = proj.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("pv").as("qv"))
+    val c = proj.select(col("vec_id").as("neighbor_id"), col("pv").as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-(graft.functions.vecDot(col("qv"), col("cv"))
+          / sqrt(graft.functions.vecDot(col("qv"), col("qv")))
+          / sqrt(graft.functions.vecDot(col("cv"), col("cv")))))
+          .as("adc_d2"))
+    Pq.refineRank(s, dir, scored)
+  }
+
+  /** Graded `ann_pca_frozen_refined_topk`: [[annPcaRefinedTopK]]
+    * under the FROZEN committed basis ([[FrozenAnn.pcaComponents]])
+    * instead of the live trainer's — the serving twin that retires
+    * the live form from rows-only standing. Both stages are exact
+    * under literals: stage 1's PCA-space cosine folds the same
+    * committed doubles in the same order in both engines, stage 2's
+    * re-rank is the shared [[Pq.refineRank]] exact-cosine tail — so
+    * the whole two-stage search replays in DuckDB and hash-grades
+    * end to end. PcaSpec pins its recall against the live form's.
+    *
+    * Scale shape: identical to the live form — the corpus is read
+    * once as 8-double projections (8× the IO reduction of raw
+    * vectors), queries broadcast, stage 2 touches ShortR rows per
+    * query, never the corpus.
+    */
+  def annPcaFrozenRefinedTopK(s: SparkSession, dir: String): DataFrame = {
+    val comps = graft.operators.FrozenAnn.pcaComponents.take(K)
     val e = load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val proj = e.select(col("vec_id"),

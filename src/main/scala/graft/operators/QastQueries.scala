@@ -148,6 +148,34 @@ object QastQueries {
              ["sum", [".", ["$"], "l_quantity"]]]]""")
       .apply(load(s, dir, "lineitem"))
 
+  /** Graded `qast_project`: the PROJECT frame verb — `["project",
+    * [[name, expr]...], inner?]` composed over the full verb stack
+    * (project → top → group), closing the language to
+    * filter-project-aggregate-orderby. The projection renames rollup
+    * outputs and computes a per-row expression (`/` is the language's
+    * double division — exact: the rollup's sum is integral-valued and
+    * the count an integer, so both engines divide the same two IEEE
+    * numbers). Catalyst folds the select into the TakeOrderedAndProject
+    * the top verb already plans — projection adds no stage.
+    */
+  def projectRollup(s: SparkSession, dir: String): DataFrame =
+    qastFrame(
+      """["project",
+           [["part", [".", ["$"], "l_partkey"]],
+            ["orders_seen", [".", ["$"], "n"]],
+            ["total_qty", [".", ["$"], "sum_l_quantity"]],
+            ["mean_qty", ["/", [".", ["$"], "sum_l_quantity"],
+                               [".", ["$"], "n"]]]],
+           ["top", 15,
+             [["desc", [".", ["$"], "sum_l_quantity"]],
+              [".", ["$"], "l_partkey"]],
+             ["group",
+               [">", [".", ["$"], "l_quantity"], 10],
+               [[".", ["$"], "l_partkey"]],
+               ["count"],
+               ["sum", [".", ["$"], "l_quantity"]]]]]""")
+      .apply(load(s, dir, "lineitem"))
+
   /** Graded `qast_top_rows`: the TOP verb's RAW-ROW mode — inner is a
     * plain predicate, so the frame query is filter → order → limit
     * over the table itself (the "20 longest English documents" shape).

@@ -67,17 +67,22 @@ object Ast {
     // ["desc", expr]), NOT operators, for the same reason.
     "group" -> (_ >= 3),
     "having" -> (_ == 2),
-    "top" -> (_ == 3))
+    "top" -> (_ == 3),
+    // ["project", [[name, expr]...], inner?] — computed columns over an
+    // inner frame query (or the whole frame when absent)
+    "project" -> (n => n == 1 || n == 2))
 
   /** Operators legal only as the OUTERMOST form of a query (or in the
     * inner frame-query slot of another frame verb). */
-  private val rootOnly: Set[String] = Set("group", "having", "top")
+  private val rootOnly: Set[String] = Set("group", "having", "top", "project")
 
   /** Index of the argument that is itself a frame query (parsed with
-    * root = true) — having's rollup, top's inner. -1 = none. */
+    * root = true) — having's rollup, top's inner, project's optional
+    * inner. -1 = none. */
   private def innerFrameIdx(op: String, n: Int): Int = op match {
     case "having" => 0
     case "top" => n - 1
+    case "project" => if (n == 2) 1 else -1
     case _ => -1
   }
 

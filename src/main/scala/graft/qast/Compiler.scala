@@ -101,7 +101,8 @@ object Compiler {
 
     // frame-level verbs in value position — like a bare ["$"], they
     // have no meaning as a Column (use compileFrame at the query top)
-    case "group" | "having" | "top" => Left(QastError("malformed query"))
+    case "group" | "having" | "top" | "project" =>
+      Left(QastError("malformed query"))
 
     case _ => Left(QastError("malformed query"))
   }
@@ -192,7 +193,7 @@ object Compiler {
     * by `/extract` and `/find`.
     */
   def isFrameVerb(ast: Ast): Boolean = ast match {
-    case QOp("group" | "having" | "top", _) => true
+    case QOp("group" | "having" | "top" | "project", _) => true
     case _ => false
   }
 
@@ -234,6 +235,17 @@ object Compiler {
     * Catalyst turns orderBy+limit into TakeOrderedAndProject — the
     * top-k never materializes a global sort at scale; `having` is a
     * post-aggregation filter pushed below the key orderBy.
+    *
+    *   - `["project", [[name, expr]...], inner?]` — per-row computed
+    *     columns: the output frame has EXACTLY the named columns, in
+    *     spec order, each `expr` any value-position QAST expression.
+    *     `inner` (optional) is a frame verb or a predicate (= filtered
+    *     rows), absent = the whole frame. Names must be non-empty and
+    *     distinct ("malformed query" otherwise, same rule as group
+    *     keys). With group/having/top this closes the language to
+    *     filter-project-aggregate-orderby: Catalyst collapses the
+    *     select into the scan's column pruning, so a projection over
+    *     a 100 TB frame reads only the addressed columns.
     */
   def compileFrame(ast: Ast): Either[QastError, FrameQuery] = ast match {
     case g @ QOp("group", _) => compileGroup(g).map(g => FrameQuery(g.apply))
@@ -250,21 +262,58 @@ object Compiler {
       for {
         k <- kOk
         sorts <- mapEither(sortAsts) {
-          case QArr(QStr("desc") :: e :: Nil) => compile(e).map(_.desc)
-          case QArr(QStr("asc") :: e :: Nil) => compile(e).map(_.asc)
+          case QArr(QStr("desc") :: e :: Nil) => compile(e).map(c => (c, c.desc))
+          case QArr(QStr("asc") :: e :: Nil) => compile(e).map(c => (c, c.asc))
           // a direction marker with the wrong arity — or a BARE
           // "desc"/"asc" string (the user forgot to nest the spec) —
           // is a typo, not a sort key: reject rather than silently
           // ordering by a constant
           case QArr(QStr("desc" | "asc") :: _) | QStr("desc" | "asc") =>
             Left(QastError("malformed query"))
-          case e => compile(e).map(_.asc)
+          case e => compile(e).map(c => (c, c.asc))
         }
+        bare = sorts.map(_._1)
         innerFn <-
           if (isFrameVerb(inner)) compileFrame(inner).map(_.build)
           else compile(inner).map(p =>
             (df: org.apache.spark.sql.DataFrame) => df.filter(p))
-      } yield FrameQuery(df => innerFn(df).orderBy(sorts: _*).limit(k))
+      } yield FrameQuery { df =>
+        val in = innerFn(df)
+        // array-valued sort keys would order element-wise here but
+        // lexicographically-on-toString in the closure backend — the
+        // backends agree by REJECTION instead (maps are already
+        // analyzer-rejected by orderBy itself): surface as the same
+        // AnalysisException class checked() maps to "malformed query"
+        val sortTypes = in.select(bare.zipWithIndex.map {
+          case (c, i) => c.as(s"__s$i")
+        }: _*).schema
+        if (sortTypes.exists(_.dataType
+            .isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+          throw new org.apache.spark.sql.AnalysisException(
+            "INTERNAL_ERROR",
+            Map("message" -> "array-valued sort key"))
+        in.orderBy(sorts.map(_._2): _*).limit(k)
+      }
+    case QOp("project", QArr(specAsts) :: rest)
+        if specAsts.nonEmpty && rest.length <= 1 =>
+      for {
+        specs <- mapEither(specAsts) {
+          case QArr(QStr(name) :: e :: Nil) if name.nonEmpty =>
+            compile(e).map(c => (name, c))
+          case _ => Left(QastError("malformed query"))
+        }
+        _ <- if (specs.map(_._1).distinct.length == specs.length) Right(())
+             else Left(QastError("malformed query"))
+        innerFn <- rest.headOption match {
+          case None =>
+            Right((df: org.apache.spark.sql.DataFrame) => df)
+          case Some(inner) if isFrameVerb(inner) =>
+            compileFrame(inner).map(_.build)
+          case Some(inner) => compile(inner).map(p =>
+            (df: org.apache.spark.sql.DataFrame) => df.filter(p))
+        }
+      } yield FrameQuery(df => innerFn(df)
+        .select(specs.map { case (n, c) => c.as(n) }: _*))
     case _ => Left(QastError("malformed query"))
   }
 

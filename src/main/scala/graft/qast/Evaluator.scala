@@ -111,7 +111,8 @@ object Evaluator {
           case e => compile(e).map((_, true))
         }
         innerFn <- (inner match {
-          case QOp("group" | "having" | "top", _) => frameOf(inner)
+          case QOp("group" | "having" | "top" | "project", _) =>
+            frameOf(inner)
           case _ => compile(inner).map(p =>
             (rows: Seq[Row]) => rows.filter(r => p(r) == true))
         })
@@ -133,16 +134,42 @@ object Evaluator {
         }
         innerFn(rows).sorted(ord).take(k)
       }
+    case QOp("project", QArr(specAsts) :: rest)
+        if specAsts.nonEmpty && rest.length <= 1 =>
+      // the Compiler.compileFrame project twin: exactly the named
+      // columns, spec order irrelevant to row equality (rows are Maps)
+      for {
+        specs <- mapEither(specAsts) {
+          case QArr(QStr(name) :: e :: Nil) if name.nonEmpty =>
+            compile(e).map(f => (name, f))
+          case _ => Left(QastError("malformed query"))
+        }
+        _ <- if (specs.map(_._1).distinct.length == specs.length) Right(())
+             else Left(QastError("malformed query"))
+        innerFn <- (rest.headOption match {
+          case None => Right((rows: Seq[Row]) => rows)
+          case Some(inner @ QOp("group" | "having" | "top" | "project", _)) =>
+            frameOf(inner)
+          case Some(inner) => compile(inner).map(p =>
+            (rows: Seq[Row]) => rows.filter(r => p(r) == true))
+        })
+      } yield (rows: Seq[Row]) => innerFn(rows)
+        .map(r => specs.map { case (n, f) => n -> f(r) }.toMap)
     case _ => Left(QastError("malformed query"))
   }
 
   /** Maps are unorderable in Spark — a map-valued SORT key is an
-    * analyzer rejection there; match it (arrays do order in Spark,
-    * but only the graded/endpoint shapes sort scalars — a Seq here
-    * falls into ordKey's string class, documented divergence).
+    * analyzer rejection there; match it. Arrays DO order in Spark
+    * (element-wise) but would fall into ordKey's string class here
+    * (lexicographic on toString, [2,10] < [2,3]) — rather than
+    * diverge silently, BOTH backends reject array sort keys
+    * (compileFrame raises the matching analyzer error), so the
+    * row-equal backend contract QastBackendsSpec pins holds by
+    * rejection.
     */
   private def guardMapSort(a: Any): Any = a match {
     case _: Map[_, _] => throw TypeGuard("malformed query")
+    case _: Seq[_] => throw TypeGuard("malformed query")
     case v => v
   }
 

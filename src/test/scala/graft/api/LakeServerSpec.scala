@@ -256,6 +256,52 @@ class LakeServerSpec extends SparkSpec with BeforeAndAfterAll {
       fr.toString)
   }
 
+  test("project verb over HTTP: /extract and /find compute columns; " +
+      "bad shapes stay 400 'malformed query'") {
+    val cid = addFile(csv, "text/csv")
+    // computed columns over extracted rows: exactly the named columns
+    val p = post(s"/extract/$cid",
+      """["project",
+          [["code", [".", ["$"], "country_code"]],
+           ["is_vnm", ["==", [".", ["$"], "country_code"], "VNM"]]],
+          true]""".getBytes)
+    assert(p.statusCode == 200, new String(p.body))
+    val pArr = json(p)
+    assert(pArr.size == 2, pArr.toString)
+    val fields = pArr.get(0).fieldNames()
+    val names = scala.collection.mutable.Set[String]()
+    while (fields.hasNext) names += fields.next()
+    assert(names == Set("code", "is_vnm"), names.toString)
+    // project over a rollup through /find
+    json(post("/dataset",
+      s"""{"file":"$cid","description":"p1","source":"proj-src",
+          "topics":["p"]}""".getBytes))
+    val found = post("/find",
+      """["project",
+          [["who", [".", ["$"], "source"]],
+           ["seen", [".", ["$"], "n"]]],
+          ["group", ["==", [".", ["$"], "source"], "proj-src"],
+            [[".", ["$"], "source"]], ["count"]]]""".getBytes)
+    assert(found.statusCode == 200, new String(found.body))
+    val fr = json(found)
+    assert(fr.size == 1 && fr.get(0).get("who").asText == "proj-src" &&
+      fr.get(0).get("seen").asLong == 1, fr.toString)
+    // duplicate output names: 400 at compile, not an execution 500
+    val dup = post(s"/extract/$cid",
+      """["project",
+          [["x", [".", ["$"], "country_code"]],
+           ["x", [".", ["$"], "country_name"]]], true]""".getBytes)
+    assert(dup.statusCode == 400 &&
+      json(dup).get("error").asText == "malformed query")
+    // a missing field is the analyzer's type error: 400 via checked()
+    val miss = post(s"/extract/$cid",
+      """["project", [["x", [".", ["$"], "no_such_col"]]], true]"""
+        .getBytes)
+    assert(miss.statusCode == 400 &&
+      json(miss).get("error").asText == "malformed query",
+      new String(miss.body))
+  }
+
   test("GET /query lists the analytic inventory sorted") {
     val r = get("/query")
     assert(r.statusCode == 200)

@@ -129,4 +129,28 @@ class KMeansSpec extends SparkSpec {
         s"cell $cell mean_cos: $mc vs ${live(cell)._2}")
     }
   }
+
+  test("converged cert: on the training corpus every cell is " +
+      "stationary, populations cover the corpus, and the bound is " +
+      "earned (not slack)") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = KMeans.convergedCert(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_members")).sum
+    val corpus = graft.Tables.load(spark, dir, "embeddings").count()
+    assert(total == corpus,
+      s"cert populations $total must cover the corpus $corpus")
+    rows.foreach { r =>
+      val res = r.getAs[Double]("residual")
+      assert(res >= 0.0 && res <= KMeans.StationarityBound &&
+        r.getAs[Boolean]("stationary"),
+        s"cell ${r.get(0)} residual $res vs ${KMeans.StationarityBound}")
+    }
+    // the pinned bound sits close over the measured worst case — an
+    // under-trained quantizer (bigger displacement) trips it; a bound
+    // 4x looser than reality would certify nothing
+    val mx = rows.map(_.getAs[Double]("residual")).max
+    assert(mx > KMeans.StationarityBound / 4,
+      f"bound ${KMeans.StationarityBound} is slack: max residual $mx%.4f")
+  }
 }

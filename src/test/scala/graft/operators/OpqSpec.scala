@@ -225,4 +225,24 @@ class OpqSpec extends SparkSpec {
     assert(ceiling >= 0.8,
       f"probed cells hold only $ceiling%.3f of true pairs")
   }
+
+  test("pq converged cert: every (subspace, code) is stationary on " +
+      "the training corpus, assignments cover corpus x M, bound earned") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = Opq.pqConvergedCert(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= Pq.M * Pq.K)
+    val total = rows.map(_.getAs[Long]("n_assigned")).sum
+    val corpus = graft.Tables.load(spark, dir, "embeddings").count()
+    assert(total == corpus * Pq.M,
+      s"cert assignments $total must cover corpus x M = ${corpus * Pq.M}")
+    rows.foreach { r =>
+      val res = r.getAs[Double]("residual")
+      assert(res >= 0.0 && res <= Opq.PqStationarityBound &&
+        r.getAs[Boolean]("stationary"),
+        s"(${r.get(0)},${r.get(1)}) residual $res")
+    }
+    val mx = rows.map(_.getAs[Double]("residual")).max
+    assert(mx > Opq.PqStationarityBound / 4,
+      f"bound ${Opq.PqStationarityBound} is slack: max residual $mx%.4f")
+  }
 }

