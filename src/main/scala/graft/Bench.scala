@@ -394,20 +394,26 @@ object Bench {
         if (!java.nio.file.Files.exists(p)) Map.empty
         else {
           val re = priorSha.r
-          scala.jdk.CollectionConverters
-            .IteratorHasAsScala(java.nio.file.Files.lines(p).iterator())
-            .asScala.flatMap { l =>
-              re.findFirstMatchIn(l).map(m =>
-                m.group(1) -> (m.group(2).toDouble, m.group(3)))
-            }.toMap
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.readAllLines(p).asScala.flatMap { l =>
+            re.findFirstMatchIn(l).map(m =>
+              m.group(1) -> (m.group(2).toDouble, m.group(3)))
+          }.toMap
         }
       } catch { case _: Exception => Map.empty }
-    val suspects = results.collect {
+    // ALL drifted names first (drift = >1.5x the baseline at the same
+    // sha), THEN the replay cap: the uncapped set also feeds the
+    // cross_session classifier below, which must distinguish "clean
+    // this session" from "drifted but not replayed" — conflating them
+    // stamped an un-adjudicated repeat drift as "recovered"
+    val drifted = results.collect {
       case (name, Right((sec, _, sha)))
           if sha.nonEmpty && prior.get(name).exists { case (pSec, pSha) =>
             pSha == sha && sec > 1.5 * pSec && sec > 0.5 } =>
         (sec / prior(name)._1, name)
-    }.toSeq.sortBy(-_._1).take(12).map(_._2)
+    }.toSeq.sortBy(-_._1)
+    val suspects = drifted.take(12).map(_._2)
+    val driftedSet = drifted.map(_._2).toSet
     // per-replayed-query verdict, WRITTEN INTO the sidecar row (the
     // r12 record left readers re-deriving "is this drift noise?" every
     // round): noise=true when the warm replay (or the original min)
@@ -458,19 +464,37 @@ object Bench {
         ".*\"noise\":(true|false)").r
       if (sys.env.contains("SPARK_GRAFT_NO_REPLAY")) Map.empty
       else try {
-        val p = java.nio.file.Paths.get(sys.env.getOrElse(
-          "SPARK_GRAFT_BASELINE_SIDECAR", "BENCH_QUERIES.jsonl"))
-        if (!java.nio.file.Files.exists(p)) Map.empty
-        else scala.jdk.CollectionConverters
-          .IteratorHasAsScala(java.nio.file.Files.lines(p).iterator())
-          .asScala.flatMap(l => re.findFirstMatchIn(l).collect {
-            // only a sha that still matches this session's plan speaks
-            // to the same query shape
-            case m if adjudicated.get(m.group(1)).exists {
-              case Right((_, _, sha)) => sha == m.group(2)
-              case _ => false
-            } => m.group(1) -> m.group(3).toBoolean
-          }).toMap
+        // the COMMITTED record, not the working-tree file: every bench
+        // run rewrites the sidecar in place, so within one session the
+        // working tree holds the previous RUN, not the previous
+        // SESSION — grading against it would re-introduce the same-
+        // host confound this classifier exists to remove. Fall back
+        // to the on-disk file only where git is unavailable.
+        val committed: Seq[String] = try {
+          val pr = new ProcessBuilder(
+            "git", "show", "HEAD:BENCH_QUERIES.jsonl").start()
+          val out = new String(pr.getInputStream.readAllBytes, "UTF-8")
+          if (pr.waitFor() == 0) out.linesIterator.toSeq else Seq.empty
+        } catch { case _: Exception => Seq.empty }
+        val lines =
+          if (committed.nonEmpty) committed
+          else {
+            val p = java.nio.file.Paths.get(sys.env.getOrElse(
+              "SPARK_GRAFT_BASELINE_SIDECAR", "BENCH_QUERIES.jsonl"))
+            if (!java.nio.file.Files.exists(p)) Seq.empty
+            else {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.readAllLines(p).asScala.toSeq
+            }
+          }
+        lines.flatMap(l => re.findFirstMatchIn(l).collect {
+          // only a sha that still matches this session's plan speaks
+          // to the same query shape
+          case m if adjudicated.get(m.group(1)).exists {
+            case Right((_, _, sha)) => sha == m.group(2)
+            case _ => false
+          } => m.group(1) -> m.group(3).toBoolean
+        }).toMap
       } catch { case _: Exception => Map.empty }
     }
     def crossSession(k: String): Option[String] =
@@ -481,7 +505,12 @@ object Bench {
         // cross-session it can only close out a prior flag.
         case (Some(false), Some(false)) => Some("persistent")
         case (Some(false), _) => Some("new")
-        case (_, Some(false)) => Some("recovered")
+        // in-session replay recovery closes out a committed flag too
+        case (Some(true), Some(false)) => Some("recovered")
+        // "recovered" without a verdict requires ACTUALLY clean this
+        // session: a query that drifted but fell outside the replay
+        // cap has no verdict and must not close out the committed flag
+        case (None, Some(false)) if !driftedSet(k) => Some("recovered")
         case _ => None
       }
     val perQuery = adjudicated.toSeq.sortBy(_._1).map {

@@ -658,6 +658,13 @@ object SparkEntry {
     // pca_project under the frozen committed basis: the trained-PCA
     // serving path hash-graded
     "pca_frozen_project" -> (graft.operators.Pca.frozenProject _),
+    // the frozen basis' SPECTRUM readout: exact-decimal mean/variance
+    // of the graded projections per component — the hash-graded
+    // counterpart of the rows-only eigensolve pca_variance
+    "pca_frozen_variance" -> (graft.operators.Pca.frozenVariance _),
+    // the scale-mode profile's sketch graded against ground truth:
+    // exact stats + an nd_within_tol boolean the HLL must earn
+    "profile_scale_cert" -> (graft.operators.Profile.profileScaleCert _),
     // FROZEN OPQ (literal rotation + codebook): the rotate->encode->
     // LUT->ADC pipeline under a shipped model, hash-oracled
     "ann_opq_frozen_topk" -> (graft.operators.Opq.adcOpqFrozenTopK _),
@@ -2382,6 +2389,25 @@ object SparkEntry {
              PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
            FROM rer)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // spectrum of the frozen basis: per component the exact-decimal
+    // mean and variance of the 6dp projections (pc^2 of a 6dp value
+    // is exactly a 12dp decimal, so the squared sum is exact too)
+    "pca_frozen_variance" ->
+      s"""WITH comp AS (SELECT c, cvec
+           FROM (VALUES ${graft.operators.FrozenAnn.pcaSql}) AS t(c, cvec)),
+         p AS (SELECT c.c AS component,
+           round(list_reduce(list_transform(list_zip(c.cvec, e.embedding),
+             x -> x[1] * CAST(x[2] AS DOUBLE)), (p2,q2)->p2+q2), 6) AS pc
+         FROM embeddings e, comp c)
+         SELECT component, count(*) AS n_vectors,
+           round(CAST(sum(CAST(pc AS DECIMAL(38,6))) AS DOUBLE)
+             / count(*), 6) AS mean_pc,
+           round(CAST(sum(CAST(pc*pc AS DECIMAL(38,12))) AS DOUBLE)
+               / count(*)
+             - (CAST(sum(CAST(pc AS DECIMAL(38,6))) AS DOUBLE)/count(*))
+             * (CAST(sum(CAST(pc AS DECIMAL(38,6))) AS DOUBLE)/count(*)),
+             6) AS var_pc
+         FROM p GROUP BY 1 ORDER BY 1""",
     // PCA-bottleneck two-stage search under the frozen basis: stage 1
     // cosine in the 8-dim projected space (same literal components,
     // same left fold), stage 2 the shared exact-cosine re-rank tail
@@ -2935,6 +2961,57 @@ object SparkEntry {
              round(sqrt(CAST(n*sxx_t - sx_t*sx_t AS DOUBLE)
                /(n*(n-1))/100000000.0), 6) FROM s)
          ORDER BY col_name""",
+    // the scale-mode profile's certificate: the oracle recomputes
+    // every EXACT statistic (the profile_numeric pipeline) and
+    // EXPECTS nd_within_tol TRUE — it cannot run HLL++, so the live
+    // sketch must land inside its pinned error envelope to match
+    "profile_scale_cert" ->
+      """WITH s AS (SELECT count(*) AS n,
+           count(DISTINCT l_quantity) AS nd_q,
+           min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+           sum(CAST(round(l_quantity*10000) AS HUGEINT)) AS sx_q,
+           sum(CAST(round(l_quantity*10000) AS HUGEINT)
+             * CAST(round(l_quantity*10000) AS HUGEINT)) AS sxx_q,
+           count(DISTINCT l_extendedprice) AS nd_e,
+           min(l_extendedprice) AS min_e, max(l_extendedprice) AS max_e,
+           sum(CAST(round(l_extendedprice*10000) AS HUGEINT)) AS sx_e,
+           sum(CAST(round(l_extendedprice*10000) AS HUGEINT)
+             * CAST(round(l_extendedprice*10000) AS HUGEINT)) AS sxx_e,
+           count(DISTINCT l_discount) AS nd_d,
+           min(l_discount) AS min_d, max(l_discount) AS max_d,
+           sum(CAST(round(l_discount*10000) AS HUGEINT)) AS sx_d,
+           sum(CAST(round(l_discount*10000) AS HUGEINT)
+             * CAST(round(l_discount*10000) AS HUGEINT)) AS sxx_d,
+           count(DISTINCT l_tax) AS nd_t,
+           min(l_tax) AS min_t, max(l_tax) AS max_t,
+           sum(CAST(round(l_tax*10000) AS HUGEINT)) AS sx_t,
+           sum(CAST(round(l_tax*10000) AS HUGEINT)
+             * CAST(round(l_tax*10000) AS HUGEINT)) AS sxx_t
+         FROM lineitem),
+         u AS (
+           SELECT 'l_quantity' AS col_name, n, nd_q AS n_distinct,
+             min_q AS min_val, max_q AS max_val,
+             round(CAST(sx_q AS DOUBLE)/n/10000.0, 6) AS mean,
+             round(sqrt(CAST(n*sxx_q - sx_q*sx_q AS DOUBLE)
+               /(n*(n-1))/100000000.0), 6) AS stddev FROM s
+           UNION ALL
+           SELECT 'l_extendedprice', n, nd_e, min_e, max_e,
+             round(CAST(sx_e AS DOUBLE)/n/10000.0, 6),
+             round(sqrt(CAST(n*sxx_e - sx_e*sx_e AS DOUBLE)
+               /(n*(n-1))/100000000.0), 6) FROM s
+           UNION ALL
+           SELECT 'l_discount', n, nd_d, min_d, max_d,
+             round(CAST(sx_d AS DOUBLE)/n/10000.0, 6),
+             round(sqrt(CAST(n*sxx_d - sx_d*sx_d AS DOUBLE)
+               /(n*(n-1))/100000000.0), 6) FROM s
+           UNION ALL
+           SELECT 'l_tax', n, nd_t, min_t, max_t,
+             round(CAST(sx_t AS DOUBLE)/n/10000.0, 6),
+             round(sqrt(CAST(n*sxx_t - sx_t*sx_t AS DOUBLE)
+               /(n*(n-1))/100000000.0), 6) FROM s)
+         SELECT col_name, n, n_distinct, min_val, max_val, mean,
+           stddev, TRUE AS nd_within_tol
+         FROM u ORDER BY col_name""",
     // CDF points are exact-integer divisions; step functions align by
     // FULL OUTER join on (pair, value) + IGNORE NULLS forward fill;
     // only the MAX gap is emitted

@@ -278,6 +278,44 @@ object Pca {
     Pq.refineRank(s, dir, scored)
   }
 
+  /** Graded `pca_frozen_variance`: the SPECTRUM readout of the frozen
+    * committed basis — per component, the corpus mean and variance of
+    * the 6dp-rounded projection (the same values `pca_frozen_project`
+    * grades per row), both exact: decimal sums of the rounded
+    * projections and their 12dp squares, one IEEE division each, so
+    * the whole spectrum replays in DuckDB. This is the hash-graded
+    * counterpart of the rows-only `pca_variance` (whose eigenvalues
+    * come from the live LAPACK eigensolve): a basis regression —
+    * wrong component order, a broken freeze, a sign-flip convention
+    * drift — perturbs the per-component means and variances long
+    * before it shows in a downstream search metric. (On this
+    * near-isotropic corpus the spectrum is nearly flat — ~0.021 per
+    * component, quarter-sample training noise exceeding the decay —
+    * so the graded claim is EXACTNESS per component, not ordering;
+    * PcaSpec pins shape and corpus coverage.)
+    *
+    * Scale shape: one corpus scan, K codegen dots per row, a K-row
+    * aggregation — no join, no shuffle beyond the final combine.
+    */
+  def frozenVariance(s: SparkSession, dir: String): DataFrame = {
+    val comps = graft.operators.FrozenAnn.pcaComponents
+    val e = load(s, dir, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val proj = e.select(posexplode(array((comps.indices).map(c =>
+      round(graft.functions.vecDot(col("v"), lit(comps(c))), 6)): _*))
+      .as(Seq("component", "pc")))
+    proj.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_vectors"),
+        (sum(col("pc").cast("decimal(38,6)")).cast("double")
+          / count(lit(1))).as("m"),
+        (sum((col("pc") * col("pc")).cast("decimal(38,12)"))
+          .cast("double") / count(lit(1))).as("m2"))
+      .select(col("component"), col("n_vectors"),
+        round(col("m"), 6).as("mean_pc"),
+        round(col("m2") - col("m") * col("m"), 6).as("var_pc"))
+      .orderBy(col("component"))
+  }
+
   /** Graded `pca_variance`: the spectrum — eigenvalue and cumulative
     * explained-variance fraction per component.
     */

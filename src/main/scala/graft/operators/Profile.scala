@@ -148,6 +148,75 @@ object Profile {
     a.select(inline(array(rows: _*))).orderBy(col("col_name"))
   }
 
+  /** Pinned relative tolerance of the HLL distinct sketch vs the
+    * exact count in [[profileScaleCert]]: `approx_count_distinct` at
+    * rsd 0.01 is a ~1σ estimator, so 0.05 is a 5σ envelope — measured
+    * error on these columns is well under 2% (ProfileSpec prints it).
+    * A sketch regression (wrong rsd wiring, register corruption)
+    * lands far outside it.
+    */
+  val NdTol = 0.05
+
+  /** Graded `profile_scale_cert`: the `within_tol` recipe (the
+    * `media_video_decode` / converged-cert discipline) applied to the
+    * scale-mode profile — the one query class that was "rows-only by
+    * design" because its HLL distinct column is engine-specific
+    * sketch output. The cert grades per column:
+    *
+    *   - every EXACT statistic (n, n_distinct, min, max, mean,
+    *     stddev) — the oracle recomputes all of them, so the moment
+    *     pipeline both profile modes share is hash-checked;
+    *   - `nd_within_tol` — |HLL estimate − exact| ≤ [[NdTol]]·exact,
+    *     a boolean the LIVE sketch must earn (the oracle cannot run
+    *     HLL++ and simply expects TRUE): a sketch drifting out of its
+    *     error envelope flips the column and fails the driver
+    *     compare, which is exactly the regression
+    *     `profile_numeric_scale`'s rows-only standing couldn't catch.
+    *
+    * Cost note: this is a CERT, not the serving path — it runs both
+    * the exact multi-distinct (Expand) and the sketch pass to compare
+    * them. Production profiling at 100 TB runs
+    * [[profileNumericScale]] alone (no Expand); the cert exists to
+    * hash-grade that form's sketch against ground truth at testable
+    * scale.
+    */
+  def profileScaleCert(s: SparkSession, dir: String): DataFrame = {
+    val base = load(s, dir, "lineitem").select(Cols.map(col): _*)
+    val projected = base
+      .select(Cols.map(col) ++ Cols.map(c => vint(c).as(s"v_$c")): _*)
+    val momentAggs = count(lit(1)).as("n") +: Cols.flatMap { c =>
+      Seq(
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"),
+        dsum(col(s"v_$c")).as(s"sx_$c"),
+        dsum(col(s"v_$c") * col(s"v_$c")).as(s"sxx_$c"))
+    }
+    val distinctAggs = Cols.map(c => countDistinct(col(c)).as(s"nd_$c"))
+    val sketchAggs = Cols.map(c =>
+      approx_count_distinct(col(c), 0.01).as(s"nda_$c"))
+    val a = projected.agg(momentAggs.head, momentAggs.tail: _*)
+      .crossJoin(broadcast(
+        base.agg(distinctAggs.head, distinctAggs.tail: _*)))
+      .crossJoin(broadcast(
+        base.agg(sketchAggs.head, sketchAggs.tail: _*)))
+    val rows = Cols.map { c =>
+      val n = col("n")
+      val sx = col(s"sx_$c")
+      val sxx = col(s"sxx_$c")
+      val nd = col(s"nd_$c")
+      struct(
+        lit(c).as("col_name"), n.as("n"),
+        nd.as("n_distinct"),
+        col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"),
+        round(sx.cast("double") / n / lit(10000.0), 6).as("mean"),
+        round(sqrt((n * sxx - sx * sx).cast("double")
+          / (n * (n - lit(1))) / lit(100000000.0)), 6).as("stddev"),
+        (abs(col(s"nda_$c") - nd).cast("double")
+          <= lit(NdTol) * nd.cast("double")).as("nd_within_tol"))
+    }
+    a.select(inline(array(rows: _*))).orderBy(col("col_name"))
+  }
+
   /** Categorical columns profiled by [[profileCategorical]]. */
   private val CatCols = Seq("lang", "source")
 

@@ -119,20 +119,31 @@ object Evaluator {
       } yield (rows: Seq[Row]) => {
         // lexicographic multi-key sort matching Spark: asc = nulls
         // first (ordKey's class -1), desc = the reverse (nulls last);
-        // ties beyond the keys are engine-undefined either way
-        val ord: Ordering[Row] = (a, b) => {
-          var i = 0
-          var r = 0
-          while (r == 0 && i < sorts.length) {
-            val (f, asc) = sorts(i)
-            val c = Ordering[(Int, BigDecimal, String)]
-              .compare(ordKey(guardMapSort(f(a))), ordKey(guardMapSort(f(b))))
-            r = if (asc) c else -c
-            i += 1
+        // ties beyond the keys are engine-undefined either way.
+        // Keys are computed — and TYPE-GUARDED — for every row up
+        // front, not inside the comparator: the sort never invokes a
+        // comparator on 0/1-row input, which would let an array/map
+        // sort key slip through here while the Column backend rejects
+        // it statically; precomputing also evaluates each key once per
+        // row instead of O(log n) times. (A type-invalid key over an
+        // EMPTY frame remains accepted here — a schemaless backend
+        // cannot see types that never materialize as values.)
+        val kept = innerFn(rows)
+        val keyed = kept.map(r => (r, sorts.map { case (f, _) =>
+          ordKey(guardMapSort(f(r))) }))
+        val ord: Ordering[(Row, Seq[(Int, BigDecimal, String)])] =
+          (a, b) => {
+            var i = 0
+            var r = 0
+            while (r == 0 && i < sorts.length) {
+              val c = Ordering[(Int, BigDecimal, String)]
+                .compare(a._2(i), b._2(i))
+              r = if (sorts(i)._2) c else -c
+              i += 1
+            }
+            r
           }
-          r
-        }
-        innerFn(rows).sorted(ord).take(k)
+        keyed.sorted(ord).take(k).map(_._1)
       }
     case QOp("project", QArr(specAsts) :: rest)
         if specAsts.nonEmpty && rest.length <= 1 =>

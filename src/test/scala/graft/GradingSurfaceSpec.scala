@@ -179,7 +179,11 @@ class GradingSurfaceSpec extends SparkSpec
           .redirectErrorStream(false).start()
         val out = new String(p.getInputStream.readAllBytes, "UTF-8")
         if (p.waitFor() == 0) {
-          val inHead = "\"query\":\"([^\"]+)\"".r
+          // membership = rows WITH a timing (secRe): an error-only row
+          // at HEAD is zero committed timing evidence — the same
+          // epistemic state as "registered this session", so it gates
+          // on the working tree alone rather than escaping the gate
+          val inHead = "\"query\":\"([^\"]+)\",\"sec\":".r
             .findAllMatchIn(out).map(_.group(1)).toSet
           val heavyHead = heavyIn(out.linesIterator.toSeq)
           Some(workHeavy.filter(q => heavyHead(q) || !inHead(q)))

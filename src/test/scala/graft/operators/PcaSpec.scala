@@ -133,4 +133,19 @@ class PcaSpec extends SparkSpec {
       f"frozen basis recall $frozen%.3f fell below live $live%.3f")
     assert(frozen > 0.0, "frozen refined recall at chance level")
   }
+
+  test("frozen variance: one row per committed component, populations " +
+      "cover the corpus, variances positive and finite") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = Pca.frozenVariance(spark, dir).collect()
+    assert(rows.length ==
+      graft.operators.FrozenAnn.pcaComponents.length)
+    val corpus = graft.Tables.load(spark, dir, "embeddings").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vectors") == corpus)
+      val v = r.getAs[Double]("var_pc")
+      assert(v > 0.0 && v < 1.0 && !v.isNaN,
+        s"component ${r.get(0)} variance $v out of range")
+    }
+  }
 }

@@ -60,4 +60,23 @@ class ProfileSpec extends SparkSpec {
         s"approx nd $approx too far from exact $nd for $r")
     }
   }
+
+  test("scale cert: every column's nd_within_tol is earned (printed " +
+      "margin), exact stats equal the exact profile's") {
+    val sf = "/root/testdata/sf0.01"
+    val cert = Profile.profileScaleCert(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val exact = Profile.profileNumeric(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(cert.keySet == exact.keySet && cert.nonEmpty)
+    cert.foreach { case (c, r) =>
+      assert(r.getAs[Boolean]("nd_within_tol"), s"$c sketch out of tol")
+      val e = exact(c)
+      Seq("n", "n_distinct").foreach(f =>
+        assert(r.getAs[Long](f) == e.getAs[Long](f), s"$c.$f"))
+      Seq("mean", "stddev").foreach(f =>
+        assert(r.getAs[Double](f) == e.getAs[Double](f), s"$c.$f"))
+      info(f"$c nd=${r.getAs[Long]("n_distinct")}")
+    }
+  }
 }

@@ -219,6 +219,14 @@ class QastBackendsSpec extends SparkSpec {
       "malformed query")
     assert(lake.findLocal(arrKey).left.toOption.get.message ==
       "malformed query")
+    // and on a ONE-row frame too: the closure guard runs per row, not
+    // per comparison (a sort of one row never calls the comparator)
+    val oneRow = """["top", 1, [[".", ["$"], "topics"]],
+         ["==", [".", ["$"], "description"], "World population"]]"""
+    assert(lake.find(oneRow).left.toOption.get.message ==
+      "malformed query")
+    assert(lake.findLocal(oneRow).left.toOption.get.message ==
+      "malformed query")
   }
 
   test("closure backend: literals, arithmetic, nulls behave like Spark") {

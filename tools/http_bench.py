@@ -149,9 +149,22 @@ def main():
         body = r.read()
         return r.status == 200 and body.startswith(b"[")
 
+    # project -> top -> filter: the full verb stack in one request
+    PROJECT_Q = (b'["project", [["who", [".", ["$"], "source"]],'
+                 b' ["ident", ["+", [".", ["$"], "id"], 1]]],'
+                 b' ["top", 5, [["desc", [".", ["$"], "id"]]],'
+                 b' ["==", [".", ["$"], "source"], "http_bench"]]]')
+
+    def do_find_project(c):
+        c.request("POST", "/find", PROJECT_Q)
+        r = c.getresponse()
+        body = r.read()
+        return r.status == 200 and body.startswith(b"[")
+
     results = [run("add", do_add), run("find", do_find), run("get", do_get),
                run("find_group", do_find_group),
-               run("find_top", do_find_top), run("query", do_query)]
+               run("find_top", do_find_top),
+               run("find_project", do_find_project), run("query", do_query)]
     print(json.dumps({"summary": {r["surface"]: r["req_s"] for r in results},
                       "reference": {"add": 357.28, "find": 5575.89,
                                     "get": 6238.30}}), flush=True)
