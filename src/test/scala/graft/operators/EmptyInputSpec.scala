@@ -167,7 +167,19 @@ class EmptyInputSpec extends SparkSpec {
       "qast_top_rows" -> (() =>
         QastQueries.topRows(spark, emptyDir).count()),
       "qast_group_having" -> (() =>
-        QastQueries.groupHaving(spark, emptyDir).count()))
+        QastQueries.groupHaving(spark, emptyDir).count()),
+      // r15 pack: convergence certs, frozen-PCA serving + spectrum,
+      // profile sketch cert, QAST project
+      "kmeans_converged_cert" -> (() =>
+        KMeans.convergedCert(spark, emptyDir).count()),
+      "pq_converged_cert" -> (() =>
+        Opq.pqConvergedCert(spark, emptyDir).count()),
+      "ann_pca_frozen_refined_topk" -> (() =>
+        Pca.annPcaFrozenRefinedTopK(spark, emptyDir).count()),
+      "pca_frozen_variance" -> (() =>
+        Pca.frozenVariance(spark, emptyDir).count()),
+      "qast_project" -> (() =>
+        QastQueries.projectRollup(spark, emptyDir).count()))
     ops.foreach { case (name, run) =>
       val n = try run() catch {
         case e: Throwable => fail(s"$name threw on empty input: $e")
@@ -195,5 +207,11 @@ class EmptyInputSpec extends SparkSpec {
       c.getAs[Boolean]("n_merges_capped") &&
       c.getAs[Boolean]("all_above_threshold") &&
       c.getAs[Boolean]("converged"))
+    // the profile cert is a global aggregation: one row per profiled
+    // column always, n = 0, no throw from the 0/0 stddev (NaN is the
+    // documented empty-corpus value, the same as profile_numeric's)
+    val prof = Profile.profileScaleCert(spark, emptyDir).collect()
+    assert(prof.length == 4, s"profile cert rows: ${prof.length}")
+    assert(prof.forall(_.getAs[Long]("n") == 0L))
   }
 }
