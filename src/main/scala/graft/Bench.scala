@@ -263,6 +263,21 @@ object Bench {
     sb.toString
   }
 
+  /** The COMMITTED bench record's lines (`git show
+    * HEAD:BENCH_QUERIES.jsonl`), or None where git/HEAD is
+    * unavailable. The one implementation every committed-vs-working
+    * comparison goes through — the cross_session classifier here and
+    * the scale-gate hysteresis in GradingSurfaceSpec must read the
+    * same record the same way.
+    */
+  def committedSidecarLines(): Option[Seq[String]] =
+    try {
+      val pr = new ProcessBuilder(
+        "git", "show", "HEAD:BENCH_QUERIES.jsonl").start()
+      val out = new String(pr.getInputStream.readAllBytes, "UTF-8")
+      if (pr.waitFor() == 0) Some(out.linesIterator.toSeq) else None
+    } catch { case _: Exception => None }
+
   def planSha(df: DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(planNorm(df).getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -464,23 +479,26 @@ object Bench {
         ".*\"noise\":(true|false)").r
       if (sys.env.contains("SPARK_GRAFT_NO_REPLAY")) Map.empty
       else try {
-        // the COMMITTED record, not the working-tree file: every bench
-        // run rewrites the sidecar in place, so within one session the
-        // working tree holds the previous RUN, not the previous
-        // SESSION — grading against it would re-introduce the same-
-        // host confound this classifier exists to remove. Fall back
-        // to the on-disk file only where git is unavailable.
-        val committed: Seq[String] = try {
-          val pr = new ProcessBuilder(
-            "git", "show", "HEAD:BENCH_QUERIES.jsonl").start()
-          val out = new String(pr.getInputStream.readAllBytes, "UTF-8")
-          if (pr.waitFor() == 0) out.linesIterator.toSeq else Seq.empty
-        } catch { case _: Exception => Seq.empty }
-        val lines =
-          if (committed.nonEmpty) committed
-          else {
-            val p = java.nio.file.Paths.get(sys.env.getOrElse(
-              "SPARK_GRAFT_BASELINE_SIDECAR", "BENCH_QUERIES.jsonl"))
+        // BOTH halves of the verdict (the drift gate above and this
+        // flag map) must grade against the SAME record: when the
+        // caller pinned an explicit baseline via
+        // SPARK_GRAFT_BASELINE_SIDECAR, honor it here too; otherwise
+        // prefer the COMMITTED record over the working-tree file —
+        // every bench run rewrites the sidecar in place, so within
+        // one session the working tree holds the previous RUN, not
+        // the previous SESSION, and grading against it re-introduces
+        // the same-host confound this classifier exists to remove.
+        val lines: Seq[String] =
+          if (sys.env.contains("SPARK_GRAFT_BASELINE_SIDECAR")) {
+            val p = java.nio.file.Paths.get(
+              sys.env("SPARK_GRAFT_BASELINE_SIDECAR"))
+            if (!java.nio.file.Files.exists(p)) Seq.empty
+            else {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.readAllLines(p).asScala.toSeq
+            }
+          } else committedSidecarLines().getOrElse {
+            val p = java.nio.file.Paths.get("BENCH_QUERIES.jsonl")
             if (!java.nio.file.Files.exists(p)) Seq.empty
             else {
               import scala.jdk.CollectionConverters._

@@ -85,7 +85,15 @@ final class Lake(val spark: SparkSession, root: Path) {
     catalog.search(qastJson)
 
   /** `POST /find`, driver-local closure backend (metadata-scale fast
-    * path; identical results — see Catalog.searchLocal).
+    * path; identical results — see Catalog.searchLocal). One
+    * documented asymmetry: type REJECTIONS that the Column backend
+    * derives statically from the schema (e.g. an array-valued sort
+    * key) can only fire here when at least one row materializes the
+    * offending value — over an empty selection this backend returns
+    * an empty Right where [[find]] returns Left("malformed query").
+    * A schemaless evaluator cannot see types that never appear as
+    * values; the Column backend is strictly stricter, and neither
+    * ever returns wrong rows.
     */
   def findLocal(qastJson: String)
       : Either[graft.qast.Ast.QastError, Seq[graft.qast.Evaluator.Row]] =

@@ -54,6 +54,41 @@ object Profile {
     * widening, not a wide multiply). */
   private def dsum(c: Column): Column = sum(c.cast("decimal(38,0)"))
 
+  /** The moment aggregates all three numeric-profile forms share:
+    * count + per-column min/max and exact decimal Σx, Σx² over the
+    * `v_<col>` fixed-point projections. ONE definition — the cert
+    * (profileScaleCert) certifies the same pipeline the profiles
+    * run, which is only true while they aggregate the same
+    * expressions.
+    */
+  private def momentAggs: Seq[Column] =
+    count(lit(1)).as("n") +: Cols.flatMap { c =>
+      Seq(
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"),
+        dsum(col(s"v_$c")).as(s"sx_$c"),
+        dsum(col(s"v_$c") * col(s"v_$c")).as(s"sxx_$c"))
+    }
+
+  /** The per-column output struct those forms share — exact moments
+    * rendered as mean/stddev, with the form-specific distinct field
+    * (and any trailing extras) injected by the caller.
+    */
+  private def statsRow(c: String, distinctField: Column,
+      extra: Column*): Column = {
+    val n = col("n")
+    val sx = col(s"sx_$c")
+    val sxx = col(s"sxx_$c")
+    struct(Seq(
+      lit(c).as("col_name"), n.as("n"),
+      distinctField,
+      col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"),
+      round(sx.cast("double") / n / lit(10000.0), 6).as("mean"),
+      round(sqrt((n * sxx - sx * sx).cast("double")
+        / (n * (n - lit(1))) / lit(100000000.0)), 6).as("stddev")) ++
+      extra: _*)
+  }
+
   def profileNumeric(s: SparkSession, dir: String): DataFrame = {
     // Two 1-row aggregations crossed at the end, NOT one combined
     // agg: a multi-column countDistinct plans through Expand (every
@@ -67,31 +102,15 @@ object Profile {
     val base = load(s, dir, "lineitem").select(Cols.map(col): _*)
     val projected = base
       .select(Cols.map(col) ++ Cols.map(c => vint(c).as(s"v_$c")): _*)
-    val momentAggs = count(lit(1)).as("n") +: Cols.flatMap { c =>
-      Seq(
-        min(col(c)).as(s"min_$c"),
-        max(col(c)).as(s"max_$c"),
-        dsum(col(s"v_$c")).as(s"sx_$c"),
-        dsum(col(s"v_$c") * col(s"v_$c")).as(s"sxx_$c"))
-    }
+    val ma = momentAggs
     val distinctAggs = Cols.map(c => countDistinct(col(c)).as(s"nd_$c"))
-    val a = projected.agg(momentAggs.head, momentAggs.tail: _*)
+    val a = projected.agg(ma.head, ma.tail: _*)
       .crossJoin(broadcast(
         base.agg(distinctAggs.head, distinctAggs.tail: _*)))
     // one row per column out of the single aggregate row: an inline'd
     // struct array, so the aggregation runs once (not once per column)
-    val rows = Cols.map { c =>
-      val n = col("n")
-      val sx = col(s"sx_$c")
-      val sxx = col(s"sxx_$c")
-      struct(
-        lit(c).as("col_name"), n.as("n"),
-        col(s"nd_$c").as("n_distinct"),
-        col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"),
-        round(sx.cast("double") / n / lit(10000.0), 6).as("mean"),
-        round(sqrt((n * sxx - sx * sx).cast("double")
-          / (n * (n - lit(1))) / lit(100000000.0)), 6).as("stddev"))
-    }
+    val rows = Cols.map(c =>
+      statsRow(c, col(s"nd_$c").as("n_distinct")))
     a.select(inline(array(rows: _*))).orderBy(col("col_name"))
   }
 
@@ -121,30 +140,14 @@ object Profile {
     val base = load(s, dir, "lineitem").select(Cols.map(col): _*)
     val projected = base
       .select(Cols.map(col) ++ Cols.map(c => vint(c).as(s"v_$c")): _*)
-    val momentAggs = count(lit(1)).as("n") +: Cols.flatMap { c =>
-      Seq(
-        min(col(c)).as(s"min_$c"),
-        max(col(c)).as(s"max_$c"),
-        dsum(col(s"v_$c")).as(s"sx_$c"),
-        dsum(col(s"v_$c") * col(s"v_$c")).as(s"sxx_$c"))
-    }
+    val ma = momentAggs
     val sketchAggs = Cols.map(c =>
       approx_count_distinct(col(c), 0.01).as(s"nd_$c"))
-    val a = projected.agg(momentAggs.head, momentAggs.tail: _*)
+    val a = projected.agg(ma.head, ma.tail: _*)
       .crossJoin(broadcast(
         base.agg(sketchAggs.head, sketchAggs.tail: _*)))
-    val rows = Cols.map { c =>
-      val n = col("n")
-      val sx = col(s"sx_$c")
-      val sxx = col(s"sxx_$c")
-      struct(
-        lit(c).as("col_name"), n.as("n"),
-        col(s"nd_$c").as("n_distinct_approx"),
-        col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"),
-        round(sx.cast("double") / n / lit(10000.0), 6).as("mean"),
-        round(sqrt((n * sxx - sx * sx).cast("double")
-          / (n * (n - lit(1))) / lit(100000000.0)), 6).as("stddev"))
-    }
+    val rows = Cols.map(c =>
+      statsRow(c, col(s"nd_$c").as("n_distinct_approx")))
     a.select(inline(array(rows: _*))).orderBy(col("col_name"))
   }
 
@@ -184,33 +187,18 @@ object Profile {
     val base = load(s, dir, "lineitem").select(Cols.map(col): _*)
     val projected = base
       .select(Cols.map(col) ++ Cols.map(c => vint(c).as(s"v_$c")): _*)
-    val momentAggs = count(lit(1)).as("n") +: Cols.flatMap { c =>
-      Seq(
-        min(col(c)).as(s"min_$c"),
-        max(col(c)).as(s"max_$c"),
-        dsum(col(s"v_$c")).as(s"sx_$c"),
-        dsum(col(s"v_$c") * col(s"v_$c")).as(s"sxx_$c"))
-    }
+    val ma = momentAggs
     val distinctAggs = Cols.map(c => countDistinct(col(c)).as(s"nd_$c"))
     val sketchAggs = Cols.map(c =>
       approx_count_distinct(col(c), 0.01).as(s"nda_$c"))
-    val a = projected.agg(momentAggs.head, momentAggs.tail: _*)
+    val a = projected.agg(ma.head, ma.tail: _*)
       .crossJoin(broadcast(
         base.agg(distinctAggs.head, distinctAggs.tail: _*)))
       .crossJoin(broadcast(
         base.agg(sketchAggs.head, sketchAggs.tail: _*)))
     val rows = Cols.map { c =>
-      val n = col("n")
-      val sx = col(s"sx_$c")
-      val sxx = col(s"sxx_$c")
       val nd = col(s"nd_$c")
-      struct(
-        lit(c).as("col_name"), n.as("n"),
-        nd.as("n_distinct"),
-        col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"),
-        round(sx.cast("double") / n / lit(10000.0), 6).as("mean"),
-        round(sqrt((n * sxx - sx * sx).cast("double")
-          / (n * (n - lit(1))) / lit(100000000.0)), 6).as("stddev"),
+      statsRow(c, nd.as("n_distinct"),
         (abs(col(s"nda_$c") - nd).cast("double")
           <= lit(NdTol) * nd.cast("double")).as("nd_within_tol"))
     }

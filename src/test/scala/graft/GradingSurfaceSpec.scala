@@ -173,22 +173,35 @@ class GradingSurfaceSpec extends SparkSpec
     // the working-tree record AND the committed (HEAD) record, i.e.
     // the weight persisted across two sessions. Queries absent from
     // HEAD (registered this session) gate on the working tree alone.
+    //
+    // Second tier: a working-tree time past HardGateSec gates
+    // IMMEDIATELY even where HEAD was light — host spread of a
+    // boundary query tops out around 2.1-2.5 s, so 3 s+ is a genuine
+    // regression, and waiting a round for the hysteresis would ship
+    // exactly the invisible-growth class (r13's ×15-31) the gate
+    // exists to catch.
+    val HardGateSec = 2.0 * ScaleGateSec
+    val workHard: Set[String] = {
+      val secRe2 = "\"query\":\"([^\"]+)\",\"sec\":([0-9.]+)".r
+      java.nio.file.Files.readAllLines(benchPath).asScala.iterator
+        .flatMap(l => secRe2.findFirstMatchIn(l))
+        .collect { case m if m.group(2).toDouble > HardGateSec &&
+          SparkEntry.queries.contains(m.group(1)) => m.group(1) }
+        .toSet
+    }
     val headRecord: Option[Set[String]] =
-      try {
-        val p = new ProcessBuilder("git", "show", "HEAD:BENCH_QUERIES.jsonl")
-          .redirectErrorStream(false).start()
-        val out = new String(p.getInputStream.readAllBytes, "UTF-8")
-        if (p.waitFor() == 0) {
-          // membership = rows WITH a timing (secRe): an error-only row
-          // at HEAD is zero committed timing evidence — the same
-          // epistemic state as "registered this session", so it gates
-          // on the working tree alone rather than escaping the gate
-          val inHead = "\"query\":\"([^\"]+)\",\"sec\":".r
-            .findAllMatchIn(out).map(_.group(1)).toSet
-          val heavyHead = heavyIn(out.linesIterator.toSeq)
-          Some(workHeavy.filter(q => heavyHead(q) || !inHead(q)))
-        } else None
-      } catch { case _: Exception => None }
+      graft.Bench.committedSidecarLines().map { lines =>
+        // membership = rows WITH a timing (secRe): an error-only row
+        // at HEAD is zero committed timing evidence — the same
+        // epistemic state as "registered this session", so it gates
+        // on the working tree alone rather than escaping the gate
+        val inHead = lines.iterator
+          .flatMap(l => "\"query\":\"([^\"]+)\",\"sec\":".r
+            .findFirstMatchIn(l)).map(_.group(1)).toSet
+        val heavyHead = heavyIn(lines)
+        workHeavy.filter(q =>
+          heavyHead(q) || !inHead(q) || workHard(q))
+      }
     val heavy = headRecord.getOrElse(workHeavy)
     val scaled: Set[String] = {
       // whitespace-tolerant: SCALE_r13 writes `"query": "..."`,
