@@ -26,8 +26,13 @@ object Approx {
   def hllDistinct(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey"), 0.05).as("est_orders"),
-        approx_count_distinct(col("l_suppkey"), 0.05).as("est_suppliers"))
+      // compact-buffer twin of approx_count_distinct — bit-identical
+      // estimates (HllDistinctSpec), none of the builtin's wide
+      // aggregation-buffer codegen cost
+      .agg(graft.functions.HllDistinct(col("l_orderkey"), 0.05)
+          .as("est_orders"),
+        graft.functions.HllDistinct(col("l_suppkey"), 0.05)
+          .as("est_suppliers"))
       .orderBy(col("l_returnflag"))
 
   /** Approximate percentiles (t-digest-style sketch, mergeable) next

@@ -141,8 +141,13 @@ object Profile {
     val projected = base
       .select(Cols.map(col) ++ Cols.map(c => vint(c).as(s"v_$c")): _*)
     val ma = momentAggs
+    // graft.functions.HllDistinct = approx_count_distinct with a
+    // single-field buffer: bit-identical estimates (HllDistinctSpec),
+    // but without the builtin's 1,639-long-column aggregation buffer,
+    // whose per-task codegen string assembly dominated this query
+    // (~3.2 s of the sf0.1 bench; see OPTIMIZATION_r16.md)
     val sketchAggs = Cols.map(c =>
-      approx_count_distinct(col(c), 0.01).as(s"nd_$c"))
+      graft.functions.HllDistinct.fp(col(c), 0.01).as(s"nd_$c"))
     val a = projected.agg(ma.head, ma.tail: _*)
       .crossJoin(broadcast(
         base.agg(sketchAggs.head, sketchAggs.tail: _*)))
@@ -189,8 +194,10 @@ object Profile {
       .select(Cols.map(col) ++ Cols.map(c => vint(c).as(s"v_$c")): _*)
     val ma = momentAggs
     val distinctAggs = Cols.map(c => countDistinct(col(c)).as(s"nd_$c"))
+    // same compact-buffer HLL as [[profileNumericScale]] — the cert
+    // must grade the estimator the serving form actually runs
     val sketchAggs = Cols.map(c =>
-      approx_count_distinct(col(c), 0.01).as(s"nda_$c"))
+      graft.functions.HllDistinct.fp(col(c), 0.01).as(s"nda_$c"))
     val a = projected.agg(ma.head, ma.tail: _*)
       .crossJoin(broadcast(
         base.agg(distinctAggs.head, distinctAggs.tail: _*)))
