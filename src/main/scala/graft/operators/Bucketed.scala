@@ -33,13 +33,20 @@ object Bucketed {
       base: String): (String, String) = {
     val (lt, ot) = ("graft_bkt_lineitem", "graft_bkt_orders")
     Seq(lt, ot).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    // bucket-aligned write: without the repartition every scan task
+    // writes its own file per bucket (tasks × Buckets small files +
+    // as many commit-protocol moves); repartitioning on the bucket
+    // key first makes each bucket exactly one file — the standard
+    // small-files fix for bucketed writes at any scale
     load(s, dir, "lineitem")
       .select("l_orderkey", "l_extendedprice", "l_discount")
+      .repartition(Buckets, col("l_orderkey"))
       .write.option("path", s"$base/$lt")
       .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable(lt)
     load(s, dir, "orders")
       .select("o_orderkey", "o_orderpriority")
+      .repartition(Buckets, col("o_orderkey"))
       .write.option("path", s"$base/$ot")
       .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable(ot)

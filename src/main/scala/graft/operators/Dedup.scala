@@ -111,6 +111,15 @@ object Dedup {
       .select(col("doc_id"), size(col("sh")).as("n"),
         explode(col("sh")).as("shingle"))
       .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("shingle"))
+      // partitioned BY THE JOIN KEY before caching (r16, guide §2.4):
+      // the self-join's two legs then read co-partitioned cache
+      // blocks and need NO exchange of their own — one shuffle where
+      // the uncached plan paid two — and the shingle compute + cache
+      // build parallelize across the cluster instead of inheriting
+      // the source file's split count (ONE task on the toy SFs).
+      // Project is alias-aware, so the renamed legs keep the
+      // partitioning.
+      .repartition(col("shingle"))
       .cache()
 
   /** All (id_a, id_b) pairs with shingle-Jaccard ≥ [[JaccardThreshold]]

@@ -146,9 +146,35 @@ object DocStream {
 
   def md5Signed(docs: DataFrame): Dataset[SigDocS] = {
     import docs.sparkSession.implicits._
-    docs
-      .select(col("doc_id"),
-        md5Signature(Dedup.shingles(col("text"))).as("sig"))
+    // Batch frames compute the same values as
+    // `md5Signature(shingles(text))` restructured for codegen (r16,
+    // guide §4): higher-order-function lambdas evaluate interpreted,
+    // so the nested transform/array_min form paid ~2 s of the sf0.1
+    // bench computing docs × shingles × perms md5s row-at-a-time.
+    // Exploding shingles moves the md5s into a whole-stage-codegen
+    // projection and `min` aggregation — bit-identical sigs (same
+    // strings hashed, same lexicographic min, map-side combinable);
+    // explode_outer keeps empty-shingle docs as the all-null
+    // signature array_min produced before. Streaming frames keep the
+    // HOF form: an aggregation before flatMapGroupsWithState is
+    // unsupported in append mode, and a micro-batch is small enough
+    // that the interpreted lambda cost doesn't matter there.
+    val signedDf =
+      if (docs.isStreaming)
+        docs.select(col("doc_id"),
+          md5Signature(Dedup.shingles(col("text"))).as("sig"))
+      else {
+        val minCols = (0 until OraclePerms).map(p =>
+          min(md5(concat(lit(p.toString), lit("|"), col("sh")))).as(s"m$p"))
+        docs
+          .select(col("doc_id"),
+            explode_outer(Dedup.shingles(col("text"))).as("sh"))
+          .groupBy(col("doc_id"))
+          .agg(minCols.head, minCols.tail: _*)
+          .select(col("doc_id"),
+            array((0 until OraclePerms).map(p => col(s"m$p")): _*).as("sig"))
+      }
+    signedDf
       .select(col("doc_id"),
         md5(concat_ws("", slice(col("sig"), 1, OracleBandRows)))
           .as("bucket"),
