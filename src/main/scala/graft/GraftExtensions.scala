@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{HilbertKey, LshBuckets, MinHashSig, Shingles3, SimHash64, SortedBucket, VecDot}
+import graft.functions.{HilbertKey, LshBuckets, MinHashSig, Shingles3, SimHash64, SortedBucket, VecDot, VecL2Sq}
 
 /** Session extension registering graft's native expressions, so they
   * are callable from SQL and `call_function` in any session configured
@@ -60,6 +60,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "vec_dot(a, b) takes 2 arguments")
         VecDot(args.head, args(1))
+      }),
+    (new FunctionIdentifier("vec_l2sq"),
+      new ExpressionInfo(classOf[VecL2Sq].getName, "vec_l2sq"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_l2sq(a, b) takes 2 arguments")
+        VecL2Sq(args.head, args(1))
       }),
     (new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),

@@ -18,6 +18,9 @@ package object functions {
     vecDot(a, b) / sqrt(vecDot(a, a)) / sqrt(vecDot(b, b))
   }
 
+  /** Codegen squared L2 distance of two numeric arrays (VecL2Sq). */
+  def vecL2Sq(a: Column, b: Column): Column = call_function("vec_l2sq", a, b)
+
   /** One-pass MinHash signature of a string array (MinHashSig). */
   def minhashSig(shingles: Column, numPerms: Int): Column =
     call_function("minhash_sig", shingles, lit(numPerms))

@@ -77,15 +77,20 @@ object Opq {
   private def identityRows: Seq[Seq[Double]] =
     Seq.tabulate(Dim, Dim)((i, j) => if (i == j) 1.0 else 0.0)
 
-  /** R·v as a narrow expression: the matrix enters the plan as a
-    * literal array-of-rows; each output coordinate is one fused
-    * multiply-add fold. No join, no shuffle, stays inside
-    * whole-stage codegen.
+  /** R·v as a narrow expression: the matrix enters the plan as one
+    * array-literal per row and each output coordinate is one native
+    * `vec_dot` (codegen fused multiply-add loop, functions/VecDot).
+    * No join, no shuffle. The previous
+    * `transform(typedLit(rows), r => aggregate(zip_with(r, v, …)))`
+    * form evaluated INTERPRETED (HOF lambdas never reach whole-stage
+    * codegen) and dominated the warm OPQ serving stacks (r16 stack
+    * sample: ArrayAggregate/ZipWith.eval). vec_dot performs the same
+    * left-to-right double fold from 0.0, so every rotated coordinate
+    * is bit-identical — the frozen-rotation oracles encode exactly
+    * this fold order.
     */
   private def rotate(v: Column, rows: Seq[Seq[Double]]): Column =
-    transform(typedLit(rows), r =>
-      aggregate(zip_with(r, v, (a, b) => a * b.cast("double")),
-        lit(0.0), (acc, x) => acc + x))
+    array(rows.map(r => graft.functions.vecDot(typedLit(r), v)): _*)
 
   private val queryPred: Column = col("vec_id") % 100 === 0
 

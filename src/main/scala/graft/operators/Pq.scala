@@ -48,13 +48,13 @@ object Pq {
 
   /** Squared L2 distance between two float-array slices, folded
     * left-to-right in double — bit-identical to the oracle's
-    * `list_reduce(list_zip(...))` fold.
+    * `list_reduce(list_zip(...))` fold. Native codegen expression
+    * (functions/VecL2Sq, r16): the declarative `aggregate(zip_with)`
+    * form it replaces evaluated interpreted per element and dominated
+    * the warm PQ/OPQ serving stacks; same fold order, same values.
     */
   private[operators] def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b,
-      (x, y) => (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.vecL2Sq(a, b)
 
   /** Slices an embedding-like array column into its M subvectors:
     * posexplode output normalized to (…, subspace: long, sub).
