@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{HilbertKey, LshBuckets, MinHashSig, Shingles3, SimHash64, SortedBucket, VecDot, VecL2Sq}
+import graft.functions.{HilbertKey, LshBuckets, Md5LshBuckets, MinHashSig, Shingles3, SimHash64, SortedBucket, SortedSetJaccard, VecDot, VecL2Sq}
 
 /** Session extension registering graft's native expressions, so they
   * are callable from SQL and `call_function` in any session configured
@@ -108,6 +108,27 @@ object GraftExtensions {
             s"bits must be an integer literal, got $other")
         }
         HilbertKey(args.head, args(1), bits)
+      }),
+    (new FunctionIdentifier("md5_lsh_buckets"),
+      new ExpressionInfo(classOf[Md5LshBuckets].getName,
+        "md5_lsh_buckets"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "md5_lsh_buckets(vec, bits) takes 2 arguments")
+        val bits = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"bits must be an integer literal, got $other")
+        }
+        Md5LshBuckets(args.head, bits)
+      }),
+    (new FunctionIdentifier("sorted_set_jaccard"),
+      new ExpressionInfo(classOf[SortedSetJaccard].getName,
+        "sorted_set_jaccard"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "sorted_set_jaccard(a, b) takes 2 arguments")
+        SortedSetJaccard(args.head, args(1))
       }),
     (new FunctionIdentifier("sorted_bucket"),
       new ExpressionInfo(classOf[SortedBucket].getName, "sorted_bucket"),

@@ -21,6 +21,18 @@ package object functions {
   /** Codegen squared L2 distance of two numeric arrays (VecL2Sq). */
   def vecL2Sq(a: Column, b: Column): Column = call_function("vec_l2sq", a, b)
 
+  /** Exact set Jaccard of two SORTED long arrays via a fused merge
+    * walk (SortedSetJaccard) — caller must guarantee sortedness.
+    */
+  def sortedSetJaccard(a: Column, b: Column): Column =
+    call_function("sorted_set_jaccard", a, b)
+
+  /** All md5-plane LSH bucket ids of an embedding in one fused pass
+    * (Md5LshBuckets).
+    */
+  def md5LshBuckets(v: Column, bits: Int): Column =
+    call_function("md5_lsh_buckets", v, lit(bits))
+
   /** One-pass MinHash signature of a string array (MinHashSig). */
   def minhashSig(shingles: Column, numPerms: Int): Column =
     call_function("minhash_sig", shingles, lit(numPerms))

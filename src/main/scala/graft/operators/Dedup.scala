@@ -113,12 +113,17 @@ object Dedup {
       .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("shingle"))
       // partitioned BY THE JOIN KEY before caching (r16, guide §2.4):
       // the self-join's two legs then read co-partitioned cache
-      // blocks and need NO exchange of their own — one shuffle where
-      // the uncached plan paid two — and the shingle compute + cache
-      // build parallelize across the cluster instead of inheriting
-      // the source file's split count (ONE task on the toy SFs).
-      // Project is alias-aware, so the renamed legs keep the
-      // partitioning.
+      // blocks — for non-broadcast plans the equi-join reuses this
+      // partitioning — and the cache BUILD parallelizes past the
+      // source file's split count (ONE task on the toy SFs). Project
+      // is alias-aware, so the renamed legs keep the partitioning.
+      // r17 note: eager materialization (count() before fan-out) and
+      // a doc-level repartition ahead of the shingle pass were BOTH
+      // measured here and regressed the clusters family
+      // (dedup_clusters 2.08→3.13 s, split_leakage_safe 2.03→3.06 s —
+      // the extra job serializes work AQE otherwise overlaps across
+      // the two legs); ngramJaccardPrefix's hs cache is where that
+      // treatment wins (see below).
       .repartition(col("shingle"))
       .cache()
 
@@ -262,11 +267,20 @@ object Dedup {
     */
   def ngramJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
     // shingle hashes sorted once: prefix slicing and verification both
-    // work on 8-byte keys
-    val hs = docShingles(s, dir)
+    // work on 8-byte keys. Partitioned by doc_id BEFORE the shingle
+    // pass (parallelizes the compute past the source's split count —
+    // doc_id is also the verification joins' key), and EAGERLY
+    // materialized: the cache feeds THREE consumers (the prefix
+    // explode and both verification legs) which otherwise race the
+    // build, each stage recomputing it (the r16 verdict's one-task
+    // triple-build trace).
+    val hs = load(s, dir, "documents")
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
-        sort_array(transform(col("sh"), t => xxhash64(t))).as("hs"))
+        sort_array(transform(shingles(col("text")), t => xxhash64(t)))
+          .as("hs"))
       .cache()
+    hs.count()
     val prefixLen = (size(col("hs"))
       - ceil(size(col("hs")) * JaccardThreshold) + 1).cast("int")
     val prefixes = hs.select(col("doc_id"),
@@ -278,7 +292,11 @@ object Dedup {
     cands
       .join(hs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(hs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("hs_a"), col("hs_b")))
+      // hs is sorted: the fused merge walk computes the identical
+      // |∩|/|∪| without the per-pair SQLOpenHashSet builds that
+      // dominated this query's verification stage (guide §4)
+      .withColumn("jaccard",
+        graft.functions.sortedSetJaccard(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))

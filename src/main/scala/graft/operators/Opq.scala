@@ -98,7 +98,10 @@ object Opq {
   def model(s: SparkSession, dir: String): Model =
     OperatorCaches.trainedMemo(s"opq|$dir") {
       import s.implicits._
-      val emb = load(s, dir, "embeddings")
+      // training reads emb once per iteration (rotate) plus the gram
+      // join — partitioned by vec_id so every pass runs wide and the
+      // gram join reuses the partitioning (see candidatesWith)
+      val emb = load(s, dir, "embeddings").repartition(col("vec_id"))
         .select(col("vec_id"), col("embedding")).cache()
       var rot: Seq[Seq[Double]] = identityRows
       var cb: Seq[(Long, Long, Array[Float])] = Seq.empty
@@ -409,7 +412,8 @@ object Opq {
     * (Lloyd's degeneracy surfaces as a missing row, not a null).
     */
   def pqFrozenStats(s: SparkSession, dir: String): DataFrame = {
-    val rv = load(s, dir, "embeddings")
+    // repartition before rotation — see candidatesWith
+    val rv = load(s, dir, "embeddings").repartition(col("vec_id"))
       .select(col("vec_id"), rotate(col("embedding"), FrozenAnn.rot).as("rv"))
     Pq.slicedFrame(rv, "vec_id", "rv", "vec_id", "sub")
       .join(broadcast(FrozenAnn.codebookFrame(s)), Seq("subspace"))
@@ -455,7 +459,8 @@ object Opq {
     */
   def pqConvergedCert(s: SparkSession, dir: String): DataFrame = {
     val cb = FrozenAnn.codebookFrame(s)
-    val rv = load(s, dir, "embeddings")
+    // repartition before rotation — see candidatesWith
+    val rv = load(s, dir, "embeddings").repartition(col("vec_id"))
       .select(col("vec_id"), rotate(col("embedding"), FrozenAnn.rot).as("rv"))
     val assigned = Pq.slicedFrame(rv, "vec_id", "rv", "vec_id", "sub")
       .join(broadcast(cb), Seq("subspace"))
@@ -489,7 +494,13 @@ object Opq {
     */
   private def candidatesWith(s: SparkSession, dir: String,
       rot: Seq[Seq[Double]], cb: DataFrame): DataFrame = {
-    val rv = load(s, dir, "embeddings")
+    // repartition(vec_id) before the rotation (r17, guide §2): the
+    // encode groupBy(vec_id, subspace) needs vec_id clustering anyway,
+    // so the exchange relocates below the 64×64 rotation fold and the
+    // K-way scoring instead of being added — and both parallelize
+    // past the single source split (the r17 profile showed this whole
+    // chain as one task).
+    val rv = load(s, dir, "embeddings").repartition(col("vec_id"))
       .select(col("vec_id"), rotate(col("embedding"), rot).as("rv"))
     val luts = Pq.slicedFrame(rv.filter(queryPred), "vec_id", "rv",
       "query_id", "qsub")

@@ -80,8 +80,14 @@ object Pq {
     * encoding and codebook training.
     */
   private def subvectors(s: SparkSession, dir: String): DataFrame =
-    slicedFrame(load(s, dir, "embeddings"), "vec_id", "embedding",
-      "vec_id", "sub")
+    // repartition(vec_id) before slicing (r17, guide §2): encoding's
+    // groupBy(vec_id, subspace) needs clustering by vec_id anyway
+    // (hashpartitioning(vec_id) satisfies it — subset of the group
+    // keys), so this relocates that exchange below the K-way scoring
+    // expansion rather than adding one, and the scoring parallelizes
+    // past the source's single split.
+    slicedFrame(load(s, dir, "embeddings").repartition(col("vec_id")),
+      "vec_id", "embedding", "vec_id", "sub")
 
   /** The deterministic seed codebook over ANY (id, vector) frame:
     * (subspace, code, cvec_sub) — the K smallest-id vectors with
@@ -533,6 +539,10 @@ object Pq {
         zip_with(col("cv"), col("cvec"),
           (x, y) => x.cast("double") - y.cast("double")).as("rv"))
       .cache()
+    // eager materialization (r17): codebook seeds, corpus codes and
+    // LUTs all fan out from this cache — racing its build recomputes
+    // the whole N×C assignment per consumer stage
+    resid.count()
     // shared residual codebook: the PQ seeds' own residuals (same
     // seed rule as codebooks(), over the residual frame) — refined by
     // the per-subspace Lloyd's loop when trained

@@ -302,7 +302,17 @@ object Similarity {
 
   private def scoredCells(s: SparkSession, dir: String,
       cents: DataFrame): DataFrame =
-    corpus(s, dir).join(broadcast(cents))
+    corpus(s, dir)
+      // hash the corpus across the scale-adaptive shuffle-partition
+      // count BEFORE the N×C scoring (r17, guide §2): the argmax
+      // groupBy downstream needs hashpartitioning(vec_id) anyway, so
+      // this relocates that one exchange BELOW the expensive scoring
+      // join instead of adding one — same shuffle count, and the
+      // scoring no longer inherits the source's split count (ONE task
+      // at the toy SFs; the r17 stage traces show the whole IVF/PQ
+      // serving family serialized behind it).
+      .repartition(col("vec_id"))
+      .join(broadcast(cents))
       .withColumn("cs", Dedup.cosine(col("embedding"), col("cvec")))
 
   /** Every vector's cell: argmax cosine, smallest cent_id on ties —
@@ -584,13 +594,8 @@ object Similarity {
     * bit-identically cross-engine (the classic sign-random-projection
     * LSH family — Charikar 2002 — with hash-derived signs).
     */
-  def md5Plane(t: Int, b: Int): Array[Float] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(Dim) { d =>
-      val h = md.digest(s"lsh:$t:$b:$d".getBytes("UTF-8"))
-      if (((h(0) >> 4) & 1) == 1) 1.0f else -1.0f
-    }
-  }
+  def md5Plane(t: Int, b: Int): Array[Float] =
+    graft.functions.Md5LshBuckets.plane(t, b)
 
   /** The md5-domain GRADED twin of [[lshTopK]] (the KMV recipe):
     * identical pipeline shape — bucket the corpus and the queries per
@@ -612,12 +617,13 @@ object Similarity {
     */
   def lshMd5TopK(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir)
-    def bucketsOf(v: Column): Column = array((0 until NumTables).map { t =>
-      (0 until BitsPerTable).map { b =>
-        when(call_function("vec_dot", v,
-          typedLit(md5Plane(t, b))) > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
+    // fused one-pass bucketing (r17, guide §4): the composed
+    // vec_dot-per-bit form built a NumTables×bits expression tree of
+    // literal-array dots per row — functions/Md5LshBuckets computes
+    // the identical bucket ids (same planes, same fold, same strict
+    // sign test) in one generated loop
+    def bucketsOf(v: Column): Column =
+      graft.functions.md5LshBuckets(v, BitsPerTable)
     def withBuckets(df: DataFrame, idCol: String, vecCol: String) =
       df.select(col(idCol), col(vecCol), posexplode(bucketsOf(col(vecCol))))
         .toDF(idCol, vecCol, "table", "bucket")
@@ -697,12 +703,10 @@ object Similarity {
   def lshScaledTopK(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir)
     val bits = scaledLshBits(e.count())
-    def bucketsOf(v: Column): Column = array((0 until NumTables).map { t =>
-      (0 until bits).map { b =>
-        when(call_function("vec_dot", v,
-          typedLit(md5Plane(t, b))) > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
+    // fused one-pass bucketing — see lshMd5TopK (same expression, the
+    // capacity rule only changes its `bits` literal)
+    def bucketsOf(v: Column): Column =
+      graft.functions.md5LshBuckets(v, bits)
     def withBuckets(df: DataFrame, idCol: String, vecCol: String) =
       df.select(col(idCol), col(vecCol), posexplode(bucketsOf(col(vecCol))))
         .toDF(idCol, vecCol, "table", "bucket")
