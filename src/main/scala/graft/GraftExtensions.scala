@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{HilbertKey, LshBuckets, Md5LshBuckets, MinHashSig, Shingles3, SimHash64, SortedBucket, SortedSetJaccard, VecDot, VecL2Sq}
+import graft.functions.{HilbertKey, LshBuckets, Md5LshBuckets, MinHashSig, Round6Micros, Shingles3, SimHash64, SortedBucket, SortedSetJaccard, VecDot, VecL2Sq}
 
 /** Session extension registering graft's native expressions, so they
   * are callable from SQL and `call_function` in any session configured
@@ -108,6 +108,13 @@ object GraftExtensions {
             s"bits must be an integer literal, got $other")
         }
         HilbertKey(args.head, args(1), bits)
+      }),
+    (new FunctionIdentifier("round6_micros"),
+      new ExpressionInfo(classOf[Round6Micros].getName,
+        "round6_micros"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "round6_micros(x) takes 1 argument")
+        Round6Micros(args.head)
       }),
     (new FunctionIdentifier("md5_lsh_buckets"),
       new ExpressionInfo(classOf[Md5LshBuckets].getName,

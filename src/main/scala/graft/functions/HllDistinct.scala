@@ -125,9 +125,17 @@ object HllDistinct {
     udaf(aggregator(rsd), Encoders.LONG)
       .apply(when(c.isNotNull, xxhash64(c)))
 
-  /** Distinct-count of a FLOAT/DOUBLE column: applies the builtin's
+  /** Distinct-count of a DOUBLE column: applies the builtin's
     * floating-point canonicalization (-0.0 → 0.0, NaN → canonical NaN)
     * before hashing, so the register contents match bit for bit.
+    *
+    * DOUBLE ONLY (r17, the r16 advisor's note): `c + lit(0.0)` widens
+    * a FloatType input to double before xxhash64, while the builtin
+    * hashes the 4-byte float representation — a float column here
+    * would estimate from DIFFERENT register contents than
+    * `approx_count_distinct`. All call sites (Profile's numeric
+    * sketches) are double; pass a float column through the builtin,
+    * or canonicalize without widening, before reusing this.
     */
   def fp(c: Column, rsd: Double): Column =
     udaf(aggregator(rsd), Encoders.LONG)

@@ -26,6 +26,15 @@ import org.apache.spark.sql.types._
   *
   * Accepts float and/or double element types; null arrays propagate
   * null; vectors are assumed null-element-free (embedding slices are).
+  *
+  * Length-mismatch behavior, stated plainly (r17, the r16 advisor's
+  * note): the fold runs over min(|a|, |b|) elements and returns that
+  * partial distance, where the replaced `aggregate(zip_with(...))`
+  * form returned NULL (zip_with pads with nulls, poisoning the sum) —
+  * same convention as [[VecDot]]. Every call site slices both arrays
+  * from the same fixed-dimension geometry, so the case is unreachable
+  * in queries; a malformed codebook surfaces as a wrong distance, not
+  * a null. VecL2SqSpec pins this contract.
   */
 case class VecL2Sq(left: Expression, right: Expression)
     extends BinaryExpression {

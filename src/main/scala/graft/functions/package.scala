@@ -33,6 +33,12 @@ package object functions {
   def md5LshBuckets(v: Column, bits: Int): Column =
     call_function("md5_lsh_buckets", v, lit(bits))
 
+  /** Half-up 6-decimal rounding to exact long micro-units
+    * (Round6Micros) — for bounded-group exact sums.
+    */
+  def round6Micros(x: Column): Column =
+    call_function("round6_micros", x)
+
   /** One-pass MinHash signature of a string array (MinHashSig). */
   def minhashSig(shingles: Column, numPerms: Int): Column =
     call_function("minhash_sig", shingles, lit(numPerms))

@@ -621,12 +621,18 @@ object Layout {
     val path = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       prefix + Integer.toHexString(dir.hashCode)).toString
-    writeZBucketed(s, src, "l_partkey", "l_orderkey", path, curve = curve)
+    // ONE stats pass (r17, guide §1/§6): the write's normalization
+    // bounds and the probe's box percentiles are the SAME four
+    // min/max values — computing them here and handing them to
+    // writeZBucketed drops a second full scan of the fact table per
+    // probe lifecycle.
     val st = src.agg(min(col("l_partkey")), max(col("l_partkey")),
       min(col("l_orderkey")), max(col("l_orderkey"))).head
     def pct(lo: Long, hi: Long, p: Long) = lo + (hi - lo) * p / 100
     val (amin, amax) = (st.getLong(0), st.getLong(1))
     val (bmin, bmax) = (st.getLong(2), st.getLong(3))
+    writeZBucketed(s, src, "l_partkey", "l_orderkey", path, curve = curve,
+      bounds = Some((amin, amax, bmin, bmax)))
     zOrderedProbe(s, path,
       pct(amin, amax, 45), pct(amin, amax, 55),
       pct(bmin, bmax, 45), pct(bmin, bmax, 55))
@@ -654,13 +660,20 @@ object Layout {
     * post-rebuild exactness.
     */
   def writeBloomSidecar(s: SparkSession, path: String,
-      column: String, fpp: Double = 0.01): Unit = {
+      column: String, fpp: Double = 0.01,
+      rowCount: Option[Long] = None): Unit = {
     val layout = s.read.parquet(path)
-    val perBucket = math.max(layout.count() /
+    // rowCount: a caller that already counted the rows it just wrote
+    // (bloomPointProbeQuery's one-pass stats) skips this count's
+    // listing + footer pass over the fresh layout
+    val perBucket = math.max(rowCount.getOrElse(layout.count()) /
       (1L << readZBounds(s, path).bucketBits), 64L)
     val bits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(perBucket, fpp)
+    // coalesce(1): the sidecar is 2^bucketBits KB-scale rows read back
+    // with one collect — 16 one-row files were pure commit overhead
     bloomsOf(layout, column, perBucket, bits)
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$path.blooms")
   }
 
@@ -763,9 +776,18 @@ object Layout {
     val path = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       "graft_bprobe_" + Integer.toHexString(dir.hashCode)).toString
-    writeZBucketed(s, src, "l_partkey", "l_suppkey", path)
-    writeBloomSidecar(s, path, "l_orderkey")
-    val k = src.agg(max(col("l_orderkey"))).head.getLong(0)
+    // ONE stats pass (r17): bounds for the write, the probe key and
+    // the row count for the filter sizing all come from a single
+    // aggregation — this lifecycle previously scanned the fact table
+    // three times (write bounds, sidecar count, max key).
+    val st = src.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey")),
+      max(col("l_orderkey")), count(lit(1))).head
+    writeZBucketed(s, src, "l_partkey", "l_suppkey", path,
+      bounds = Some((st.getLong(0), st.getLong(1),
+        st.getLong(2), st.getLong(3))))
+    writeBloomSidecar(s, path, "l_orderkey", rowCount = Some(st.getLong(5)))
+    val k = st.getLong(4)
     bloomPointProbe(s, path, k)
       .orderBy(col("l_partkey"), col("l_suppkey"))
   }

@@ -390,7 +390,9 @@ object Opq {
       "query_id", "qrv", "query_id", "qsub", carry = Seq("cell"))
       .join(rcb, Seq("subspace"))
       .select(col("query_id"), col("cell"), col("subspace"), col("code"),
-        Pq.l2sq(col("qsub"), col("cvec_sub")).as("d2"))
+        // micro-unit LUT distance — see Pq.adcScores (r17)
+        graft.functions.round6Micros(
+          Pq.l2sq(col("qsub"), col("cvec_sub"))).as("d2u"))
     codes.toDF("neighbor_id", "subspace", "cell", "code")
       .join(broadcast(luts), Seq("cell", "subspace", "code"))
   }
@@ -506,7 +508,9 @@ object Opq {
       "query_id", "qsub")
       .join(cb, Seq("subspace"))
       .select(col("query_id"), col("subspace"), col("code"),
-        Pq.l2sq(col("qsub"), col("cvec_sub")).as("d2"))
+        // micro-unit LUT distance — see Pq.adcScores (r17)
+        graft.functions.round6Micros(
+          Pq.l2sq(col("qsub"), col("cvec_sub"))).as("d2u"))
     val codes = Pq.slicedFrame(rv, "vec_id", "rv", "vec_id", "sub")
       .join(broadcast(cb), Seq("subspace"))
       .withColumn("d2", Pq.l2sq(col("sub"), col("cvec_sub")))

@@ -305,7 +305,11 @@ object Pq {
       "vec_id", "embedding", "query_id", "qsub")
       .join(cb, Seq("subspace"))
       .select(col("query_id"), col("subspace"), col("code"),
-        l2sq(col("qsub"), col("cvec_sub")).as("d2"))
+        // micro-unit LUT distance (r17): 6-decimal rounding happens
+        // HERE, once per (query, subspace, code) LUT entry, instead of
+        // once per candidate row after the join — see Pq.adcScores
+        graft.functions.round6Micros(
+          l2sq(col("qsub"), col("cvec_sub"))).as("d2u"))
     codesWith(s, dir, cb).toDF("neighbor_id", "subspace", "code")
       .join(broadcast(luts), Seq("subspace", "code"))
   }
@@ -426,7 +430,11 @@ object Pq {
       "query_id", "qrv", "query_id", "qsub", carry = Seq("cell"))
       .join(rcb, Seq("subspace"))
       .select(col("query_id"), col("cell"), col("subspace"), col("code"),
-        l2sq(col("qsub"), col("cvec_sub")).as("d2"))
+        // micro-unit LUT distance (r17): 6-decimal rounding happens
+        // HERE, once per (query, subspace, code) LUT entry, instead of
+        // once per candidate row after the join — see Pq.adcScores
+        graft.functions.round6Micros(
+          l2sq(col("qsub"), col("cvec_sub"))).as("d2u"))
   }
 
   /** The ADC aggregation shared by every ranking path: input
@@ -438,8 +446,17 @@ object Pq {
     cands
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(round(col("d2"), 6).cast("decimal(38,6)"))
-        .cast("double").as("adc_d2"))
+      // exact long micro-unit sum (r17, guide §4): bit-identical to
+      // the previous sum(round(d2,6).cast(decimal(38,6))).cast(double)
+      // — see functions/Round6Micros — with the 6-decimal rounding
+      // paid once per LUT ENTRY (q·M·K rows, at the LUT projection)
+      // instead of twice per CANDIDATE row (q·N·M rows) plus a boxed
+      // decimal add each: the r17 stack samples put a third of the
+      // ADC scan in BigDecimal-from-string. Sound here because the
+      // group is bounded (M = 8 subspace rows per (query, neighbor) ⇒
+      // micro sums ≪ 2⁵³); the corpus-sized aggregations
+      // (train/frozen stats) keep the decimal form.
+      .agg((sum(col("d2u")).cast("double") / lit(1e6)).as("adc_d2"))
 
   /** [[adcScores]] + per-query top-k — the ranked
     * (query_id, neighbor_id, rank, adc_d2) contract.
@@ -574,7 +591,11 @@ object Pq {
       "query_id", "qrv", "query_id", "qsub", carry = Seq("cell"))
       .join(rcb, Seq("subspace"))
       .select(col("query_id"), col("cell"), col("subspace"), col("code"),
-        l2sq(col("qsub"), col("cvec_sub")).as("d2"))
+        // micro-unit LUT distance (r17): 6-decimal rounding happens
+        // HERE, once per (query, subspace, code) LUT entry, instead of
+        // once per candidate row after the join — see Pq.adcScores
+        graft.functions.round6Micros(
+          l2sq(col("qsub"), col("cvec_sub"))).as("d2u"))
     codes.toDF("neighbor_id", "subspace", "cell", "code")
       .join(broadcast(luts), Seq("cell", "subspace", "code"))
   }

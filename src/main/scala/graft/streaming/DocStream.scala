@@ -146,6 +146,11 @@ object DocStream {
 
   def md5Signed(docs: DataFrame): Dataset[SigDocS] = {
     import docs.sparkSession.implicits._
+    // CONTRACT (r17, the r16 advisor's note): `doc_id` must be unique
+    // in `docs`. The batch path below groups by doc_id — duplicate ids
+    // would collapse to ONE signature row — while the streaming path
+    // emits one row per input row; every caller feeds the `documents`
+    // table (or a keyed stream), where doc_id is the primary key.
     // Batch frames compute the same values as
     // `md5Signature(shingles(text))` restructured for codegen (r16,
     // guide §4): higher-order-function lambdas evaluate interpreted,

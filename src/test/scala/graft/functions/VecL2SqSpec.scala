@@ -49,6 +49,17 @@ class VecL2SqSpec extends SparkSpec {
     }
   }
 
+  test("mismatched lengths: partial distance over min(n), not null " +
+      "(the documented divergence from the HOF form)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 9.0f), Array(3.0f, 5.0f))).toDF("a", "b")
+    val v = df.select(vecL2Sq(col("a"), col("b"))).head.getDouble(0)
+    // (1-3)^2 + (2-5)^2 = 13; the trailing 9 is ignored
+    assert(v == 13.0)
+    // ...whereas the replaced HOF fold nulls out on the padded element
+    assert(df.select(hof(col("a"), col("b"))).head.isNullAt(0))
+  }
+
   test("null array propagates null") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f), Option.empty[Array[Float]]))
