@@ -233,7 +233,16 @@ object Dedup {
       .select(col("doc_id"), size(col("sh")).as("n"),
         explode(col("sh")).as("shingle"))
       .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("shingle"))
+      // key-partitioned + EAGER (r17): all four consumers key on
+      // shingle (the hot-df aggregate, the cold anti-join, the
+      // per-doc hot sets, the cold self-join legs), so the cached
+      // partitioning serves every one of them; the count() builds it
+      // exactly once — r16 measured repartition WITHOUT eager here at
+      // 1.6→8.1 s (consumers racing the repartitioned build), which
+      // the single eager build removes.
+      .repartition(col("shingle"))
       .cache()
+    inv.count()
     val hot = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("shingle"))
     val cold = inv.join(hot, Seq("shingle"), "left_anti")
@@ -947,7 +956,11 @@ object Dedup {
     // uncached, each subtree re-scans and re-segments the corpus
     val pars = segmentParagraphs(docs, parTokens)
       .select(col("doc_id"), md5(col("par_text")).as("h")).distinct()
+      // key-partitioned + eager like cappedSharedCounts' postings
+      // (r17): all four consumers key on h, one build, no race
+      .repartition(col("h"))
       .cache()
+    pars.count()
     val hot = pars.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("h"))
     val cold = pars.join(hot, Seq("h"), "left_anti")
